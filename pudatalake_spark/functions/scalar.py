@@ -1,0 +1,336 @@
+"""Scalar function surface (SURVEY §2.8): string, regex, date, math,
+conditional, cast, array (+ higher-order), explode, JSON, map.
+
+Dialect hazards handled here (probed against DuckDB 1.0 at build
+time, SURVEY §5.3):
+- substring/instr are 1-based in both engines;
+- Spark regexp_replace is global; DuckDB needs the 'g' flag;
+- DuckDB date_diff('day', a, b) computes b - a == Spark datediff(b, a);
+- double->int CAST rounds in DuckDB but truncates in Spark -> only
+  cast integral-valued doubles (l_quantity);
+- transcendentals (ln/log10/pow) may differ in the last ulp between
+  libm and java.lang.Math -> rounded 6 dp; sqrt/abs/floor/ceil/sign
+  are exact IEEE -> unrounded;
+- array subscripts: Spark element_at is 1-based (like DuckDB lists);
+  posexplode is 0-based (oracle avoids ordinals, multiset-compares
+  the exploded rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..loaders import table
+from ..registry import register
+
+
+@register(
+    "q_fn_string",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                    AS uname,
+           lower(c_mktsegment)              AS lseg,
+           length(c_name)                   AS name_len,
+           substring(c_name, 10, 5)         AS name_mid,
+           concat(c_mktsegment, '-', c_name) AS seg_name,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+           strpos(c_name, '9')              AS pos9,
+           trim(c_name)                     AS trimmed,
+           replace(c_name, 'Customer', 'Cust') AS short_name
+    FROM customer
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.lower("c_mktsegment").alias("lseg"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 10, 5).alias("name_mid"),
+        F.concat_ws("-", "c_mktsegment", "c_name").alias("seg_name"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.instr("c_name", "9").alias("pos9"),
+        F.trim("c_name").alias("trimmed"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias(
+            "short_name"
+        ),
+    )
+
+
+@register(
+    "q_fn_regex",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '([0-9]+)', 1)          AS brand_num,
+           regexp_replace(p_type, '[AEO]', '_', 'g')       AS vowelless,
+           string_split(p_name, ' ')[1]                    AS first_word,
+           CASE WHEN regexp_matches(p_name, '^(red|blue)') THEN 1 ELSE 0 END
+               AS is_colored
+    FROM part
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_type", "[AEO]", "_").alias("vowelless"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.when(F.col("p_name").rlike(r"^(red|blue)"), 1)
+        .otherwise(0)
+        .alias("is_colored"),
+    )
+
+
+@register(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate)                        AS yr,
+           month(o_orderdate)                       AS mon,
+           quarter(o_orderdate)                     AS qtr,
+           date_trunc('month', o_orderdate)         AS month_start,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01')
+               AS days_to_y2k,
+           CAST(o_orderdate AS DATE) + 30           AS plus_30d,
+           last_day(CAST(o_orderdate AS DATE))      AS month_end,
+           dayofweek(o_orderdate)                   AS dow
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date extraction/arithmetic. DuckDB dayofweek == Spark dayofweek-1
+    (Spark: Sunday=1 .. Saturday=7; DuckDB: Sunday=0 .. Saturday=6) -
+    aligned by subtracting 1 on the Spark side."""
+    o = table(spark, sf_dir, "orders")
+    od = F.col("o_orderdate")
+    odate = od.cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(od).alias("yr"),
+        F.month(od).alias("mon"),
+        F.quarter(od).alias("qtr"),
+        F.date_trunc("month", od).alias("month_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), odate).alias("days_to_y2k"),
+        F.date_add(odate, 30).alias("plus_30d"),
+        F.last_day(odate).alias("month_end"),
+        (F.dayofweek(od) - 1).alias("dow"),
+    )
+
+
+@register(
+    "q_fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 50000)            AS dist_mid,
+           CAST(floor(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT)  AS qty_ceil,
+           sqrt(l_extendedprice)                   AS price_sqrt,
+           round(ln(l_extendedprice), 6)           AS price_ln,
+           round(log10(l_extendedprice), 6)        AS price_log10,
+           round(pow(l_discount, 2), 6)            AS disc_sq,
+           l_orderkey % 7                          AS key_mod7,
+           CAST(sign(l_discount - 0.05) AS INTEGER) AS disc_sign,
+           round(l_extendedprice / 7, 2)           AS price_7th
+    FROM lineitem
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 50000).alias("dist_mid"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+        F.round(F.col("l_extendedprice") / 7, 2).alias("price_7th"),
+    )
+
+
+@register(
+    "q_fn_cond",
+    oracle="""
+    SELECT s_suppkey,
+           coalesce(nullif(s_acctbal, 0.0), -1.0)  AS bal_or_flag,
+           greatest(s_acctbal, 5000.0)             AS bal_floor5k,
+           least(s_acctbal, 5000.0)                AS bal_cap5k,
+           CASE WHEN s_acctbal IS NULL THEN 'null' ELSE 'set' END AS nullness
+    FROM supplier
+    """,
+)
+def q_fn_cond(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.coalesce(F.nullif(F.col("s_acctbal"), F.lit(0.0)), F.lit(-1.0)).alias(
+            "bal_or_flag"
+        ),
+        F.greatest(F.col("s_acctbal"), F.lit(5000.0)).alias("bal_floor5k"),
+        F.least(F.col("s_acctbal"), F.lit(5000.0)).alias("bal_cap5k"),
+        F.when(F.col("s_acctbal").isNull(), "null").otherwise("set").alias(
+            "nullness"
+        ),
+    )
+
+
+@register(
+    "q_fn_cast",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR)                    AS key_str,
+           CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+           CAST(o_totalprice AS VARCHAR) LIKE '%.%'       AS has_cents,
+           CAST(CAST(o_orderdate AS DATE) AS VARCHAR)     AS date_str,
+           CAST(o_orderkey AS DOUBLE) / 2                 AS half_key
+    FROM orders
+    """,
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix on values that are lossless in both dialects
+    (avoids the double->int rounding-mode divergence)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+        F.col("o_totalprice").cast("string").like("%.%").alias("has_cents"),
+        F.col("o_orderdate").cast("date").cast("string").alias("date_str"),
+        (F.col("o_orderkey").cast("double") / 2).alias("half_key"),
+    )
+
+
+@register(
+    "q_fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                       AS dim,
+           embedding[1]                         AS e_first,
+           embedding[64]                        AS e_last,
+           list_contains(embedding, 0.0)        AS has_zero,
+           embedding[1:3]                       AS head3
+    FROM embeddings
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array basics over the 64-dim embedding column (element_at is
+    1-based, matching DuckDB list indexing)."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("e_first"),
+        F.element_at("embedding", 64).alias("e_last"),
+        F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
+        F.slice("embedding", 1, 3).alias("head3"),
+    )
+
+
+@register(
+    "q_fn_array_hof",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           len(list_filter(embedding, x -> x > 0))  AS n_positive,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE))), 6)       AS comp_sum
+    FROM embeddings
+    """,
+)
+def q_fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate.
+    All folds are sequential left-to-right on 64 elements; results
+    rounded 6 dp against accumulation-order drift."""
+    e = table(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    comp_sum = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
+        F.round(comp_sum, 6).alias("comp_sum"),
+    )
+
+
+@register(
+    "q_fn_explode",
+    oracle="""
+    SELECT vec_id, label, unnest(embedding) AS component
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode array to rows (multiset-compared: posexplode ordinals are
+    0-based vs DuckDB's 1-based, so ordinals stay out of the oracle)."""
+    e = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    return e.select("vec_id", "label", F.explode("embedding").alias("component"))
+
+
+@register(
+    "q_fn_json",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE)
+                 / count(json_extract_string(props, '$.k')) AS avg_k,
+           max(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the semi-structured props column, then
+    aggregation on the extracted field."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(k) / F.count(k)).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "q_fn_map",
+    oracle="""
+    SELECT c_custkey, c_acctbal AS bal, c_mktsegment AS seg
+    FROM customer
+    WHERE c_acctbal > 5000
+    """,
+)
+def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + element_at extraction (the oracle states the
+    semantic result: extracting what was inserted; MAP literals differ
+    too much across dialects to round-trip)."""
+    c = table(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("bal"), F.col("c_acctbal").cast("string"),
+        F.lit("seg"), F.col("c_mktsegment"),
+    )
+    return (
+        c.withColumn("m", m)
+        .filter(F.col("c_acctbal") > 5000)
+        .select(
+            "c_custkey",
+            F.element_at(F.col("m"), "bal").cast("double").alias("bal"),
+            F.element_at(F.col("m"), "seg").alias("seg"),
+        )
+    )

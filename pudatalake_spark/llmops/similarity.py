@@ -1,0 +1,278 @@
+"""Vector similarity search over the embeddings table (SURVEY §2.10):
+brute-force cosine top-k, thresholded all-pairs within blocks, kNN
+classification, and an LSH-bucketed approximate path.
+
+Cosine is computed in float64 on both engines (embeddings are
+float32 on disk; both sides cast before arithmetic), rounded to 6 dp,
+and ranked by (rounded score DESC, vec_id) so ordering and top-k
+cut-offs are deterministic and engine-independent.
+
+100 TB posture:
+- top-k for a bounded query set: broadcast the queries; candidates
+  stream past them - no shuffle of the candidate table, O(|C|*|Q|)
+  flops fully parallel, per-partition top-k heaps via window+filter.
+- all-pairs threshold: NEVER the raw cross join - block first (here:
+  the label column; generally an LSH bucket), join within blocks.
+- approximate path (q_sim_ann_lsh): sign-bit LSH buckets from fixed
+  projection dims - deterministic, oracle-able, and the bucket join
+  touches ~1/2^b of the candidates per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..loaders import table
+from ..registry import register
+
+COS_TAU = 0.3
+TOP_K = 5
+
+
+def _vd(col: str):
+    """float32 array -> float64 array (match DuckDB's CAST-first)."""
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+_DUCK_COS = (
+    "list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+def _duck_cos(a: str, b: str) -> str:
+    return _DUCK_COS.format(a=a, b=b)
+
+
+@register(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_duck_cos("q.v", "c.v")}, 6) AS cos_sim
+      FROM q JOIN e c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 query vectors:
+    broadcast queries x streamed candidates, per-query top-k window."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", _vd("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
+@register(
+    "q_sim_threshold_pairs",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.label AS label, a.vec_id AS vec1, b.vec_id AS vec2,
+           round({_duck_cos("a.v", "b.v")}, 6) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round({_duck_cos("a.v", "b.v")}, 6) >= {COS_TAU}
+    """,
+)
+def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine >= 0.3 within the same label block (the
+    blocked formulation of all-pairs similarity: label partitions the
+    N^2 into 10 independent (N/10)^2 problems)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vd("embedding").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(_cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COS_TAU)
+        .select(
+            F.col("a.label").alias("label"),
+            F.col("a.vec_id").alias("vec1"),
+            F.col("b.vec_id").alias("vec2"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@register(
+    "q_sim_knn_label",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 20),
+    c AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.label AS cand_label, c.vec_id AS cand_id,
+             round({_duck_cos("q.v", "c.v")}, 6) AS cos_sim
+      FROM q JOIN c ON true
+    ),
+    top AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM scored) WHERE rn <= {TOP_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, cand_label, count(*) AS n_votes
+      FROM top GROUP BY query_id, true_label, cand_label
+    )
+    SELECT query_id, true_label, cand_label AS pred_label, n_votes
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n_votes DESC, cand_label) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+)
+def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-NN majority-label classification of the first 20 vectors
+    against the rest (ties: most votes, then smallest label)."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _vd("embedding").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("qv"),
+    )
+    c = e.filter(F.col("vec_id") >= 20)
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "true_label",
+        F.col("label").alias("cand_label"),
+        F.col("vec_id").alias("cand_id"),
+        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    top = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= TOP_K
+    )
+    votes = top.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count("*").alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("cand_label")
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", "true_label", F.col("cand_label").alias("pred_label"),
+            "n_votes",
+        )
+    )
+
+
+@register(
+    "q_sim_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             (CASE WHEN embedding[1] > 0 THEN 4 ELSE 0 END
+              + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END
+              + CASE WHEN embedding[3] > 0 THEN 1 ELSE 0 END) AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, v, bucket FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             round({_duck_cos("q.v", "c.v")}, 6) AS cos_sim
+      FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via sign-bit LSH: bucket = sign bits of dims
+    1..3 (a fixed axis-projection hash for cosine); each query probes
+    only its own bucket (~1/8 of candidates). Deterministic, so fully
+    oracle-checkable - the IVF/era-of-scale pattern in miniature."""
+    e = table(spark, sf_dir, "embeddings")
+    bucket = (
+        F.when(F.element_at("embedding", 1) > 0, 4).otherwise(0)
+        + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
+        + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
+    )
+    eb = e.select("vec_id", _vd("embedding").alias("v"), bucket.alias("bucket"))
+    q = eb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        eb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "cand_id", "cos_sim")
+    )

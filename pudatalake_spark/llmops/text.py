@@ -1,0 +1,318 @@
+"""Text-analysis operators over the document corpus (SURVEY §2.10,
+BASELINE.json:6): tokenization/word counts, corpus stats, n-grams,
+pure-SQL TF-IDF, language-ID heuristic, quality scoring, token
+counting, content fingerprinting.
+
+All token pipelines stay JVM-side (split/explode/aggregate - no
+Python UDFs in the hot path); the fold-based fingerprint uses exact
+integer arithmetic so both engines agree bit-for-bit.
+
+100 TB posture: explode(tokens) multiplies rows ~100x but feeds a
+two-phase hash agg, so the shuffle carries only (token, partial
+count) pairs; top-k via TakeOrderedAndProject. All per-doc operators
+are embarrassingly parallel scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loaders import load, table
+from ..registry import register
+
+
+def _tokens():
+    return F.split(F.lower(F.col("text")), " ")
+
+
+@register(
+    "q_text_tokenize_wordcount",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 50
+    """,
+)
+def q_text_tokenize_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize -> tokenize -> top-50 word counts (ties broken by
+    token so LIMIT is deterministic)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(50)
+    )
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+           CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+               AS avg_tokens,
+           max(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+        (F.sum(F.size(F.split(F.col("text"), " "))) / F.count("*")).alias(
+            "avg_tokens"
+        ),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_text_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    nums AS (SELECT range AS i FROM range(1, 256))
+    SELECT t[i] || ' ' || t[i + 1] AS bigram, count(*) AS n
+    FROM toks, nums
+    WHERE i < len(t)
+    GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 30
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram counts. Spark pairs adjacent tokens with a transform over
+    an index sequence; the oracle cross-joins a bounded index table
+    (DuckDB range() can't be lateral-correlated)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(_tokens().alias("t"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bigram"))
+        .limit(30)
+    )
+
+
+@register(
+    "q_text_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, token, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, token,
+           round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM (
+      SELECT tf.doc_id, tf.token,
+             tf.tf, df.df, n.n_docs,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) DESC,
+                        tf.token) AS rn
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    )
+    WHERE rn <= 5 AND doc_id < 50
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL TF-IDF, top-5 terms per doc (first 50 docs). The
+    HashingTF+IDF ML path is the same shape but hash-bucketed; this
+    formulation is exact and oracle-able."""
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = d.count()  # scalar; broadcast into the expression
+    from pyspark.sql import Window
+
+    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 5) & (F.col("doc_id") < 50))
+        .select("doc_id", "token", F.round(score, 6).alias("tfidf"))
+    )
+
+
+#: Tiny per-language stopword marker lists for the n-gram/stopword
+#: language-ID heuristic (public-knowledge common words).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+}
+
+
+def _langid_sql(split_expr: str) -> str:
+    """Shared language-ID SQL: count marker hits per language, pick the
+    argmax (ties -> 'und'). split_expr is the dialect's tokenizer."""
+    hit_cols = []
+    for lang, words in _LANG_MARKERS.items():
+        inlist = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"count(*) FILTER (WHERE token IN ({inlist})) AS hits_{lang}"
+        )
+    hits = ",\n             ".join(hit_cols)
+    greatest = ", ".join(f"hits_{lang}" for lang in _LANG_MARKERS)
+    cases = "\n                ".join(
+        f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in _LANG_MARKERS
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS true_lang, {split_expr} AS token FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, true_lang,
+             {hits}
+      FROM toks GROUP BY doc_id, true_lang
+    ),
+    scored AS (
+      SELECT *, greatest({greatest}) AS best FROM hits
+    )
+    SELECT doc_id, true_lang,
+           CASE {cases}
+                ELSE 'und' END AS pred_lang
+    FROM scored
+    """
+
+
+@register(
+    "q_text_langid",
+    oracle=_langid_sql("unnest(string_split(lower(text), ' '))"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID (first matching language in a fixed
+    order wins ties -> deterministic). Engine SQL == oracle SQL up to
+    the tokenizer spelling (EP3)."""
+    load(spark, sf_dir)
+    return spark.sql(_langid_sql("explode(split(lower(text), ' '))"))
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+    SELECT doc_id,
+           n_chars,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(n_chars AS DOUBLE)
+                 / len(string_split(text, ' ')) AS avg_token_len,
+           (length(text) - length(replace(text, ' ', ''))) AS n_spaces,
+           CASE WHEN n_chars BETWEEN 120 AND 400
+                 AND len(string_split(text, ' ')) >= 20
+                THEN 1 ELSE 0 END AS quality_ok
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic doc quality scoring: length bounds + token density
+    (the punctuation/stopword-ratio family of filters)."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / n_tokens).alias("avg_token_len"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        ).alias("n_spaces"),
+        F.when(
+            F.col("n_chars").between(120, 400) & (n_tokens >= 20), 1
+        )
+        .otherwise(0)
+        .alias("quality_ok"),
+    )
+
+
+@register(
+    "q_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_split_to_array(text, '[^a-z0-9]+')) AS bpe_ish_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_len_estimate
+    FROM documents
+    """,
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace split, a BPE-ish regex
+    split (alnum runs), and the chars/4 LLM-token rule of thumb."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("ws_tokens"),
+        F.size(F.split(F.col("text"), "[^a-z0-9]+")).alias("bpe_ish_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("byte_len_estimate"),
+    )
+
+
+_FP_MOD = 1_000_000_007
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(lower(trim(text))) AS content_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(lower(text), ' '),
+                 t -> CAST(ascii(t) * 256 + length(t) AS BIGINT))),
+             (a, x) -> (a * 31 + x) % {_FP_MOD}) AS rolling_hash
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: MD5 content hash (bit-identical across
+    engines) + a polynomial rolling hash over token features, folded
+    left-to-right in exact BIGINT arithmetic mod 1e9+7."""
+    d = table(spark, sf_dir, "documents")
+    tok_feature = F.transform(
+        _tokens(),
+        lambda t: (F.ascii(t) * 256 + F.length(t)).cast("long"),
+    )
+    rolling = F.aggregate(
+        tok_feature,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % _FP_MOD,
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
+        rolling.alias("rolling_hash"),
+    )

@@ -1,0 +1,192 @@
+"""User-defined function surface (SURVEY §2.10): scalar Python UDF,
+Arrow-vectorized pandas UDF, grouped-map applyInPandas, grouped-agg
+pandas UDF, and a Python UDTF (Spark 4).
+
+UDFs are the slow path (SURVEY preamble): everything here has a
+built-in equivalent used as the oracle; the point of these keys is
+the *surface*, and the oracle proves the UDF computes what it claims.
+Pandas UDFs move data as Arrow batches (columnar, zero-copy-ish);
+plain Python UDFs serialize row-at-a-time and are 10-100x slower -
+documented here, benched in bench.py.
+
+100 TB posture: pandas UDFs scale with partitions like any narrow
+transformation; applyInPandas shuffles on the grouping key and the
+per-group pandas frame must fit in worker memory - group by
+high-cardinality keys only.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..loaders import table
+from ..registry import register
+
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '[0-9]+', '#', 'g') AS normalized
+    FROM documents
+    """,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python UDF: text normalizer (lower, trim, digit
+    runs -> '#'). ASCII-only operations so Python str semantics match
+    the SQL oracle exactly."""
+
+    digit_run = re.compile(r"[0-9]+")
+
+    @F.udf(returnType=T.StringType())
+    def normalize(s: str) -> str:
+        return digit_run.sub("#", s.strip().lower())
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", normalize("text").alias("normalized"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+    FROM embeddings
+    """,
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized pandas UDF: numpy batch L2 norm over the
+    embedding column (float64 accumulation, rounded 4 dp - numpy's
+    pairwise summation differs from sequential folds in the last ulp)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def l2_norm(vecs: pd.Series) -> pd.Series:
+        return vecs.map(
+            lambda v: round(float(np.sqrt(np.sum(np.square(np.asarray(v, dtype=np.float64))))), 4)
+        )
+
+    e = table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", l2_norm("embedding").alias("l2_norm"))
+
+
+@register(
+    "udf_grouped_map",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(*) * 100.0) AS mean_value,
+           round(max(value) - min(value), 4) AS value_range
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-user event statistics computed in
+    pandas (one group = one in-memory frame; shuffle on user_id)."""
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("mean_value", T.DoubleType()),
+            T.StructField("value_range", T.DoubleType()),
+        ]
+    )
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["value"].to_numpy(dtype=np.float64)
+        # Exact-decimal mean: integer cents, ONE double division and
+        # no rounding - bit-identical to the SQL oracle's division.
+        cents = int(np.rint(v * 100).astype(np.int64).sum())
+        mean = cents / (len(v) * 100.0)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(v)],
+                "mean_value": [mean],
+                "value_range": [round(float(v.max() - v.min()), 4)],
+            }
+        )
+
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(stats, schema=schema)
+
+
+@register(
+    "udf_pandas_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)
+                    * CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS DOUBLE)
+                 / (CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                         AS DOUBLE) * 100.0) AS weighted_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udf_pandas_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF via GROUPED_AGG pandas UDF: k-weighted mean of
+    value (weights from the JSON props field, extracted JVM-side so
+    only two numeric columns cross the Arrow boundary)."""
+
+    @F.pandas_udf("double")
+    def weighted_mean(v: pd.Series, w: pd.Series) -> float:
+        # Series -> scalar type hints mark this as a GROUPED_AGG UDF.
+        # Exact integer arithmetic (cents * weight), one division.
+        cents = np.rint(v.to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        wt = w.to_numpy(dtype=np.int64)
+        return float(int((cents * wt).sum()) / (float(int(wt.sum())) * 100.0))
+
+    ev = table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("int")
+    )
+    return ev.groupBy("event_type").agg(
+        weighted_mean("value", "k").alias("weighted_value")
+    )
+
+
+@register(
+    "udtf_python",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      WHERE doc_id < 100
+    ),
+    nums AS (SELECT range AS i FROM range(0, 512))
+    SELECT doc_id, i AS pos, t[i + 1] AS token
+    FROM toks, nums
+    WHERE i < len(t)
+    """,
+)
+def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input row -> many output rows
+    (token, 0-based position). The oracle reproduces the same rows
+    with a bounded index table."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text: str):  # noqa: D102
+            for pos, tok in enumerate(text.lower().split(" ")):
+                yield pos, tok
+
+    spark.udtf.register("pudl_tokenize", Tokenize)
+    load_view = table(spark, sf_dir, "documents")  # registers views
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM documents d, LATERAL pudl_tokenize(d.text) t
+        WHERE d.doc_id < 100
+        """
+    )

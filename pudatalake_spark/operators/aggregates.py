@@ -1,0 +1,313 @@
+"""Aggregations (SURVEY §2.4): global, grouped, HAVING, distinct,
+rollup/cube/grouping sets, collect, percentile, stats, conditional.
+
+Scale notes (100 TB posture): Spark hash aggregation is automatically
+two-phase (partial map-side combine -> shuffle on group keys -> final
+merge), so these plans scale linearly in input and shuffle only the
+per-group partials. High-cardinality groupBy keys (o_custkey) shuffle
+more rows but AQE coalesces/splits partitions at runtime. Exact
+COUNT(DISTINCT) triggers a two-level expand+agg; at 100 TB prefer
+q_agg_approx_distinct (HLL, constant memory per group).
+
+Floating aggregates are rounded to 4 dp on BOTH sides: distributed
+reduction order differs from DuckDB's sequential scan, so raw sums
+differ in the last ulp (SURVEY §5.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loaders import load, table
+from ..registry import register
+from ..functions.exact import avg_exact
+
+#: Flagship filter date (TPC-H Q1 style).
+Q1_CUTOFF = "1998-09-02"
+
+
+@register(
+    "q_agg_global",
+    oracle="""
+    SELECT round(sum(l_quantity), 4)        AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(l_extendedprice) * 100.0) AS avg_price,
+           round(min(l_extendedprice), 4)   AS min_price,
+           round(max(l_extendedprice), 4)   AS max_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_revenue,
+           count(*)                         AS n_rows
+    FROM lineitem
+    """,
+)
+def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        avg_exact("l_extendedprice").alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("sum_revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "q_agg_groupby",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)      AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+               AS sum_charge,
+           CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(l_quantity) * 100.0) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(l_extendedprice) * 100.0) AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(l_discount) * 100.0) AS avg_disc,
+           count(*)                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary - the flagship query (SURVEY §7.2).
+
+    Scan -> pushed filter -> project -> partial hash agg -> shuffle(2
+    keys, 6 groups) -> final agg. The shuffle carries 6 groups x 8
+    aggregates regardless of input size: this plan is flat at 100 TB.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            avg_exact("l_quantity").alias("avg_qty"),
+            avg_exact("l_extendedprice").alias("avg_price"),
+            avg_exact("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "q_agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register("q_agg_approx_distinct")  # approx -> rows-only check
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct: constant memory per group.
+
+    The 100 TB path for distinct-cardinality; rsd=0.01. No oracle
+    (approximation differs from DuckDB's HLL by design).
+    """
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           count(*) AS n_cust,
+           round(sum(c_acctbal), 4) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with subtotal rows (NULL marks rolled-up levels; the
+    grouping columns are never NULL in data, so NULL is unambiguous)."""
+    t = load(spark, sf_dir)
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]),
+        t["customer"].c_nationkey == t["nation"].n_nationkey,
+    )
+    return joined.rollup("n_name", "c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           count(*) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(c_acctbal) * 100.0) AS avg_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY CUBE (n_name, c_mktsegment)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    joined = t["customer"].join(
+        F.broadcast(t["nation"]),
+        t["customer"].c_nationkey == t["nation"].n_nationkey,
+    )
+    return joined.cube("n_name", "c_mktsegment").agg(
+        F.count("*").alias("n_cust"),
+        avg_exact("c_acctbal").alias("avg_bal"),
+    )
+
+
+_GROUPING_SETS_SQL = """
+    SELECT n_name, c_mktsegment,
+           count(*) AS n_cust,
+           round(sum(c_acctbal), 4) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+"""
+
+
+@register("q_agg_grouping_sets", oracle=_GROUPING_SETS_SQL)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (EP3: engine SQL == oracle SQL)."""
+    load(spark, sf_dir)
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+    SELECT o_orderstatus,
+           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set sorted for determinism (SURVEY §5.2 determinism rule)."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS median,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous-interpolation percentiles (matches quantile_cont).
+
+    Exact percentile requires a per-group sort; the 100 TB path is
+    approx_percentile (t-digest-style sketch, map-side combinable).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+@register(
+    "q_agg_stddev_corr",
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(var_samp(l_quantity), 4)         AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 4) AS corr_pq,
+           round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stddev_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("cov_pq"),
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+    SELECT l_linestatus,
+           round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'A'), 4)
+               AS returned_price,
+           round(sum(l_extendedprice) FILTER (WHERE l_returnflag = 'N'), 4)
+               AS kept_price,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause aggregation as sum(when(cond, x)) (same NULL-skip
+    semantics)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "A", F.col("l_extendedprice"))),
+            4,
+        ).alias("returned_price"),
+        F.round(
+            F.sum(F.when(F.col("l_returnflag") == "N", F.col("l_extendedprice"))),
+            4,
+        ).alias("kept_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, True)).alias("n_discounted"),
+    )

@@ -1,0 +1,344 @@
+"""Joins (SURVEY §2.3): broadcast/shuffle equi joins, outer, semi,
+anti, cross, theta/range, as-of, multiway star, self.
+
+Strategy notes (100 TB posture):
+- Dimensions (region/nation/customer at small SF; region/nation
+  always) get an explicit ``broadcast()`` hint - no shuffle of the
+  fact side. AQE also converts to broadcast at runtime when a side's
+  stats come in under the threshold.
+- Fact-fact joins (orders x lineitem) shuffle on the join key; both
+  sides are key-partitioned so the join is co-located after one
+  exchange. In a real lake, bucketing both tables by orderkey removes
+  the exchange entirely.
+- Skew: AQE skew-join splitting is enabled in the session factory;
+  for pathological keys, salt the hot key (append key % N to both
+  sides) - documented here, not needed on the synthetic data.
+- Range/theta joins use a tiny broadcast band table: each fact row
+  streams against the broadcast side - no N^2 shuffle.
+- As-of join: Spark has no native ASOF; the union-tag + running
+  ``last(ignorenulls)`` window pattern costs ONE shuffle on
+  (user_id) + a sort - the same cost profile as a native asof merge
+  join, and it never materializes candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..loaders import load, table
+from ..registry import register
+
+
+@register(
+    "q_join_inner_broadcast",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (
+        t["nation"]
+        .join(F.broadcast(t["region"]), t["nation"].n_regionkey == t["region"].r_regionkey)
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+@register(
+    "q_join_inner_shuffle",
+    oracle="""
+    SELECT o_orderkey, o_orderdate,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    """,
+)
+def q_join_inner_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join; planner picks SMJ/SHJ; AQE tunes at runtime."""
+    t = load(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["lineitem"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_name,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 4) AS total_spent
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: customers with no orders kept (count=0, total=0)."""
+    t = load(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], t["orders"].o_custkey == t["customer"].c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0)), 4).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@register(
+    "q_join_right",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (
+        t["orders"]
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey, "right")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_full",
+    oracle="""
+    WITH evens AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0
+    ),
+    big AS (
+      SELECT o_custkey, count(*) AS n_big
+      FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+    )
+    SELECT c_custkey, c_name, o_custkey, n_big
+    FROM evens FULL JOIN big ON o_custkey = c_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer with unmatched rows on BOTH sides (evens vs big-spenders)."""
+    t = load(spark, sf_dir)
+    evens = (
+        t["customer"].filter(F.col("c_custkey") % 2 == 0).select("c_custkey", "c_name")
+    )
+    big = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 150000)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_big"))
+    )
+    return evens.join(big, big.o_custkey == evens.c_custkey, "full").select(
+        "c_custkey", "c_name", "o_custkey", "n_big"
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000)
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left_semi: no row duplication, right side only probed."""
+    t = load(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 200000)
+    return (
+        t["customer"]
+        .join(big, big.o_custkey == t["customer"].c_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(t["orders"], t["orders"].o_custkey == t["customer"].c_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    return t["region"].crossJoin(t["nation"]).select("r_name", "n_name")
+
+
+#: Price bands for the theta join - tiny, broadcast.
+_BANDS = [
+    (1, 0.0, 25000.0),
+    (2, 25000.0, 50000.0),
+    (3, 50000.0, 75000.0),
+    (4, 75000.0, 110000.0),
+]
+_BANDS_VALUES = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _BANDS)
+
+
+@register(
+    "q_join_theta_range",
+    oracle=f"""
+    WITH bands(band_id, lo, hi) AS (VALUES {_BANDS_VALUES})
+    SELECT band_id, count(*) AS n_items,
+           round(sum(l_extendedprice), 4) AS band_price
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band_id
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join against a broadcast band table: each fact row
+    streams past the 4-row broadcast side (BroadcastNestedLoopJoin) -
+    no shuffle of lineitem, scales linearly."""
+    li = table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band_id INT, lo DOUBLE, hi DOUBLE")
+    cond = (F.col("l_extendedprice") >= F.col("lo")) & (
+        F.col("l_extendedprice") < F.col("hi")
+    )
+    return (
+        li.join(F.broadcast(bands), cond)
+        .groupBy("band_id")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("band_price"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(v.ts) FROM events v
+            WHERE v.user_id = p.user_id
+              AND v.event_type = 'view'
+              AND v.ts <= p.ts) AS last_view_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest view at
+    or before it (DuckDB-ASOF-equivalent "latest ts' <= ts").
+
+    Spark formulation: union-tag + running ``last(ignorenulls)`` over a
+    (user_id)-partitioned, ts-ordered window. Views sort before
+    purchases at equal ts (tag 0 < 1) so ties count as "at or before",
+    matching the oracle's <=. One shuffle + one sort, no candidate
+    pair blow-up - the scalable as-of pattern.
+    """
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.withColumn(
+        "tag", F.when(F.col("event_type") == "view", 0).otherwise(1)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_view_ts",
+            F.last(
+                F.when(F.col("event_type") == "view", F.col("ts")),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_view_ts")
+    )
+
+
+@register(
+    "q_join_star_multiway",
+    oracle="""
+    SELECT r_name, n_name,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_star_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-way star join: fact side shuffles once per fact-fact join;
+    nation/region broadcast; customer broadcast at bench SF (AQE
+    decides from runtime stats at larger SF)."""
+    t = load(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+    joined = (
+        li.join(t["orders"], li.l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], F.col("o_custkey") == t["customer"].c_custkey)
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == t["nation"].n_nationkey)
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == t["region"].r_regionkey)
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.count("*").alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )
+
+
+@register(
+    "q_join_self",
+    oracle="""
+    SELECT a.l_orderkey AS orderkey,
+           a.l_linenumber AS ln1, b.l_linenumber AS ln2,
+           a.l_extendedprice + b.l_extendedprice AS pair_price
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    """,
+)
+def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: unordered line-item pairs within each order."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("orderkey"),
+        F.col("a.l_linenumber").alias("ln1"),
+        F.col("b.l_linenumber").alias("ln2"),
+        (F.col("a.l_extendedprice") + F.col("b.l_extendedprice")).alias("pair_price"),
+    )

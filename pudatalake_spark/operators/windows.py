@@ -1,0 +1,233 @@
+"""Window functions (SURVEY §2.5).
+
+Scale notes: every window here is PARTITIONED (by customer / user /
+status) - one shuffle on the partition key, then a per-partition
+sort; no global single-partition windows in the hot paths
+(q_win_percent_rank_cume ranks the 20k-row `part` dim - acceptable;
+at 100 TB rank a pre-aggregated or bucketed projection instead).
+Ties at ranking boundaries are broken by a unique key so results are
+deterministic functions (SURVEY §5.2).
+
+Running sums/averages are rounded 4 dp: DuckDB evaluates constant
+frames with segment trees (different association order than Spark's
+incremental accumulation) -> last-ulp drift on raw doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import avg_exact_over
+from ..loaders import table
+from ..registry import register
+
+
+@register(
+    "q_win_rownumber_topk",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q_win_rownumber_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer; ties broken by o_orderkey."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register(
+    "q_win_rank_dense",
+    oracle="""
+    SELECT o_orderkey, price_bucket,
+           rank() OVER (PARTITION BY o_orderstatus
+                        ORDER BY price_bucket DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_orderstatus
+                              ORDER BY price_bucket DESC) AS drnk
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_bucket
+          FROM orders)
+    """,
+)
+def q_win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank over a bucketed price (buckets force ties; rank
+    output is deterministic under ties because it depends only on the
+    order key)."""
+    o = table(spark, sf_dir, "orders").withColumn(
+        "price_bucket", F.floor(F.col("o_totalprice") / 10000)
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.col("price_bucket").desc())
+    return o.select(
+        "o_orderkey",
+        "price_bucket",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "q_win_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+    FROM customer
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acctbal quartiles; total order includes c_custkey so tied
+    balances assign deterministically. Global window - at 100 TB use
+    approx quantile cut-points instead of a single-partition ntile."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    )
+
+
+@register(
+    "q_win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           value - lag(value) OVER w AS delta_value,
+           epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_to_next_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas. Gap computed in exact integer micros
+    (unix_micros == DuckDB epoch_us) - no float rounding needed."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_value"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))).alias(
+            "gap_to_next_us"
+        ),
+    )
+
+
+@register(
+    "q_win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             AS running_spent
+    FROM orders
+    """,
+)
+def q_win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spent"),
+    )
+
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "q_win_moving_avg",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) OVER w AS DOUBLE)
+                 / (count(value) OVER w * 100.0) AS avg_7d
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN {_WEEK_US} PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average per user via a RANGE frame over exact
+    integer microseconds (identical frame boundaries on both engines)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-_WEEK_US, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        avg_exact_over("value", w).alias("avg_7d"),
+    )
+
+
+@register(
+    "q_win_first_last",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           first_value(value) OVER w AS first_val,
+           last_value(value)  OVER w AS last_val,
+           nth_value(value, 2) OVER w AS second_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth over the full partition frame (values are raw
+    doubles copied, not aggregated - exact on both sides)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w).alias("last_val"),
+        F.nth_value("value", 2).over(w).alias("second_val"),
+    )
+
+
+@register(
+    "q_win_percent_rank_cume",
+    oracle="""
+    SELECT p_partkey, p_retailprice,
+           percent_rank() OVER (ORDER BY p_retailprice) AS pr,
+           cume_dist()    OVER (ORDER BY p_retailprice) AS cd
+    FROM part
+    """,
+)
+def q_win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank/cume_dist: rank-based, so deterministic under ties;
+    values are exact rationals (same division both sides) - unrounded."""
+    p = table(spark, sf_dir, "part")
+    w = Window.orderBy("p_retailprice")
+    return p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )

@@ -1,0 +1,62 @@
+"""Ingestion sources beyond parquet (SURVEY §2.1): CSV and JSON-lines.
+
+Rows-only checks (ingest utilities have no SQL oracle): each builder
+round-trips a deterministic slice of the lake through the format and
+returns the read-back DataFrame, proving schema handling (explicit
+schema + inference) end-to-end.
+
+100 TB posture: ``spark.read.csv/json`` parallelizes over files and
+splits; always pass an explicit schema in production - schema
+inference is an extra full read of the data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..loaders import table
+from ..registry import register
+
+SCRATCH = os.environ.get("PUDL_SCRATCH", "/root/repo/.scratch")
+
+
+def _scratch(*parts: str) -> str:
+    path = os.path.join(SCRATCH, *parts)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    return path
+
+
+CUSTOMER_SCHEMA = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@register("src_csv")
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip with header + explicit schema on read."""
+    out = _scratch("csv", "customer")
+    c = table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.csv(out, header=True, schema=CUSTOMER_SCHEMA)
+
+
+@register("src_json")
+def src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines round-trip (schema inferred on read; timestamps kept
+    as ISO strings for stability)."""
+    out = _scratch("json", "events")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+    ev.write.mode("overwrite").json(out)
+    return spark.read.json(out)

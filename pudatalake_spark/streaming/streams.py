@@ -1,0 +1,193 @@
+"""True Structured Streaming operators (SURVEY §2.9, rows-only).
+
+Each builder materializes the events table as a multi-file stream
+source under scratch, runs a streaming query with
+``trigger(availableNow=True)`` to completion, and returns the final
+result as a DataFrame. tests/test_streaming.py additionally feeds
+ordered micro-batches (maxFilesPerTrigger=1) and asserts equivalence
+with the batch formulations in batch_windows.py.
+
+100 TB posture: state (windows, dedup keys, per-user aggregates)
+lives in the executor state store, keyed and partitioned by the
+grouping key; watermarks bound state size by evicting windows older
+than max(event time) - delay. Checkpointing makes restarts
+exactly-once.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..loaders import table
+from ..registry import register
+from ..sources.ingest import SCRATCH
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _fresh(*parts: str) -> str:
+    path = os.path.join(SCRATCH, "stream", *parts)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, name: str, n_files: int = 4
+) -> str:
+    """Write events as n_files parquet files ordered by ts: a replayable
+    file-stream source (file order == event-time order)."""
+    src = _fresh(name, "src")
+    ev = table(spark, sf_dir, "events")
+    # Range-partition by ts so file boundaries follow event time.
+    ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(src)
+    return src
+
+
+def read_event_stream(
+    spark: SparkSession, src: str, max_files: int | None = None
+):
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files:
+        reader = reader.option("maxFilesPerTrigger", str(max_files))
+    return reader.parquet(src)
+
+
+def run_to_memory(stream_df, name: str, output_mode: str) -> None:
+    """Drain a stream into an in-memory sink table named `name`."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", _fresh(name, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+@register("s_watermark_late")
+def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregate: 10-minute watermark bounds
+    state; events later than watermark - 10min are dropped."""
+    src = stage_event_files(spark, sf_dir, "s_watermark_late")
+    stream = read_event_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+    run_to_memory(agg, "s_watermark_late", "append")
+    return spark.table("s_watermark_late")
+
+
+@register("s_stream_dedup")
+def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon. The
+    source is staged WITH duplicates (events unioned twice) to prove
+    the dedup state works."""
+    src = _fresh("s_stream_dedup", "src")
+    ev = table(spark, sf_dir, "events")
+    ev.unionByName(ev).repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    stream = read_event_stream(spark, src)
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    counted = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    run_to_memory(counted, "s_stream_dedup", "complete")
+    return spark.table("s_stream_dedup")
+
+
+def _running_agg(pdf_iter):
+    for pdf in pdf_iter:
+        yield pdf
+
+
+@register("s_stateful_running")
+def s_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary stateful per-user aggregate via applyInPandasWithState:
+    state = (count, sum, max_ts_us) per user, updated per micro-batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = stage_event_files(spark, sf_dir, "s_stateful_running")
+    stream = read_event_stream(spark, src)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("sum_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    result = (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    run_to_memory(result, "s_stateful_running", "update")
+    # The memory sink holds one row per (user, batch); keep the final
+    # state per user (max n_events is the last update).
+    tbl = spark.table("s_stateful_running")
+    return tbl.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "sum_value")).alias("final")
+    ).select("user_id", "final.n_events", "final.sum_value")
+
+
+@register("s_foreach_sink")
+def s_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parquet sink partitioned by event_type (lake append
+    with exactly-once via checkpoint + file-sink transaction log)."""
+    src = stage_event_files(spark, sf_dir, "s_foreach_sink")
+    out = _fresh("s_foreach_sink", "out")
+    stream = read_event_stream(spark, src)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", _fresh("s_foreach_sink", "ckpt"))
+        .partitionBy("event_type")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(F.count("*").alias("n"))

@@ -1,0 +1,58 @@
+"""Driver simulation: what the harness does at verify time."""
+import sys, time, json
+sys.path.insert(0, "/root/repo")
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+# Driver-owned session: plain session, NOT our factory (entry must cope).
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.ui.enabled", "false")
+         .appName("driver-sim").getOrCreate())
+
+import __spark_entry__ as E
+
+t0 = time.time()
+df = E.entry(spark)
+rows = df.collect()
+print(f"T1 SMOKE: entry() -> {len(rows)} rows in {time.time()-t0:.1f}s schema={[f.name for f in df.schema.fields]}")
+assert len(rows) > 0
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+sys.path.insert(0, "/root/repo/tests")
+from tests.conftest import canonicalize
+
+Q = E.queries(); O = E.oracle_sql()
+fails, ok, rows_only = [], 0, 0
+for name in sorted(Q):
+    t0 = time.time()
+    try:
+        sdf = Q[name](spark, SF)
+        spdf = sdf.toPandas()
+        if name in O:
+            dpdf = con.execute(O[name]).df()
+            a, b = canonicalize(spdf), canonicalize(dpdf)
+            if list(a.columns) != list(b.columns):
+                fails.append((name, f"cols {list(a.columns)} vs {list(b.columns)}"))
+            elif len(a) != len(b):
+                fails.append((name, f"rowcount {len(a)} vs {len(b)}"))
+            elif not a.equals(b):
+                n = int((a != b).any(axis=1).sum())
+                fails.append((name, f"{n}/{len(a)} rows differ"))
+            else:
+                ok += 1
+        else:
+            rows_only += 1
+        print(f"  {name}: {'OK' if not fails or fails[-1][0]!=name else 'FAIL'} ({len(spdf)} rows, {time.time()-t0:.1f}s)")
+    except Exception as e:
+        fails.append((name, f"EXC {type(e).__name__}: {str(e)[:200]}"))
+        print(f"  {name}: EXC {str(e)[:150]}")
+
+print(f"\nT2: {ok} oracle-match, {rows_only} rows-only, {len(fails)} FAIL")
+for n, msg in fails:
+    print(f"FAIL {n}: {msg}")
