@@ -1,0 +1,106 @@
+#!/usr/bin/env python
+"""BENCH harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline set; per-query
+seconds are under ``queries``. Each query is forced end-to-end with a
+``noop`` sink write (full materialization, no collect-to-driver cost,
+no disk-sink cost) so the number measures the Spark plan, not the
+driver round-trip.
+
+Run all 99 declared queries instead with ``--all`` (slower; the
+headline set is the per-round gate).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pudatalake_spark import registry
+from pudatalake_spark.session import get_spark
+
+# Representative, performance-meaningful subset of SURVEY §2: one per
+# operator family, weighted toward the queries whose plans matter at
+# 100 TB (shuffle joins, window functions, sessionization, dedup,
+# similarity search, TF-IDF).
+HEADLINE = [
+    "q_agg_groupby",          # TPC-H Q1 flagship: scan+filter+hashagg+sort
+    "q_agg_count_distinct",   # expand+two-phase agg
+    "q_join_inner_shuffle",   # large equi join orders><lineitem
+    "q_join_star_multiway",   # 4-way star with broadcast dims
+    "q_join_asof",            # union-tag + window as-of
+    "q_win_rownumber_topk",   # partitioned window + filter
+    "q_win_moving_avg",       # range-frame window over events
+    "q_topk",                 # TakeOrderedAndProject
+    "q_stream_session",       # sessionization (lag+cumsum)
+    "q_dedup_exact",          # sha2 hash dedup
+    "q_dedup_near_minhash",   # shingle->minhash->band->join
+    "q_sim_cosine_topk",      # blocked cosine top-k over embeddings
+    "q_text_tfidf",           # tokenize->tf><df><N join
+    "q_text_tokenize_wordcount",
+]
+
+# Side-effecting sink/ingest ops are excluded from --all timing: they
+# write temp dirs and measure the local disk, not the engine.
+SKIP_IN_ALL = {"src_csv", "src_json", "sink_parquet_partitioned",
+               "sink_overwrite_dynamic", "s_foreach_sink"}
+
+
+def _force(df) -> int:
+    """Fully materialize a DataFrame without driver collection."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    run_all = "--all" in sys.argv
+    # sf number parsed from the dir name for the report line.
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    spark = get_spark(app_name="pudatalake-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry.load_all()
+
+    names = (
+        [n for n in sorted(registry.QUERIES) if n not in SKIP_IN_ALL]
+        if run_all
+        else HEADLINE
+    )
+
+    # Warm-up: JVM/codegen/parquet-footer caches on a tiny action, so
+    # per-query numbers measure the plan, not first-touch JIT.
+    _force(registry.QUERIES["q_agg_groupby"](spark, sf_dir))
+
+    per_query: dict[str, float] = {}
+    t_total0 = time.perf_counter()
+    for name in names:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        per_query[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_total0, 3)
+
+    print(json.dumps({
+        "metric": "headline_total_wall" if not run_all else "all_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..loaders import table
+from ..loaders import spread, table
 from ..registry import register
 
 JACCARD_TAU = 0.5
@@ -107,7 +107,7 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     those sharing >= 1 shingle (the oracle's all-pairs join is fine at
     oracle SF; the inverted index is the 100 TB shape).
     """
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     sh = d.select("doc_id", _shingles_col().alias("s")).select(
         "doc_id", "s", F.size("s").alias("n_sh")
     )
@@ -141,34 +141,54 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic MinHash + LSH banding near-dup detection.
 
-    Signature: for seed s in 0..31, min over shingles of
-    xxhash64(s, shingle) (seeded, deterministic, re-runnable).
-    Banding: 8 bands of 4 rows; docs sharing any band bucket become
-    candidates; candidates are verified with EXACT Jaccard >= 0.5, so
-    the output has no false positives (only possible false negatives,
-    P < 1e-4 at the planted 0.5+ similarity with 8x4 banding).
+    Signature: for seed i in 0..31, min over shingles of
+    xxhash64(i, xxhash64(shingle)) (seeded, deterministic,
+    re-runnable). Banding: 8 bands of 4 rows; docs sharing any band
+    bucket become candidates; candidates are verified with EXACT
+    Jaccard >= 0.5, so the output has no false positives (only
+    possible false negatives, P < 1e-4 at the planted 0.5+ similarity
+    with 8x4 banding).
+
+    Plan shape (chosen over nested higher-order functions, which are
+    interpreted and re-hash the shingle STRING once per seed - 17x
+    slower measured at sf0.1):
+      1. hash each shingle string to int64 ONCE,
+      2. explode to (doc_id, h) rows,
+      3. groupBy(doc_id) with 32 codegen'd min(xxhash64(i, h)) aggs -
+         whole-stage codegen end to end; partial aggregation collapses
+         each partition to one row per doc before the shuffle (and the
+         scan is pre-partitioned by doc_id, so partial agg is final
+         size).
+    The banded self-join shuffles both sides on (band, bucket) from
+    the SAME exchange -> Spark reuses it (ReusedExchange), computing
+    signatures once, not twice. Candidates (tiny) are broadcast into
+    the verification joins.
     """
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     sh = d.select("doc_id", _shingles_col().alias("s"))
-    sig = sh.select(
-        "doc_id",
-        "s",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(N_HASHES - 1)),
-            lambda seed: F.array_min(
-                F.transform(F.col("s"), lambda x: F.xxhash64(seed, x))
-            ),
-        ).alias("sig"),
+    ex = sh.select(
+        "doc_id", F.explode(F.transform("s", lambda x: F.xxhash64(x))).alias("h")
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
     )
     rows_per_band = N_HASHES // N_BANDS
     banded = sig.select(
         "doc_id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-                lambda b: F.xxhash64(
-                    F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"m{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(N_BANDS)
+                ]
             )
         ).alias("band", "bucket"),
     )
@@ -184,11 +204,18 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    # Exact-Jaccard verification of the candidates only.
+    # Exact-Jaccard verification of the (few) candidates only: broadcast
+    # the candidate pairs against the full shingle-set table.
     sets = sh.select("doc_id", "s", F.size("s").alias("n_sh"))
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.col("n_sh").alias("n1")), "doc1")
-        .join(sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.col("n_sh").alias("n2")), "doc2")
+        sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.col("n_sh").alias("n1"))
+        .join(F.broadcast(cand), "doc1")
+        .join(
+            # Small side here is the cand-sized left; at local SF AQE
+            # broadcasts, at 100 TB it shuffles on doc2 - both correct.
+            sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.col("n_sh").alias("n2")),
+            "doc2",
+        )
         .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
         .withColumn(
             "jaccard",
@@ -206,7 +233,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bit sum of +-1 votes from each token's xxhash64; pairs with
     hamming distance <= 3 found via 4x16-bit sub-band blocking
     (pigeonhole guarantees no candidate is missed)."""
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
     ).filter(F.col("token") != "")

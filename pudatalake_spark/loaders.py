@@ -58,3 +58,23 @@ def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load(spark, sf_dir)[name]
+
+
+def spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a scan to full parallelism before CPU-heavy per-row
+    work (shingling, hashing, vector math).
+
+    Small local fixtures are a single parquet row-group -> a single
+    input split -> ONE task, so compute-bound operators would run on
+    one core of 32. On a real cluster a 100 TB scan already has
+    thousands of splits, so this repartition is skipped there: we only
+    shuffle when the scan's parallelism is below the cluster's
+    (defaultParallelism / 2), which a large scan never is. Keyed
+    repartition (pass the grouping key) lets a downstream
+    groupBy(key) finish its partial aggregation at full reduction
+    locally.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(1, target // 2):
+        return df
+    return df.repartition(target, *cols) if cols else df.repartition(target)
