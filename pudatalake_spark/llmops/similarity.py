@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..loaders import table
+from ..loaders import spread, table
 from ..registry import register
 
 COS_TAU = 0.3
@@ -39,6 +39,23 @@ def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    """Attach the L2 norm as a column, computed ONCE per row.
+
+    Higher-order array functions are interpreted (no codegen), so a
+    cosine written as dot(a,b)/(sqrt(dot(a,a))*sqrt(dot(b,b))) costs
+    three array passes PER PAIR. sqrt(dot(v,v)) is a pure function of
+    the row, so hoisting it to a column leaves one array pass per pair
+    and keeps the arithmetic bit-identical to the oracle's formula
+    (same IEEE ops on the same values, just not recomputed)."""
+    return df.withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+def _cos_pre(a_v, a_n, b_v, b_n):
+    """Cosine from pre-computed norms: dot(a,b) / (|a| * |b|)."""
+    return _dot(a_v, b_v) / (a_n * b_n)
 
 
 def _cosine(a, b):
@@ -78,18 +95,24 @@ def _duck_cos(a: str, b: str) -> str:
 def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 query vectors:
     broadcast queries x streamed candidates, per-query top-k window."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", _vd("embedding").alias("v")
+    e = _with_norm(
+        spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", _vd("embedding").alias("v")
+        )
     )
     q = e.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                _cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -119,26 +142,32 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine >= 0.3 within the same label block (the
     blocked formulation of all-pairs similarity: label partitions the
-    N^2 into 10 independent (N/10)^2 problems)."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _vd("embedding").alias("v")
+    N^2 into 10 independent (N/10)^2 problems). The cosine is
+    projected BEFORE the filter so it is evaluated once per pair, with
+    per-row norms hoisted out of the pair loop."""
+    e = _with_norm(
+        table(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", _vd("embedding").alias("v")
+        )
     )
     a, b = e.alias("a"), e.alias("b")
-    cos = F.round(_cosine(F.col("a.v"), F.col("b.v")), 6)
-    return (
+    scored = (
         a.join(
             b,
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= COS_TAU)
         .select(
             F.col("a.label").alias("label"),
             F.col("a.vec_id").alias("vec1"),
             F.col("b.vec_id").alias("vec2"),
-            F.round(cos, 6).alias("cos_sim"),
+            F.round(
+                _cos_pre(F.col("a.v"), F.col("a.nrm"), F.col("b.v"), F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
         )
     )
+    return scored.filter(F.col("cos_sim") >= COS_TAU)
 
 
 @register(
@@ -177,13 +206,16 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-NN majority-label classification of the first 20 vectors
     against the rest (ties: most votes, then smallest label)."""
-    e = table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", _vd("embedding").alias("v")
+    e = _with_norm(
+        spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", "label", _vd("embedding").alias("v")
+        )
     )
     q = e.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
     c = e.filter(F.col("vec_id") >= 20)
     scored = c.crossJoin(F.broadcast(q)).select(
@@ -191,7 +223,9 @@ def q_sim_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_label",
         F.col("label").alias("cand_label"),
         F.col("vec_id").alias("cand_id"),
-        F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        F.round(
+            _cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
@@ -250,10 +284,15 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(F.element_at("embedding", 2) > 0, 2).otherwise(0)
         + F.when(F.element_at("embedding", 3) > 0, 1).otherwise(0)
     )
-    eb = e.select("vec_id", _vd("embedding").alias("v"), bucket.alias("bucket"))
+    eb = _with_norm(
+        spread(e, "vec_id").select(
+            "vec_id", _vd("embedding").alias("v"), bucket.alias("bucket")
+        )
+    )
     q = eb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
         F.col("bucket").alias("qbucket"),
     )
     scored = (
@@ -265,7 +304,9 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("cand_id"),
-            F.round(_cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+            F.round(
+                _cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
