@@ -1,0 +1,137 @@
+"""Semantics probes (SURVEY §5.2/§5.3): tiny hand-built inputs that
+pin each known Spark↔DuckDB dialect hazard. Every probe documents a
+rule the operator inventory relies on; if an engine upgrade shifts
+one of these, the failing probe names the drifted rule directly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+
+def test_substring_is_one_based(spark, duck):
+    got = spark.sql("SELECT substring('abcdef', 2, 3) AS s").collect()[0]["s"]
+    want = duck.execute("SELECT substr('abcdef', 2, 3)").fetchone()[0]
+    assert got == want == "bcd"
+
+
+def test_datediff_argument_order(spark, duck):
+    # Spark datediff(end, start); DuckDB date_diff('day', start, end).
+    got = spark.sql(
+        "SELECT datediff(DATE'1998-09-02', DATE'1998-08-30') AS d"
+    ).collect()[0]["d"]
+    want = duck.execute(
+        "SELECT date_diff('day', DATE '1998-08-30', DATE '1998-09-02')"
+    ).fetchone()[0]
+    assert got == want == 3
+
+
+def test_rounding_divergence_at_binary_boundaries(spark, duck):
+    """Spark round(x, d) rounds the double's SHORTEST-DECIMAL repr
+    (0.285 -> 0.29); DuckDB rounds the BINARY value (0.285 is really
+    0.2849999..., -> 0.28). Exactly-representable halves agree
+    (2.5 -> 3 on both). This is WHY the inventory never rounds a value
+    that can sit on a .5 boundary: floating AGGREGATES of real data
+    are never exactly .5eps, and exact rationals (averages, jaccard)
+    are left unrounded per functions/exact.py."""
+    s = spark.sql("SELECT round(2.5D) a, round(0.285D, 2) b").collect()[0]
+    d = duck.execute("SELECT round(2.5::DOUBLE), round(0.285::DOUBLE, 2)").fetchone()
+    assert s["a"] == d[0] == 3.0  # representable half: engines agree
+    assert s["b"] == 0.29 and d[1] == 0.28  # boundary: documented divergence
+
+
+def test_posexplode_zero_based_vs_unnest_one_based(spark, duck):
+    got = (
+        spark.createDataFrame([Row(a=["x", "y"])])
+        .select(F.posexplode("a").alias("pos", "val"))
+        .collect()
+    )
+    want = duck.execute(
+        "SELECT ordinality, val FROM (SELECT unnest(['x','y']) AS val,"
+        " generate_subscripts(['x','y'], 1) AS ordinality)"
+    ).fetchall()
+    # Spark pos is 0-based, SQL ordinality is 1-based: fixed +1 offset.
+    assert [(r["pos"] + 1, r["val"]) for r in got] == [(o, v) for o, v in want]
+
+
+def test_count_ignores_nulls_sum_of_empty_is_null(spark):
+    df = spark.createDataFrame([Row(g=1, v=None), Row(g=1, v=2.0)], "g INT, v DOUBLE")
+    r = df.groupBy("g").agg(
+        F.count("v").alias("cnt"), F.count("*").alias("cnt_star")
+    ).collect()[0]
+    assert r["cnt"] == 1 and r["cnt_star"] == 2
+    empty = df.filter("v > 100").agg(F.sum("v").alias("s")).collect()[0]
+    assert empty["s"] is None  # SUM over empty input is NULL, not 0
+
+
+def test_ansi_division_guard(spark):
+    # ANSI mode errors on x/0; every inventory division goes through
+    # NULLIF. The guard must yield NULL, not raise.
+    r = spark.sql("SELECT 1.0 / NULLIF(0, 0) AS q").collect()[0]["q"]
+    assert r is None
+
+
+def test_nan_and_null_ordering(spark):
+    """Spark sorts NaN greater than any double and NULLs according to
+    the explicit nulls_last/nulls_first modifier - the inventory's
+    sort keys rely on both."""
+    df = spark.createDataFrame(
+        [Row(v=1.0), Row(v=float("nan")), Row(v=None), Row(v=-1.0)]
+    )
+    vals = [r["v"] for r in df.orderBy(F.col("v").asc_nulls_last()).collect()]
+    assert vals[0] == -1.0 and vals[1] == 1.0
+    assert math.isnan(vals[2]) and vals[3] is None
+
+
+def test_events_ns_timestamp_truncation(spark, duck):
+    """events.parquet stores TIMESTAMP(NANOS); the loader reads int64
+    nanos and truncates to micros - exactly DuckDB's read behavior, so
+    both engines agree on every ts value."""
+    from pudatalake_spark.loaders import table
+    from tests.conftest import SF_DIR
+
+    got = (
+        table(spark, SF_DIR, "events")
+        .select(F.date_format(F.col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("t"))
+        .orderBy("t")
+        .limit(3)
+        .collect()
+    )
+    want = duck.execute(
+        "SELECT strftime(ts, '%Y-%m-%d %H:%M:%S.%f') FROM events ORDER BY 1 LIMIT 3"
+    ).fetchall()
+    assert [r["t"] for r in got] == [w[0] for w in want]
+
+
+def test_timezone_is_utc(spark):
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+
+
+def test_limit_requires_total_order_for_determinism(spark):
+    """q_topk's tie rule: ORDER BY must end in a unique key or LIMIT
+    is nondeterministic across partitionings. Probe: duplicate sort
+    keys with a unique tiebreak yield a stable frontier."""
+    rows = [Row(k=1, u=i) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    first = [r["u"] for r in df.orderBy("k", "u").limit(3).collect()]
+    second = [
+        r["u"]
+        for r in df.repartition(7).orderBy("k", "u").limit(3).collect()
+    ]
+    assert first == second == [0, 1, 2]
+
+
+@pytest.mark.parametrize(
+    "expr,expected",
+    [
+        ("element_at(array(10, 20, 30), 1)", 10),  # Spark arrays are 1-based
+        ("size(array())", 0),
+        ("array_position(array(5, 6), 6)", 2),  # 1-based position
+    ],
+)
+def test_array_indexing_is_one_based(spark, expr, expected):
+    assert spark.sql(f"SELECT {expr} AS v").collect()[0]["v"] == expected

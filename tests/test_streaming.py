@@ -1,0 +1,106 @@
+"""Streaming ≡ batch equivalence (SURVEY §5.2): every true Structured
+Streaming operator's final state must equal the batch formulation
+over the same events — this is what justifies oracle-checking the
+batch twins (q_stream_*) while the s_* keys stay rows-only.
+
+Append-mode watermark caveat: a watermarked append-mode query only
+emits windows the final watermark (max event time - delay) has
+closed, so the trailing window(s) are withheld at end-of-stream.
+Equivalence is therefore: streaming ⊆ batch, and streaming ⊇ batch
+restricted to closed windows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from pudatalake_spark import registry
+from pudatalake_spark.loaders import table
+from pudatalake_spark.streaming import streams
+
+from tests.conftest import SF_DIR, assert_frames_match, canonicalize
+
+registry.load_all()
+
+
+def test_watermark_late_matches_batch_closed_windows(spark):
+    stream_pdf = registry.QUERIES["s_watermark_late"](spark, SF_DIR).toPandas()
+    batch_pdf = registry.QUERIES["q_stream_tumbling"](spark, SF_DIR).toPandas()
+
+    max_ts = table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
+    watermark = max_ts - pd.Timedelta(minutes=10)
+    closed = batch_pdf[
+        batch_pdf["window_start"] + pd.Timedelta(hours=1) <= watermark
+    ]
+
+    s = canonicalize(stream_pdf)
+    b_all = canonicalize(batch_pdf)
+    b_closed = canonicalize(closed)
+
+    # streaming ⊆ batch: every emitted row is a true final aggregate
+    merged = s.merge(b_all, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), "streaming emitted a row not in batch"
+    # streaming ⊇ closed windows: nothing the watermark closed is missing
+    merged2 = b_closed.merge(s, how="left", indicator=True)
+    assert (merged2["_merge"] == "both").all(), "closed window missing from streaming"
+
+
+def test_stream_dedup_recovers_unique_counts(spark):
+    # Source is staged with every event duplicated; streaming dedup on
+    # event_id must recover the original per-type counts exactly.
+    stream_pdf = registry.QUERIES["s_stream_dedup"](spark, SF_DIR).toPandas()
+    batch_pdf = (
+        table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique"))
+        .toPandas()
+    )
+    assert_frames_match(stream_pdf, batch_pdf, "s_stream_dedup≡batch")
+
+
+def test_stateful_running_final_equals_batch(spark):
+    stream_pdf = registry.QUERIES["s_stateful_running"](spark, SF_DIR).toPandas()
+    batch_pdf = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    assert_frames_match(stream_pdf, batch_pdf, "s_stateful_running≡batch")
+
+
+def test_foreach_sink_roundtrip_counts(spark):
+    stream_pdf = registry.QUERIES["s_foreach_sink"](spark, SF_DIR).toPandas()
+    batch_pdf = (
+        table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .toPandas()
+    )
+    assert_frames_match(stream_pdf, batch_pdf, "s_foreach_sink≡batch")
+
+
+def test_microbatched_replay_equals_single_batch(spark):
+    """One file per trigger (4 ordered micro-batches) must converge to
+    the same final state as one availableNow batch: state handling is
+    order- and batching-insensitive for in-order sources."""
+    src = streams.stage_event_files(spark, SF_DIR, "t_microbatch")
+    stream = streams.read_event_stream(spark, src, max_files=1)
+    agg = stream.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value")
+    )
+    streams.run_to_memory(agg, "t_microbatch", "complete")
+    got = spark.table("t_microbatch").toPandas()
+
+    want = (
+        table(spark, SF_DIR, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .toPandas()
+    )
+    assert_frames_match(got, want, "microbatch≡batch")
