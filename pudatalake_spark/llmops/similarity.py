@@ -28,6 +28,8 @@ from ..registry import register
 
 COS_TAU = 0.3
 TOP_K = 5
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
 
 
 def _vd(col: str):
@@ -308,6 +310,109 @@ def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6
             ).alias("cos_sim"),
         )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
+@register(
+    "q_sim_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {IVF_CENTROIDS}),
+    aff0 AS (
+      SELECT e.vec_id, e.v, c.cid,
+             round({_duck_cos("e.v", "c.cv")}, 6) AS rcos
+      FROM e JOIN c ON true
+    ),
+    aff AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY vec_id ORDER BY rcos DESC, cid) AS ar
+      FROM aff0
+    ),
+    cells AS (SELECT vec_id, v, cid FROM aff WHERE ar = 1),
+    probes AS (SELECT vec_id AS query_id, v AS qv, cid
+               FROM aff WHERE vec_id < 10 AND ar <= {IVF_NPROBE}),
+    scored AS (
+      SELECT p.query_id, s.vec_id AS cand_id,
+             round({_duck_cos("p.qv", "s.v")}, 6) AS cos_sim
+      FROM probes p JOIN cells s
+        ON s.cid = p.cid AND s.vec_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cos_sim
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via IVF (inverted-file) cells: a fixed coarse
+    quantizer (centroids = vectors 0..7) partitions the corpus into
+    nearest-centroid cells; each query probes only its nprobe=2
+    closest cells, then exact cosine re-ranks within them.
+
+    The quantizer is a deterministic function of the data (fixed
+    centroid ids, rounded-cosine argmax with cid tie-break), so the
+    DuckDB oracle runs the identical algorithm and results hash-match.
+
+    100 TB posture: centroids come from an offline sample/k-means and
+    are broadcast (KB-scale); cell assignment is a map-only pass over
+    the corpus (8N cosines, no shuffle); the inverted lists are
+    written partitioned by cell id so a query's nprobe probe is
+    partition pruning + a broadcast of the (tiny) probe set - the
+    search never shuffles the corpus. Recall/latency trades via
+    n_centroids x nprobe exactly as in FAISS-style IVF-Flat.
+    """
+    e = _with_norm(
+        spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", _vd("embedding").alias("v")
+        )
+    )
+    cents = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    aff = e.join(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cid",
+        F.round(
+            _cos_pre(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")), 6
+        ).alias("rcos"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.col("rcos").desc(), F.col("cid"))
+    ranked = aff.withColumn("ar", F.row_number().over(wa))
+    cells = ranked.filter(F.col("ar") == 1).select("vec_id", "v", "nrm", "cid")
+    probes = (
+        ranked.filter((F.col("vec_id") < 10) & (F.col("ar") <= IVF_NPROBE))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("cid").alias("pcid"),
+        )
+    )
+    scored = cells.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cand_id"),
+        F.round(
+            _cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("cand_id")
