@@ -1,0 +1,185 @@
+"""Training-data-pipeline operators (BASELINE.json:6): deterministic
+sampling, train/val/test splitting, sequence packing, and class
+balancing over the document corpus - the dataset-curation steps an
+LLM data pipeline runs after dedup/quality filtering.
+
+Determinism: sampling and splitting hash the PRIMARY KEY through an
+explicit affine hash H(k) = (k*2654435761 + 1013904223) mod 1e9+7
+computed identically in both engines (Knuth multiplicative hashing;
+no engine-native hash() - Spark's xxhash64 and DuckDB's hash() are
+different functions, so the oracle would diverge). The multiplier
+fits doc_id*A in int64 for doc_id < 3.5e9, so ANSI overflow checks
+never fire at any realistic corpus size; the production path swaps in
+xxhash64 unchanged.
+
+100 TB posture:
+- hash sampling/splitting is a stateless map over the scan - no
+  shuffle, no sort, pushdown-friendly, and stable under re-runs and
+  backfills (membership depends only on the key).
+- sequence packing uses a single global running sum over doc order;
+  at scale the same cumsum runs per-partition (pack ids offset by a
+  per-partition base from a one-row-per-partition prefix scan), which
+  is how the batch formulation here maps onto a 1000-executor job.
+- class balancing ranks within each class by hash -> takes a per-class
+  quota; skewed class sizes are exactly why the rank runs on the
+  hash (uniform) rather than any data column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..loaders import load, table
+from ..registry import register
+
+HASH_A = 2654435761
+HASH_B = 1013904223
+HASH_P = 1_000_000_007
+PACK_TOKENS = 2048
+
+
+def _hkey(col):
+    """Affine key hash, identical arithmetic in both engines."""
+    return (F.col(col) * F.lit(HASH_A) + F.lit(HASH_B)) % F.lit(HASH_P)
+
+
+def _hkey_sql(col: str) -> str:
+    return f"(({col} * {HASH_A} + {HASH_B}) % {HASH_P})"
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_hkey_sql("doc_id")} % 100 < 10
+    """,
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample: keep rows whose key-hash bucket
+    (0..99) is < 10. Unlike df.sample(), membership is a pure function
+    of doc_id - re-runs, retries, and incremental backfills select the
+    same rows."""
+    d = table(spark, sf_dir, "documents")
+    return d.filter(_hkey("doc_id") % 100 < 10).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_train_test_split",
+    oracle=f"""
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+    FROM (
+      SELECT n_chars,
+             CASE WHEN {_hkey_sql("doc_id")} % 100 < 80 THEN 'train'
+                  WHEN {_hkey_sql("doc_id")} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    GROUP BY split
+    """,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment by key-hash bucket, reported
+    as per-split doc counts and mean length (the leakage-free split:
+    a document's split never changes as the corpus grows)."""
+    d = table(spark, sf_dir, "documents")
+    bucket = _hkey("doc_id") % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tok,
+             CAST(sum(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tok
+      FROM toks
+    )
+    SELECT (cum_tok - n_tok) // {PACK_TOKENS} AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY 1
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: stream docs in doc_id
+    order, assign each to pack floor(preceding_cumulative_tokens /
+    2048) - the standard streaming-concat packing (a pack may overrun
+    by at most one document, never undershoots). Output: docs and
+    token totals per pack."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.select(
+            # Integer floor division on both sides (DuckDB's / is float
+            # division and its float->int CAST rounds; Spark's truncates).
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / PACK_TOKENS)
+            .cast("bigint")
+            .alias("pack_id"),
+            "n_tok",
+        )
+        .groupBy("pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    )
+
+
+@register(
+    "q_class_balance",
+    oracle=f"""
+    WITH quota AS (
+      SELECT min(n) AS q FROM (
+        SELECT lang, count(*) AS n FROM documents GROUP BY lang)
+    ),
+    ranked AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY {_hkey_sql("doc_id")}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM ranked, quota
+    WHERE rn <= q
+    GROUP BY lang
+    """,
+)
+def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: every language is cut to the
+    smallest language's count, choosing survivors by hash rank (a
+    uniform, deterministic lottery; doc_id tie-break). Output: per-
+    class counts (all equal to the quota) and surviving volume."""
+    d = table(spark, sf_dir, "documents")
+    quota = (
+        d.groupBy("lang").count().agg(F.min("count").alias("q"))
+    )
+    w = Window.partitionBy("lang").orderBy(_hkey("doc_id"), F.col("doc_id"))
+    ranked = d.select("doc_id", "lang", "n_chars").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .filter(F.col("rn") <= F.col("q"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )

@@ -42,11 +42,11 @@ def load_all() -> None:
     if _LOADED:
         return
     # Imports are side-effecting (decorators fill QUERIES/ORACLES).
-    from .operators import aggregates, joins, relational, setops, sorts, windows  # noqa: F401
+    from .operators import aggregates, analytics, joins, relational, setops, sorts, windows  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .sources import ingest, sinks  # noqa: F401
     from .streaming import batch_windows, streams  # noqa: F401
-    from .llmops import dedup, multimodal, similarity, text, udfs  # noqa: F401
+    from .llmops import dedup, multimodal, pipeline, similarity, text, udfs  # noqa: F401
 
     _LOADED = True
 
