@@ -178,19 +178,35 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
          each partition to one row per doc before the shuffle (and the
          scan is pre-partitioned by doc_id, so partial agg is final
          size).
-    The shingle-set and banded-signature tables each feed two plan
-    branches (self-join sides / verification probes); Spark's exchange
-    reuse does not recognize the diamond (verified: 4 independent
-    parquet scans in the executed plan), so both are persisted - the
-    cluster-scale analogue is materializing the signature table once
-    and reading it twice. Candidates (tiny) are broadcast into the
-    verification joins.
+    Cost structure (measured at sf0.1, 5000 docs): banding yields
+    ~237k candidate pairs, ~47x the doc count - this corpus is
+    near-uniform word soup, so mid-similarity pairs (J 0.3-0.45)
+    collide on one band often (p = J^4 per band). Two consequences
+    drive the plan shape:
+      1. Shingle sets must be computed ONCE PER DOC and cached, never
+         per candidate pair (recomputing per pair was measured 6x
+         slower). They are cached as hashed int64 arrays - cheaper to
+         build, cache, and intersect than ~2k strings/doc - and the
+         hashed-shingle and banded tables are both persisted because
+         each feeds two join branches and Spark's exchange reuse does
+         not recognize the diamond (verified in the executed plan).
+         The cluster-scale analogue is materializing the signature
+         table once and reading it twice.
+      2. min() is duplicate-insensitive, so the signature explode
+         skips array_distinct (the set-ness of shingles only matters
+         for the exact-Jaccard verify).
+    Jaccard on hashed shingles equals Jaccard on shingles up to
+    xxhash64 collisions (P ~ n^2/2^64 per pair - negligible; this
+    operator is rows-only checked).
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    sh = d.select("doc_id", _shingles_col().alias("s")).persist()
-    ex = sh.select(
-        "doc_id", F.explode(F.transform("s", lambda x: F.xxhash64(x))).alias("h")
-    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(_shingles_col(), lambda x: F.xxhash64(x))
+        ).alias("s"),
+    ).persist()
+    ex = sh.select("doc_id", F.explode("s").alias("h"))
     sig = ex.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}")
@@ -226,8 +242,8 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    # Exact-Jaccard verification of the (few) candidates only: broadcast
-    # the candidate pairs against the full shingle-set table.
+    # Exact-Jaccard verification: the cached per-doc hashed sets join
+    # the broadcast candidate list (never recomputing shingles).
     sets = sh.select("doc_id", "s", F.size("s").alias("n_sh"))
     verified = (
         sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.col("n_sh").alias("n1"))
