@@ -1,0 +1,133 @@
+"""Physical-plan invariants (SURVEY §4): the plan properties the
+100 TB design relies on, asserted against ``explain('formatted')``.
+
+A correctness gate checks results; this gate checks PLANS - that the
+declarative formulation actually engaged Catalyst's scan pruning,
+predicate pushdown, broadcast strategy, top-k rewrite, and two-phase
+aggregation, and that no row-at-a-time Python evaluation appears
+outside the explicitly-UDF operators. ``tools/plan_audit.py`` is the
+CLI; run it after any operator change.
+"""
+
+from __future__ import annotations
+
+import re
+
+from .. import registry
+
+# name -> (must_contain regexes, must_NOT_contain regexes, why)
+RULES: dict[str, tuple[list[str], list[str], str]] = {
+    "q_scan_pushdown": (
+        [r"PushedFilters: \[.*GreaterThanOrEqual"],
+        [],
+        "shipdate predicate must reach the parquet row-group reader",
+    ),
+    "q_scan_prune": (
+        [r"ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"],
+        [],
+        "2-of-11-column projection must prune at the scan",
+    ),
+    "q_join_inner_broadcast": (
+        [r"BroadcastHashJoin"],
+        [r"SortMergeJoin"],
+        "nation x region dim join must broadcast, never shuffle",
+    ),
+    "q_join_star_multiway": (
+        [r"BroadcastHashJoin"],
+        [],
+        "star dims (customer/nation/region) must broadcast into the fact scan",
+    ),
+    "q_topk": (
+        [r"TakeOrderedAndProject"],
+        [r"(?<!Take)(?<!AQEShuffleRead )Sort(?!MergeJoin)\s"],
+        "global top-10 must use the streaming top-k operator, not a full sort",
+    ),
+    "q_agg_groupby": (
+        # AQE hides codegen ids pre-execution; the two-phase shape
+        # (partial agg -> Exchange -> final agg) is the invariant.
+        [r"partial_sum", r"Exchange",
+         r"PushedFilters: \[IsNotNull\(l_shipdate\), LessThanOrEqual"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+        "flagship agg must be two-phase hash agg with pushdown, no Python",
+    ),
+    "q_dedup_exact": (
+        [r"partial_min"],
+        [r"Window"],
+        "survivor choice must be a map-side-combinable min, not a window sort",
+    ),
+    "q_win_rownumber_topk": (
+        [r"WindowGroupLimit"],
+        [],
+        "rank<=k filter must push into the shuffle (WindowGroupLimit)",
+    ),
+    "q_sim_cosine_topk": (
+        [r"BroadcastNestedLoopJoin|BroadcastHashJoin"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+        "query set must broadcast; candidates stream (never shuffle N)",
+    ),
+    "q_dedup_near_minhash": (
+        [r"InMemoryTableScan"],
+        [r"CartesianProduct"],
+        "signature/shingle tables are materialized once; band join is an equi join",
+    ),
+    "q_stream_tumbling": (
+        [],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        "windowed agg stays JVM-side",
+    ),
+    "q_text_tfidf": (
+        [r"BroadcastHashJoin|BroadcastExchange"],
+        [r"CartesianProduct"],
+        "df/N side of tf-idf is small -> broadcast into tf",
+    ),
+}
+
+# Operators whose PURPOSE is Python evaluation; everything else must
+# stay JVM-side.
+UDF_KEYS = {
+    "udf_python_scalar", "udf_pandas_scalar", "udf_grouped_map",
+    "udf_pandas_agg", "udtf_python", "q_multimodal_decode",
+    "q_multimodal_framesample", "s_stateful_running",
+}
+
+SIDE_EFFECT = {"src_csv", "src_json", "sink_parquet_partitioned",
+               "sink_overwrite_dynamic", "s_foreach_sink"}
+
+PY_EVAL_RX = re.compile(
+    r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"
+)
+
+
+def explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def audit(spark, sf_dir: str):
+    """Run every invariant; return (failures, evidence_sections)."""
+    registry.load_all()
+    failures: list[str] = []
+    sections: list[str] = []
+
+    for name, (must, must_not, why) in sorted(RULES.items()):
+        plan = explain_str(registry.QUERIES[name](spark, sf_dir))
+        for pat in must:
+            if not re.search(pat, plan):
+                failures.append(f"{name}: MISSING /{pat}/ ({why})")
+        for pat in must_not:
+            if re.search(pat, plan):
+                failures.append(f"{name}: FORBIDDEN /{pat}/ present ({why})")
+        # Evidence excerpt: the operator-tree header of the plan.
+        tree = plan.split("\n\n")[0]
+        sections.append(f"### `{name}`\n\n*Invariant: {why}.*\n\n```\n{tree}\n```\n")
+
+    # Global rule: no Python evaluation outside the UDF surface.
+    for name, fn in sorted(registry.QUERIES.items()):
+        if name in UDF_KEYS or name in SIDE_EFFECT or name.startswith("s_"):
+            continue
+        plan = explain_str(fn(spark, sf_dir))
+        if PY_EVAL_RX.search(plan):
+            failures.append(f"{name}: Python evaluation in a non-UDF operator")
+
+    return failures, sections

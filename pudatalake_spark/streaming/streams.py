@@ -98,6 +98,31 @@ def s_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("s_watermark_late")
 
 
+@register("s_session_window")
+def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming session windows: ``session_window(ts, '30
+    minutes')`` per user - the native-state twin of the batch
+    lag/cumsum sessionization in q_stream_session. Append mode emits a
+    session once the watermark passes its close (last event + gap), so
+    the trailing per-user sessions are withheld at end-of-stream;
+    tests assert emitted ⊆ batch sessions on the session fingerprint
+    (user, n_events, duration, sum)."""
+    src = stage_event_files(spark, sf_dir, "s_session_window")
+    stream = read_event_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("dur_us"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select("user_id", "n_events", "dur_us", "sum_value")
+    )
+    run_to_memory(agg, "s_session_window", "append")
+    return spark.table("s_session_window")
+
+
 @register("s_stream_dedup")
 def s_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup on event_id within the watermark horizon. The

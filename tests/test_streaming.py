@@ -104,3 +104,26 @@ def test_microbatched_replay_equals_single_batch(spark):
         .toPandas()
     )
     assert_frames_match(got, want, "microbatch≡batch")
+
+
+def test_session_window_emits_subset_of_batch_sessions(spark):
+    """Native session_window sessions must fingerprint-match batch
+    lag/cumsum sessions: every emitted (user, n_events, dur_us,
+    sum_value) exists in the batch result, and most sessions are
+    emitted (only trailing ones may be withheld by the watermark)."""
+    stream_pdf = registry.QUERIES["s_session_window"](spark, SF_DIR).toPandas()
+    batch_pdf = (
+        registry.QUERIES["q_stream_session"](spark, SF_DIR)
+        .select("user_id", "n_events", "dur_us", "sum_value")
+        .toPandas()
+    )
+    s = canonicalize(stream_pdf)
+    b = canonicalize(batch_pdf)
+    assert len(s) > 0, "no sessions emitted"
+    merged = s.merge(b, how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), (
+        "streaming emitted a session not present in the batch result"
+    )
+    # The 30-day event range vs a 40-min withholding horizon: nearly
+    # every session must have been emitted.
+    assert len(s) >= 0.8 * len(b), f"only {len(s)}/{len(b)} sessions emitted"
