@@ -51,7 +51,8 @@ HEADLINE = [
 # Side-effecting sink/ingest ops are excluded from --all timing: they
 # write temp dirs and measure the local disk, not the engine.
 SKIP_IN_ALL = {"src_csv", "src_json", "sink_parquet_partitioned",
-               "sink_overwrite_dynamic", "s_foreach_sink"}
+               "sink_overwrite_dynamic", "s_foreach_sink",
+               "q_scan_partition_pruned", "q_scan_dpp"}
 
 
 def _force(df) -> int:

@@ -27,6 +27,16 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [],
         "2-of-11-column projection must prune at the scan",
     ),
+    "q_scan_partition_pruned": (
+        [r"PartitionFilters: \[isnotnull\(event_type.*event_type.* = click"],
+        [],
+        "event_type filter must prune partitions at planning time",
+    ),
+    "q_scan_dpp": (
+        [r"dynamicpruningexpression"],
+        [],
+        "fact scan must carry a runtime dynamic-partition-pruning subquery",
+    ),
     "q_join_inner_broadcast": (
         [r"BroadcastHashJoin"],
         [r"SortMergeJoin"],

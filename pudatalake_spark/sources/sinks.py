@@ -53,3 +53,79 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     back = spark.read.parquet(out)
     return back.groupBy("lang").agg(F.count("*").alias("n_docs"))
+
+
+@register(
+    "q_scan_partition_pruned",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIC partition pruning, demonstrated end to end: events are
+    laid out partitioned by event_type (the lake layout
+    sink_parquet_partitioned establishes), and the event_type filter
+    then prunes to one directory at planning time - the scan's
+    PartitionFilters carries the predicate and the other partitions
+    are never listed or read. The oracle runs the same query on the
+    raw table, proving layout does not change results."""
+    out = _scratch("lake", "events_by_type")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "q_scan_dpp",
+    oracle="""
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events e
+    JOIN (SELECT DISTINCT event_type FROM events
+          WHERE event_type IN ('click', 'signup')) d
+      ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+)
+def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is partitioned by
+    event_type and the pruning values arrive at RUNTIME from the
+    filtered dim side of the join - Catalyst plants a dynamicpruning
+    subquery in the fact scan's partition filters, so only the
+    partitions the dim selects are read. This is the mechanism that
+    makes dim-filtered star joins cheap on a date-partitioned 100 TB
+    fact table."""
+    out = _scratch("lake", "events_by_type_dpp")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .filter(F.col("event_type").isin("click", "signup"))
+    )
+    return (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
+        )
+    )
