@@ -37,6 +37,11 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [],
         "fact scan must carry a runtime dynamic-partition-pruning subquery",
     ),
+    "q_join_bucketed": (
+        [r"SortMergeJoin"],
+        [r"Exchange"],
+        "bucketed+sorted layout must give a shuffle-free co-located join",
+    ),
     "q_join_inner_broadcast": (
         [r"BroadcastHashJoin"],
         [r"SortMergeJoin"],
@@ -101,7 +106,10 @@ UDF_KEYS = {
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "sink_parquet_partitioned",
-               "sink_overwrite_dynamic", "s_foreach_sink"}
+               "sink_overwrite_dynamic", "s_foreach_sink",
+               # Plan-audited via RULES; skipped in the global loop so
+               # their lake writes run once, not twice.
+               "q_scan_partition_pruned", "q_scan_dpp", "q_join_bucketed"}
 
 PY_EVAL_RX = re.compile(
     r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"

@@ -129,3 +129,49 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_cents"),
         )
     )
+
+
+@register(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_orderdate
+    """,
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located bucketed join: both fact tables pre-bucketed (8
+    buckets) AND sorted on the join key, so the SortMergeJoin - and
+    the per-order aggregate above it, which inherits the bucket
+    partitioning - run with ZERO Exchange in the plan (verified by the
+    plan audit). The merge hint only disables the small-table
+    broadcast this local fixture would otherwise trigger; at 100 TB
+    neither side broadcasts and bucketing is exactly what removes the
+    two fact-table shuffles per join. The oracle runs the same join on
+    the raw tables: bucketing changes the plan, never the result."""
+    p1 = _scratch("lake", "orders_bucketed")
+    p2 = _scratch("lake", "lineitem_bucketed")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS pudl_orders_b")
+    spark.sql("DROP TABLE IF EXISTS pudl_lineitem_b")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").option(
+        "path", p1
+    ).mode("overwrite").saveAsTable("pudl_orders_b")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").option(
+        "path", p2
+    ).mode("overwrite").saveAsTable("pudl_lineitem_b")
+    ob = spark.table("pudl_orders_b")
+    lb = spark.table("pudl_lineitem_b")
+    return (
+        ob.hint("merge")
+        .join(lb.hint("merge"), ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )
