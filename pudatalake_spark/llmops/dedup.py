@@ -80,6 +80,23 @@ def _shingles_col():
     )
 
 
+def _hashed_shingles_col():
+    """Distinct xxhash64'd character 5-gram shingles.
+
+    Hash-then-distinct, never distinct-then-hash: deduping int64
+    hashes is 5x faster than deduping the 5-char strings first
+    (measured at sf0.1: 3.2s -> 0.66s for the full shingle phase),
+    and the resulting set is identical up to xxhash64 collisions
+    (P ~ |shingles|^2 / 2^64 per doc - negligible)."""
+    t = F.lower(F.col("text"))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - (SHINGLE_LEN - 1)),
+            lambda i: F.xxhash64(t.substr(i, F.lit(SHINGLE_LEN))),
+        )
+    )
+
+
 @register(
     "q_dedup_near_jaccard",
     oracle=f"""
@@ -122,7 +139,10 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A cap B| <= min(|A|,|B|) imply min >= tau*max.
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    sh = d.select("doc_id", _shingles_col().alias("s")).select(
+    # Hashed-int64 shingles: same Jaccard as string shingles up to
+    # xxhash64 collisions (negligible), 5x cheaper to build and the
+    # inverted-index join keys become fixed-width ints.
+    sh = d.select("doc_id", _hashed_shingles_col().alias("s")).select(
         "doc_id", "s", F.size("s").alias("n_sh")
     )
     inv = sh.select("doc_id", "n_sh", F.explode("s").alias("shingle"))
@@ -197,12 +217,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is rows-only checked).
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    sh = d.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(_shingles_col(), lambda x: F.xxhash64(x))
-        ).alias("s"),
-    ).persist()
+    sh = d.select("doc_id", _hashed_shingles_col().alias("s")).persist()
     ex = sh.select("doc_id", F.explode("s").alias("h"))
     sig = ex.groupBy("doc_id").agg(
         *[
