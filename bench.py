@@ -61,7 +61,8 @@ HEADLINE = [
 # write temp dirs and measure the local disk, not the engine.
 SKIP_IN_ALL = {"src_csv", "src_json", "sink_parquet_partitioned",
                "sink_overwrite_dynamic", "s_foreach_sink",
-               "q_scan_partition_pruned", "q_scan_dpp", "q_join_bucketed"}
+               "q_scan_partition_pruned", "q_scan_dpp", "q_join_bucketed",
+               "q_compact_small_files"}
 
 
 def _force(df) -> int:

@@ -342,3 +342,53 @@ def q_join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.l_linenumber").alias("ln2"),
         (F.col("a.l_extendedprice") + F.col("b.l_extendedprice")).alias("pair_price"),
     )
+
+
+@register(
+    "q_join_skew_salted",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join - the manual recipe for a hot key that overflows a
+    single reducer (the case AQE's skew splitting cannot fix, e.g. one
+    key larger than executor memory on the BUILD side of the pair).
+
+    Recipe: the probe side (lineitem) gets a DETERMINISTIC salt in
+    [0, S) hashed from a per-row unique key (orderkey+linenumber -
+    never rand(), which would break re-runs and the oracle); the other
+    side replicates each row S times, one per salt value. The join key
+    becomes (orderkey, salt), so a hot orderkey's rows spread over S
+    reducers instead of one. Results provably equal the unsalted join
+    (each probe row still meets each matching build row exactly once);
+    the oracle runs the plain join to prove it.
+
+    Cost: S-fold replication of the salted-against side - so salt ONLY
+    the hot keys in production (split the relation on a skewed-key
+    list from stats, salt the hot slice, union with the plain join of
+    the rest). S=8 here; size S to the hot key's row count divided by
+    a healthy reducer's share.
+    """
+    salt_n = 8
+    t = load(spark, sf_dir)
+    o = t["orders"].withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    li = t["lineitem"].withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(salt_n)).cast("int"),
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+    )

@@ -1,0 +1,190 @@
+"""Lake-maintenance operators (SURVEY §2.11): CDC MERGE/upsert,
+SCD2 dimension build, small-file compaction.
+
+These are the table-maintenance verbs a parquet lake needs but plain
+Spark (without a table format like Delta/Iceberg) does not ship as
+statements; each is expressed as a deterministic DataFrame plan so it
+is oracle-checkable.
+
+100 TB posture:
+- MERGE = anti-join + union: one shuffle on the merge key. On a
+  partitioned lake layout, pair it with dynamic partition overwrite
+  (sink_overwrite_dynamic) so only partitions containing touched keys
+  are rewritten - the rewrite cost scales with the delta, not the
+  table.
+- SCD2 = windows partitioned by the business key: one shuffle on
+  user_id, then all lag/cumsum/lead run within the partition. Key
+  cardinality (users) is high -> no skew; state never leaves the
+  executor.
+- Compaction reads file-level metadata (listing), never data, to pick
+  the output file count; the rewrite itself is one round-robin
+  repartition - no key shuffle, so it scales with bytes, not keys.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loaders import load, table
+from ..registry import register
+from ..sources.ingest import _scratch
+
+MERGE_NEW_KEY_OFFSET = 100_000_000
+
+
+@register(
+    "q_merge_upsert",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, 'F' AS o_orderstatus,
+             o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey + {MERGE_NEW_KEY_OFFSET}, o_custkey, 'O',
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    merged AS (
+      SELECT * FROM src
+      UNION ALL
+      SELECT * FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+    )
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 4) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (CDC apply) on a plain-parquet lake table,
+    as the standard anti-join + union rewrite:
+
+      merged = source UNION ALL (target ANTI JOIN source ON key)
+
+    The deterministic CDC source is derived from orders itself: keys
+    divisible by 7 are updates (status -> 'F', price * 1.1), keys
+    divisible by 11 are inserts (key shifted past the existing range).
+    Matched target rows are replaced, unmatched survive, new keys
+    append - exactly MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    INSERT. The per-row price update is left unrounded (bit-identical
+    IEEE multiply on both engines); only the final aggregate rounds.
+    """
+    o = table(spark, sf_dir, "orders")
+    upd = (
+        o.filter(F.col("o_orderkey") % 7 == 0)
+        .withColumn("o_orderstatus", F.lit("F"))
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+    )
+    ins = (
+        o.filter(F.col("o_orderkey") % 11 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + MERGE_NEW_KEY_OFFSET)
+        .withColumn("o_orderstatus", F.lit("O"))
+    )
+    src = upd.unionByName(ins)
+    merged = src.unionByName(
+        o.join(src.select("o_orderkey"), "o_orderkey", "left_anti")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+# Shared between engine (spark.sql over temp views) and oracle: the
+# EP3 pattern (SURVEY §3) - one SQL text, two engines, zero drift.
+_SCD2_SQL = """
+    WITH e AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN prev_type IS NULL OR prev_type <> event_type
+                     THEN 1 ELSE 0 END AS chg
+      FROM e
+    ),
+    runs AS (
+      SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS run_id
+      FROM flagged
+    ),
+    scd AS (
+      SELECT user_id, event_type, run_id,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, run_id) AS valid_to,
+           n_events,
+           CASE WHEN lead(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from, run_id)
+                     IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM scd
+"""
+
+
+@register("q_scd2_build", oracle=_SCD2_SQL)
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from an event log: per
+    user, consecutive runs of the same event_type collapse to one
+    validity interval [valid_from, valid_to) with the current row
+    open-ended (valid_to NULL, is_current=1).
+
+    Gaps-and-islands: lag() flags changes, a running sum over the
+    flags numbers the runs, a group-by collapses each run, lead()
+    closes each interval with the next run's start. Ties on ts break
+    by event_id so the run numbering is a pure function of the data.
+    The engine executes the SAME SQL text as the DuckDB oracle over
+    the registered temp views (EP3, SURVEY §3).
+    """
+    load(spark, sf_dir)  # registers the events temp view
+    return spark.sql(_SCD2_SQL)
+
+
+TARGET_FILE_BYTES = 4 * 1024 * 1024  # local-fixture target; 128 MB in prod
+
+
+@register("q_compact_small_files")  # sink-like -> rows-only check
+def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: take a fragmented layout (64 tiny files,
+    the classic streaming-ingest pathology), size the compacted layout
+    from file-listing metadata (bytes / target-file-size), and rewrite
+    with a round-robin repartition - no key shuffle, cost scales with
+    bytes moved, and row-group-sized output files restore scan
+    efficiency (footer count and task count drop 64x).
+
+    The output reports the before/after file counts plus row-count and
+    key-cardinality checks proving compaction lost nothing. File sizes
+    come from a local listing here; on a cluster the same numbers come
+    from the FileSystem API or the lake's file-metadata table - either
+    way metadata-only, never a data read.
+    """
+    frag = _scratch("lake", "events_fragmented")
+    compact = _scratch("lake", "events_compacted")
+    ev = table(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+
+    files = glob.glob(os.path.join(frag, "*.parquet"))
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / TARGET_FILE_BYTES))
+    spark.read.parquet(frag).repartition(n_out).write.mode(
+        "overwrite"
+    ).parquet(compact)
+
+    back = spark.read.parquet(compact)
+    n_files_after = len(glob.glob(os.path.join(compact, "*.parquet")))
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("event_id").alias("n_event_ids"),
+        F.lit(len(files)).alias("files_before"),
+        F.lit(n_files_after).alias("files_after"),
+    )
