@@ -101,10 +101,15 @@ def main() -> None:
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))  # warm run: codegen compile + JIT
         cold[name] = round(time.perf_counter() - t0, 3)
+        # Clear persisted intermediates BEFORE the timed run: Spark's
+        # CacheManager matches canonicalized plans, so without this the
+        # steady-state run would silently read the warm run's persist()
+        # caches and under-report operators that materialize interms.
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))  # steady-state run: the reported number
         per_query[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()  # drop this query's persisted interms
+        spark.catalog.clearCache()
     total = round(sum(per_query.values()), 3)
 
     print(json.dumps({

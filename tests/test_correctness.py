@@ -33,3 +33,17 @@ def test_rows_only(spark, key):
     n = sdf.count()
     assert n >= 0
     assert len(sdf.schema.fields) > 0
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    """q_dedup_near_minhash quality gate: its verified output must be
+    FP-free against the exact-Jaccard truth (guaranteed by the exact
+    verify on full shingle sets) and must find every planted near-dup
+    (recall 1.0 on this fixture - banding miss probability at the
+    planted J~0.9 is ~1%, observed 0)."""
+    mh = registry.QUERIES["q_dedup_near_minhash"](spark, SF_DIR)
+    jc = registry.QUERIES["q_dedup_near_jaccard"](spark, SF_DIR)
+    m = {(r.doc1, r.doc2) for r in mh.collect()}
+    j = {(r.doc1, r.doc2) for r in jc.collect()}
+    assert m - j == set(), f"false positives: {sorted(m - j)[:5]}"
+    assert j - m == set(), f"missed near-dups: {sorted(j - m)[:5]}"
