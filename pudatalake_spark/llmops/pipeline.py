@@ -183,3 +183,38 @@ def q_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
+
+
+STRATA_PCT_EN = 50
+STRATA_PCT_OTHER = 10
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE {_hkey_sql("doc_id")} % 100 <
+          CASE WHEN lang = 'en' THEN {STRATA_PCT_EN} ELSE {STRATA_PCT_OTHER} END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates (50% of
+    'en' docs, 10% of every other lang - the up-weight-English shape
+    of LLM data mixes) applied through the same key-hash bucket as
+    q_sample_hash, so membership stays a pure function of doc_id.
+
+    Scale shape: still a stateless scan-side filter - no shuffle, no
+    per-stratum pass; the rate lookup is a CASE on the stratum column
+    (a broadcast map-join against a rates table in production). A
+    stratum's sample is a SUBSET of any higher-rate sample of the
+    same keys (bucket < 10 implies bucket < 50), which makes nested
+    data ablations (10% en vs 50% en) reuse rows instead of
+    resampling."""
+    d = table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", STRATA_PCT_EN).otherwise(
+        STRATA_PCT_OTHER
+    )
+    return d.filter(_hkey("doc_id") % 100 < rate).select(
+        "doc_id", "lang", "source", "n_chars"
+    )

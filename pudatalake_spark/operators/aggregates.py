@@ -311,3 +311,21 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kept_price"),
         F.count(F.when(F.col("l_discount") > 0.05, True)).alias("n_discounted"),
     )
+
+
+@register("q_agg_approx_percentile")  # sketch-valued -> rows-only check
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (p50/p95/p99 of extendedprice per
+    returnflag) via Spark's GK-sketch approx_percentile at accuracy
+    10000 - the 100 TB companion to q_agg_percentile: mergeable
+    fixed-size sketches per partition instead of a full sort, so the
+    shuffle carries sketches, not values. DuckDB's approx_quantile is
+    a different sketch (t-digest), so this is declared rows-only; the
+    exact variant q_agg_percentile carries the oracle parity."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("pcts"),
+        F.count("*").alias("n"),
+    )

@@ -392,3 +392,55 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_join_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.p_brand AS brand, a.p_partkey AS key1, b.p_partkey AS key2,
+           a.p_name AS name1, b.p_name AS name2,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance) self-join: near-identical part names
+    within a brand, Levenshtein distance <= 2.
+
+    Scale shape: the equi part of the condition (p_brand) drives the
+    join - candidates are generated per block, never across the whole
+    relation, so cost is sum over blocks of |block|^2, not N^2. The
+    length-difference prune is exact (|len(a)-len(b)| is a lower
+    bound on edit distance) and cheap enough to sit before the O(n*m)
+    distance call. At corpus scale the block key graduates from brand
+    to a cheap canopy (first token, soundex, length band) - same
+    plan, finer blocks.
+    """
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & (
+                F.abs(
+                    F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))
+                )
+                <= 2
+            )
+            & (dist <= 2),
+        )
+        .select(
+            F.col("a.p_brand").alias("brand"),
+            F.col("a.p_partkey").alias("key1"),
+            F.col("b.p_partkey").alias("key2"),
+            F.col("a.p_name").alias("name1"),
+            F.col("b.p_name").alias("name2"),
+            dist.alias("dist"),
+        )
+    )
