@@ -216,3 +216,49 @@ def s_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     back = spark.read.parquet(out)
     return back.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+@register("s_stream_stream_join")
+def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: every purchase joined
+    to the same user's clicks in the preceding hour (attribution
+    join). Both sides carry a 1-hour watermark and the join condition
+    bounds buy_ts to [click_ts, click_ts + 1h], so the state store
+    holds at most ~2 hours of either stream per user key - without
+    the time bound a stream-stream join must buffer BOTH streams
+    forever, which is the canonical unbounded-state bug at 100 TB.
+    Inner joins emit on match (no watermark withholding), so the
+    final result equals the batch join exactly
+    (tests/test_streaming.py asserts it)."""
+    src = stage_event_files(spark, sf_dir, "s_ss_join")
+    clicks = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    buys = (
+        read_event_stream(spark, src)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("b_user"),
+            F.col("ts").alias("buy_ts"),
+            F.col("event_id").alias("buy_id"),
+            F.col("value").alias("buy_value"),
+        )
+        .withWatermark("buy_ts", "1 hour")
+    )
+    joined = clicks.join(
+        buys,
+        F.expr(
+            "c_user = b_user AND buy_ts >= click_ts "
+            "AND buy_ts <= click_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select("c_user", "click_id", "buy_id", "click_ts", "buy_ts", "buy_value")
+    run_to_memory(joined, "s_stream_stream_join", "append")
+    return spark.table("s_stream_stream_join")

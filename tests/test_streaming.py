@@ -127,3 +127,33 @@ def test_session_window_emits_subset_of_batch_sessions(spark):
     # The 30-day event range vs a 40-min withholding horizon: nearly
     # every session must have been emitted.
     assert len(s) >= 0.8 * len(b), f"only {len(s)}/{len(b)} sessions emitted"
+
+
+def test_stream_stream_join_equals_batch_join(spark):
+    """Inner stream-stream interval joins emit on match, so the final
+    result must equal the identical batch join exactly."""
+    stream_pdf = registry.QUERIES["s_stream_stream_join"](spark, SF_DIR).toPandas()
+    ev = table(spark, SF_DIR, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("buy_ts"),
+        F.col("event_id").alias("buy_id"),
+        F.col("value").alias("buy_value"),
+    )
+    batch_pdf = (
+        clicks.join(
+            buys,
+            (F.col("c_user") == F.col("b_user"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("c_user", "click_id", "buy_id", "click_ts", "buy_ts", "buy_value")
+        .toPandas()
+    )
+    assert len(batch_pdf) > 0, "fixture produced no click->purchase pairs"
+    assert_frames_match(stream_pdf, batch_pdf, "s_stream_stream_join≡batch")
