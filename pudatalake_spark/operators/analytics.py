@@ -168,3 +168,165 @@ def q_time_rollup_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return grain("day").unionByName(grain("month"))
+
+
+@register(
+    "q_profile_table",
+    oracle="""
+    SELECT 'o_orderkey' AS col,
+           count(*) FILTER (WHERE o_orderkey IS NULL) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS vmin,
+           CAST(max(o_orderkey) AS VARCHAR) AS vmax
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           count(*) FILTER (WHERE o_orderstatus IS NULL),
+           count(DISTINCT o_orderstatus),
+           min(o_orderstatus), max(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           count(*) FILTER (WHERE o_totalprice IS NULL),
+           count(DISTINCT o_totalprice),
+           CAST(round(min(o_totalprice), 4) AS VARCHAR),
+           CAST(round(max(o_totalprice), 4) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiler: per-column null count, distinct count, min and
+    max (stringified so heterogeneous columns stack into one long
+    result) - the stats pass a lake runs before registering a dataset.
+
+    Plan shape: ONE pass per profiled column set - all conditional
+    counts and extrema for all columns are computed in a single
+    aggregate over a single scan, then unpivoted driver-side into the
+    long (col, stat) layout. count(DISTINCT) over multiple columns
+    forces Spark's expand: one scan feeding 3 distinct aggregates
+    multiplies rows 3x before the shuffle - acceptable for profiling;
+    at 100 TB swap exact distinct for approx_count_distinct and the
+    expand disappears (documented trade, not done here to keep the
+    oracle exact)."""
+    o = table(spark, sf_dir, "orders")
+    wide = o.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("nk"),
+        F.countDistinct("o_orderkey").alias("dk"),
+        F.min("o_orderkey").cast("string").alias("mink"),
+        F.max("o_orderkey").cast("string").alias("maxk"),
+        F.count(F.when(F.col("o_orderstatus").isNull(), 1)).alias("ns"),
+        F.countDistinct("o_orderstatus").alias("ds"),
+        F.min("o_orderstatus").alias("mins"),
+        F.max("o_orderstatus").alias("maxs"),
+        F.count(F.when(F.col("o_totalprice").isNull(), 1)).alias("np"),
+        F.countDistinct("o_totalprice").alias("dp"),
+        F.round(F.min("o_totalprice"), 4).cast("string").alias("minp"),
+        F.round(F.max("o_totalprice"), 4).cast("string").alias("maxp"),
+    )
+    return wide.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderkey").alias("col"),
+                    F.col("nk").alias("n_null"),
+                    F.col("dk").alias("n_distinct"),
+                    F.col("mink").alias("vmin"),
+                    F.col("maxk").alias("vmax"),
+                ),
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("ns").alias("n_null"),
+                    F.col("ds").alias("n_distinct"),
+                    F.col("mins").alias("vmin"),
+                    F.col("maxs").alias("vmax"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.col("np").alias("n_null"),
+                    F.col("dp").alias("n_distinct"),
+                    F.col("minp").alias("vmin"),
+                    F.col("maxp").alias("vmax"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.col", "p.n_null", "p.n_distinct", "p.vmin", "p.vmax")
+
+
+@register(
+    "q_quality_checks",
+    oracle="""
+    SELECT 'orders_null_key' AS rule,
+           count(*) FILTER (WHERE o_orderkey IS NULL) AS violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_bad_status',
+           count(*) FILTER (WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_price',
+           count(*) FILTER (WHERE o_totalprice <= 0)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey', count(*)
+    FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', count(*)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+)
+def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite: null-key, domain, range, and
+    referential-integrity rules evaluated to violation counts (the
+    contract a lake enforces before publishing a table version).
+
+    Scale shape: the scalar rules collapse into ONE aggregate over one
+    scan of the fact table; each referential rule is an anti join
+    against the (broadcastable) parent's key column only. A failing
+    run at 100 TB costs the same as a passing one - counts, never
+    materialized violation rows; sample violating rows in a second
+    targeted pass only when a count is nonzero."""
+    t = load(spark, sf_dir)
+    o, c, li = t["orders"], t["customer"], t["lineitem"]
+    scalar = o.agg(
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)).alias("orders_null_key"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("orders_bad_status"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias(
+            "orders_nonpositive_price"
+        ),
+    )
+    orphan_orders = o.join(
+        F.broadcast(c.select("c_custkey")),
+        o.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    ).agg(F.count("*").alias("orders_orphan_custkey"))
+    orphan_items = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti"
+    ).agg(F.count("*").alias("lineitem_orphan_orderkey"))
+
+    # One explode unpivots the single-aggregate row into the long
+    # (rule, violations) layout - the scalar rules stay ONE scan.
+    scalar_long = scalar.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("rule"), F.col(r).alias("violations")
+                    )
+                    for r in [
+                        "orders_null_key",
+                        "orders_bad_status",
+                        "orders_nonpositive_price",
+                    ]
+                ]
+            )
+        ).alias("r")
+    ).select("r.rule", "r.violations")
+
+    def long(df, col):
+        return df.select(F.lit(col).alias("rule"), F.col(col).alias("violations"))
+
+    return scalar_long.unionByName(
+        long(orphan_orders, "orders_orphan_custkey")
+    ).unionByName(long(orphan_items, "lineitem_orphan_orderkey"))
