@@ -55,6 +55,8 @@ HEADLINE = [
     "q_sim_cosine_topk",      # blocked cosine top-k over embeddings
     "q_text_tfidf",           # tokenize->tf><df><N join
     "q_text_tokenize_wordcount",
+    "q_merge_upsert",         # CDC MERGE: anti join + union (added r1-end)
+    "q_scd2_build",           # SCD2 gaps-and-islands windows (added r1-end)
 ]
 
 # Side-effecting sink/ingest ops are excluded from --all timing: they

@@ -95,6 +95,26 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct"],
         "df/N side of tf-idf is small -> broadcast into tf",
     ),
+    "q_join_fuzzy_levenshtein": (
+        [r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+        "distinct-name distance table must broadcast back to the rows",
+    ),
+    "q_merge_upsert": (
+        [r"BroadcastHashJoin LeftAnti|SortMergeJoin LeftAnti"],
+        [r"CartesianProduct"],
+        "MERGE survivor side is one anti join on the key",
+    ),
+    "q_quality_checks": (
+        [r"LeftAnti"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "referential rules are anti joins; counts only, JVM-side",
+    ),
+    "q_agg_percentile": (
+        [r"WindowGroupLimit|Window"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+        "exact quantiles via ranked window + conditional agg, JVM-side",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
