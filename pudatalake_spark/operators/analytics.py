@@ -330,3 +330,103 @@ def q_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scalar_long.unionByName(
         long(orphan_orders, "orders_orphan_custkey")
     ).unionByName(long(orphan_items, "lineitem_orphan_orderkey"))
+
+
+# Shared between engine and oracle (EP3 pattern): one SQL text, two
+# engines, zero drift.
+_FUNNEL_SQL = """
+    WITH v AS (
+      SELECT user_id, min(ts) AS view_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS click_ts
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS buy_ts
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, count(*) AS n_users FROM v
+    UNION ALL
+    SELECT 'step2_click', count(*) FROM c
+    UNION ALL
+    SELECT 'step3_purchase', count(*) FROM p
+"""
+
+
+@register("q_events_funnel", oracle=_FUNNEL_SQL)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked AFTER their
+    first view, then purchased AFTER that first qualifying click -
+    the sequential-conversion query of event analytics. Each stage is
+    a per-user min-aggregate joined to the previous stage, so order
+    constraints are enforced by ts comparison, not fragile
+    row-adjacency.
+
+    Scale shape: three shuffles on user_id (one per stage), each
+    map-side combinable to one row per user BEFORE the exchange; at
+    100 TB pre-partitioning events by user_id collapses all three
+    into local aggregations over one layout."""
+    load(spark, sf_dir)
+    return spark.sql(_FUNNEL_SQL)
+
+
+_RETENTION_SQL = """
+    WITH firstday AS (
+      SELECT user_id, min(CAST(date_trunc('day', ts) AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             datediff('day', f.cohort_day,
+                      CAST(date_trunc('day', e.ts) AS DATE)) AS day_offset
+      FROM events e JOIN firstday f ON f.user_id = e.user_id
+    )
+    SELECT cohort_day, day_offset, count(*) AS n_active
+    FROM activity
+    WHERE day_offset <= 7
+    GROUP BY cohort_day, day_offset
+"""
+
+
+@register(
+    "q_events_retention",
+    # Not shared-SQL: DuckDB's datediff is 3-arg (unit, start, end),
+    # Spark's is 2-arg (end, start) - the one dialect split in this
+    # module, so the engine side is DataFrame API.
+    oracle=_RETENTION_SQL,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted as
+    active at each day-offset in their first week - the engagement
+    matrix behind every retention curve.
+
+    Scale shape: one shuffle to find cohort days (map-side min), one
+    shuffle joining activity back on user_id, then the DISTINCT
+    collapses (user, day) duplicates BEFORE the final (cohort, offset)
+    aggregate - the distinct is the expensive step and it is keyed by
+    user_id, co-located with the join that produced it (no extra
+    exchange; verified in the explain)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    firstday = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        e.join(firstday, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_offset") <= 7)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").alias("n_active"))
+    )
