@@ -188,3 +188,46 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(files)).alias("files_before"),
         F.lit(n_files_after).alias("files_after"),
     )
+
+
+@register(
+    "q_delete_keys",
+    oracle="""
+    WITH erased AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE (user_id * 2654435761 + 1013904223) % 1000000007 % 100 < 5
+    )
+    SELECT event_type, count(*) AS n_remaining,
+           count(DISTINCT e.user_id) AS n_users_remaining
+    FROM events e ANTI JOIN erased x ON e.user_id = x.user_id
+    GROUP BY event_type
+    """,
+)
+def q_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure (GDPR-style) delete: purge every event of a
+    deletion list of users (here a deterministic 5% hash cohort
+    standing in for the request queue) as one anti join, returning
+    the post-delete audit counts.
+
+    Scale shape: the deletion list is small -> broadcast anti join,
+    no shuffle of the fact table. On the lake this pairs with
+    partition-scoped rewrite (sink_overwrite_dynamic): only
+    partitions containing an erased key are rewritten, found by a
+    metadata-cheap semi join on the partition column first - erasure
+    cost scales with the cohort's footprint, not the table."""
+    ev = table(spark, sf_dir, "events")
+    erased = (
+        ev.select("user_id")
+        .filter(
+            (F.col("user_id") * 2654435761 + 1013904223) % 1000000007 % 100 < 5
+        )
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(erased), "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_remaining"),
+            F.countDistinct("user_id").alias("n_users_remaining"),
+        )
+    )
