@@ -47,3 +47,48 @@ def test_minhash_matches_exact_jaccard(spark):
     j = {(r.doc1, r.doc2) for r in jc.collect()}
     assert m - j == set(), f"false positives: {sorted(m - j)[:5]}"
     assert j - m == set(), f"missed near-dups: {sorted(j - m)[:5]}"
+
+
+def test_survey_inventory_matches_registry():
+    """SURVEY.md §2 is THE contract: every backticked operator key in
+    its tables must be registered, and every registered query must
+    appear in SURVEY (combo rows like `q_join_left / right / full`
+    expand by prefix). The declared inventory count must match too."""
+    import re
+
+    text = open("SURVEY.md").read()
+    declared: set[str] = set()
+    # Backticked identifiers (covers `a` / `b` combo rows with separate
+    # backticks) plus slash-shorthand inside ONE backtick group
+    # (`q_join_left / right / full` -> left, right, full siblings).
+    for ident in re.findall(r"`([a-z0-9_]+)`", text):
+        declared.add(ident)
+    for combo in re.findall(r"`([a-z0-9_]+(?: / [a-z0-9_]+)+)`", text):
+        parts = [p.strip() for p in combo.split("/")]
+        head = parts[0]
+        declared.add(head)
+        for p in parts[1:]:
+            declared.add(p if p in registry.QUERIES
+                         else head.rsplit("_", 1)[0] + "_" + p)
+    # Keep only operator-shaped identifiers (drops table names, file
+    # names, config keys that happen to be backticked in prose).
+    declared = {
+        k for k in declared
+        if k in registry.QUERIES
+        or k.startswith(("q_", "s_", "src_", "sink_", "udf_", "udtf_"))
+    }
+    registered = set(registry.QUERIES)
+    assert declared - registered == set(), (
+        f"SURVEY declares unregistered keys: {sorted(declared - registered)}"
+    )
+    assert registered - declared == set(), (
+        f"registered but missing from SURVEY: {sorted(registered - declared)}"
+    )
+    m = re.search(r"Inventory size: (\d+) declared operators, (\d+) with", text)
+    assert m, "inventory-size line missing from SURVEY"
+    assert int(m.group(1)) == len(registered), (
+        f"SURVEY claims {m.group(1)} operators, registry has {len(registered)}"
+    )
+    assert int(m.group(2)) == len(registry.ORACLES), (
+        f"SURVEY claims {m.group(2)} oracled, registry has {len(registry.ORACLES)}"
+    )
