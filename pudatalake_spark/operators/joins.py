@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..loaders import load, table
 from ..registry import register
+from .asof import asof_join
 
 
 @register(
@@ -250,34 +251,22 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the user's latest view at
     or before it (DuckDB-ASOF-equivalent "latest ts' <= ts").
 
-    Spark formulation: union-tag + running ``last(ignorenulls)`` over a
-    (user_id)-partitioned, ts-ordered window. Views sort before
-    purchases at equal ts (tag 0 < 1) so ties count as "at or before",
-    matching the oracle's <=. One shuffle + one sort, no candidate
-    pair blow-up - the scalable as-of pattern.
+    Spark formulation: the reusable ``asof_join`` utility
+    (operators/asof.py) - union-tag + running ``last(ignorenulls)``
+    over a (user_id)-partitioned, ts-ordered window; right rows sort
+    before left at equal ts so ties count as "at or before", matching
+    the oracle's <=. One shuffle + one sort, no candidate pair
+    blow-up - the scalable as-of pattern, property-tested against a
+    brute-force reference in tests/test_asof_property.py.
     """
-    ev = table(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("view", "purchase")
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    tagged = ev.withColumn(
-        "tag", F.when(F.col("event_type") == "view", 0).otherwise(1)
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "tag", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        tagged.withColumn(
-            "last_view_ts",
-            F.last(
-                F.when(F.col("event_type") == "view", F.col("ts")),
-                ignorenulls=True,
-            ).over(w),
-        )
-        .filter(F.col("event_type") == "purchase")
-        .select("event_id", "user_id", "ts", "last_view_ts")
-    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts", payload=[]
+    ).withColumnRenamed("ts_matched", "last_view_ts")
 
 
 @register(
