@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..loaders import load, table
+from ..loaders import load, spread, table
 from ..registry import register
 
 
@@ -315,4 +315,64 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.lower(F.trim(F.col("text")))).alias("content_md5"),
         rolling.alias("rolling_hash"),
+    )
+
+
+CONTAM_NGRAM = 5
+
+
+@register(
+    "q_text_contamination",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest([array_to_string(w[i+1:i+{CONTAM_NGRAM}], ' ')
+                     FOR i IN range(0, len(w) - {CONTAM_NGRAM} + 1)]) AS g
+      FROM docs WHERE len(w) >= {CONTAM_NGRAM}
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+    SELECT gr.doc_id, count(DISTINCT gr.g) AS n_shared_grams
+    FROM grams gr JOIN bench b USING (g)
+    WHERE gr.source <> 'src0'
+    GROUP BY gr.doc_id
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with the benchmark set (source='src0' stands in for
+    the eval suite) - the standard n-gram-overlap contamination check
+    run before training. 5-grams are the fixture's sweet spot: n=3
+    over-flags 400 docs on this word-soup corpus, n=5 isolates the
+    genuinely contaminated near-copies.
+
+    Scale shape: the benchmark gram set is small (eval suites are
+    tiny next to the corpus) -> DISTINCT once, broadcast into the
+    training-gram stream - the corpus is scanned once, no shuffle of
+    corpus grams; count(DISTINCT) per flagged doc only touches the
+    matched remainder. At 100 TB the benchmark grams become a bloom
+    filter pushed into the scan."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    docs = d.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("w")
+    ).filter(F.size("w") >= CONTAM_NGRAM)
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - (CONTAM_NGRAM - 1)),
+                lambda i: F.array_join(F.slice("w", i, CONTAM_NGRAM), " "),
+            )
+        ).alias("g"),
+    )
+    bench = grams.filter(F.col("source") == "src0").select("g").distinct()
+    return (
+        grams.filter(F.col("source") != "src0")
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_grams"))
     )
