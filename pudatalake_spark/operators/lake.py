@@ -231,3 +231,133 @@ def q_delete_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users_remaining"),
         )
     )
+
+
+@register(
+    "q_snapshot_diff",
+    oracle=f"""
+    WITH new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + {MERGE_NEW_KEY_OFFSET}, 'O', o_totalprice
+      FROM orders WHERE o_orderkey % 11 = 0
+    ),
+    old AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    diff AS (
+      SELECT coalesce(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                  WHEN n.o_orderkey IS NULL THEN 'delete'
+                  WHEN n.o_totalprice <> o.o_totalprice
+                       OR n.o_orderstatus <> o.o_orderstatus THEN 'update'
+                  ELSE 'unchanged' END AS change
+      FROM new n FULL JOIN old o ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT change, count(*) AS n FROM diff GROUP BY change
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed generation: compare two table
+    versions (the new one derived deterministically: every 13th key
+    deleted, every 7th repriced, every 11th re-inserted under a new
+    key) and classify each key as insert/delete/update/unchanged -
+    the diff a lake without a table format computes to feed downstream
+    CDC consumers.
+
+    Scale shape: ONE full outer join on the key - both snapshots
+    shuffle once; with both snapshots bucketed on the key
+    (q_join_bucketed's layout) the diff is shuffle-free. Compare
+    column-by-column (or a precomputed row hash at width) so
+    'unchanged' rows are dropped before anything downstream runs."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 13 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 11 == 0).select(
+                (F.col("o_orderkey") + MERGE_NEW_KEY_OFFSET).alias("o_orderkey"),
+                F.lit("O").alias("o_orderstatus"),
+                "o_totalprice",
+            )
+        )
+    )
+    n, old = new.alias("n"), o.alias("o")
+    diff = n.join(
+        old, F.col("n.o_orderkey") == F.col("o.o_orderkey"), "full"
+    ).select(
+        F.when(F.col("o.o_orderkey").isNull(), "insert")
+        .when(F.col("n.o_orderkey").isNull(), "delete")
+        .when(
+            (F.col("n.o_totalprice") != F.col("o.o_totalprice"))
+            | (F.col("n.o_orderstatus") != F.col("o.o_orderstatus")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change")
+    )
+    return diff.groupBy("change").agg(F.count("*").alias("n"))
+
+
+@register(
+    "q_rollup_incremental",
+    oracle="""
+    WITH base AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE ts < TIMESTAMP '2024-01-25' GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT date_trunc('day', ts) AS day, event_type,
+             count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE ts >= TIMESTAMP '2024-01-25' GROUP BY 1, 2
+    )
+    SELECT day, event_type,
+           CAST(sum(n) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+    FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+    GROUP BY day, event_type
+    """,
+)
+def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental rollup maintenance (continuous-aggregate refresh):
+    merge a new slice's partial aggregate into an existing rollup by
+    re-aggregating the union of the two aggregate tables - never
+    re-scanning the already-rolled-up history. Works because count and
+    sum are commutative monoids; avg is maintained as (sum, count)
+    pairs and finalized at read.
+
+    Scale shape: the delta agg touches only the new partition's bytes;
+    the merge shuffles |rollup| + |delta| AGGREGATE rows (days x
+    types, thousands), not raw events - refresh cost is O(delta +
+    rollup size), independent of history length. The oracle recomputes
+    the same split to prove merge == full recompute."""
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    cutoff = F.lit("2024-01-25").cast("timestamp")
+
+    def agg(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.date_trunc("day", "ts").alias("day"),
+                "event_type",
+                cents.alias("c"),
+            )
+            .groupBy("day", "event_type")
+            .agg(F.count("*").alias("n"), F.sum("c").alias("cents"))
+        )
+
+    base = agg(e.filter(F.col("ts") < cutoff))
+    delta = agg(e.filter(F.col("ts") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
