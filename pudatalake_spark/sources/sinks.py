@@ -175,3 +175,86 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+ZBITS = 16
+
+
+def _zvalue(xcol, ycol):
+    """Interleave the low ZBITS bits of two bucketed dims into a
+    Z-curve value (bit i of x -> bit 2i, bit i of y -> bit 2i+1)."""
+    z = F.lit(0).cast("bigint")
+    for i in range(ZBITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftrightunsigned(xcol, i).bitwiseAND(1), 2 * i)
+            + F.shiftleft(F.shiftrightunsigned(ycol, i).bitwiseAND(1), 2 * i + 1)
+        )
+    return z
+
+
+@register("sink_zorder_cluster")  # layout experiment -> rows-only
+def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering for multi-dimensional data skipping: orders
+    written twice - linearly sorted by custkey, and sorted by the
+    Z-curve interleaving of (custkey, orderdate) buckets - then each
+    layout's per-file min/max spans are measured for BOTH dimensions
+    (the same min/max parquet row-group stats a scan's predicate
+    pushdown prunes on).
+
+    The point: linear sort makes one dimension's spans tight (~1/N)
+    and leaves the other's at ~100% (every file spans all dates), so
+    only custkey predicates skip files. Z-order makes BOTH spans
+    ~sqrt-partitioned, so predicates on EITHER dimension skip most
+    files - at 100 TB this is the difference between scanning one
+    file and scanning the table for a date-filtered query on a
+    custkey-sorted layout. Bucketing to ZBITS bits uses global
+    min/max from a one-row broadcast aggregate (metadata-scale, no
+    collect of data rows).
+    """
+    out_lin = _scratch("lake", "orders_linear")
+    out_z = _scratch("lake", "orders_zorder")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).withColumn("days", F.datediff(F.col("d"), F.lit("1990-01-01").cast("date")))
+
+    stats = o.agg(
+        F.min("o_custkey").alias("cmin"), F.max("o_custkey").alias("cmax"),
+        F.min("days").alias("dmin"), F.max("days").alias("dmax"),
+    )
+    scaled = o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey", "o_custkey", "days", "cmin", "cmax", "dmin", "dmax",
+        ((F.col("o_custkey") - F.col("cmin")) * ((1 << ZBITS) - 1)
+         / (F.col("cmax") - F.col("cmin"))).cast("bigint").alias("cx"),
+        ((F.col("days") - F.col("dmin")) * ((1 << ZBITS) - 1)
+         / (F.col("dmax") - F.col("dmin"))).cast("bigint").alias("dy"),
+    )
+    n_files = 16
+    scaled.repartitionByRange(n_files, "o_custkey").write.mode(
+        "overwrite"
+    ).parquet(out_lin)
+    scaled.withColumn("z", _zvalue(F.col("cx"), F.col("dy"))).repartitionByRange(
+        n_files, "z"
+    ).write.mode("overwrite").parquet(out_z)
+
+    def spans(path: str, layout: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        per_file = df.groupBy(F.input_file_name().alias("f")).agg(
+            F.min("o_custkey").alias("c_lo"), F.max("o_custkey").alias("c_hi"),
+            F.min("days").alias("d_lo"), F.max("days").alias("d_hi"),
+            F.first("cmin").alias("cmin"), F.first("cmax").alias("cmax"),
+            F.first("dmin").alias("dmin"), F.first("dmax").alias("dmax"),
+        )
+        return per_file.agg(
+            F.lit(layout).alias("layout"),
+            F.count("*").alias("n_files"),
+            F.round(F.avg(
+                (F.col("c_hi") - F.col("c_lo"))
+                / (F.col("cmax") - F.col("cmin"))
+            ), 4).alias("avg_custkey_span"),
+            F.round(F.avg(
+                (F.col("d_hi") - F.col("d_lo"))
+                / (F.col("dmax") - F.col("dmin"))
+            ), 4).alias("avg_date_span"),
+        )
+    return spans(out_lin, "linear_custkey").unionByName(spans(out_z, "zorder"))
