@@ -352,3 +352,43 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pcts"),
         F.count("*").alias("n"),
     )
+
+
+HIST_BINS = 10
+HIST_MAX = 600000.0  # fixture o_totalprice upper bound for fixed-width bins
+
+
+@register(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT least(CAST(floor(o_totalprice / ({HIST_MAX} / {HIST_BINS})) AS BIGINT),
+                 {HIST_BINS - 1}) AS bin,
+           count(*) AS n,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (10 fixed bins, top bin
+    open): one hash aggregate keyed on the bin expression - the
+    distribution pass of a profiler. Fixed bin edges make the result
+    a pure function of the data (a min/max-derived width would need
+    the q_profile_table stats first; at 100 TB that two-pass variant
+    reuses the profiler's one-row stats broadcast, same shape as
+    sink_zorder_cluster's scaling)."""
+    o = table(spark, sf_dir, "orders")
+    width = HIST_MAX / HIST_BINS
+    bin_col = F.least(
+        F.floor(F.col("o_totalprice") / width).cast("bigint"),
+        F.lit(HIST_BINS - 1),
+    )
+    return (
+        o.groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
