@@ -176,11 +176,11 @@ def q_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = glob.glob(os.path.join(frag, "*.parquet"))
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_out = max(1, math.ceil(total_bytes / TARGET_FILE_BYTES))
-    spark.read.parquet(frag).repartition(n_out).write.mode(
+    spark.read.schema(ev.schema).parquet(frag).repartition(n_out).write.mode(
         "overwrite"
     ).parquet(compact)
 
-    back = spark.read.parquet(compact)
+    back = spark.read.schema(ev.schema).parquet(compact)
     n_files_after = len(glob.glob(os.path.join(compact, "*.parquet")))
     return back.agg(
         F.count("*").alias("n_rows"),

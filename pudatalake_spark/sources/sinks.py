@@ -30,7 +30,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     # One file per partition: repartition on the partition column.
     docs.repartition("lang").write.mode("overwrite").partitionBy("lang").parquet(out)
-    back = spark.read.parquet(out)
+    back = spark.read.schema(docs.schema).parquet(out)
     return back.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
@@ -51,7 +51,7 @@ def sink_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).partitionBy("lang").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    back = spark.read.parquet(out)
+    back = spark.read.schema(docs.schema).parquet(out)
     return back.groupBy("lang").agg(F.count("*").alias("n_docs"))
 
 
@@ -79,7 +79,8 @@ def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition("event_type").write.mode("overwrite").partitionBy(
         "event_type"
     ).parquet(out)
-    back = spark.read.parquet(out)
+    # Explicit schema: an all-empty write leaves no files to infer from.
+    back = spark.read.schema(ev.schema).parquet(out)
     return (
         back.filter(F.col("event_type") == "click")
         .groupBy(F.to_date("ts").alias("day"))
@@ -115,7 +116,7 @@ def q_scan_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.repartition("event_type").write.mode("overwrite").partitionBy(
         "event_type"
     ).parquet(out)
-    fact = spark.read.parquet(out)
+    fact = spark.read.schema(ev.schema).parquet(out)
     dim = (
         ev.select("event_type")
         .distinct()
@@ -238,7 +239,7 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).write.mode("overwrite").parquet(out_z)
 
     def spans(path: str, layout: str) -> DataFrame:
-        df = spark.read.parquet(path)
+        df = spark.read.schema(scaled.schema).parquet(path)
         per_file = df.groupBy(F.input_file_name().alias("f")).agg(
             F.min("o_custkey").alias("c_lo"), F.max("o_custkey").alias("c_hi"),
             F.min("days").alias("d_lo"), F.max("days").alias("d_hi"),
