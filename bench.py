@@ -64,7 +64,8 @@ HEADLINE = [
 SKIP_IN_ALL = {"src_csv", "src_json", "sink_parquet_partitioned",
                "sink_overwrite_dynamic", "s_foreach_sink",
                "q_scan_partition_pruned", "q_scan_dpp", "q_join_bucketed",
-               "q_compact_small_files", "sink_zorder_cluster"}
+               "q_compact_small_files", "sink_zorder_cluster",
+               "q_schema_evolution"}
 
 
 def _force(df) -> int:

@@ -128,6 +128,7 @@ UDF_KEYS = {
 SIDE_EFFECT = {"src_csv", "src_json", "sink_parquet_partitioned",
                "sink_overwrite_dynamic", "s_foreach_sink",
                "q_compact_small_files", "sink_zorder_cluster",
+               "q_schema_evolution",
                # Plan-audited via RULES; skipped in the global loop so
                # their lake writes run once, not twice.
                "q_scan_partition_pruned", "q_scan_dpp", "q_join_bucketed"}

@@ -14,6 +14,8 @@ many-small-files problem).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -259,3 +261,33 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             ), 4).alias("avg_date_span"),
         )
     return spans(out_lin, "linear_custkey").unionByName(spans(out_z, "zorder"))
+
+
+@register("q_schema_evolution")  # multi-batch layout -> rows-only
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the lake (SURVEY §1): batch 1 writes the
+    v1 schema (orderkey, totalprice), batch 2 adds a column
+    (orderstatus); ``mergeSchema`` unifies them on read, null-filling
+    the v1 rows - the append-only evolution path a lake uses instead
+    of rewriting history. A type-widening migration (int -> bigint
+    style) is shown on read via explicit cast.
+
+    100 TB posture: mergeSchema costs a footer read per FILE at
+    planning time - keep it off for stable tables and pin the merged
+    schema explicitly (as here) once evolution settles; old batches
+    are never rewritten."""
+    out = _scratch("lake", "orders_evolving")
+    o = table(spark, sf_dir, "orders")
+    v1 = o.select("o_orderkey", "o_totalprice")
+    v2 = o.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    v1.write.mode("overwrite").parquet(os.path.join(out, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(out, "batch=2"))
+    back = spark.read.option("mergeSchema", "true").parquet(out)
+    return (
+        back.withColumn("o_orderkey", F.col("o_orderkey").cast("bigint"))
+        .groupBy("batch", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+    )
