@@ -61,7 +61,8 @@ HEADLINE = [
 
 # Side-effecting sink/ingest ops are excluded from --all timing: they
 # write temp dirs and measure the local disk, not the engine.
-SKIP_IN_ALL = {"src_csv", "src_json", "sink_parquet_partitioned",
+SKIP_IN_ALL = {"src_csv", "src_json", "src_orc", "src_binaryfile",
+               "sink_parquet_partitioned",
                "sink_overwrite_dynamic", "s_foreach_sink",
                "q_scan_partition_pruned", "q_scan_dpp", "q_join_bucketed",
                "q_compact_small_files", "sink_zorder_cluster",

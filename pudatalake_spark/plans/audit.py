@@ -125,7 +125,8 @@ UDF_KEYS = {
     "q_multimodal_framesample", "s_stateful_running",
 }
 
-SIDE_EFFECT = {"src_csv", "src_json", "sink_parquet_partitioned",
+SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile",
+               "sink_parquet_partitioned",
                "sink_overwrite_dynamic", "s_foreach_sink",
                "q_compact_small_files", "sink_zorder_cluster",
                "q_schema_evolution",

@@ -60,3 +60,36 @@ def src_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ev.write.mode("overwrite").json(out)
     return spark.read.json(out)
+
+
+@register("src_orc")
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip (the other columnar lake format Spark ships
+    natively): same pushdown/pruning/vectorized-reader machinery as
+    parquet, so a mixed parquet+ORC lake queries uniformly. Explicit
+    schema on read - same production rule as CSV/JSON."""
+    out = _scratch("orc", "customer")
+    c = table(spark, sf_dir, "customer")
+    c.write.mode("overwrite").orc(out)
+    return spark.read.schema(CUSTOMER_SCHEMA).orc(out)
+
+
+@register("src_binaryfile")
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-asset ingestion via the binaryFile source: each file
+    becomes (path, modificationTime, length, content binary) - the
+    entry point for multimodal pipelines (images/audio land as opaque
+    blobs, then flow into the q_multimodal_* struct + mapInPandas
+    plumbing). Here the lake's own parquet files stand in for assets;
+    only metadata + sizes are aggregated, the blobs never shuffle
+    (the §2.10 rule: extract features first, move bytes never)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(sf_dir)
+    )
+    return df.select(
+        F.reverse(F.split(F.col("path"), "/")).getItem(0).alias("file"),
+        F.col("length"),
+        F.octet_length("content").alias("content_bytes"),
+    ).orderBy("file")
