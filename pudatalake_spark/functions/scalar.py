@@ -216,21 +216,31 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            embedding[1]                         AS e_first,
            embedding[64]                        AS e_last,
            list_contains(embedding, 0.0)        AS has_zero,
-           embedding[1:3]                       AS head3
+           round(list_sum(list_transform(embedding[1:3],
+                 x -> CAST(x AS DOUBLE))), 6)   AS head3_sum
     FROM embeddings
     """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array basics over the 64-dim embedding column (element_at is
-    1-based, matching DuckDB list indexing)."""
+    1-based, matching DuckDB list indexing). The slice is reduced to
+    a rounded scalar sum: the driver canonicalizer can't hash array
+    cells (VERDICT r1 Wrong #3), and float->string join formatting
+    diverges between engines, so a rounded fold is the hash-stable
+    way to keep slice() exercised."""
     e = table(spark, sf_dir, "embeddings")
+    head3_sum = F.aggregate(
+        F.transform(F.slice("embedding", 1, 3), lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return e.select(
         "vec_id",
         F.size("embedding").alias("dim"),
         F.element_at("embedding", 1).alias("e_first"),
         F.element_at("embedding", 64).alias("e_last"),
         F.array_contains("embedding", F.lit(0.0).cast("float")).alias("has_zero"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.round(head3_sum, 6).alias("head3_sum"),
     )
 
 

@@ -221,17 +221,24 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT o_orderstatus,
-           list_sort(list(DISTINCT o_orderpriority)) AS priorities,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',')
+               AS priorities,
            count(*) AS n
     FROM orders
     GROUP BY o_orderstatus
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """collect_set sorted for determinism (SURVEY §5.2 determinism rule)."""
+    """collect_set sorted for determinism (SURVEY §5.2 determinism rule),
+    then array_join'd to a plain string: the driver's canonicalizer
+    hashes scalar columns only (array cells crashed its pandas
+    sort_values in r1 — VERDICT r1 Wrong #1), and a comma-joined
+    sorted set carries identical information."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.array_join(F.sort_array(F.collect_set("o_orderpriority")), ",").alias(
+            "priorities"
+        ),
         F.count("*").alias("n"),
     )
 
@@ -346,10 +353,16 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a different sketch (t-digest), so this is declared rows-only; the
     exact variant q_agg_percentile carries the oracle parity."""
     li = table(spark, sf_dir, "lineitem")
+    pcts = F.expr(
+        "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
+    )
+    # One scalar column per quantile: the driver canonicalizer can't
+    # hash array cells (VERDICT r1 Wrong #2), and element_at on the
+    # single sketch result costs nothing extra.
     return li.groupBy("l_returnflag").agg(
-        F.expr(
-            "approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 10000)"
-        ).alias("pcts"),
+        F.element_at(pcts, 1).alias("p50"),
+        F.element_at(pcts, 2).alias("p95"),
+        F.element_at(pcts, 3).alias("p99"),
         F.count("*").alias("n"),
     )
 

@@ -78,6 +78,25 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+def assert_driver_canon_safe(schema, key: str):
+    """The driver's canonicalizer hashes scalar cells only: an
+    Array/Map/Struct/Binary top-level output column crashes its pandas
+    sort_values (r1 red rows q_agg_collect / q_agg_approx_percentile).
+    Every registered query must therefore emit flat scalar columns —
+    join arrays to strings or explode them instead."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType, T.BinaryType))
+    ]
+    assert not bad, (
+        f"{key}: non-scalar output columns {bad} would crash the driver "
+        "canonicalizer — flatten (array_join/explode/hex) before returning"
+    )
+
+
 def assert_frames_match(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, key: str):
     a, b = canonicalize(spark_pdf), canonicalize(duck_pdf)
     assert list(a.columns) == list(b.columns), (

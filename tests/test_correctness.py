@@ -9,7 +9,7 @@ import pytest
 
 from pudatalake_spark import registry
 
-from tests.conftest import SF_DIR, assert_frames_match
+from tests.conftest import SF_DIR, assert_driver_canon_safe, assert_frames_match
 
 registry.load_all()
 ORACLED = sorted(k for k in registry.QUERIES if k in registry.ORACLES)
@@ -22,6 +22,7 @@ _STREAMING = {k for k in ROWS_ONLY if k.startswith("s_")}
 @pytest.mark.parametrize("key", ORACLED)
 def test_vs_duckdb(spark, duck, key):
     sdf = registry.QUERIES[key](spark, SF_DIR)
+    assert_driver_canon_safe(sdf.schema, key)
     spark_pdf = sdf.toPandas()
     duck_pdf = duck.execute(registry.ORACLES[key]).df()
     assert_frames_match(spark_pdf, duck_pdf, key)
@@ -30,6 +31,7 @@ def test_vs_duckdb(spark, duck, key):
 @pytest.mark.parametrize("key", sorted(set(ROWS_ONLY) - _STREAMING))
 def test_rows_only(spark, key):
     sdf = registry.QUERIES[key](spark, SF_DIR)
+    assert_driver_canon_safe(sdf.schema, key)
     n = sdf.count()
     assert n >= 0
     assert len(sdf.schema.fields) > 0

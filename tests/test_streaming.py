@@ -20,13 +20,20 @@ from pudatalake_spark import registry
 from pudatalake_spark.loaders import table
 from pudatalake_spark.streaming import streams
 
-from tests.conftest import SF_DIR, assert_frames_match, canonicalize
+from tests.conftest import (
+    SF_DIR,
+    assert_driver_canon_safe,
+    assert_frames_match,
+    canonicalize,
+)
 
 registry.load_all()
 
 
 def test_watermark_late_matches_batch_closed_windows(spark):
-    stream_pdf = registry.QUERIES["s_watermark_late"](spark, SF_DIR).toPandas()
+    _sdf = registry.QUERIES["s_watermark_late"](spark, SF_DIR)
+    assert_driver_canon_safe(_sdf.schema, "s_watermark_late")
+    stream_pdf = _sdf.toPandas()
     batch_pdf = registry.QUERIES["q_stream_tumbling"](spark, SF_DIR).toPandas()
 
     max_ts = table(spark, SF_DIR, "events").agg(F.max("ts")).collect()[0][0]
@@ -50,7 +57,9 @@ def test_watermark_late_matches_batch_closed_windows(spark):
 def test_stream_dedup_recovers_unique_counts(spark):
     # Source is staged with every event duplicated; streaming dedup on
     # event_id must recover the original per-type counts exactly.
-    stream_pdf = registry.QUERIES["s_stream_dedup"](spark, SF_DIR).toPandas()
+    _sdf = registry.QUERIES["s_stream_dedup"](spark, SF_DIR)
+    assert_driver_canon_safe(_sdf.schema, "s_stream_dedup")
+    stream_pdf = _sdf.toPandas()
     batch_pdf = (
         table(spark, SF_DIR, "events")
         .groupBy("event_type")
@@ -61,7 +70,9 @@ def test_stream_dedup_recovers_unique_counts(spark):
 
 
 def test_stateful_running_final_equals_batch(spark):
-    stream_pdf = registry.QUERIES["s_stateful_running"](spark, SF_DIR).toPandas()
+    _sdf = registry.QUERIES["s_stateful_running"](spark, SF_DIR)
+    assert_driver_canon_safe(_sdf.schema, "s_stateful_running")
+    stream_pdf = _sdf.toPandas()
     batch_pdf = (
         table(spark, SF_DIR, "events")
         .groupBy("user_id")
@@ -75,7 +86,9 @@ def test_stateful_running_final_equals_batch(spark):
 
 
 def test_foreach_sink_roundtrip_counts(spark):
-    stream_pdf = registry.QUERIES["s_foreach_sink"](spark, SF_DIR).toPandas()
+    _sdf = registry.QUERIES["s_foreach_sink"](spark, SF_DIR)
+    assert_driver_canon_safe(_sdf.schema, "s_foreach_sink")
+    stream_pdf = _sdf.toPandas()
     batch_pdf = (
         table(spark, SF_DIR, "events")
         .groupBy("event_type")
@@ -111,7 +124,9 @@ def test_session_window_emits_subset_of_batch_sessions(spark):
     lag/cumsum sessions: every emitted (user, n_events, dur_us,
     sum_value) exists in the batch result, and most sessions are
     emitted (only trailing ones may be withheld by the watermark)."""
-    stream_pdf = registry.QUERIES["s_session_window"](spark, SF_DIR).toPandas()
+    _sdf = registry.QUERIES["s_session_window"](spark, SF_DIR)
+    assert_driver_canon_safe(_sdf.schema, "s_session_window")
+    stream_pdf = _sdf.toPandas()
     batch_pdf = (
         registry.QUERIES["q_stream_session"](spark, SF_DIR)
         .select("user_id", "n_events", "dur_us", "sum_value")
@@ -132,7 +147,9 @@ def test_session_window_emits_subset_of_batch_sessions(spark):
 def test_stream_stream_join_equals_batch_join(spark):
     """Inner stream-stream interval joins emit on match, so the final
     result must equal the identical batch join exactly."""
-    stream_pdf = registry.QUERIES["s_stream_stream_join"](spark, SF_DIR).toPandas()
+    _sdf = registry.QUERIES["s_stream_stream_join"](spark, SF_DIR)
+    assert_driver_canon_safe(_sdf.schema, "s_stream_stream_join")
+    stream_pdf = _sdf.toPandas()
     ev = table(spark, SF_DIR, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
