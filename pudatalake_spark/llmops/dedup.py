@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..loaders import spread, table
+from ..loaders import cached, spread, table
 from ..registry import register
 from .similarity import _cos_pre, _with_norm
 
@@ -70,17 +70,6 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles_col():
-    """Distinct character 5-gram shingles of the lowercased text."""
-    t = F.lower(F.col("text"))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (SHINGLE_LEN - 1)),
-            lambda i: t.substr(i, F.lit(SHINGLE_LEN)),
-        )
-    )
-
-
 def _hashed_shingles_col():
     """Distinct xxhash64'd character 5-gram shingles.
 
@@ -88,13 +77,149 @@ def _hashed_shingles_col():
     hashes is 5x faster than deduping the 5-char strings first
     (measured at sf0.1: 3.2s -> 0.66s for the full shingle phase),
     and the resulting set is identical up to xxhash64 collisions
-    (P ~ |shingles|^2 / 2^64 per doc - negligible)."""
+    (P ~ |shingles|^2 / 2^64 per doc - negligible).
+
+    Text shorter than SHINGLE_LEN yields an EMPTY set: without the
+    guard, F.sequence(1, length-4) counts DOWN for short strings and
+    substr on non-positive positions fabricates junk shingles that
+    the DuckDB oracle comprehension (range() -> empty) never sees."""
     t = F.lower(F.col("text"))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.length(t) - (SHINGLE_LEN - 1)),
-            lambda i: F.xxhash64(t.substr(i, F.lit(SHINGLE_LEN))),
+    return F.when(F.length(t) < SHINGLE_LEN, F.array().cast("array<bigint>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.length(t) - (SHINGLE_LEN - 1)),
+                lambda i: F.xxhash64(t.substr(i, F.lit(SHINGLE_LEN))),
+            )
         )
+    )
+
+
+HOT_DF_FRAC = 0.4  # a shingle in > 40% of all docs is stopword-like
+HOT_DF_MIN = 32  # never cap in tiny corpora
+
+
+def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+    """Exact pairs with character-5-gram Jaccard >= tau over a
+    (doc_id, text) frame - the df-capped inverted-index plan.
+
+    Hot-shingle df-cap (the dedup.py header's promised scale
+    mitigation): a shingle with document frequency df > D
+    (D = max(32, 0.4 * n_docs), computed IN-PLAN from a broadcast
+    1-row count, no driver action) contributes df^2 rows to the
+    inverted-index self-join - stopword-like shingles alone made 88%
+    of the join input on this corpus (measured sf0.01: 15.6M -> 4.3M
+    rows after the cap, 3.6x less). The plan:
+
+      1. instances (doc, shingle, n_sh) + per-shingle df; split into
+         RARE (df <= D) and HOT (df > D) streams.
+      2. candidate pairs + rare-intersection counts from the rare-only
+         self-join (one counting aggregate, no candidate
+         materialization).
+      3. per-doc HOT sets are small arrays (<= |hot dictionary|, 76
+         on this corpus); two doc-keyed joins add
+         |hot(A) intersect hot(B)| per candidate, so
+         inter = rare_inter + hot_inter is EXACT.
+      4. hot-dominated fallback: a pair sharing NO rare shingle has
+         A intersect B inside the hot set, and J >= tau with the size
+         filter |B| >= tau|A| forces hot_cnt >= tau * n_sh for BOTH
+         docs (|A^B| >= tau/(1+tau)*(|A|+|B|) >= tau*|A|). Those docs
+         are enumerated (degenerate stopword-soup; 0 at sf0.01, 5 at
+         sf0.1) and cross-paired via a broadcast nested-loop join, so
+         the cap introduces NO false negatives at ANY threshold - the
+         probe test plants hot-only duplicates to prove it.
+
+    Size-ratio prune is free and exact: J >= tau and
+    |A^B| <= min(|A|,|B|) imply min >= tau*max. The sub-quadratic
+    scale path remains q_dedup_near_minhash; this operator is the
+    exact complement with its quadratic-bucket killer removed.
+    """
+    # Hashed-int64 shingles: same Jaccard as string shingles up to
+    # xxhash64 collisions (negligible), 5x cheaper to build and the
+    # inverted-index join keys become fixed-width ints.
+    sh = docs.select("doc_id", _hashed_shingles_col().alias("s")).select(
+        "doc_id", "s", F.size("s").alias("n_sh")
+    )
+    inst = sh.select("doc_id", "n_sh", F.explode("s").alias("shingle"))
+    n_docs = sh.agg(F.count("*").alias("n_docs"))
+    dfs = (
+        inst.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "is_hot",
+            F.col("df")
+            > F.greatest(F.lit(HOT_DF_MIN), F.lit(HOT_DF_FRAC) * F.col("n_docs")),
+        )
+        .select("shingle", "is_hot")
+    )
+    # One shuffle join attaches the flag to every instance (the
+    # dictionary may not fit a broadcast at corpus scale; the join is
+    # shingle-keyed like the self-join that follows). Persisted: both
+    # the rare and hot streams read it, and exchange reuse does not
+    # recognize the diamond. Evictable default storage level; the
+    # session-long cache lifecycle is documented in loaders.cached.
+    flagged = cached(inst.join(dfs, "shingle"))
+    rare = flagged.filter(~F.col("is_hot"))
+    hotsets = (
+        flagged.filter(F.col("is_hot"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("hs"), F.count("*").alias("hot_cnt"))
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    rare_pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= tau * F.col("b.n_sh"))
+            & (F.col("b.n_sh") >= tau * F.col("a.n_sh")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc1"),
+            F.col("b.doc_id").alias("doc2"),
+            F.col("a.n_sh").alias("n1"),
+            F.col("b.n_sh").alias("n2"),
+        )
+        .agg(F.count("*").alias("rare_inter"))
+    )
+    # Hot-dominated docs: the only docs that can reach J >= tau with
+    # zero rare overlap (proof in the docstring). Tiny by construction
+    # of the cap, so the pair enumeration broadcasts.
+    hd = (
+        sh.join(hotsets.select("doc_id", "hot_cnt"), "doc_id")
+        .filter(F.col("hot_cnt") >= tau * F.col("n_sh"))
+        .select("doc_id", "n_sh")
+    )
+    ha, hb = hd.alias("ha"), hd.alias("hb")
+    hd_pairs = ha.join(
+        F.broadcast(hb),
+        (F.col("ha.doc_id") < F.col("hb.doc_id"))
+        & (F.col("ha.n_sh") >= tau * F.col("hb.n_sh"))
+        & (F.col("hb.n_sh") >= tau * F.col("ha.n_sh")),
+    ).select(
+        F.col("ha.doc_id").alias("doc1"),
+        F.col("hb.doc_id").alias("doc2"),
+        F.col("ha.n_sh").alias("n1"),
+        F.col("hb.n_sh").alias("n2"),
+        F.lit(0).cast("bigint").alias("rare_inter"),
+    )
+    cand = (
+        rare_pairs.unionByName(hd_pairs)
+        .groupBy("doc1", "doc2", "n1", "n2")
+        .agg(F.max("rare_inter").alias("rare_inter"))
+    )
+    empty = F.array().cast("array<bigint>")
+    h1 = hotsets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("hs1"))
+    h2 = hotsets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("hs2"))
+    inter = F.col("rare_inter") + F.size(
+        F.array_intersect(F.coalesce("hs1", empty), F.coalesce("hs2", empty))
+    )
+    jac = inter.cast("double") / (F.col("n1") + F.col("n2") - inter)
+    return (
+        cand.join(h1, "doc1", "left")
+        .join(h2, "doc2", "left")
+        .filter(jac >= tau)
+        .select("doc1", "doc2", jac.alias("jaccard"))
     )
 
 
@@ -118,60 +243,11 @@ def _hashed_shingles_col():
     """,
 )
 def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs by character-5-gram Jaccard >= 0.5.
-
-    Spark plan: shingle sets -> explode to an inverted index
-    (shingle, doc) -> self-join on shingle -> count shared shingles
-    per pair -> Jaccard from |A|,|B|,|A∩B|. One counting aggregate
-    straight off the join, no candidate materialization.
-
-    Design note (measured at sf0.1, 5000 docs): the corpus is
-    near-uniform word soup, so the AVERAGE pair shares ~49 shingles
-    (615M shared-shingle instances / 12.5M pairs). Prefix filtering
-    (AllPairs/PPJoin-style rarest-shingle indexing) was implemented
-    and benchmarked: it still yields 8.2M candidate pairs - two-thirds
-    of ALL pairs - and per-candidate set intersection then costs 4x
-    more than simply counting the join output (78s vs 17s). On a
-    corpus this dense, exact all-pairs Jaccard is inherently
-    ~O(sum of shared-shingle instances); counting is the optimal
-    exact plan, and the sub-quadratic scale path is q_dedup_near_
-    minhash (LSH banding), not a cleverer exact join. The size-ratio
-    prune below is kept because it is free and exact: J >= tau and
-    |A cap B| <= min(|A|,|B|) imply min >= tau*max.
-    """
+    """Exact near-dup pairs by character-5-gram Jaccard >= 0.5 over
+    the documents table - see near_jaccard_pairs for the df-capped
+    inverted-index plan."""
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    # Hashed-int64 shingles: same Jaccard as string shingles up to
-    # xxhash64 collisions (negligible), 5x cheaper to build and the
-    # inverted-index join keys become fixed-width ints.
-    sh = d.select("doc_id", _hashed_shingles_col().alias("s")).select(
-        "doc_id", "s", F.size("s").alias("n_sh")
-    )
-    inv = sh.select("doc_id", "n_sh", F.explode("s").alias("shingle"))
-    a = inv.alias("a")
-    b = inv.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n_sh") >= JACCARD_TAU * F.col("b.n_sh"))
-            & (F.col("b.n_sh") >= JACCARD_TAU * F.col("a.n_sh")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.n_sh").alias("n1"),
-            F.col("b.n_sh").alias("n2"),
-        )
-        .agg(F.count("*").alias("inter"))
-    )
-    jac = F.col("inter").cast("double") / (
-        F.col("n1") + F.col("n2") - F.col("inter")
-    )
-    return (
-        pairs.filter(jac >= JACCARD_TAU)
-        .select("doc1", "doc2", jac.alias("jaccard"))
-    )
+    return near_jaccard_pairs(d, JACCARD_TAU)
 
 
 @register("q_dedup_near_minhash")  # hash-valued -> rows-only check
@@ -230,7 +306,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is rows-only checked).
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    sh = d.select("doc_id", _hashed_shingles_col().alias("s")).persist()
+    sh = cached(d.select("doc_id", _hashed_shingles_col().alias("s")))
     # Signature path works on a deterministic 1-in-4 sample of the
     # SHINGLE SPACE (h & 3 == 0): the sampled sets' Jaccard is an
     # unbiased estimate of the full-set Jaccard (the filter is a
@@ -275,7 +351,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     rows_per_band = N_HASHES // N_BANDS
-    banded = sig.select(
+    banded = cached(sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -290,7 +366,7 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band", "bucket"),
-    ).persist()
+    ))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -459,13 +535,13 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sim_ann_lsh pattern applied to dedup; at production scale raise
     bands/bits to tighten recall at the same cost shape.
     """
-    e = _with_norm(
+    e = cached(_with_norm(
         spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
             "vec_id",
             "embedding",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )
-    ).persist()
+    ))
     banded = e.select(
         "vec_id",
         F.posexplode(

@@ -39,6 +39,13 @@ def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     ensure_conf(spark)
     key = (id(spark), sf_dir.rstrip("/"))
     if key in _CACHE:
+        # Re-register views even on a memo hit: views are GLOBAL per
+        # session, so after load(dir_a); load(dir_b); load(dir_a) the
+        # SQL-text operators (q_scd2_build, q_subquery_*, q_events_*)
+        # would otherwise silently read dir_b's tables.
+        # createOrReplaceTempView is plan-only and costs ~nothing.
+        for name, df in _CACHE[key].items():
+            df.createOrReplaceTempView(name)
         return _CACHE[key]
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
@@ -75,6 +82,24 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     locally.
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(1, target // 2):
+    try:
+        # File count is a pure-metadata read on a scan; df.rdd (the
+        # previous probe) forces a full plan-to-RDD conversion.
+        width = len(df.inputFiles())
+    except Exception:
+        width = df.rdd.getNumPartitions()
+    if width >= max(1, target // 2):
         return df
     return df.repartition(target, *cols) if cols else df.repartition(target)
+
+
+def cached(df: DataFrame) -> DataFrame:
+    """persist() with the documented session lifecycle: operators cache
+    diamond-shaped intermediates (both join branches read them and
+    exchange reuse does not recognize the diamond). The handle cannot
+    be unpersisted inside the builder - the returned plan is lazy, so
+    the cache only fills when the CALLER materializes. Blocks use the
+    default evictable MEMORY_AND_DISK level, so a long session (pytest,
+    the oracle driver) degrades to recompute under pressure instead of
+    OOM; bench.py additionally clearCache()s between timed runs."""
+    return df.persist()
