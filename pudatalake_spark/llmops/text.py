@@ -145,7 +145,13 @@ def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-SQL TF-IDF, top-5 terms per doc (first 50 docs). The
     HashingTF+IDF ML path is the same shape but hash-bucketed; this
-    formulation is exact and oracle-able."""
+    formulation is exact and oracle-able.
+
+    N is a broadcast 1-row count AGGREGATE cross-joined into the
+    expression (mirroring the oracle's CROSS JOIN n) - never a
+    driver-side d.count(), which would run an extra full-scan job per
+    build and break lazy composition. The plan audit asserts the
+    in-plan count stays present."""
     d = table(spark, sf_dir, "documents")
     tf = (
         d.select("doc_id", F.explode(_tokens()).alias("token"))
@@ -154,13 +160,14 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     df = tf.groupBy("token").agg(F.count("*").alias("df"))
-    n_docs = d.count()  # scalar; broadcast into the expression
+    n = d.agg(F.count("*").alias("n_docs"))
     from pyspark.sql import Window
 
-    score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    score = F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df"))
     w = Window.partitionBy("doc_id").orderBy(score.desc(), F.col("token"))
     return (
         tf.join(F.broadcast(df), "token")
+        .join(F.broadcast(n))
         .withColumn("rn", F.row_number().over(w))
         .filter((F.col("rn") <= 5) & (F.col("doc_id") < 50))
         .select("doc_id", "token", F.round(score, 6).alias("tfidf"))

@@ -91,9 +91,11 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         "windowed agg stays JVM-side",
     ),
     "q_text_tfidf": (
-        [r"BroadcastHashJoin|BroadcastExchange"],
+        # partial_count proves N is computed IN-PLAN (a broadcast
+        # 1-row aggregate), not by a driver-side d.count() action.
+        [r"BroadcastHashJoin|BroadcastExchange", r"partial_count"],
         [r"CartesianProduct"],
-        "df/N side of tf-idf is small -> broadcast into tf",
+        "df/N sides of tf-idf are small -> broadcast into tf; N in-plan",
     ),
     "q_join_fuzzy_levenshtein": (
         [r"BroadcastHashJoin"],
