@@ -123,7 +123,14 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     order, assign each to pack floor(preceding_cumulative_tokens /
     2048) - the standard streaming-concat packing (a pack may overrun
     by at most one document, never undershoots). Output: docs and
-    token totals per pack."""
+    token totals per pack.
+
+    SCALE GUARD: the unpartitioned window below is a single-partition
+    sort - correct, but serial past ~10^8 rows. This operator is the
+    one-global-stream contract (pack ids match a strict doc_id-order
+    concat); the 100 TB formulation is q_pack_sequences_sharded,
+    which runs the identical cumsum per hash shard and is what a
+    1000-executor job should call."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tok")
@@ -140,6 +147,72 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tok",
         )
         .groupBy("pack_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
+    )
+
+
+PACK_SHARDS = 16
+
+
+@register(
+    "q_pack_sequences_sharded",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_hkey_sql("doc_id")} % {PACK_SHARDS} AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    cum AS (
+      SELECT shard, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tok
+      FROM toks
+    )
+    SELECT shard, (cum_tok - n_tok) // {PACK_TOKENS} AS pack_id,
+           count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM cum
+    GROUP BY 1, 2
+    """,
+)
+def q_pack_sequences_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded sequence packing - the 100 TB form of q_pack_sequences.
+
+    Docs are hash-sharded by key (deterministic affine hash, so shard
+    membership is backfill-stable like every sampler here), and the
+    packing cumsum runs PER SHARD: the window partitions by shard, so
+    Spark sorts 16 (in production: thousands of) independent streams
+    in parallel instead of one global stream on one task. Pack
+    identity is (shard, pack_id) - each shard is its own training
+    stream, which is exactly how multi-worker data loaders consume
+    packed corpora (one shard per reader, no cross-shard coupling).
+
+    Trade vs the global form: packs never mix docs across shards, so
+    per-shard tail packs may underfill (bounded by PACK_TOKENS per
+    shard, ~0.4% of tokens at sf0.01); in exchange the sort is
+    embarrassingly parallel and the plan has no single-partition
+    stage."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (_hkey("doc_id") % PACK_SHARDS).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = toks.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        cum.select(
+            "shard",
+            F.floor((F.col("cum_tok") - F.col("n_tok")) / PACK_TOKENS)
+            .cast("bigint")
+            .alias("pack_id"),
+            "n_tok",
+        )
+        .groupBy("shard", "pack_id")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("total_tokens"))
     )
 

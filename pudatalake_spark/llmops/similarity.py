@@ -146,7 +146,19 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked formulation of all-pairs similarity: label partitions the
     N^2 into 10 independent (N/10)^2 problems). The cosine is
     projected BEFORE the filter so it is evaluated once per pair, with
-    per-row norms hoisted out of the pair loop."""
+    per-row norms hoisted out of the pair loop.
+
+    Why this stays exact-quadratic-within-block instead of LSH-banded
+    like q_dedup_embedding: sign-bit LSH recall for a cosine-0.3 pair
+    is 1 - (1 - (1 - theta/pi)^r)^b with theta ~ 72.5 deg, i.e.
+    ~0.6 per bit - strictly below 1 for ANY (r, b), so banding WOULD
+    drop true pairs and break this operator's exact contract (the
+    oracle hash-match). tau = 0.3 is simply too low an angle for
+    provable LSH recall. This operator is therefore the exact
+    complement; the declared scale path at 100 TB is q_sim_ann_lsh /
+    q_dedup_embedding (SCALING.md section 4 and 7), which trade
+    bounded recall for sub-quadratic candidates at the tau ranges
+    (>= 0.7) where banding is effective."""
     e = _with_norm(
         table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", _vd("embedding").alias("v")

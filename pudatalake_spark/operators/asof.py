@@ -42,11 +42,27 @@ def asof_join(
     numeric Column in ``left_ts`` units) additionally requires
     ``left_ts - right_ts <= tolerance``.
 
-    Right (key, ts) pairs should be unique per payload for
-    deterministic payload selection (ties on right_ts are broken by
-    union order otherwise).
+    Output columns are ``left.columns`` + payload + ``{right_ts}_matched``;
+    payload names (and the ``_matched`` name) must not collide with a
+    left column - enforced here, because duplicate output names break
+    any downstream select-by-name silently.
+
+    Ties at equal ``right_ts`` within a key select the row with the
+    largest payload struct (field-wise comparison, deterministic):
+    the window tiebreaks on the match struct itself, so re-runs and
+    different union orders give identical output even when right
+    (key, ts) is not unique.
     """
     lcols = left.columns
+    reserved = list(payload) + [f"{right_ts}_matched"]
+    clash = sorted(set(reserved) & set(lcols))
+    if clash:
+        raise ValueError(
+            f"asof_join: output columns {clash} collide with left columns; "
+            "rename the payload (or the right_ts) before joining"
+        )
+    if len(set(payload)) != len(payload):
+        raise ValueError(f"asof_join: duplicate payload names in {payload}")
     r = (
         right.select(
             F.col(on),
@@ -68,9 +84,13 @@ def asof_join(
     )
     u = l.unionByName(r)
 
+    # Sort: ts, then right-before-left at equal ts (backward asof
+    # includes ties), then the match struct so equal-ts right rows
+    # resolve deterministically (left rows all carry NULL structs and
+    # the same tag, so their relative order is irrelevant).
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(left_ts), F.col(_TAG))
+        .orderBy(F.col(left_ts), F.col(_TAG), F.col(_MATCH))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn(_MATCH, F.last(_MATCH, ignorenulls=True).over(w)).filter(

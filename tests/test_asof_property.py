@@ -69,3 +69,30 @@ def test_asof_join_matches_brute_force(spark, lrows, rrows):
         w = want[wcol].astype("float64")
         pd.testing.assert_series_equal(g, w, check_names=False)
     assert (got["k"] == want["k"]).all() and (got["ts"] == want["ts"]).all()
+
+
+def test_asof_join_rejects_colliding_output_names(spark):
+    import pytest
+
+    left = spark.createDataFrame([(1, 10, 5)], "k INT, ts INT, val INT")
+    right = spark.createDataFrame([(1, 9, 7)], "k INT, rts INT, val INT")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="k", left_ts="ts", right_ts="rts",
+                  payload=["val"])
+    right2 = right.withColumnRenamed("rts", "ts_m").withColumnRenamed("val", "v")
+    left2 = left.withColumnRenamed("val", "ts_m_matched")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left2, right2, on="k", left_ts="ts", right_ts="ts_m",
+                  payload=["v"])
+
+
+def test_asof_join_tie_at_equal_right_ts_is_deterministic(spark):
+    """Two right rows at the SAME (key, ts): the docstring promises the
+    largest payload struct wins, independent of union/partition order."""
+    left = spark.createDataFrame([(1, 10)], "k INT, ts INT")
+    for order in ([(1, 9, 3), (1, 9, 8)], [(1, 9, 8), (1, 9, 3)]):
+        right = spark.createDataFrame(order, "k INT, rts INT, val INT")
+        got = asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts", payload=["val"]
+        ).collect()
+        assert len(got) == 1 and got[0]["val"] == 8, order
