@@ -20,8 +20,10 @@ cost that amortizes to nothing over a 100 TB run, which is the scale
 this engine targets. The steady-state number is the one that
 extrapolates; both are printed so neither is hidden.
 
-Run all 99 declared queries instead with ``--all`` (slower; the
-headline set is the per-round gate).
+Run the full registered inventory instead with ``--all`` (every
+registry query minus the side-effecting skips - the count is
+computed from the registry at runtime; slower, the headline set is
+the per-round gate).
 """
 
 from __future__ import annotations

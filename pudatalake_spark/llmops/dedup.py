@@ -94,8 +94,24 @@ def _hashed_shingles_col():
     )
 
 
-HOT_DF_FRAC = 0.4  # a shingle in > 40% of all docs is stopword-like
+HOT_DF_FRAC = 0.2  # a shingle in > 20% of all docs is stopword-like
 HOT_DF_MIN = 32  # never cap in tiny corpora
+HOT_DICT_MAX = 256  # hottest shingles kept in the bitmap dictionary
+_MASK_WORDS = HOT_DICT_MAX // 64  # 4 bigint words per doc
+
+
+def _mask_word(w: int):
+    """Bitmap word w of a doc's hot-shingle set: OR of bit (idx - 64w)
+    over the doc's hot dictionary indices that land in this word."""
+    lo, hi = w * 64, (w + 1) * 64
+    bit = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(idx - {lo} AS INT))"
+    )
+    return F.bit_or(
+        F.when((F.col("idx") >= lo) & (F.col("idx") < hi), bit).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    ).alias(f"m{w}")
 
 
 def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
@@ -104,29 +120,40 @@ def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
 
     Hot-shingle df-cap (the dedup.py header's promised scale
     mitigation): a shingle with document frequency df > D
-    (D = max(32, 0.4 * n_docs), computed IN-PLAN from a broadcast
+    (D = max(32, 0.2 * n_docs), computed IN-PLAN from a broadcast
     1-row count, no driver action) contributes df^2 rows to the
-    inverted-index self-join - stopword-like shingles alone made 88%
-    of the join input on this corpus (measured sf0.01: 15.6M -> 4.3M
-    rows after the cap, 3.6x less). The plan:
+    inverted-index self-join - the hottest shingles alone are 81% of
+    the join volume on this corpus (sf0.1: 1539M -> 292M joined rows
+    after the cap; measured via the DuckDB df-distribution scan). The
+    plan:
 
-      1. instances (doc, shingle, n_sh) + per-shingle df; split into
-         RARE (df <= D) and HOT (df > D) streams.
-      2. candidate pairs + rare-intersection counts from the rare-only
-         self-join (one counting aggregate, no candidate
+      1. instances (doc, shingle, n_sh); per-shingle df; the hottest
+         qualifying shingles (ranked df DESC, capped at
+         HOT_DICT_MAX=256 so the dictionary is ALWAYS broadcastable
+         and per-doc hot sets always fit 4 bigint bitmap words)
+         become the HOT dictionary with a stable index 0..255; a
+         broadcast LEFT join tags every instance (idx NULL = rare) -
+         no shuffle to classify.
+      2. candidate pairs + rare-intersection counts from the
+         rare-only self-join (one counting aggregate, no candidate
          materialization).
-      3. per-doc HOT sets are small arrays (<= |hot dictionary|, 76
-         on this corpus); two doc-keyed joins add
-         |hot(A) intersect hot(B)| per candidate, so
-         inter = rare_inter + hot_inter is EXACT.
+      3. per-doc HOT sets are 4 bigint bitmap words; per candidate
+         pair, |hot(A) intersect hot(B)| = sum of bit_count(ma & mb)
+         - whole-stage-codegen integer ops (the array_intersect
+         formulation this replaced cost 5.3s of the sf0.1 runtime on
+         8.5M candidates), so inter = rare_inter + hot_inter is
+         EXACT.
       4. hot-dominated fallback: a pair sharing NO rare shingle has
-         A intersect B inside the hot set, and J >= tau with the size
-         filter |B| >= tau|A| forces hot_cnt >= tau * n_sh for BOTH
-         docs (|A^B| >= tau/(1+tau)*(|A|+|B|) >= tau*|A|). Those docs
-         are enumerated (degenerate stopword-soup; 0 at sf0.01, 5 at
-         sf0.1) and cross-paired via a broadcast nested-loop join, so
-         the cap introduces NO false negatives at ANY threshold - the
-         probe test plants hot-only duplicates to prove it.
+         A intersect B inside the hot dictionary, and J >= tau with
+         the size filter |B| >= tau|A| forces hot_cnt >= tau * n_sh
+         for BOTH docs (|A^B| >= tau/(1+tau)*(|A|+|B|) >= tau*|A|).
+         Those docs are enumerated (degenerate stopword-soup; 44 of
+         500 docs at sf0.01, 508 of 5000 at sf0.1) and cross-paired
+         via a broadcast nested-loop join, so the cap introduces NO
+         false negatives at ANY threshold - the probe test plants
+         hot-only duplicates to prove it. Exactness survives the
+         rank cut too: qualifying shingles beyond the 256 hottest
+         simply stay rare and are counted by the exact rare join.
 
     Size-ratio prune is free and exact: J >= tau and
     |A^B| <= min(|A|,|B|) imply min >= tau*max. The sub-quadratic
@@ -141,29 +168,44 @@ def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     )
     inst = sh.select("doc_id", "n_sh", F.explode("s").alias("shingle"))
     n_docs = sh.agg(F.count("*").alias("n_docs"))
-    dfs = (
+    # Hot dictionary: qualifying shingles ranked hottest-first. The
+    # single-partition window is safe at ANY corpus size: shingles
+    # with df > 0.2*N number at most sum(df)/(0.2*N) = 5x the mean
+    # per-doc shingle count, independent of N.
+    from pyspark.sql import Window
+
+    hotdict = (
         inst.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .join(F.broadcast(n_docs))
-        .withColumn(
-            "is_hot",
+        .filter(
             F.col("df")
-            > F.greatest(F.lit(HOT_DF_MIN), F.lit(HOT_DF_FRAC) * F.col("n_docs")),
+            > F.greatest(F.lit(HOT_DF_MIN), F.lit(HOT_DF_FRAC) * F.col("n_docs"))
         )
-        .select("shingle", "is_hot")
+        .withColumn(
+            "idx",
+            F.row_number().over(
+                Window.orderBy(F.col("df").desc(), F.col("shingle"))
+            )
+            - 1,
+        )
+        .filter(F.col("idx") < HOT_DICT_MAX)
+        .select("shingle", "idx")
     )
-    # One shuffle join attaches the flag to every instance (the
-    # dictionary may not fit a broadcast at corpus scale; the join is
-    # shingle-keyed like the self-join that follows). Persisted: both
-    # the rare and hot streams read it, and exchange reuse does not
+    # Broadcast tag (<= 256 rows by construction - broadcastable at
+    # any corpus size; idx NULL = rare). Persisted: the rare stream
+    # and the mask build both read it, and exchange reuse does not
     # recognize the diamond. Evictable default storage level; the
     # session-long cache lifecycle is documented in loaders.cached.
-    flagged = cached(inst.join(dfs, "shingle"))
-    rare = flagged.filter(~F.col("is_hot"))
-    hotsets = (
-        flagged.filter(F.col("is_hot"))
+    flagged = cached(inst.join(F.broadcast(hotdict), "shingle", "left"))
+    rare = flagged.filter(F.col("idx").isNull())
+    masks = (
+        flagged.filter(F.col("idx").isNotNull())
         .groupBy("doc_id")
-        .agg(F.collect_set("shingle").alias("hs"), F.count("*").alias("hot_cnt"))
+        .agg(
+            *[_mask_word(w) for w in range(_MASK_WORDS)],
+            F.count("*").alias("hot_cnt"),
+        )
     )
     a, b = rare.alias("a"), rare.alias("b")
     rare_pairs = (
@@ -183,10 +225,10 @@ def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
         .agg(F.count("*").alias("rare_inter"))
     )
     # Hot-dominated docs: the only docs that can reach J >= tau with
-    # zero rare overlap (proof in the docstring). Tiny by construction
-    # of the cap, so the pair enumeration broadcasts.
+    # zero rare overlap (proof in the docstring). Small by
+    # construction of the cap, so the pair enumeration broadcasts.
     hd = (
-        sh.join(hotsets.select("doc_id", "hot_cnt"), "doc_id")
+        sh.join(masks.select("doc_id", "hot_cnt"), "doc_id")
         .filter(F.col("hot_cnt") >= tau * F.col("n_sh"))
         .select("doc_id", "n_sh")
     )
@@ -208,12 +250,26 @@ def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
         .groupBy("doc1", "doc2", "n1", "n2")
         .agg(F.max("rare_inter").alias("rare_inter"))
     )
-    empty = F.array().cast("array<bigint>")
-    h1 = hotsets.select(F.col("doc_id").alias("doc1"), F.col("hs").alias("hs1"))
-    h2 = hotsets.select(F.col("doc_id").alias("doc2"), F.col("hs").alias("hs2"))
-    inter = F.col("rare_inter") + F.size(
-        F.array_intersect(F.coalesce("hs1", empty), F.coalesce("hs2", empty))
+    zero = F.lit(0).cast("bigint")
+    h1 = masks.select(
+        F.col("doc_id").alias("doc1"),
+        *[F.col(f"m{w}").alias(f"am{w}") for w in range(_MASK_WORDS)],
     )
+    h2 = masks.select(
+        F.col("doc_id").alias("doc2"),
+        *[F.col(f"m{w}").alias(f"bm{w}") for w in range(_MASK_WORDS)],
+    )
+    # Popcount of the ANDed bitmap words: pure codegen'd integer ops
+    # per pair (docs with no hot shingles coalesce to all-zero words).
+    hot_inter = sum(
+        F.bit_count(
+            F.coalesce(F.col(f"am{w}"), zero).bitwiseAND(
+                F.coalesce(F.col(f"bm{w}"), zero)
+            )
+        )
+        for w in range(_MASK_WORDS)
+    )
+    inter = F.col("rare_inter") + hot_inter
     jac = inter.cast("double") / (F.col("n1") + F.col("n2") - inter)
     return (
         cand.join(h1, "doc1", "left")

@@ -48,7 +48,7 @@ def _planted_corpus() -> list[tuple[int, str]]:
     once the tailed docs are counted), 2 near-dup docs sharing the hot
     base plus identical rare tails, 30 background docs whose shared
     template shingles stay rare (df=30 <= 32). n_docs=66 keeps
-    D = max(32, 0.4*66) = 32."""
+    D = max(HOT_DF_MIN, HOT_DF_FRAC*66) = 32."""
     docs = [(100 + i, BASE) for i in range(34)]
     docs += [(200, BASE + " zq unusual accounting tail"),
              (201, BASE + " zq unusual accounting tailx")]
@@ -101,9 +101,11 @@ def test_df_cap_engages_on_planted_corpus(spark):
     inst = docs.select(
         "doc_id", F.explode(_hashed_shingles_col()).alias("shingle")
     )
+    from pudatalake_spark.llmops.dedup import HOT_DF_FRAC
+
     n_docs = inst.select("doc_id").distinct().count()
     dfs = inst.groupBy("shingle").agg(F.count("*").alias("df"))
-    cap = max(HOT_DF_MIN, 0.4 * n_docs)
+    cap = max(HOT_DF_MIN, HOT_DF_FRAC * n_docs)
     total = inst.count()
     rare = dfs.filter(F.col("df") <= cap).join(inst, "shingle").count()
     assert rare < total, "df-cap never fired on the planted corpus"
