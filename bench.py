@@ -63,7 +63,7 @@ HEADLINE = [
 
 # Side-effecting sink/ingest ops are excluded from --all timing: they
 # write temp dirs and measure the local disk, not the engine.
-SKIP_IN_ALL = {"src_csv", "src_json", "src_orc", "src_binaryfile",
+SKIP_IN_ALL = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
                "sink_parquet_partitioned",
                "sink_overwrite_dynamic", "s_foreach_sink",
                "q_scan_partition_pruned", "q_scan_dpp", "q_join_bucketed",

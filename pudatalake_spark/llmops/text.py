@@ -383,3 +383,63 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared_grams"))
     )
+
+
+#: PII patterns shared by engine and oracle (RE2/Java-compatible
+#: subset: character classes + bounded repetition only).
+_PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+_PII_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+@register(
+    "q_text_pii_redact",
+    oracle=f"""
+    WITH injected AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_PII_EMAIL_RE}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PII_PHONE_RE}')) AS BIGINT)
+             AS n_phones,
+           regexp_replace(regexp_replace(t, '{_PII_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PII_PHONE_RE}', '[PHONE]', 'g') AS redacted
+    FROM injected
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing - the redaction pass an LLM training pipeline
+    runs before packing: count and replace email addresses and phone
+    numbers with typed placeholder tokens.
+
+    The synthetic corpus contains no organic PII, so a deterministic
+    email + phone is INJECTED per document (identically in engine and
+    oracle) and the redacted output is value-hashed end-to-end -
+    proving the regex machinery removes exactly what the counters
+    found. Patterns stay in the RE2/Java common subset so Spark
+    (Java regex) and DuckDB (RE2) agree character-for-character.
+
+    Scale shape: pure per-row string work - map-only, no shuffle,
+    whole-stage codegen; at 100 TB this fuses into the scan."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(_PII_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PII_PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(t, _PII_EMAIL_RE, "[EMAIL]"),
+            _PII_PHONE_RE,
+            "[PHONE]",
+        ).alias("redacted"),
+    )

@@ -405,3 +405,40 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n
+    FROM (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             row_number() OVER (PARTITION BY o_orderstatus
+               ORDER BY count(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group MODE: most frequent order priority per
+    order status, ties broken by the value itself. Spark 4 has F.mode
+    but its tie choice is unspecified - count + row_number pins the
+    answer so both engines agree on every input. Shape: one hash agg
+    over (group, value) pairs (map-side combinable), then a window
+    over the tiny aggregate - the raw rows are never sorted."""
+    o = table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "n",
+        )
+    )

@@ -127,7 +127,7 @@ UDF_KEYS = {
     "q_multimodal_framesample", "s_stateful_running",
 }
 
-SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile",
+SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
                "sink_parquet_partitioned",
                "sink_overwrite_dynamic", "s_foreach_sink",
                "q_compact_small_files", "sink_zorder_cluster",

@@ -74,6 +74,30 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(CUSTOMER_SCHEMA).orc(out)
 
 
+@register("src_text")
+def src_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text round-trip - the rawest LLM-corpus landing
+    format (one document per line, no schema). Write the first 200
+    documents' text as plain lines, read back with ``spark.read.text``
+    (one ``value`` column), and re-derive line stats. Production
+    notes: text splits by line within a file, so a 100 TB corpus
+    parallelizes per-split like CSV; ``wholetext=True`` (one row per
+    file) is the trap to avoid - it makes each file a single
+    unsplittable row."""
+    out = _scratch("text", "documents")
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    # Newlines inside a doc would break line-orientation; the corpus
+    # is single-line text, enforced here so the round-trip is exact.
+    d.select(F.regexp_replace("text", "[\\r\\n]", " ").alias("text")).write.mode(
+        "overwrite"
+    ).text(out)
+    lines = spark.read.text(out)
+    return lines.select(
+        F.length("value").alias("n_chars"),
+        F.size(F.split("value", " ")).alias("n_tokens"),
+    ).orderBy("n_chars", "n_tokens")
+
+
 @register("src_binaryfile")
 def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw-asset ingestion via the binaryFile source: each file
