@@ -628,3 +628,125 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id")
         .join(F.broadcast(dups), F.col("vec_id") == F.col("dup_id"), "left_anti")
     )
+
+
+CC_ROUNDS = 6  # covers component diameter <= 2^(CC_ROUNDS+1) - 1 = 127
+
+
+def cc_min_label(
+    nodes: DataFrame, pairs: DataFrame, rounds: int = CC_ROUNDS
+) -> DataFrame:
+    """Connected components by min-label propagation with pointer
+    jumping - the pairs->groups half of dedup (public two-phase CC /
+    Hash-to-Min family, expressed as DataFrame joins).
+
+    ``nodes``: one ``u`` column (bigint ids). ``pairs``: undirected
+    edges as (doc1, doc2). Returns (u, lbl) where lbl is the smallest
+    node id reachable from u.
+
+    Each round does (1) neighbor-min - every node takes the smallest
+    label in its closed neighborhood - then (2) pointer jump -
+    lbl[u] <- lbl[lbl[u]]. Simulated exactly: R rounds converge every
+    component of diameter <= 2^(R+1) - 1 (R=6 -> 127; the probe test
+    pins a 100-node chain). Near-dup clusters are shallow (duplicates
+    of a common ancestor - diameter a few hops); production reruns
+    with a fixpoint check if components can be deeper.
+
+    Supersteps are MATERIALIZED: each round ends in an eager
+    localCheckpoint that truncates lineage. This is load-bearing, not
+    a cache hint - each round references the previous labels ~4
+    times, so a lazy formulation holds ~4^R copies of the edge
+    subplan in one logical tree and CATALYST ANALYSIS, not execution,
+    dominates (measured: the lazy R=6 build never finished at sf0.01;
+    checkpointed it is sub-second per round). Iterative graph
+    algorithms are the one operator family whose builders inherently
+    run jobs (same declared class as the sink/layout operators); at
+    cluster scale swap localCheckpoint for reliable checkpoint() so
+    supersteps survive executor loss.
+
+    100 TB shape: labels are (id, id) pairs - the narrowest possible
+    iterate; each round is two equi-joins + one map-side-combinable
+    min-agg, all shuffle-partitioned on u.
+    """
+    p = cached(pairs.select("doc1", "doc2"))
+    edges = p.select(
+        F.col("doc1").alias("u"), F.col("doc2").alias("v")
+    ).unionByName(
+        p.select(F.col("doc2").alias("u"), F.col("doc1").alias("v"))
+    )
+    labels = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint()
+    for _ in range(rounds):
+        nbr = (
+            edges.join(
+                labels.select(F.col("u").alias("v"), F.col("lbl").alias("vlbl")),
+                "v",
+            )
+            .groupBy("u")
+            .agg(F.min("vlbl").alias("nlbl"))
+        )
+        # least() skips NULLs, so isolated nodes keep their own label.
+        stepped = labels.join(nbr, "u", "left").select(
+            "u", F.least("lbl", "nlbl").alias("lbl")
+        )
+        jump = stepped.select(
+            F.col("u").alias("ju"), F.col("lbl").alias("jlbl")
+        )
+        labels = (
+            stepped.join(jump, stepped["lbl"] == jump["ju"], "left")
+            .select("u", F.least("lbl", "jlbl").alias("lbl"))
+            .localCheckpoint()
+        )
+    return labels
+
+
+@register(
+    "q_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id,
+             list_distinct([substr(lower(text), i + 1, {SHINGLE_LEN})
+                            FOR i IN range(0, length(text) - {SHINGLE_LEN - 1})]) AS s
+      FROM documents
+    ),
+    pr AS (
+      SELECT a.doc_id AS d1, b.doc_id AS d2
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.s, b.s))::DOUBLE
+            / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+            >= {JACCARD_TAU}
+    ),
+    e AS (SELECT d1 AS u, d2 AS v FROM pr UNION SELECT d2, d1 FROM pr),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u
+    ),
+    lbl AS (
+      SELECT u, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           coalesce(l.cluster_id, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN lbl l ON d.doc_id = l.u
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the pairs->groups completion of dedup. Edge
+    set = exact Jaccard >= 0.5 pairs (near_jaccard_pairs); connected
+    components via cc_min_label; every document gets a cluster_id
+    (the smallest doc_id in its component - singletons label
+    themselves) and an is_canonical survivor flag. This is the form a
+    training pipeline consumes: keep is_canonical, drop the rest, and
+    the kept set contains exactly one representative per duplicate
+    cluster (transitively - A~B~C collapses even when A!~C, which
+    pairwise output cannot express). Oracle: DuckDB recursive-CTE
+    transitive closure over the identical edge set."""
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    pairs = cached(near_jaccard_pairs(d, JACCARD_TAU).select("doc1", "doc2"))
+    nodes = d.select(F.col("doc_id").alias("u"))
+    lbl = cc_min_label(nodes, pairs)
+    return lbl.select(
+        F.col("u").alias("doc_id"),
+        F.col("lbl").alias("cluster_id"),
+        (F.col("u") == F.col("lbl")).alias("is_canonical"),
+    )

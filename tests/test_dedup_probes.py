@@ -138,3 +138,23 @@ def test_short_text_yields_no_shingles_and_no_pairs(spark):
         for r in near_jaccard_pairs(df, 0.5).collect()
     }
     assert got == {(5, 6): 1.0}
+
+
+def test_cc_min_label_chain_components_singletons(spark):
+    """cc_min_label's fixed CC_ROUNDS=6 must converge a 100-node
+    chain (documented diameter bound 2^(R+1)-1 = 127), a separate
+    triangle component, and leave singletons labeled by themselves."""
+    from pudatalake_spark.llmops.dedup import cc_min_label
+
+    chain = [(i, i + 1) for i in range(99)]  # 0-1-...-99
+    tri = [(200, 201), (201, 202), (200, 202)]
+    pairs = spark.createDataFrame(
+        chain + tri, "doc1 BIGINT, doc2 BIGINT"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(100)] + [(200,), (201,), (202,), (300,)],
+        "u BIGINT",
+    )
+    got = {r["u"]: r["lbl"] for r in cc_min_label(nodes, pairs).collect()}
+    want = {i: 0 for i in range(100)} | {200: 200, 201: 200, 202: 200, 300: 300}
+    assert got == want
