@@ -630,11 +630,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CC_ROUNDS = 6  # covers component diameter <= 2^(CC_ROUNDS+1) - 1 = 127
+CC_MAX_ROUNDS = 20  # fixpoint backstop: covers diameter <= 2^21 - 1
 
 
 def cc_min_label(
-    nodes: DataFrame, pairs: DataFrame, rounds: int = CC_ROUNDS
+    nodes: DataFrame, pairs: DataFrame, rounds: int = CC_MAX_ROUNDS
 ) -> DataFrame:
     """Connected components by min-label propagation with pointer
     jumping - the pairs->groups half of dedup (public two-phase CC /
@@ -646,11 +646,13 @@ def cc_min_label(
 
     Each round does (1) neighbor-min - every node takes the smallest
     label in its closed neighborhood - then (2) pointer jump -
-    lbl[u] <- lbl[lbl[u]]. Simulated exactly: R rounds converge every
-    component of diameter <= 2^(R+1) - 1 (R=6 -> 127; the probe test
-    pins a 100-node chain). Near-dup clusters are shallow (duplicates
-    of a common ancestor - diameter a few hops); production reruns
-    with a fixpoint check if components can be deeper.
+    lbl[u] <- lbl[lbl[u]] - then a FIXPOINT CHECK: labels only ever
+    decrease, so a round that changes nothing is a global fixpoint
+    and the loop exits. Near-dup graphs converge in 2-3 rounds
+    (clusters are duplicates of a common ancestor - diameter a few
+    hops); the `rounds` cap is a backstop, not the convergence
+    mechanism, and R rounds provably cover any diameter
+    <= 2^(R+1) - 1 (probe test pins a 100-node chain).
 
     Supersteps are MATERIALIZED: each round ends in an eager
     localCheckpoint that truncates lineage. This is load-bearing, not
@@ -691,11 +693,21 @@ def cc_min_label(
         jump = stepped.select(
             F.col("u").alias("ju"), F.col("lbl").alias("jlbl")
         )
-        labels = (
+        new_labels = (
             stepped.join(jump, stepped["lbl"] == jump["ju"], "left")
             .select("u", F.least("lbl", "jlbl").alias("lbl"))
             .localCheckpoint()
         )
+        changed = (
+            new_labels.join(
+                labels.select("u", F.col("lbl").alias("old_lbl")), "u"
+            )
+            .filter(F.col("lbl") != F.col("old_lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
     return labels
 
 
