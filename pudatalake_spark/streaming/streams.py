@@ -282,3 +282,31 @@ def s_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_user", "click_id", "buy_id", "click_ts", "buy_ts", "buy_value")
     run_to_memory(joined, "s_stream_stream_join", "append")
     return spark.table("s_stream_stream_join")
+
+
+@register("s_stream_static_join")
+def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joined to the
+    STATIC customer dimension (user_id -> customer row) - the
+    standard streaming-enrichment shape. The static side needs no
+    watermark and holds no state: every micro-batch re-plans the join
+    against the dim as-of that batch, so dim updates between batches
+    are picked up automatically (slowly-changing enrichment for
+    free). With the dim under the broadcast threshold each micro-batch
+    is a broadcast hash join - the stream never shuffles; that is the
+    100 TB shape (a dim too big to broadcast pre-buckets on the join
+    key instead). Output: per-segment purchase volume."""
+    src = stage_event_files(spark, sf_dir, "s_static_join")
+    stream = read_event_stream(spark, src).filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream.join(F.broadcast(cust), "user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    run_to_memory(agg, "s_stream_static_join", "complete")
+    return spark.table("s_stream_static_join")
