@@ -144,6 +144,30 @@ def test_session_window_emits_subset_of_batch_sessions(spark):
     assert len(s) >= 0.8 * len(b), f"only {len(s)}/{len(b)} sessions emitted"
 
 
+def test_stream_static_join_equals_batch_join(spark):
+    """Stream-static joins hold no state and inner-join semantics emit
+    on match, so the complete-mode final aggregate must equal the same
+    join + aggregate run as one batch."""
+    _sdf = registry.QUERIES["s_stream_static_join"](spark, SF_DIR)
+    assert_driver_canon_safe(_sdf.schema, "s_stream_static_join")
+    stream_pdf = _sdf.toPandas()
+    ev = table(spark, SF_DIR, "events").filter(F.col("event_type") == "purchase")
+    cust = table(spark, SF_DIR, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    batch_pdf = (
+        ev.join(cust, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .toPandas()
+    )
+    assert len(batch_pdf) > 0, "fixture produced no purchase->segment rows"
+    assert_frames_match(stream_pdf, batch_pdf, "s_stream_static_join≡batch")
+
+
 def test_stream_stream_join_equals_batch_join(spark):
     """Inner stream-stream interval joins emit on match, so the final
     result must equal the identical batch join exactly."""
