@@ -11,14 +11,18 @@ seconds are under ``queries``. Each query is forced end-to-end with a
 no disk-sink cost) so the number measures the Spark plan, not the
 driver round-trip.
 
-Methodology: each query is executed TWICE and the second run is the
-reported number; the first-run wall-clock is reported separately
-under ``cold_queries``. At sf0.1 a cold run is dominated by
+Methodology: each headline query is executed once cold, then THREE
+steady-state runs; the reported per-query number is the MEDIAN of the
+steady runs (all samples are printed under ``steady_samples``, the
+cold run under ``cold_queries``). At sf0.1 a cold run is dominated by
 whole-stage-codegen compilation + JVM JIT of that plan shape (e.g.
 q_dedup_exact: 6.6s cold vs 0.4s steady-state) - a fixed per-plan
 cost that amortizes to nothing over a 100 TB run, which is the scale
-this engine targets. The steady-state number is the one that
-extrapolates; both are printed so neither is hidden.
+this engine targets. The median steady-state number is the one that
+extrapolates; sub-second queries on this box show +-20% run-to-run
+variance (BASELINE.md), which single-sample reporting turned into
+phantom regressions in r2. ``--all`` keeps one steady run per query
+(it is an inventory sweep, not the gate).
 
 Run the full registered inventory instead with ``--all`` (every
 registry query minus the side-effecting skips - the count is
@@ -30,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -100,22 +105,29 @@ def main() -> None:
     # Session warm-up: JVM/parquet-footer caches on a tiny action.
     _force(registry.QUERIES["q_agg_groupby"](spark, sf_dir))
 
+    n_steady = 1 if run_all else 3
     per_query: dict[str, float] = {}
     cold: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for name in names:
         fn = registry.QUERIES[name]
         t0 = time.perf_counter()
         _force(fn(spark, sf_dir))  # warm run: codegen compile + JIT
         cold[name] = round(time.perf_counter() - t0, 3)
-        # Clear persisted intermediates BEFORE the timed run: Spark's
-        # CacheManager matches canonicalized plans, so without this the
-        # steady-state run would silently read the warm run's persist()
-        # caches and under-report operators that materialize interms.
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))  # steady-state run: the reported number
-        per_query[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        runs = []
+        for _ in range(n_steady):
+            # Clear persisted intermediates BEFORE each timed run:
+            # Spark's CacheManager matches canonicalized plans, so
+            # without this a steady-state run would silently read the
+            # previous run's persist() caches and under-report
+            # operators that materialize intermediates.
+            registry.clear_caches(spark)
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            runs.append(round(time.perf_counter() - t0, 3))
+        samples[name] = runs
+        per_query[name] = statistics.median(runs)
+        registry.clear_caches(spark)
     total = round(sum(per_query.values()), 3)
 
     print(json.dumps({
@@ -124,6 +136,8 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "cold_queries": cold,
+        "steady_samples": samples,
+        "steady_runs": n_steady,
         "sf": sf,
     }))
 

@@ -51,6 +51,17 @@ def load_all() -> None:
     _LOADED = True
 
 
+def clear_caches(spark: Any) -> None:
+    """Evict every persisted intermediate created by operator builders
+    (the loaders.cached handles). Spark's CacheManager keys on
+    canonicalized plans, so clearCache() drops them all at once; the
+    blocks are evictable MEMORY_AND_DISK, but a long-lived session
+    (pytest, the oracle driver, bench --all) accumulates one diamond
+    per dedup/similarity operator, so callers running many queries
+    should invoke this between them to bound peak storage memory."""
+    spark.catalog.clearCache()
+
+
 def queries() -> dict[str, Callable[[Any, str], Any]]:
     load_all()
     return dict(QUERIES)

@@ -12,6 +12,7 @@ spark = (SparkSession.builder.master("local[32]")
          .appName("driver-sim").getOrCreate())
 
 import __spark_entry__ as E
+from pudatalake_spark import registry as R
 
 t0 = time.time()
 df = E.entry(spark)
@@ -52,6 +53,11 @@ for name in sorted(Q):
     except Exception as e:
         fails.append((name, f"EXC {type(e).__name__}: {str(e)[:200]}"))
         print(f"  {name}: EXC {str(e)[:150]}")
+    finally:
+        # Bound peak storage memory: drop operator persist() caches
+        # before the next query (they are per-query diamonds, not
+        # cross-query reuse).
+        R.clear_caches(spark)
 
 print(f"\nT2: {ok} oracle-match, {rows_only} rows-only, {len(fails)} FAIL")
 for n, msg in fails:
