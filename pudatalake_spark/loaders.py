@@ -34,6 +34,35 @@ TABLES = [
 _CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
+def _normalize_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to session-TZ TIMESTAMP regardless of the
+    file's physical encoding.
+
+    The testdata generator has shipped events.ts three different ways
+    across regenerations, so the loader SNIFFS the resolved Spark type
+    instead of trusting any conf or doc:
+
+    - ``bigint``: parquet TIMESTAMP(NANOS) read under
+      ``spark.sql.legacy.parquet.nanosAsLong`` -> truncate ns->us
+      (exactly what DuckDB does reading the same file).
+    - ``timestamp_ntz``: parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
+      -> cast to TIMESTAMP; values are identical under the UTC session
+      TZ, and downstream ``unix_micros()`` callers require TIMESTAMP.
+    - ``timestamp``: already what we want -> no-op.
+
+    Never assume a conf applied: ``ensure_conf`` swallows failures on
+    static conf, so only the observed dtype is trustworthy.
+    """
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load all tables under sf_dir and register them as temp views."""
     ensure_conf(spark)
@@ -51,12 +80,7 @@ def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
         if name == "events":
-            # events.ts is parquet TIMESTAMP(NANOS), read as int64 nanos
-            # (see session.RUNTIME_CONF); truncate to microseconds -
-            # exactly what DuckDB does reading the same file.
-            from pyspark.sql import functions as F
-
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            df = _normalize_ts(df)
         df.createOrReplaceTempView(name)
         dfs[name] = df
     _CACHE[key] = dfs

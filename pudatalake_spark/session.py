@@ -31,9 +31,12 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Spark 4 rejects parquet TIMESTAMP(NANOS) outright; read the
-    # physical int64 nanos and convert to microseconds in the loader
-    # (DuckDB truncates ns->us on read the same way - verified).
+    # Kept for TIMESTAMP(NANOS) files (Spark 4 rejects them outright
+    # without it; with it they read as int64 nanos). The CURRENT
+    # testdata stores events.ts as timestamp[us], which this conf does
+    # not affect. Either way, loaders._normalize_ts sniffs the resolved
+    # type and normalizes to TIMESTAMP - the loader never assumes this
+    # conf (or any conf) actually applied.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

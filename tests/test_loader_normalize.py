@@ -1,0 +1,90 @@
+"""Loader type-normalization invariants (VERDICT r3 next-round item #2).
+
+The r3 wipeout: the testdata generator regenerated events.parquet with
+ts as timestamp[us] instead of TIMESTAMP(NANOS), and the loader's
+unconditional int64-nanos conversion crashed every query. The contract
+is "load() normalizes ts to TIMESTAMP", NOT "the file is what
+FIXTURES.md says" — so these tests write tiny parquet fixtures in every
+physical encoding the generator has ever shipped (plus the raw-int64
+shape nanosAsLong produces) and assert the normalized output is
+identical for all of them.
+
+Had this file existed in r3, the schema drift would have been caught
+pre-driver.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from pudatalake_spark.loaders import _normalize_ts, load
+
+# Three instants with sub-second parts, as epoch-nanoseconds.
+EPOCH_NANOS = [
+    1_700_000_000_123_456_000,  # 2023-11-14 22:13:20.123456
+    1_700_000_001_000_000_000,
+    1_700_086_400_999_999_000,
+]
+EPOCH_MICROS = [n // 1000 for n in EPOCH_NANOS]
+
+
+def _write(tmp_path, name: str, arr: pa.Array) -> str:
+    path = str(tmp_path / f"{name}.parquet")
+    pq.write_table(pa.table({"ts": arr, "k": list(range(len(arr)))}), path)
+    return path
+
+
+ENCODINGS = {
+    # Physical TIMESTAMP(NANOS): Spark 4 reads it as int64 nanos under
+    # spark.sql.legacy.parquet.nanosAsLong (rejects it without).
+    "timestamp_ns": pa.array(EPOCH_NANOS, type=pa.timestamp("ns")),
+    # Current generator output: TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    # -> Spark reads TIMESTAMP_NTZ. This is the encoding that killed r3.
+    "timestamp_us_ntz": pa.array(EPOCH_MICROS, type=pa.timestamp("us")),
+    # TIMESTAMP(MICROS, isAdjustedToUTC=true) -> Spark reads TIMESTAMP.
+    "timestamp_us_utc": pa.array(EPOCH_MICROS, type=pa.timestamp("us", tz="UTC")),
+    # Raw int64 nanos column (what the ns file LOOKS like post-read).
+    "int64_nanos": pa.array(EPOCH_NANOS, type=pa.int64()),
+}
+
+
+@pytest.mark.parametrize("encoding", sorted(ENCODINGS))
+def test_normalize_ts_all_physical_encodings(spark, tmp_path, encoding):
+    """Whatever the file stores, the loaded ts is TIMESTAMP with the
+    same epoch-microsecond values (UTC session TZ)."""
+    path = _write(tmp_path, encoding, ENCODINGS[encoding])
+    df = _normalize_ts(spark.read.parquet(path))
+    assert dict(df.dtypes)["ts"] == "timestamp", (
+        f"{encoding}: normalized dtype is {dict(df.dtypes)['ts']}"
+    )
+    got = [
+        r["us"]
+        for r in df.select(F.unix_micros("ts").alias("us")).orderBy("k").collect()
+    ]
+    assert got == EPOCH_MICROS, f"{encoding}: values drifted"
+
+
+def test_normalize_ts_noop_without_ts_column(spark):
+    df = spark.range(3).withColumnRenamed("id", "x")
+    assert _normalize_ts(df) is df
+
+
+def test_load_events_ts_is_timestamp(spark):
+    """The real testdata, whatever encoding this regeneration shipped."""
+    t = load(spark, "/root/testdata/sf0.001")
+    assert dict(t["events"].dtypes)["ts"] == "timestamp"
+    # unix_micros (the r3 NTZ casualty in windows/batch_windows) must
+    # resolve against the loaded column.
+    row = t["events"].select(F.min(F.unix_micros("ts")).alias("lo")).first()
+    assert row["lo"] is not None
+    # Sanity: epoch range is post-2000, i.e. the values are real
+    # instants, not mis-scaled (ns-as-us would land in 1970).
+    assert row["lo"] > 946_684_800_000_000
+    assert isinstance(
+        t["events"].select("ts").first()["ts"], datetime.datetime
+    )
