@@ -34,9 +34,20 @@ TABLES = [
 _CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
-def _normalize_ts(df: DataFrame) -> DataFrame:
-    """Normalize events.ts to session-TZ TIMESTAMP regardless of the
-    file's physical encoding.
+# Timestamp-typed columns per table. The generator has re-encoded
+# these across regenerations (r3: TIMESTAMP(NANOS) -> timestamp[us]);
+# every one of them gets the same sniff-and-normalize treatment so the
+# NEXT regeneration can't take the engine down either.
+TS_COLUMNS = {
+    "events": ["ts"],
+    "orders": ["o_orderdate"],
+    "lineitem": ["l_shipdate"],
+}
+
+
+def _normalize_ts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Normalize timestamp columns to session-TZ TIMESTAMP regardless
+    of the file's physical encoding.
 
     The testdata generator has shipped events.ts three different ways
     across regenerations, so the loader SNIFFS the resolved Spark type
@@ -55,11 +66,13 @@ def _normalize_ts(df: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if ts_type == "timestamp_ntz":
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    dtypes = dict(df.dtypes)
+    for c in cols if cols is not None else ["ts"]:
+        t = dtypes.get(c)
+        if t == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
@@ -79,8 +92,8 @@ def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     dfs: dict[str, DataFrame] = {}
     for name in TABLES:
         df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-        if name == "events":
-            df = _normalize_ts(df)
+        if name in TS_COLUMNS:
+            df = _normalize_ts(df, TS_COLUMNS[name])
         df.createOrReplaceTempView(name)
         dfs[name] = df
     _CACHE[key] = dfs

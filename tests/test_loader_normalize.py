@@ -74,6 +74,18 @@ def test_normalize_ts_noop_without_ts_column(spark):
     assert _normalize_ts(df) is df
 
 
+def test_load_all_ts_columns_are_timestamp(spark):
+    """Every declared timestamp column (TS_COLUMNS) normalizes, not
+    just events.ts — orders/lineitem date columns were also re-encoded
+    in the r3 regeneration."""
+    from pudatalake_spark.loaders import TS_COLUMNS
+
+    t = load(spark, "/root/testdata/sf0.001")
+    for table, cols in TS_COLUMNS.items():
+        for c in cols:
+            assert dict(t[table].dtypes)[c] == "timestamp", f"{table}.{c}"
+
+
 def test_load_events_ts_is_timestamp(spark):
     """The real testdata, whatever encoding this regeneration shipped."""
     t = load(spark, "/root/testdata/sf0.001")
