@@ -2,11 +2,14 @@
 
 Modality payloads are opaque ``binary`` columns wrapped in a typed
 struct: struct(modality, content binary, meta struct). Decode /
-feature-extraction runs as Arrow-batched pandas over mapInPandas;
-the actual image/audio codecs are STUBBED (this container has no
-codec libs - see _decode_payload) with a deterministic fake, while
-the Spark-side plumbing (schema, batching, partitioning, UDF
-signatures) is real and tested.
+feature-extraction runs as Arrow-batched pandas over mapInPandas.
+
+Decode is REAL for WAV / PNG / netpbm payloads via the pure-stdlib
+codecs in ``codecs.py`` (q_multimodal_decode_real encodes actual
+PNG/WAV bytes and decodes them back, oracle-verified). Formats that
+need absent codec libs (JPEG/MP3/MP4) remain the declared stub: sniff
+fails -> deterministic byte-value fake in _decode_payload, so the
+plumbing (schema, batching, partitioning, UDF signatures) still runs.
 
 100 TB posture: binary payloads dominate bytes - keep them OUT of
 shuffles (extract features first, shuffle features only), store
@@ -91,21 +94,18 @@ _FEATURE_SCHEMA = T.StructType(
 
 
 def _decode_payload(modality: str, content: bytes):
-    """STUB decode step. Real implementation would dispatch to PIL /
-    torchaudio / pyav, none of which exist in this container:
-
-        raise NotImplementedError("image/audio codecs not installed")
-
-    The deterministic fake below treats the payload bytes as the
-    'decoded' sample buffer so the downstream feature plumbing
-    (batching, schema, aggregation) is fully exercised.
+    """Decode step. Payloads with a recognized magic (WAV/PNG/netpbm)
+    go through the REAL pure-stdlib codecs; anything else falls back
+    to the declared deterministic fake (payload bytes as 'samples') so
+    the feature plumbing is exercised even for formats whose codec
+    libs (JPEG/MP3/MP4) are absent in this container.
     """
-    try:  # pragma: no cover - codec libs absent by design
-        import PIL  # noqa: F401
+    from . import codecs
 
-        raise NotImplementedError("real decode path not wired in this build")
-    except ImportError:
-        pass
+    if codecs.sniff(bytes(content)) is not None:
+        d = codecs.decode(bytes(content))
+        arr = d["samples"] if d["format"] == "wav" else d["pixels"]
+        return [int(v) for v in arr.reshape(-1)]
     return list(content)  # fake "samples": the raw byte values
 
 
@@ -159,6 +159,105 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("content"),
     )
     return mm.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
+
+
+_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("dim1", T.LongType()),
+        T.StructField("dim2", T.LongType()),
+        T.StructField("n_units", T.LongType()),
+        T.StructField("value_sum", T.LongType()),
+    ]
+)
+
+
+def _real_roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas worker: synthesize a REAL media payload per doc
+    (PNG image for doc_id%3==1, WAV audio for doc_id%3==2) from a
+    closed-form sample function of doc_id, then decode it back with
+    the actual codec and report stats FROM THE DECODED output. The
+    oracle recomputes the same closed form in SQL, so a codec bug
+    (wrong unfiltering, byte-order, header math) breaks the match.
+    """
+    import numpy as np
+
+    from . import codecs
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "fmt", "dim1", "dim2", "n_units", "value_sum")}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            if doc_id % 3 == 1:
+                w, h = 16 + doc_id % 16, 8 + doc_id % 8
+                idx = np.arange(w * h * 3, dtype=np.int64)
+                img = ((doc_id * 3 + idx) % 256).astype(np.uint8).reshape(h, w, 3)
+                d = codecs.decode(codecs.encode_png(img))
+                rows["fmt"].append("png")
+                rows["dim1"].append(d["width"])
+                rows["dim2"].append(d["height"])
+                rows["n_units"].append(int(d["pixels"].size))
+                rows["value_sum"].append(int(d["pixels"].astype(np.int64).sum()))
+            else:
+                n = 256 + doc_id % 128
+                idx = np.arange(n, dtype=np.int64)
+                samples = (((doc_id * 7 + idx * 13) % 4096) - 2048).astype(np.int16)
+                d = codecs.decode(codecs.encode_wav(samples, rate=8000))
+                rows["fmt"].append("wav")
+                rows["dim1"].append(d["rate"])
+                rows["dim2"].append(d["channels"])
+                rows["n_units"].append(int(d["n_samples"]))
+                rows["value_sum"].append(int(d["samples"].sum()))
+            rows["doc_id"].append(doc_id)
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "q_multimodal_decode_real",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 1 THEN 'png' ELSE 'wav' END AS fmt,
+             CASE WHEN doc_id % 3 = 1 THEN 16 + doc_id % 16 ELSE 8000 END AS dim1,
+             CASE WHEN doc_id % 3 = 1 THEN 8 + doc_id % 8 ELSE 1 END AS dim2,
+             CASE WHEN doc_id % 3 = 1
+                  THEN (16 + doc_id % 16) * (8 + doc_id % 8) * 3
+                  ELSE 256 + doc_id % 128 END AS n_units
+      FROM documents
+      WHERE doc_id % 3 <> 0
+    ),
+    b AS (
+      SELECT doc_id, fmt, dim1, dim2, n_units,
+             unnest(range(n_units)) AS i
+      FROM dims
+    )
+    SELECT doc_id, fmt,
+           CAST(dim1 AS BIGINT) AS dim1,
+           CAST(dim2 AS BIGINT) AS dim2,
+           CAST(n_units AS BIGINT) AS n_units,
+           CAST(sum(CASE WHEN fmt = 'png' THEN (doc_id * 3 + i) % 256
+                         ELSE ((doc_id * 7 + i * 13) % 4096) - 2048 END)
+                AS BIGINT) AS value_sum
+    FROM b
+    GROUP BY doc_id, fmt, dim1, dim2, n_units
+    """,
+)
+def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec roundtrip over mapInPandas: PNG (zlib inflate + PNG
+    predictor unfiltering) for image docs, RIFF/PCM WAV for audio
+    docs, both encoded and decoded with pudatalake_spark.llmops.codecs
+    (pure stdlib + numpy — no PIL/torchaudio needed). Every reported
+    column comes from the DECODED artifact; the DuckDB oracle
+    recomputes the closed-form payload stats, so the match proves the
+    codecs reconstruct the raster/samples bit-exactly.
+
+    100 TB posture: decode runs Arrow-batched on executors; only the
+    per-doc feature row (6 scalars) ever shuffles, never the payload.
+    """
+    d = table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 3 != 0).select("doc_id")
+    return docs.mapInPandas(_real_roundtrip, schema=_REAL_SCHEMA)
 
 
 @register("q_multimodal_framesample")  # plumbing demo -> rows-only
