@@ -443,3 +443,54 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "[PHONE]",
         ).alias("redacted"),
     )
+
+
+@register(
+    "q_text_vocab",
+    oracle="""
+    WITH counts AS (
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+            FROM documents)
+      WHERE token <> ''
+      GROUP BY token
+    ),
+    top AS (
+      SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 1000
+    )
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY n DESC, token) + 3 AS BIGINT)
+             AS token_id,
+           CAST(n AS BIGINT) AS n
+    FROM top
+    """,
+)
+def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-prep vocabulary build: frequency-ranked token->id
+    table, ids 4..V+3 (0-3 reserved for PAD/UNK/BOS/EOS), ties broken
+    by token so the mapping is fully deterministic across runs and
+    engines.
+
+    Scale shape: token counting is the two-phase hash agg (shuffle
+    carries (token, partial-count) only); top-V selection is
+    TakeOrderedAndProject. Only the V surviving rows (bounded: vocab
+    sizes are 32k-256k, KBs of data) pass through the single-partition
+    row_number window - the unbounded corpus never does, so the
+    global-order window is NOT a scale hazard here."""
+    from pyspark.sql import Window
+
+    vocab_size = 1000
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(_tokens()).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("token")).limit(vocab_size)
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    return top.select(
+        "token",
+        (F.row_number().over(w) + F.lit(3)).cast("bigint").alias("token_id"),
+        F.col("n").cast("bigint").alias("n"),
+    )

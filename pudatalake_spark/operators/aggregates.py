@@ -442,3 +442,37 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register("q_agg_hll_sketch")  # approximate + binary intermediate -> rows-only
+def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via
+    hll_sketch_agg): per-event-type distinct-user sketches, PLUS an
+    '__ALL__' row whose estimate comes from hll_union_agg over the
+    per-type sketches - NOT from re-scanning the raw data.
+
+    This is the capability approx_count_distinct lacks: the sketch is
+    a persistable, mergeable partial. At 100 TB you sketch each
+    day/partition once, store bytes, and answer any
+    union-of-partitions distinct query by merging sketches - no raw
+    re-scan. The union row here proves merge correctness end-to-end
+    (its estimate must land on the same distinct-user universe as a
+    direct global sketch).
+
+    Approximate by design (DataSketches HLL, lgConfigK=12 default) ->
+    rows-only; the relative error bound at lgK=12 is ~1.6%, and
+    tests/test_semantics.py pins the estimates against exact distinct
+    counts at that tolerance.
+    """
+    e = table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    typed = per_type.select(
+        "event_type",
+        F.hll_sketch_estimate("sk").alias("approx_users"),
+    )
+    merged = per_type.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    ).select(F.lit("__ALL__").alias("event_type"), "approx_users")
+    return typed.unionByName(merged).orderBy("event_type")

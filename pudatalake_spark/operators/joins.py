@@ -452,3 +452,92 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist",
         )
     )
+
+
+@register(
+    "q_join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(o.o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders o
+    WHERE o.o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join with an EXPLICIT Bloom-filter prefilter on the probe
+    side: build a k=3 / m=2^16-bit Bloom bitmap from the (filtered)
+    customer keys as a map<word_index, 64-bit word>, broadcast it, and
+    drop probe rows whose key misses ANY of the 3 bit positions BEFORE
+    the semi join. The semi join then removes Bloom false positives,
+    so the output is byte-identical to the plain semi join (the
+    oracle).
+
+    Scale rationale: at 100 TB the probe side dominates shuffle cost.
+    A Bloom prefilter with selectivity s cuts the shuffled probe rows
+    to ~s + FP-rate of the total BEFORE the exchange, for a broadcast
+    cost of m/8 bytes (8 KiB here) - the same trick Spark's own
+    runtime-row-level-filtering injects, written out explicitly so the
+    mechanism (hash family, bitmap words, all-bits-set test) is
+    visible and testable. All JVM-side: xxhash64/pmod/bit ops inside
+    whole-stage codegen, no UDFs.
+    """
+    m_bits = 1 << 16  # 65,536 bits = 8 KiB bitmap
+    n_hashes = 3
+
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders")
+
+    def positions(key):
+        return [
+            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)).cast("int")
+            for i in range(n_hashes)
+        ]
+
+    # Build: bit positions -> per-word OR of set bits -> one-row map.
+    bits = c.select(
+        F.explode(F.array(*positions(F.col("c_custkey")))).alias("p")
+    )
+    words = bits.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
+        # bit_or over shifted single bits assembles each 64-bit word
+        # map-side-combinably (OR is a monoid).
+        F.bit_or(F.expr("shiftleft(1L, p % 64)")).alias("bits")
+    )
+    bloom = words.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("w"), F.col("bits")))
+        ).alias("bloom")
+    )
+
+    # Probe: broadcast the 1-row bitmap, require every hash position's
+    # bit set; missing word => bit absent => row dropped.
+    probed = o.crossJoin(F.broadcast(bloom))
+    hit = None
+    for i in range(n_hashes):
+        p = f"pmod(xxhash64(o_custkey, {i}), {m_bits})"
+        word = f"element_at(bloom, cast({p} div 64 as int))"
+        bit_set = f"(shiftright({word}, cast({p} % 64 as int)) & 1L) = 1L"
+        cond = F.coalesce(F.expr(bit_set), F.lit(False))
+        hit = cond if hit is None else (hit & cond)
+    prefiltered = probed.filter(hit).drop("bloom")
+
+    # Exact semi join clears Bloom false positives (broadcast: the
+    # build side is the small, already-filtered dim).
+    exact = prefiltered.join(
+        F.broadcast(c.select("c_custkey")),
+        prefiltered.o_custkey == F.col("c_custkey"),
+        "left_semi",
+    )
+    return (
+        exact.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum((F.col("o_totalprice") * 100)).cast("bigint").alias("cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

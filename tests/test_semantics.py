@@ -135,3 +135,28 @@ def test_limit_requires_total_order_for_determinism(spark):
 )
 def test_array_indexing_is_one_based(spark, expr, expected):
     assert spark.sql(f"SELECT {expr} AS v").collect()[0]["v"] == expected
+
+
+def test_hll_sketch_estimates_within_tolerance(spark, duck):
+    """q_agg_hll_sketch is rows-only (approximate by design); pin its
+    estimates against exact distincts at the documented DataSketches
+    lgK=12 bound (~1.6% relative standard error; assert 5% to avoid
+    flakiness), including the merged __ALL__ row, which must estimate
+    the UNION of the per-type sketches."""
+    from pudatalake_spark import registry
+
+    from tests.conftest import SF_DIR
+
+    got = {
+        r["event_type"]: r["approx_users"]
+        for r in registry.QUERIES["q_agg_hll_sketch"](spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT event_type, count(DISTINCT user_id) FROM events GROUP BY 1 "
+            "UNION ALL SELECT '__ALL__', count(DISTINCT user_id) FROM events"
+        ).fetchall()
+    )
+    assert set(got) == set(exact)
+    for k, n in exact.items():
+        assert abs(got[k] - n) <= max(1, 0.05 * n), (k, got[k], n)
