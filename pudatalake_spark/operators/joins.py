@@ -470,74 +470,64 @@ def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi join with an EXPLICIT Bloom-filter prefilter on the probe
     side: build a k=3 / m=2^16-bit Bloom bitmap from the (filtered)
-    customer keys as a map<word_index, 64-bit word>, broadcast it, and
-    drop probe rows whose key misses ANY of the 3 bit positions BEFORE
-    the semi join. The semi join then removes Bloom false positives,
-    so the output is byte-identical to the plain semi join (the
-    oracle).
+    customer keys as a map<word_index, 64-bit word>, deliver it to the
+    probe as an uncorrelated SCALAR SUBQUERY, and drop probe rows
+    whose key misses ANY of the 3 bit positions. The semi join then
+    removes Bloom false positives, so the output is byte-identical to
+    the plain semi join (the oracle).
+
+    The scalar-subquery formulation matters: an earlier
+    crossJoin(broadcast(bitmap)) draft let Catalyst push the
+    broadcast-semi join BELOW the cross join, applying the "prefilter"
+    after the join it was meant to protect. As a subquery the Bloom
+    test is a plain single-table predicate on orders, so it pushes to
+    the scan, strictly below the semi join - plan-audited in PLANS.md
+    (Filter above Scan, below BroadcastHashJoin LeftSemi).
 
     Scale rationale: at 100 TB the probe side dominates shuffle cost.
-    A Bloom prefilter with selectivity s cuts the shuffled probe rows
-    to ~s + FP-rate of the total BEFORE the exchange, for a broadcast
-    cost of m/8 bytes (8 KiB here) - the same trick Spark's own
-    runtime-row-level-filtering injects, written out explicitly so the
-    mechanism (hash family, bitmap words, all-bits-set test) is
+    A Bloom prefilter with selectivity s cuts the probe rows entering
+    any exchange to ~s+FP of the total, for a bitmap cost of m/8 bytes
+    (8 KiB here) evaluated once per executor - the same trick Spark's
+    own runtime row-level filtering injects, written out explicitly so
+    the mechanism (hash family, word packing, all-bits-set test) is
     visible and testable. All JVM-side: xxhash64/pmod/bit ops inside
     whole-stage codegen, no UDFs.
     """
     m_bits = 1 << 16  # 65,536 bits = 8 KiB bitmap
     n_hashes = 3
+    load(spark, sf_dir)  # register temp views for the SQL text
 
-    c = table(spark, sf_dir, "customer").filter(
-        F.col("c_mktsegment") == "BUILDING"
+    seg = "SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+    pos_build = ", ".join(
+        f"pmod(xxhash64(c_custkey, {i}), {m_bits})" for i in range(n_hashes)
     )
-    o = table(spark, sf_dir, "orders")
-
-    def positions(key):
-        return [
-            F.pmod(F.xxhash64(key, F.lit(i)), F.lit(m_bits)).cast("int")
-            for i in range(n_hashes)
-        ]
-
-    # Build: bit positions -> per-word OR of set bits -> one-row map.
-    bits = c.select(
-        F.explode(F.array(*positions(F.col("c_custkey")))).alias("p")
-    )
-    words = bits.groupBy((F.col("p") / 64).cast("int").alias("w")).agg(
-        # bit_or over shifted single bits assembles each 64-bit word
-        # map-side-combinably (OR is a monoid).
-        F.bit_or(F.expr("shiftleft(1L, p % 64)")).alias("bits")
-    )
-    bloom = words.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("w"), F.col("bits")))
-        ).alias("bloom")
-    )
-
-    # Probe: broadcast the 1-row bitmap, require every hash position's
-    # bit set; missing word => bit absent => row dropped.
-    probed = o.crossJoin(F.broadcast(bloom))
-    hit = None
+    tests = []
     for i in range(n_hashes):
         p = f"pmod(xxhash64(o_custkey, {i}), {m_bits})"
-        word = f"element_at(bloom, cast({p} div 64 as int))"
-        bit_set = f"(shiftright({word}, cast({p} % 64 as int)) & 1L) = 1L"
-        cond = F.coalesce(F.expr(bit_set), F.lit(False))
-        hit = cond if hit is None else (hit & cond)
-    prefiltered = probed.filter(hit).drop("bloom")
-
-    # Exact semi join clears Bloom false positives (broadcast: the
-    # build side is the small, already-filtered dim).
-    exact = prefiltered.join(
-        F.broadcast(c.select("c_custkey")),
-        prefiltered.o_custkey == F.col("c_custkey"),
-        "left_semi",
-    )
-    return (
-        exact.groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.sum((F.col("o_totalprice") * 100)).cast("bigint").alias("cents"),
+        word = f"element_at((SELECT m FROM bloom), cast({p} div 64 AS int))"
+        tests.append(
+            f"coalesce((shiftright({word}, cast({p} % 64 AS int)) & 1L) = 1L,"
+            " false)"
         )
-        .orderBy("o_orderpriority")
-    )
+    return spark.sql(f"""
+        WITH pos AS (
+          SELECT explode(array({pos_build})) AS p FROM ({seg})
+        ),
+        words AS (
+          SELECT cast(p div 64 AS int) AS w,
+                 bit_or(shiftleft(1L, cast(p % 64 AS int))) AS bits
+          FROM pos GROUP BY cast(p div 64 AS int)
+        ),
+        bloom AS (
+          SELECT map_from_entries(collect_list(struct(w, bits))) AS m
+          FROM words
+        )
+        SELECT o_orderpriority,
+               count(*) AS n_orders,
+               cast(sum(o_totalprice * 100) AS bigint) AS cents
+        FROM orders
+        WHERE {" AND ".join(tests)}
+          AND o_custkey IN ({seg})
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """)

@@ -117,6 +117,28 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"BatchEvalPython", r"ArrowEvalPython"],
         "exact quantiles via ranked window + conditional agg, JVM-side",
     ),
+    "q_join_bloom_prefilter": (
+        # The bloom test must be a scalar-subquery predicate on the
+        # orders side (below the semi join), not a post-join filter:
+        # a crossJoin(bitmap) draft let Catalyst run the semi join
+        # first, defeating the prefilter (see operator docstring).
+        [r"BroadcastHashJoin LeftSemi", r"xxhash64", r"Subquery"],
+        [r"SortMergeJoin", r"BroadcastNestedLoopJoin"],
+        "bloom bitmap as scalar subquery filters the probe scan below the semi join",
+    ),
+    "q_text_vocab": (
+        [r"TakeOrderedAndProject", r"partial_count"],
+        [],
+        "top-V via streaming top-k over a two-phase count agg; only V rows reach the id window",
+    ),
+    "q_agg_hll_sketch": (
+        # Sketch aggs must be two-phase (partial sketch build map-side,
+        # merge reduce-side) and the __ALL__ row must come from
+        # hll_union_agg over sketches, not a raw re-scan.
+        [r"partial_hll_sketch_agg", r"hll_union_agg"],
+        [],
+        "mergeable sketches: partial build + union-merge, no raw re-scan for the union row",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
@@ -124,7 +146,8 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
 UDF_KEYS = {
     "udf_python_scalar", "udf_pandas_scalar", "udf_grouped_map",
     "udf_pandas_agg", "udtf_python", "q_multimodal_decode",
-    "q_multimodal_framesample", "s_stateful_running",
+    "q_multimodal_decode_real", "q_multimodal_framesample",
+    "s_stateful_running",
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
