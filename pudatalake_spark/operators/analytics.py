@@ -18,7 +18,7 @@ pattern over the events stream).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..loaders import load, table
@@ -485,4 +485,67 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.filter(F.col("day_offset") <= 7)
         .groupBy("cohort_day", "day_offset")
         .agg(F.count("*").alias("n_active"))
+    )
+
+
+@register(
+    "q_events_anomaly",
+    oracle="""
+    WITH scored AS (
+      SELECT event_id, event_type, value,
+             avg(value) OVER w AS mu,
+             stddev_samp(value) OVER w AS sd,
+             count(*) OVER w AS n_hist
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type,
+           round(value, 4) AS value,
+           round((value - mu) / sd, 4) AS z
+    FROM scored
+    WHERE n_hist >= 30 AND sd > 0 AND abs((value - mu) / sd) > 3
+    ORDER BY event_id
+    """,
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection as a batch analytic: per
+    event type, each event's value is z-scored against the ROLLING
+    mean/stddev of its 50 PREDECESSORS (frame excludes the current
+    row, so an outlier cannot mask itself); flag |z| > 3 once >= 30
+    history rows exist. Ties on ts break by event_id so the frame -
+    and therefore the score - is fully deterministic in both engines.
+
+    Scale shape: one shuffle on event_type, then a sorted running
+    frame per partition - identical profile to the sessionization
+    window ops. Skewed types are bounded by the 51-row frame (state
+    is O(frame), not O(partition)). The streaming twin of this shape
+    is s_stateful_running's arbitrary-state loop.
+    """
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("n_hist") >= 30) & (F.col("sd") > 0) & (F.abs(z) > 3)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_id")
     )
