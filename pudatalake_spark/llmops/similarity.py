@@ -434,3 +434,93 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "cand_id", "cos_sim")
     )
+
+
+@register(
+    "q_embeddings_quantize",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             len(embedding) AS dim,
+             127.0 / list_max(list_transform(embedding,
+                                             x -> abs(CAST(x AS DOUBLE))))
+               AS scale,
+             embedding
+      FROM embeddings
+      WHERE list_max(list_transform(embedding,
+                                    x -> abs(CAST(x AS DOUBLE)))) > 0
+    ),
+    q AS (
+      SELECT vec_id, dim, scale,
+             list_transform(embedding,
+               x -> greatest(-127, least(127,
+                      CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT))))
+               AS qvec,
+             embedding
+      FROM scaled
+    )
+    SELECT vec_id,
+           CAST(dim AS BIGINT) AS dim,
+           round(scale, 6) AS scale,
+           CAST(list_sum(qvec) AS BIGINT) AS q_checksum,
+           round(list_sum(
+             list_transform(list_zip(embedding, qvec),
+               p -> pow(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) / scale,
+                        2))) / dim, 9) AS mse
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def q_embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of the embedding column (the standard
+    4x vector-store compression): per-vector symmetric scale
+    127/max|x|, quantized values round(x*scale) clamped to [-127,127],
+    plus the reconstruction MSE - all computed JVM-side with array
+    higher-order functions (transform/aggregate), no UDF.
+
+    The oracle recomputes quantization in DuckDB list arithmetic; the
+    integer checksum over the quantized vector is EXACT (both engines
+    widen float32->double losslessly and round the same products), so
+    a single off-by-one in any of the 64 dims of any vector breaks
+    the hash match. MSE is rounded (float-sum tolerance per SURVEY
+    §5.3); both engines fold the list in index order.
+
+    Scale shape: embarrassingly parallel map over vectors - no
+    shuffle, no state; at 100 TB this fuses into the scan and writes
+    a column 4x narrower downstream.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    xd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(xd, lambda x: F.abs(x)))
+    scaled = e.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        (F.lit(127.0) / max_abs).alias("scale"),
+        xd.alias("x"),
+    ).filter(max_abs > 0)
+    qvec = F.transform(
+        F.col("x"),
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x * F.col("scale")).cast("bigint")),
+        ),
+    )
+    q = scaled.withColumn("qvec", qvec)
+    err = F.zip_with(
+        F.col("x"),
+        F.col("qvec"),
+        lambda x, qv: F.pow(x - qv.cast("double") / F.col("scale"), F.lit(2)),
+    )
+    return q.select(
+        "vec_id",
+        "dim",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda acc, v: acc + v
+        ).alias("q_checksum"),
+        F.round(
+            F.aggregate(err, F.lit(0.0), lambda acc, v: acc + v)
+            / F.col("dim"),
+            9,
+        ).alias("mse"),
+    ).orderBy("vec_id")
