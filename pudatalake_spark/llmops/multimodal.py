@@ -260,6 +260,174 @@ def q_multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(_real_roundtrip, schema=_REAL_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("w_in", T.LongType()),
+        T.StructField("h_in", T.LongType()),
+        T.StructField("w_out", T.LongType()),
+        T.StructField("h_out", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+    ]
+)
+
+
+def _resize_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a real PNG per image doc, decode it, 2x nearest-neighbor
+    downsample the DECODED raster (arr[::2, ::2]), report stats from
+    the resized pixels."""
+    import numpy as np
+
+    from . import codecs
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "w_in", "h_in", "w_out", "h_out", "pixel_sum")}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = 16 + doc_id % 16, 8 + doc_id % 8
+            idx = np.arange(w * h * 3, dtype=np.int64)
+            img = ((doc_id * 3 + idx) % 256).astype(np.uint8).reshape(h, w, 3)
+            dec = codecs.decode(codecs.encode_png(img))["pixels"]
+            small = dec[::2, ::2, :]
+            rows["doc_id"].append(doc_id)
+            rows["w_in"].append(w)
+            rows["h_in"].append(h)
+            rows["h_out"].append(small.shape[0])
+            rows["w_out"].append(small.shape[1])
+            rows["pixel_sum"].append(int(small.astype(np.int64).sum()))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             16 + doc_id % 16 AS w,
+             8 + doc_id % 8 AS h,
+             CAST(ceil((16 + doc_id % 16) / 2.0) AS BIGINT) AS w_out,
+             CAST(ceil((8 + doc_id % 8) / 2.0) AS BIGINT) AS h_out
+      FROM documents
+      WHERE doc_id % 3 = 1
+    ),
+    px AS (
+      SELECT doc_id, w, h, w_out, h_out,
+             unnest(range(h_out)) AS r
+      FROM dims
+    ),
+    px2 AS (
+      SELECT doc_id, w, h, w_out, h_out, r,
+             unnest(range(w_out)) AS c
+      FROM px
+    ),
+    px3 AS (
+      SELECT doc_id, w, h, w_out, h_out, r, c,
+             unnest(range(3)) AS ch
+      FROM px2
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS w_in,
+           CAST(h AS BIGINT) AS h_in,
+           w_out, h_out,
+           CAST(sum((doc_id * 3 + ((2 * r * w + 2 * c) * 3 + ch)) % 256)
+                AS BIGINT) AS pixel_sum
+    FROM px3
+    GROUP BY doc_id, w, h, w_out, h_out
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize: decode an actual PNG (codecs.py), 2x
+    nearest-neighbor downsample the decoded raster, report dimensions
+    and pixel sum OF THE RESIZED image. The oracle recomputes the kept
+    pixels (even rows/cols) from the closed-form raster, so both the
+    codec roundtrip and the sampling arithmetic are hash-verified.
+
+    Scale shape: map-only Arrow-batched mapInPandas; payloads never
+    shuffle, only the 6-scalar feature row does."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return docs.mapInPandas(_resize_worker, schema=_RESIZE_SCHEMA)
+
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def _audio_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode real WAV audio per doc, decode it, compute RMS and
+    zero-crossing count from the DECODED samples."""
+    import numpy as np
+
+    from . import codecs
+
+    for pdf in batches:
+        rows = {k: [] for k in ("doc_id", "n_samples", "rms", "zero_crossings")}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = 256 + doc_id % 128
+            idx = np.arange(n, dtype=np.int64)
+            samples = (((doc_id * 7 + idx * 13) % 4096) - 2048).astype(np.int16)
+            s = codecs.decode(codecs.encode_wav(samples, rate=8000))["samples"]
+            sign = np.sign(s)
+            nz = sign[sign != 0]
+            rows["doc_id"].append(doc_id)
+            rows["n_samples"].append(int(s.size))
+            rows["rms"].append(round(float(np.sqrt((s.astype(np.float64) ** 2).mean())), 6))
+            rows["zero_crossings"].append(int((nz[1:] != nz[:-1]).sum()))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "q_multimodal_audio_features",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 256 + doc_id % 128 AS n
+      FROM documents
+      WHERE doc_id % 3 = 2
+    ),
+    samp AS (
+      SELECT doc_id, n, i,
+             ((doc_id * 7 + i * 13) % 4096) - 2048 AS s
+      FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM dims)
+    ),
+    signs AS (
+      SELECT doc_id, n, s,
+             lag(sign(s)) OVER (PARTITION BY doc_id ORDER BY i) AS prev_sign,
+             sign(s) AS cur_sign
+      FROM samp
+      WHERE s <> 0
+    )
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_samples,
+           round(sqrt(sum(CAST(s AS DOUBLE) * s) / any_value(n)), 6) AS rms,
+           CAST(count(*) FILTER (WHERE prev_sign IS NOT NULL
+                                 AND cur_sign <> prev_sign) AS BIGINT)
+             AS zero_crossings
+    FROM signs
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction: decode actual RIFF/PCM WAV
+    payloads (codecs.py) and compute RMS amplitude + zero-crossing
+    count from the decoded int16 samples. Oracle recomputes both from
+    the closed-form sample function (zero samples excluded from the
+    crossing count on both sides), hash-verifying the codec and the
+    feature math together.
+
+    Scale shape: map-only Arrow-batched mapInPandas, feature rows
+    only ever shuffle."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    return docs.mapInPandas(_audio_worker, schema=_AUDIO_SCHEMA)
+
+
 @register("q_multimodal_framesample")  # plumbing demo -> rows-only
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing for video-like payloads: split each

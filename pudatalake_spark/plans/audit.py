@@ -146,7 +146,8 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
 UDF_KEYS = {
     "udf_python_scalar", "udf_pandas_scalar", "udf_grouped_map",
     "udf_pandas_agg", "udtf_python", "q_multimodal_decode",
-    "q_multimodal_decode_real", "q_multimodal_framesample",
+    "q_multimodal_decode_real", "q_multimodal_resize",
+    "q_multimodal_audio_features", "q_multimodal_framesample",
     "s_stateful_running",
 }
 
