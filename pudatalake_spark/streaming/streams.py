@@ -57,6 +57,17 @@ def stage_event_files(
     ev = table(spark, sf_dir, "events")
     # Range-partition by ts so file boundaries follow event time.
     ev.repartitionByRange(n_files, "ts").write.mode("overwrite").parquet(src)
+    # FileStreamSource replays in MODIFICATION-TIME order, and the
+    # writer stamps every part file within the same second - so the
+    # "file order == event-time order" premise silently broke for
+    # maxFilesPerTrigger=1 replays. Range partitioning makes part
+    # NUMBER order the ts order; re-stamp mtimes to match it.
+    parts = sorted(
+        f for f in os.listdir(src) if f.startswith("part-")
+    )
+    base = int(os.path.getmtime(os.path.join(src, parts[-1]))) if parts else 0
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + i, base + i))
     return src
 
 
@@ -310,3 +321,76 @@ def s_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "s_stream_static_join", "complete")
     return spark.table("s_stream_static_join")
+
+
+@register("s_anomaly_score")
+def s_anomaly_score(
+    spark: SparkSession, sf_dir: str, max_files: int | None = None
+) -> DataFrame:
+    """Streaming twin of q_events_anomaly via applyInPandasWithState:
+    per-event-type state = the trailing window of the last 50 values;
+    each arriving event is z-scored against the CURRENT state (which
+    by construction holds exactly its 50 predecessors, frame
+    excluding itself), then pushed into it. Emits only flagged rows
+    (|z| > 3 with >= 30 history), like the batch analytic.
+
+    Rows within a micro-batch are sorted by (ts, event_id) before
+    scoring and the source files are staged in ts order, so the
+    scoring order - and therefore every score - is identical to the
+    batch window's, whether the drain runs as one availableNow batch
+    or file-by-file (the equivalence test runs both). State is
+    bounded at 50 doubles per event type regardless of stream length
+    - the O(frame) state bound the batch docstring promises, realized
+    in the state store.
+    """
+    import numpy as np
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = stage_event_files(spark, sf_dir, "s_anomaly_score")
+    stream = read_event_stream(spark, src, max_files=max_files)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("z", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("hist", T.ArrayType(T.DoubleType()))]
+    )
+
+    def score(key, pdf_iter, state: GroupState):
+        (hist,) = state.get if state.exists else ([],)
+        hist = list(hist)
+        out = {"event_id": [], "event_type": [], "value": [], "z": []}
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for eid, v in zip(pdf["event_id"], pdf["value"]):
+                if len(hist) >= 30:
+                    arr = np.asarray(hist, dtype=np.float64)
+                    sd = float(arr.std(ddof=1))
+                    if sd > 0:
+                        z = (float(v) - float(arr.mean())) / sd
+                        if abs(z) > 3:
+                            out["event_id"].append(int(eid))
+                            out["event_type"].append(key[0])
+                            out["value"].append(round(float(v), 4))
+                            out["z"].append(round(z, 4))
+                hist.append(float(v))
+                if len(hist) > 50:
+                    hist = hist[-50:]
+        state.update((hist,))
+        yield pd.DataFrame(out)
+
+    result = stream.groupBy("event_type").applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_to_memory(result, "s_anomaly_score", "append")
+    return spark.table("s_anomaly_score")

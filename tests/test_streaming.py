@@ -198,3 +198,19 @@ def test_stream_stream_join_equals_batch_join(spark):
     )
     assert len(batch_pdf) > 0, "fixture produced no click->purchase pairs"
     assert_frames_match(stream_pdf, batch_pdf, "s_stream_stream_join≡batch")
+
+
+def test_anomaly_score_stream_equals_batch(spark):
+    """s_anomaly_score must reproduce q_events_anomaly EXACTLY (same
+    flagged events, same rounded z) both as one availableNow batch and
+    file-by-file (maxFilesPerTrigger=1, state carrying the trailing
+    window across micro-batch boundaries)."""
+    batch = registry.QUERIES["q_events_anomaly"](spark, SF_DIR).toPandas()
+    single = registry.QUERIES["s_anomaly_score"](spark, SF_DIR).toPandas()
+    assert_driver_canon_safe(
+        registry.QUERIES["s_anomaly_score"](spark, SF_DIR).schema,
+        "s_anomaly_score",
+    )
+    assert_frames_match(single, batch, "s_anomaly_score≡batch(single)")
+    per_file = streams.s_anomaly_score(spark, SF_DIR, max_files=1).toPandas()
+    assert_frames_match(per_file, batch, "s_anomaly_score≡batch(per-file)")
