@@ -494,3 +494,87 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.row_number().over(w) + F.lit(3)).cast("bigint").alias("token_id"),
         F.col("n").cast("bigint").alias("n"),
     )
+
+
+@register(
+    "q_text_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, token,
+             row_number() OVER (PARTITION BY doc_id) - 1 AS pos
+      FROM (SELECT doc_id,
+                   unnest(list_filter(string_split(lower(text), ' '),
+                                      t -> t <> '')) AS token
+            FROM documents)
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.token AS w1, b.token AS w2
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    ),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bigrams GROUP BY w1),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bigrams GROUP BY w1, w2),
+    v AS (SELECT count(DISTINCT token) AS vocab FROM toks)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((n2 + 1.0) / (n1 + vocab))), 4) AS avg_logp
+    FROM bigrams g
+    JOIN c1 USING (w1)
+    JOIN c2 USING (w1, w2)
+    CROSS JOIN v
+    GROUP BY g.doc_id
+    ORDER BY g.doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model quality score (the KenLM-shaped
+    filter every large-scale training pipeline runs): estimate
+    add-one-smoothed P(w2|w1) from the corpus's own bigram/unigram
+    counts and score each document by its mean log-probability - low
+    scores flag machine-generated/boilerplate/garbled text whose
+    bigrams don't look like the corpus.
+
+    All JVM-side: token positions via posexplode, bigrams by pairing
+    adjacent positions (transform over the token array - no
+    self-join), two count aggregates, vocabulary as an in-plan 1-row
+    broadcast (the TF-IDF pattern - no driver-side count job).
+
+    Scale shape: the count tables are two-phase aggs whose size is
+    the vocabulary (bounded, millions), not the corpus; the scoring
+    joins shuffle on w1 / (w1,w2) and AQE broadcasts them when they
+    fit. ln() differs by <=1 ulp between engines; the mean over a
+    doc's bigrams is rounded (SURVEY §5.3).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.filter(_tokens(), lambda t: t != "").alias("ts"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice(F.col("ts"), 1, F.greatest(F.size("ts") - 1, F.lit(0))),
+                lambda t, i: F.struct(
+                    t.alias("w1"), F.col("ts")[i + 1].alias("w2")
+                ),
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    c1 = bigrams.groupBy("w1").agg(F.count("*").alias("n1"))
+    c2 = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    vocab = (
+        toks.select(F.explode("ts").alias("token"))
+        .agg(F.count_distinct("token").alias("vocab"))
+    )
+    logp = F.log(
+        (F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.col("vocab"))
+    )
+    return (
+        bigrams.join(c1, "w1")
+        .join(c2, ["w1", "w2"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
