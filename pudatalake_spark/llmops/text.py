@@ -499,26 +499,28 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_text_lm_score",
     oracle="""
-    WITH toks AS (
-      SELECT doc_id, token,
-             row_number() OVER (PARTITION BY doc_id) - 1 AS pos
-      FROM (SELECT doc_id,
-                   unnest(list_filter(string_split(lower(text), ' '),
-                                      t -> t <> '')) AS token
-            FROM documents)
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+      FROM documents
     ),
     bigrams AS (
-      SELECT a.doc_id, a.token AS w1, b.token AS w2
-      FROM toks a JOIN toks b
-        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      -- 1-indexed list positions: order-free (no row_number over an
+      -- unnest, whose order is an implementation detail).
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+                    i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS bg
+      FROM docs
     ),
-    c1 AS (SELECT w1, count(*) AS n1 FROM bigrams GROUP BY w1),
-    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bigrams GROUP BY w1, w2),
-    v AS (SELECT count(DISTINCT token) AS vocab FROM toks)
+    flat AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM bigrams),
+    c1 AS (SELECT w1, count(*) AS n1 FROM flat GROUP BY w1),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM flat GROUP BY w1, w2),
+    v AS (SELECT count(DISTINCT t) AS vocab
+          FROM (SELECT unnest(ts) AS t FROM docs))
     SELECT g.doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            round(avg(ln((n2 + 1.0) / (n1 + vocab))), 4) AS avg_logp
-    FROM bigrams g
+    FROM flat g
     JOIN c1 USING (w1)
     JOIN c2 USING (w1, w2)
     CROSS JOIN v
