@@ -531,3 +531,76 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """)
+
+
+@register(
+    "q_join_range_bucketed",
+    oracle="""
+    WITH err AS (
+      SELECT event_id AS err_id, ts FROM events WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT ts AS tc FROM events WHERE event_type = 'click'
+    )
+    SELECT err_id,
+           CAST(count(tc) AS BIGINT) AS n_clicks
+    FROM err LEFT JOIN clk
+      ON tc >= ts AND tc < ts + INTERVAL 30 MINUTE
+    GROUP BY err_id
+    ORDER BY err_id
+    """,
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both-sides-large interval join done the scalable way: count the
+    click events inside each error event's 30-minute follow window.
+
+    A raw non-equi join (the oracle's formulation - fine for DuckDB at
+    sf0.01) is O(|intervals| x |points|) on a cluster: Spark can only
+    run it as a nested-loop join. The scale recipe is BUCKETIZATION:
+    quantize time into interval-length buckets, explode each interval
+    to the (at most 2) buckets it overlaps, equi-join on bucket, and
+    re-check the exact range as a residual predicate. The join becomes
+    a plain shuffle/broadcast HASH join whose volume is
+    sum-per-bucket(intervals x points) - linear for any time-local
+    workload - instead of |I| x |P|. Each (interval, point) match is
+    found exactly once because a point lives in exactly one bucket.
+
+    The left join back to the interval side keeps zero-count windows,
+    matching the oracle's LEFT JOIN semantics.
+    """
+    w_us = 30 * 60 * 1_000_000  # window length == bucket width, in us
+    e = table(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.unix_micros("ts").alias("t0"),
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        F.unix_micros("ts").alias("tc"),
+        (F.unix_micros("ts") / w_us).cast("bigint").alias("bucket"),
+    )
+    err_b = err.select(
+        "err_id",
+        "t0",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    (F.col("t0") / w_us).cast("bigint"),
+                    ((F.col("t0") + w_us) / w_us).cast("bigint"),
+                )
+            )
+        ).alias("bucket"),
+    )
+    hits = (
+        err_b.join(clk, "bucket")
+        .filter((F.col("tc") >= F.col("t0")) & (F.col("tc") < F.col("t0") + w_us))
+        .groupBy("err_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    return (
+        err.join(hits, "err_id", "left")
+        .select(
+            "err_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).cast("bigint").alias("n_clicks"),
+        )
+        .orderBy("err_id")
+    )
