@@ -549,3 +549,70 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_events_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    t AS (
+      SELECT user_id, ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT coalesce(tt.event_type, 'direct') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases
+    FROM p LEFT JOIN LATERAL (
+      SELECT event_type
+      FROM t
+      WHERE t.user_id = p.user_id
+        AND t.ts <= p.ts
+        AND t.ts >= p.ts - INTERVAL 7 DAY
+      ORDER BY t.ts DESC, event_type DESC
+      LIMIT 1
+    ) tt ON true
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent click/view in the preceding 7 days, else 'direct' -
+    the standard marketing-analytics shape, and a direct reuse of the
+    engine's asof_join utility (operators/asof.py: union-tag + running
+    last(ignorenulls), ONE shuffle on user_id, no candidate-pair
+    blow-up) with its interval tolerance.
+
+    Tie at identical timestamps: asof_join deterministically picks the
+    largest (ts, payload) struct, i.e. 'view' over 'click'; the
+    oracle's ORDER BY ts DESC, event_type DESC LIMIT 1 mirrors that.
+    """
+    from .asof import asof_join
+
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    attributed = asof_join(
+        purchases,
+        touches,
+        on="user_id",
+        left_ts="ts",
+        right_ts="touch_ts",
+        payload=["touch_type"],
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    return (
+        attributed.select(
+            F.coalesce(F.col("touch_type"), F.lit("direct")).alias("channel")
+        )
+        .groupBy("channel")
+        .agg(F.count("*").cast("bigint").alias("n_purchases"))
+        .orderBy("channel")
+    )
