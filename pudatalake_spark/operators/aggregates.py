@@ -476,3 +476,44 @@ def q_agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     ).select(F.lit("__ALL__").alias("event_type"), "approx_users")
     return typed.unionByName(merged).orderBy("event_type")
+
+
+@register("q_agg_hll_intersect")  # approximate -> rows-only
+def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch ALGEBRA on top of q_agg_hll_sketch: estimate the
+    distinct users who did BOTH click and purchase by
+    inclusion-exclusion over mergeable HLL sketches -
+    est(A) + est(B) - est(A u B) - where the union estimate comes
+    from hll_union_agg, never a re-scan.
+
+    This is the query shape sketch stores answer at 100 TB ("overlap
+    of segment A and segment B across any partition set") from stored
+    per-partition sketch bytes alone. Intersection via
+    inclusion-exclusion inherits the absolute error of the three
+    estimates, so it is honest only when the overlap is not tiny
+    relative to the union - tests pin it against the exact overlap at
+    a tolerance reflecting that; approximate by design -> rows-only.
+    """
+    e = table(spark, sf_dir, "events")
+    sk = (
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    )
+    est = F.hll_sketch_estimate("sk")
+    row = sk.agg(
+        F.max(F.when(F.col("event_type") == "click", est)).alias("approx_click"),
+        F.max(F.when(F.col("event_type") == "purchase", est)).alias(
+            "approx_purchase"
+        ),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_union"),
+    )
+    return row.select(
+        "approx_click",
+        "approx_purchase",
+        (
+            F.col("approx_click")
+            + F.col("approx_purchase")
+            - F.col("approx_union")
+        ).alias("approx_both"),
+    )

@@ -604,3 +604,45 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("err_id")
     )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH c2 AS (
+      SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_custkey
+      FROM customer
+    ),
+    d AS (SELECT DISTINCT seg FROM c2)
+    SELECT d.seg,
+           CAST(count(*) AS BIGINT) AS n_customers
+    FROM c2 JOIN d ON c2.seg IS NOT DISTINCT FROM d.seg
+    GROUP BY d.seg
+    ORDER BY d.seg NULLS FIRST
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping - the semantic
+    that separates a correct dimension join over incomplete data from
+    a plain equi join (which would lose every NULL-keyed row). The
+    'BUILDING' segment is deterministically nulled to create the NULL
+    key population; the NULL group must survive the join with its
+    full count.
+
+    Plan note: Spark executes EqualNullSafe as a hash join key (it is
+    an equivalence relation), NOT a nested loop - same shuffle/
+    broadcast shape as a plain equi join.
+    """
+    c = table(spark, sf_dir, "customer")
+    c2 = c.select(
+        F.expr("nullif(c_mktsegment, 'BUILDING')").alias("seg"), "c_custkey"
+    )
+    d = c2.select("seg").distinct().withColumnRenamed("seg", "d_seg")
+    return (
+        c2.join(F.broadcast(d), F.col("seg").eqNullSafe(F.col("d_seg")))
+        .groupBy("d_seg")
+        .agg(F.count("*").cast("bigint").alias("n_customers"))
+        .select(F.col("d_seg").alias("seg"), "n_customers")
+        .orderBy(F.col("seg").asc_nulls_first())
+    )

@@ -160,3 +160,28 @@ def test_hll_sketch_estimates_within_tolerance(spark, duck):
     assert set(got) == set(exact)
     for k, n in exact.items():
         assert abs(got[k] - n) <= max(1, 0.05 * n), (k, got[k], n)
+
+
+def test_hll_intersect_within_tolerance(spark, duck):
+    """q_agg_hll_intersect (inclusion-exclusion over HLL sketches) is
+    approximate-by-design; pin it against the exact overlap. The
+    intersection inherits the ABSOLUTE error of three estimates, so
+    the tolerance is on the union scale (5%), not the overlap's."""
+    from pudatalake_spark import registry
+
+    from tests.conftest import SF_DIR
+
+    row = registry.QUERIES["q_agg_hll_intersect"](spark, SF_DIR).first()
+    exact_both = duck.execute(
+        "SELECT count(*) FROM ("
+        " SELECT user_id FROM events WHERE event_type='click'"
+        " INTERSECT SELECT user_id FROM events WHERE event_type='purchase')"
+    ).fetchone()[0]
+    exact_union = duck.execute(
+        "SELECT count(DISTINCT user_id) FROM events"
+        " WHERE event_type IN ('click','purchase')"
+    ).fetchone()[0]
+    assert abs(row["approx_both"] - exact_both) <= max(2, 0.05 * exact_union), (
+        row["approx_both"],
+        exact_both,
+    )
