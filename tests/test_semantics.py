@@ -88,9 +88,11 @@ def test_nan_and_null_ordering(spark):
 
 
 def test_events_ns_timestamp_truncation(spark, duck):
-    """events.parquet stores TIMESTAMP(NANOS); the loader reads int64
-    nanos and truncates to micros - exactly DuckDB's read behavior, so
-    both engines agree on every ts value."""
+    """Whatever physical encoding events.ts ships with (TIMESTAMP
+    (NANOS) pre-r3, timestamp[us] NTZ since), the loader's normalized
+    TIMESTAMP must render the exact same microsecond values DuckDB
+    reads from the same file (see tests/test_loader_normalize.py for
+    the per-encoding fixtures)."""
     from pudatalake_spark.loaders import table
     from tests.conftest import SF_DIR
 
