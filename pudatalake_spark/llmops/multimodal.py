@@ -93,19 +93,33 @@ _FEATURE_SCHEMA = T.StructType(
 )
 
 
-def _decode_payload(modality: str, content: bytes):
-    """Decode step. Payloads with a recognized magic (WAV/PNG/netpbm)
-    go through the REAL pure-stdlib codecs; anything else falls back
-    to the declared deterministic fake (payload bytes as 'samples') so
-    the feature plumbing is exercised even for formats whose codec
-    libs (JPEG/MP3/MP4) are absent in this container.
-    """
-    from . import codecs
+def _decode_payload(modality: str, content: bytes, try_real: bool = False):
+    """Decode step. With ``try_real``, payloads with a recognized
+    magic (WAV/PNG/netpbm) go through the REAL pure-stdlib codecs;
+    anything else falls back to the declared deterministic fake
+    (payload bytes as 'samples') so the feature plumbing is exercised
+    even for formats whose codec libs (JPEG/MP3/MP4) are absent.
 
-    if codecs.sniff(bytes(content)) is not None:
-        d = codecs.decode(bytes(content))
-        arr = d["samples"] if d["format"] == "wav" else d["pixels"]
-        return [int(v) for v in arr.reshape(-1)]
+    ``try_real`` defaults to FALSE (ADVICE r4): the declared-stub
+    operator q_multimodal_decode feeds UTF-8 *document text* bytes
+    here and its oracle recomputes byte-value stats, so sniffing a
+    text that merely starts with 'P5'/'RIFF' into a real codec would
+    either raise mid-query or silently break the hash match. Real
+    decode belongs to callers that actually hold encoded media (the
+    *_real operators construct payloads and call codecs directly);
+    even with try_real, a sniff hit that fails to parse falls back to
+    the byte fake instead of failing the whole Arrow batch.
+    """
+    if try_real:
+        from . import codecs
+
+        try:
+            if codecs.sniff(bytes(content)) is not None:
+                d = codecs.decode(bytes(content))
+                arr = d["samples"] if d["format"] == "wav" else d["pixels"]
+                return [int(v) for v in arr.reshape(-1)]
+        except Exception:
+            pass  # magic matched but payload unparseable -> fake below
     return list(content)  # fake "samples": the raw byte values
 
 

@@ -45,6 +45,47 @@ TS_COLUMNS = {
 }
 
 
+# Plausible epoch ranges for years 1990..2100 per integer unit. The
+# units are 1000x apart while the year span is only ~1.7x, so the
+# ranges are pairwise disjoint and one sampled value classifies the
+# unit unambiguously (or provably fails to).
+_EPOCH_RANGES = {
+    "s": (631_152_000, 4_102_444_800),
+    "ms": (631_152_000_000, 4_102_444_800_000),
+    "us": (631_152_000_000_000, 4_102_444_800_000_000),
+    "ns": (631_152_000_000_000_000, 4_102_444_800_000_000_000),
+}
+
+
+def _sniff_bigint_ts_unit(df: DataFrame, c: str) -> str:
+    """Classify a raw-bigint ts column's unit by value magnitude.
+
+    A bigint ts column only appears under nanosAsLong legacy reads —
+    but a future regeneration could just as plausibly ship raw int64
+    epoch-MICROS, and dividing those by 1000 would silently mis-scale
+    every timestamp 1000x (ADVICE r4). One non-null value decides:
+    the candidate units' plausible-epoch ranges (1990..2100) are
+    pairwise disjoint, so the sample lands in exactly one — or in
+    none, which RAISES instead of guessing. The probe is a limit-1
+    scan of a single column (first row group only, once per
+    session/dir, only on the rare bigint path), never a full scan.
+    """
+    from pyspark.sql import functions as F
+
+    rows = df.select(F.col(c).alias("v")).filter(F.col("v").isNotNull()).limit(1).collect()
+    if not rows:  # all-null column: unit is irrelevant, any works
+        return "ns"
+    v = abs(int(rows[0]["v"]))
+    for unit, (lo, hi) in _EPOCH_RANGES.items():
+        if lo <= v <= hi:
+            return unit
+    raise ValueError(
+        f"bigint ts column {c!r}: sample value {v} matches no plausible "
+        f"epoch unit (s/ms/us/ns, years 1990-2100); refusing to guess a "
+        f"divisor — inspect the file's physical encoding"
+    )
+
+
 def _normalize_ts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     """Normalize timestamp columns to session-TZ TIMESTAMP regardless
     of the file's physical encoding.
@@ -53,12 +94,19 @@ def _normalize_ts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     across regenerations, so the loader SNIFFS the resolved Spark type
     instead of trusting any conf or doc:
 
-    - ``bigint``: parquet TIMESTAMP(NANOS) read under
-      ``spark.sql.legacy.parquet.nanosAsLong`` -> truncate ns->us
-      (exactly what DuckDB does reading the same file).
+    - ``bigint``: raw epoch integers (e.g. parquet TIMESTAMP(NANOS)
+      read under ``spark.sql.legacy.parquet.nanosAsLong``) -> the unit
+      is classified by value magnitude (`_sniff_bigint_ts_unit`), then
+      converted exactly; ns truncates ns->us (what DuckDB does reading
+      the same file). Ambiguous magnitudes raise instead of guessing.
     - ``timestamp_ntz``: parquet TIMESTAMP(MICROS, isAdjustedToUTC=false)
       -> cast to TIMESTAMP; values are identical under the UTC session
       TZ, and downstream ``unix_micros()`` callers require TIMESTAMP.
+    - ``date``: a date32-encoded regeneration would otherwise break
+      every ``unix_micros`` caller -> cast to TIMESTAMP (midnight UTC,
+      exactly what the current timestamp[us] files store).
+    - ``string``: ISO text dates -> cast to TIMESTAMP (ANSI cast
+      raises on malformed input rather than nulling it silently).
     - ``timestamp``: already what we want -> no-op.
 
     Never assume a conf applied: ``ensure_conf`` swallows failures on
@@ -70,8 +118,16 @@ def _normalize_ts(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     for c in cols if cols is not None else ["ts"]:
         t = dtypes.get(c)
         if t == "bigint":
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-        elif t == "timestamp_ntz":
+            unit = _sniff_bigint_ts_unit(df, c)
+            if unit == "ns":
+                df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+            elif unit == "us":
+                df = df.withColumn(c, F.timestamp_micros(F.col(c)))
+            elif unit == "ms":
+                df = df.withColumn(c, F.timestamp_millis(F.col(c)))
+            else:  # "s"
+                df = df.withColumn(c, F.timestamp_seconds(F.col(c)))
+        elif t in ("timestamp_ntz", "date", "string"):
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 

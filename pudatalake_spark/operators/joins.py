@@ -574,9 +574,14 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("err_id"),
         F.unix_micros("ts").alias("t0"),
     )
+    # Bucket index via integer `div`, never float-divide-then-cast:
+    # double division can round across an integer boundary for large
+    # epoch-micros, and trunc-toward-zero `div` applied identically on
+    # both sides keeps every point in exactly one bucket by
+    # construction (monotone, step <= w_us, endpoints enumerated).
     clk = e.filter(F.col("event_type") == "click").select(
         F.unix_micros("ts").alias("tc"),
-        (F.unix_micros("ts") / w_us).cast("bigint").alias("bucket"),
+        F.expr(f"unix_micros(ts) div {w_us}").alias("bucket"),
     )
     err_b = err.select(
         "err_id",
@@ -584,8 +589,8 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array_distinct(
                 F.array(
-                    (F.col("t0") / w_us).cast("bigint"),
-                    ((F.col("t0") + w_us) / w_us).cast("bigint"),
+                    F.expr(f"t0 div {w_us}"),
+                    F.expr(f"(t0 + {w_us}) div {w_us}"),
                 )
             )
         ).alias("bucket"),

@@ -50,6 +50,11 @@ ENCODINGS = {
     "timestamp_us_utc": pa.array(EPOCH_MICROS, type=pa.timestamp("us", tz="UTC")),
     # Raw int64 nanos column (what the ns file LOOKS like post-read).
     "int64_nanos": pa.array(EPOCH_NANOS, type=pa.int64()),
+    # Raw int64 MICROS: as plausible a future regeneration as the ones
+    # above; the pre-r5 loader would have divided these by 1000 and
+    # silently landed every timestamp in 1970 (ADVICE r4). The
+    # magnitude sniff must classify, not guess.
+    "int64_micros": pa.array(EPOCH_MICROS, type=pa.int64()),
 }
 
 
@@ -67,6 +72,62 @@ def test_normalize_ts_all_physical_encodings(spark, tmp_path, encoding):
         for r in df.select(F.unix_micros("ts").alias("us")).orderBy("k").collect()
     ]
     assert got == EPOCH_MICROS, f"{encoding}: values drifted"
+
+
+WHOLE_SECONDS = [1_700_000_000, 1_700_000_001, 1_700_086_400]
+
+
+@pytest.mark.parametrize(
+    "unit,scale",
+    [("s", 1), ("ms", 1_000), ("us", 1_000_000), ("ns", 1_000_000_000)],
+)
+def test_normalize_bigint_every_epoch_unit(spark, tmp_path, unit, scale):
+    """Raw int64 in ANY of the four epoch units normalizes to the same
+    TIMESTAMP values — the magnitude sniff picks the right divisor."""
+    path = _write(
+        tmp_path, f"i64_{unit}", pa.array([v * scale for v in WHOLE_SECONDS], pa.int64())
+    )
+    df = _normalize_ts(spark.read.parquet(path))
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    got = [
+        r["us"]
+        for r in df.select(F.unix_micros("ts").alias("us")).orderBy("k").collect()
+    ]
+    assert got == [v * 1_000_000 for v in WHOLE_SECONDS], unit
+
+
+def test_normalize_bigint_ambiguous_magnitude_raises(spark, tmp_path):
+    """A bigint ts whose magnitude fits no plausible epoch unit must
+    RAISE, never silently pick a divisor (ADVICE r4)."""
+    path = _write(tmp_path, "i64_junk", pa.array([42, 43, 44], pa.int64()))
+    with pytest.raises(ValueError, match="no plausible epoch unit"):
+        _normalize_ts(spark.read.parquet(path))
+
+
+def test_normalize_date32_and_string_dates(spark, tmp_path):
+    """date32 and ISO-string regenerations of the date-at-midnight
+    columns (o_orderdate / l_shipdate shape) normalize to TIMESTAMP at
+    midnight UTC — the unix_micros callers keep working."""
+    days = [datetime.date(1995, 1, 1), datetime.date(1998, 9, 2)]
+    want = [
+        int(
+            datetime.datetime(d.year, d.month, d.day, tzinfo=datetime.timezone.utc).timestamp()
+        )
+        * 1_000_000
+        for d in days
+    ]
+    for name, arr in {
+        "date32": pa.array(days, type=pa.date32()),
+        "strdate": pa.array([d.isoformat() for d in days], type=pa.string()),
+    }.items():
+        path = _write(tmp_path, name, arr)
+        df = _normalize_ts(spark.read.parquet(path))
+        assert dict(df.dtypes)["ts"] == "timestamp", name
+        got = [
+            r["us"]
+            for r in df.select(F.unix_micros("ts").alias("us")).orderBy("k").collect()
+        ]
+        assert got == want, name
 
 
 def test_normalize_ts_noop_without_ts_column(spark):
