@@ -363,27 +363,48 @@ def s_anomaly_score(
     )
 
     def score(key, pdf_iter, state: GroupState):
+        # Vectorized scoring (VERDICT r4 #3): concatenate the carried
+        # state window with the sorted batch and take pandas rolling
+        # mean/std over the combined series. rolling(50, min_periods=30)
+        # at index j covers [j-49, j] INCLUDING j, so shift(1) yields
+        # the stats of each row's <=50 PREDECESSORS with >=30 history -
+        # exactly the per-row loop's frame (and the batch window's
+        # "rowsBetween(-50, -1)" frame), with one C-level pass per
+        # batch instead of an O(rows x frame) Python loop. Exact
+        # per-window mean/std recomputation (pandas windowed kernels),
+        # not a drifting running estimate; the batch<->stream
+        # equivalence tests gate the semantics.
         (hist,) = state.get if state.exists else ([],)
         hist = list(hist)
         out = {"event_id": [], "event_type": [], "value": [], "z": []}
+        frames = []
         for pdf in pdf_iter:
             pdf = pdf.sort_values(["ts", "event_id"])
-            for eid, v in zip(pdf["event_id"], pdf["value"]):
-                if len(hist) >= 30:
-                    arr = np.asarray(hist, dtype=np.float64)
-                    sd = float(arr.std(ddof=1))
-                    if sd > 0:
-                        z = (float(v) - float(arr.mean())) / sd
-                        if abs(z) > 3:
-                            out["event_id"].append(int(eid))
-                            out["event_type"].append(key[0])
-                            out["value"].append(round(float(v), 4))
-                            out["z"].append(round(z, 4))
-                hist.append(float(v))
-                if len(hist) > 50:
-                    hist = hist[-50:]
+            vals = pdf["value"].to_numpy(dtype=np.float64)
+            n0 = len(hist)
+            s = pd.Series(
+                np.concatenate([np.asarray(hist, dtype=np.float64), vals])
+            )
+            roll = s.rolling(window=50, min_periods=30)
+            mean_prev = roll.mean().shift(1).to_numpy()[n0:]
+            std_prev = roll.std(ddof=1).shift(1).to_numpy()[n0:]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                z = (vals - mean_prev) / std_prev
+            flag = (std_prev > 0) & np.isfinite(z) & (np.abs(z) > 3)
+            if flag.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "event_id": pdf["event_id"].to_numpy()[flag].astype("int64"),
+                            "event_type": key[0],
+                            "value": np.round(vals[flag], 4),
+                            "z": np.round(z[flag], 4),
+                        }
+                    )
+                )
+            hist = [float(v) for v in s.to_numpy()[-50:]]
         state.update((hist,))
-        yield pd.DataFrame(out)
+        yield pd.concat(frames) if frames else pd.DataFrame(out)
 
     result = stream.groupBy("event_type").applyInPandasWithState(
         score,
