@@ -344,3 +344,36 @@ def q_fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(F.col("m"), "seg").alias("seg"),
         )
     )
+
+
+@register(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT p_partkey,
+           p_partkey & 255 AS and8,
+           p_partkey | 4096 AS or_hi,
+           xor(p_partkey, 1023) AS xor10,
+           (p_partkey & 15) << 2 AS shl,
+           p_partkey >> 3 AS shr,
+           CAST(bit_count(p_partkey) AS INT) AS popcnt
+    FROM part
+    WHERE p_size > 40
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator matrix over integer keys: AND/OR/XOR masks,
+    shifts, popcount - the primitives behind bitmap indexes, bloom
+    probes, and bit-packed flags (q_agg_bitmap_distinct and
+    q_join_bloom_prefilter build on exactly these). All codegen'd
+    integer ops; Spark `^` == DuckDB xor() (verified at build time),
+    bit_count returns INT on both engines after the cast."""
+    p = table(spark, sf_dir, "part")
+    return p.filter(F.col("p_size") > 40).select(
+        "p_partkey",
+        F.expr("p_partkey & 255").alias("and8"),
+        F.expr("p_partkey | 4096").alias("or_hi"),
+        F.expr("p_partkey ^ 1023").alias("xor10"),
+        F.expr("shiftleft(p_partkey & 15, 2)").alias("shl"),
+        F.expr("shiftright(p_partkey, 3)").alias("shr"),
+        F.bit_count("p_partkey").alias("popcnt"),
+    )

@@ -524,3 +524,93 @@ def q_embeddings_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mse"),
     ).orderBy("vec_id")
+
+
+# Compose the recall oracle from the already-registered exact and ANN
+# oracle SQL (single source of truth: a change to either pipeline's
+# oracle flows into the recall oracle automatically).
+from ..registry import ORACLES as _ORACLES  # noqa: E402
+
+RECALL_K = 3
+
+
+@register(
+    "q_sim_recall_eval",
+    oracle=f"""
+    WITH exact3 AS (
+      SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_sim DESC, cand_id) AS rn
+        FROM ({_ORACLES["q_sim_cosine_topk"]})
+      ) WHERE rn <= {RECALL_K}
+    ),
+    lsh3 AS (SELECT query_id, cand_id FROM ({_ORACLES["q_sim_ann_lsh"]})),
+    ivf3 AS (SELECT query_id, cand_id FROM ({_ORACLES["q_sim_ann_ivf"]})),
+    nq AS (SELECT count(DISTINCT query_id) AS n_queries FROM exact3),
+    m AS (
+      SELECT 'lsh' AS method, count(*) AS hits
+      FROM lsh3 JOIN exact3 USING (query_id, cand_id)
+      UNION ALL
+      SELECT 'ivf', count(*)
+      FROM ivf3 JOIN exact3 USING (query_id, cand_id)
+    )
+    SELECT method,
+           CAST({RECALL_K} AS BIGINT) AS k,
+           CAST(n_queries AS BIGINT) AS n_queries,
+           CAST(hits AS DOUBLE) / ({RECALL_K} * n_queries) AS recall
+    FROM m, nq
+    """,
+)
+def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@k of the two ANN paths against the exact
+    brute-force top-k - the instrumentation that turns 'LSH/IVF trade
+    recall for sub-quadratic cost' from an assertion into a number
+    (recorded per-corpus in docs/SCALING.md). Reuses the registered
+    q_sim_cosine_topk / q_sim_ann_lsh / q_sim_ann_ivf builders
+    verbatim on BOTH sides (the oracle embeds their oracle SQL as
+    derived tables), so the metric can never drift from the operators
+    it measures.
+
+    Scale shape: the expensive inputs are the measured pipelines
+    themselves; the recall join is |queries| x k rows - negligible -
+    and n_queries rides along as a broadcast 1-row aggregate (no
+    driver-side action).
+    """
+    exact3 = (
+        q_sim_cosine_topk(spark, sf_dir)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("cos_sim").desc(), F.col("cand_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= RECALL_K)
+        .select("query_id", "cand_id")
+    )
+    nq = exact3.agg(F.count_distinct("query_id").alias("n_queries"))
+
+    def hits(approx: DataFrame, name: str) -> DataFrame:
+        return (
+            approx.select("query_id", "cand_id")
+            .join(exact3, ["query_id", "cand_id"])
+            .agg(F.count("*").alias("hits"))
+            .select(F.lit(name).alias("method"), "hits")
+        )
+
+    m = hits(q_sim_ann_lsh(spark, sf_dir), "lsh").unionByName(
+        hits(q_sim_ann_ivf(spark, sf_dir), "ivf")
+    )
+    return m.crossJoin(F.broadcast(nq)).select(
+        "method",
+        F.lit(RECALL_K).cast("bigint").alias("k"),
+        F.col("n_queries").cast("bigint").alias("n_queries"),
+        # try_divide: NULL on an empty query set (DuckDB's x/0 is also
+        # NULL, so the empty-relation sweep matches; ANSI / would raise)
+        F.try_divide(
+            F.col("hits").cast("double"), RECALL_K * F.col("n_queries")
+        ).alias("recall"),
+    )

@@ -580,3 +580,144 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+REPETITION_TAU = 0.2
+SPAN_LEN = 8  # words per span for exact-substring dedup
+
+
+@register(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    b AS (
+      SELECT doc_id,
+             [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))] AS bg
+      FROM toks
+      WHERE len(t) >= 2
+    )
+    SELECT doc_id,
+           CAST(len(bg) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct,
+           1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS rep_ratio,
+           (1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)) > 0.2
+             AS flagged
+    FROM toks JOIN b USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (the Gopher 'repetition'
+    quality rule): fraction of word bigrams that are duplicates of an
+    earlier bigram in the SAME document, flagged above tau=0.2.
+    Looping/boilerplate text scores high and gets filtered before
+    training.
+
+    Scale shape: entirely MAP-ONLY - the bigram array, its distinct
+    count, and the ratio are per-row array expressions (no explode, no
+    shuffle, no state); at 100 TB this fuses into the document scan.
+    rep_ratio is an exact count ratio - unrounded per the
+    functions/exact.py rule.
+    """
+    d = table(spark, sf_dir, "documents")
+    t = _tokens()
+    bg = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i), F.element_at(t, i + 1)
+        ),
+    )
+    base = d.filter(F.size(t) >= 2).select(
+        "doc_id",
+        F.size(bg).cast("bigint").alias("n_bigrams"),
+        F.size(F.array_distinct(bg)).cast("bigint").alias("n_distinct"),
+    )
+    ratio = 1 - F.col("n_distinct").cast("double") / F.col("n_bigrams")
+    return base.select(
+        "doc_id",
+        "n_bigrams",
+        "n_distinct",
+        ratio.alias("rep_ratio"),
+        (ratio > REPETITION_TAU).alias("flagged"),
+    )
+
+
+@register(
+    "q_text_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    sp AS (
+      SELECT doc_id,
+             [array_to_string(list_slice(t, i, i + {SPAN_LEN - 1}), ' ')
+              FOR i IN range(1, len(t) - {SPAN_LEN - 2})] AS spans
+      FROM toks
+      WHERE len(t) >= {SPAN_LEN}
+    ),
+    inst AS (SELECT doc_id, unnest(spans) AS g FROM sp),
+    df AS (
+      SELECT g FROM inst GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    dupn AS (
+      SELECT i.doc_id, count(*) AS n_dup
+      FROM inst i JOIN df ON i.g = df.g
+      GROUP BY i.doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(spans) AS BIGINT) AS n_spans,
+           CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans,
+           CAST(coalesce(n_dup, 0) AS DOUBLE) / len(spans) AS dup_frac
+    FROM sp s LEFT JOIN dupn ON s.doc_id = dupn.doc_id
+    """,
+)
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-SPAN detection: for every document, how many
+    of its word-8-gram spans also occur in at least one OTHER
+    document - the per-doc measurement behind exact-substring dedup
+    (the 'remove duplicated 50-token spans' pretraining step; 8 words
+    here so the synthetic corpus has hits). Output: span count,
+    cross-doc duplicated-span count, duplicated fraction.
+
+    Scale shape: the classic inverted-index plan - spans are HASHED
+    to int64 before the shuffle (xxhash64; grouping by hash equals
+    grouping by span up to negligible collisions, and fixed-width
+    keys shuffle ~5x lighter than 8-word strings), document frequency
+    is one hash agg, and only spans with df >= 2 flow into the
+    count-back join. The per-doc span array is map-side; no quadratic
+    stage anywhere (same shape as q_dedup_exact scaled to spans).
+    """
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    t = _tokens()
+    spans = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (SPAN_LEN - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, SPAN_LEN))),
+    )
+    sp = d.filter(F.size(t) >= SPAN_LEN).select(
+        "doc_id", spans.alias("spans")
+    )
+    inst = sp.select("doc_id", F.explode("spans").alias("g"))
+    dup = (
+        inst.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("g")
+    )
+    dupn = (
+        inst.join(dup, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        sp.join(dupn, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("spans").cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+            (
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                / F.size("spans")
+            ).alias("dup_frac"),
+        )
+    )

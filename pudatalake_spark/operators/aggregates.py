@@ -517,3 +517,46 @@ def q_agg_hll_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("approx_union")
         ).alias("approx_both"),
     )
+
+
+@register(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct-user count per event type via a roaring-style
+    integer bitmap: word = user_id div 64, bit = 1 << (user_id mod
+    64); bit_or per (type, word), then sum(bit_count) per type.
+
+    This is the third point on the distinct-count design line next to
+    q_agg_count_distinct (exact, one dedup shuffle of raw keys) and
+    q_agg_hll_sketch (approximate, mergeable): for BOUNDED-INTEGER key
+    domains the bitmap is exact AND mergeable. Both aggregation levels
+    are associative/commutative, so partial aggregation collapses each
+    map partition to <= |types| x |id-range|/64 words before the
+    shuffle, the merged words are re-mergeable across partition sets
+    (store them per day, OR them per month - the sketch-store pattern
+    with zero error), and the shuffle carries 64 ids per bigint vs one
+    id per row for count(DISTINCT). The oracle checks exactness
+    against the real COUNT(DISTINCT) - no tolerance.
+    """
+    e = table(spark, sf_dir, "events")
+    words = (
+        e.select(
+            "event_type",
+            F.expr("user_id div 64").alias("w"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(user_id, 64) AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("event_type", "w")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+    return words.groupBy("event_type").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
+    )

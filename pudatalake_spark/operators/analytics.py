@@ -616,3 +616,107 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_purchases"))
         .orderBy("channel")
     )
+
+
+@register(
+    "q_events_transition",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, event_type,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                    AS DOUBLE) AS p
+    FROM c
+    """,
+)
+def q_events_transition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of the event stream: per user, order
+    events by (ts, event_id), pair each event with its predecessor
+    type via lag, then count transitions and normalize per source
+    state - P(next_type | prev_type). The behavioral-model shape
+    behind session analysis and next-action prediction.
+
+    Scale shape: ONE shuffle (window partition by user_id, the same
+    partitioning every per-user analytic here reuses); the transition
+    counts are a |types|^2-row aggregate, so the normalizing window
+    runs on a trivially small frame. p is an exact count ratio
+    (deterministic division, unrounded - functions/exact.py rule).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(F.count("*").alias("n"))
+    wp = Window.partitionBy("prev_type")
+    return c.select(
+        "prev_type",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(wp).cast("double")).alias("p"),
+    )
+
+
+@register(
+    "q_tpch_q3",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) on this schema: top-10 unshipped
+    BUILDING-segment orders by outstanding revenue as of 1996-03-15.
+    The canonical dim-filter + fact-fact star query.
+
+    Scale shape: the segment-filtered customer key set reaches the
+    orders scan as a BROADCAST SEMI join (customer contributes no
+    columns, only the predicate - a semi join ships just the key set
+    and lets AQE turn it into a runtime filter); orders x lineitem is
+    the one genuine shuffle, on the shared o_orderkey/l_orderkey key;
+    both date predicates push to the parquet scans. Top-10 via
+    TakeOrderedAndProject on the rounded revenue with o_orderkey
+    tie-break - rounding BEFORE ordering keeps the cut deterministic
+    and engine-independent.
+    """
+    t = load(spark, sf_dir)
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    o = (
+        t["orders"]
+        .filter(F.col("o_orderdate") < "1996-03-15")
+        .join(F.broadcast(cust), "o_custkey", "left_semi")
+    )
+    li = t["lineitem"].filter(F.col("l_shipdate") > "1996-03-15")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(10)
+    )

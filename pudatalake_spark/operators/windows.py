@@ -231,3 +231,41 @@ def q_win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "q_win_sliding_distinct",
+    oracle="""
+    WITH dd AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT d AS day FROM dd)
+    SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS u7
+    FROM days JOIN dd ON dd.d BETWEEN day - 6 AND day
+    GROUP BY day
+    """,
+)
+def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per active day (rolling DAU->WAU).
+    COUNT(DISTINCT) is not a window function in either engine - and at
+    scale a per-frame re-count would re-shuffle raw ids once per day -
+    so the sliding distinct is rewritten as COVERAGE: dedup to one row
+    per (day, user), explode each into the <= 7 window-END days it
+    contributes to (sequence(d, d+6)), and hash-aggregate distinct
+    users per window end. Expansion is bounded x7 AFTER the per-day
+    dedup, the join back to real days drops phantom ends past the
+    span, and everything is two hash aggs + one bounded explode - no
+    per-frame recomputation, no window state.
+    """
+    e = table(spark, sf_dir, "events")
+    dd = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = e.select(F.to_date("ts").alias("day")).distinct()
+    cover = dd.select(
+        F.explode(F.sequence(F.col("d"), F.date_add("d", 6))).alias("day"),
+        "user_id",
+    )
+    return (
+        cover.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("u7"))
+    )
