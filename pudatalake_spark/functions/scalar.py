@@ -377,3 +377,43 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("shiftright(p_partkey, 3)").alias("shr"),
         F.bit_count("p_partkey").alias("popcnt"),
     )
+
+
+@register(
+    "q_fn_url",
+    oracle=r"""
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.org/docs/' || lang || '/'
+               || doc_id || '?k=' || n_chars AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           regexp_extract(url, 'https?://([^/]+)', 1) AS host,
+           regexp_extract(url, '^https?://[^/?]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '\?(.*)$', 1) AS query,
+           regexp_extract(url, '[?&]k=([^&]*)', 1) AS k
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL construction + parse_url decomposition (host/path/query/
+    named query param) - the canonicalization primitive behind
+    URL-keyed web-corpus dedup. Spark's parse_url is JVM-side; the
+    oracle recomputes each component with conservative regexes
+    (equivalence pinned at build time for this URL shape).
+    """
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.org/docs/"),
+        F.col("lang"), F.lit("/"), F.col("doc_id").cast("string"),
+        F.lit("?k="), F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("k")).alias("k"),
+    )

@@ -291,3 +291,104 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(_hkey("doc_id") % 100 < rate).select(
         "doc_id", "lang", "source", "n_chars"
     )
+
+
+SAMPLE_K = 20
+
+
+@register(
+    "q_sample_fixed_k",
+    oracle=f"""
+    SELECT lang, doc_id, rk
+    FROM (
+      SELECT lang, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_hkey_sql("doc_id")}, doc_id) AS BIGINT) AS rk
+      FROM documents
+    )
+    WHERE rk <= {SAMPLE_K}
+    """,
+)
+def q_sample_fixed_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-k per-stratum sample (k=20 docs per lang):
+    rank every doc by its affine key hash within the stratum and keep
+    the first k - a reservoir-sample contract (uniform-ish, exactly k,
+    stable under re-runs and incremental backfill) with none of
+    reservoir sampling's RNG state. Complements q_sample_hash /
+    q_sample_stratified (RATE-based): quotas come out exact, which is
+    what eval-set carving and per-source caps actually need.
+
+    Scale shape: one window per stratum; at 100 TB swap the full-sort
+    window for a per-partition top-k + merge of k-sized heaps (the
+    TakeOrderedAndProject pattern per group) - rank-by-hash semantics
+    identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_hkey("doc_id"), F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_K)
+    )
+
+
+BFD_CAP = 512  # bin capacity in tokens
+BFD_SHARDS = 8
+
+
+@register("q_pack_bestfit")  # algorithmic packing -> rows-only + pinned tests
+def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing: within each hash shard,
+    sort docs by token count descending and place each into the
+    FULLEST open bin it fits (capacity 512 tokens), opening a new bin
+    otherwise - the classic BFD bin-packing heuristic (<= 11/9 OPT+1
+    bins), a tighter packer than q_pack_sequences' greedy cumsum cut
+    (which leaves the capacity gap wherever the cumsum happens to
+    cross). Output: one row per doc with its shard, bin and fill.
+
+    BFD is inherently sequential WITHIN a bin set, so the 100 TB form
+    shards first (deterministic key hash) and runs the quadratic-free
+    local pack per shard via applyInPandas - bounded state (open-bin
+    fill array), no global sort, no driver involvement; exactly the
+    q_pack_sequences_sharded decomposition with a better local
+    packer. Deterministic (sort key (tokens DESC, doc_id), best-fit
+    tie -> lowest bin id) but not SQL-expressible -> rows-only; the
+    pytest pins it against a pure-Python reference and checks the
+    capacity/bin-count invariants vs greedy.
+    """
+    import pandas as pd
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+        (_hkey("doc_id") % BFD_SHARDS).cast("int").alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tok", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bin_ids: list[int] = []
+        for t in pdf["n_tok"]:
+            t = int(t)
+            # best fit: fullest bin that still takes t; ties -> lowest id
+            best, best_fill = -1, -1
+            for i, f in enumerate(fills):
+                if f + t <= BFD_CAP and f > best_fill:
+                    best, best_fill = i, f
+            if best < 0:
+                best = len(fills)
+                fills.append(0)
+            fills[best] += t
+            bin_ids.append(best)
+        out = pdf[["doc_id", "shard", "n_tok"]].copy()
+        out["bin_id"] = bin_ids
+        out["bin_fill"] = [fills[b] for b in bin_ids]
+        return out
+
+    schema = (
+        "doc_id long, shard int, n_tok int, bin_id int, bin_fill int"
+    )
+    return toks.groupBy("shard").applyInPandas(pack, schema=schema)
