@@ -64,6 +64,12 @@ HEADLINE = [
     "q_text_tokenize_wordcount",
     "q_merge_upsert",         # CDC MERGE: anti join + union (added r1-end)
     "q_scd2_build",           # SCD2 gaps-and-islands windows (added r1-end)
+    # r5 breadth (VERDICT r4 #7): one representative per r4-added
+    # family so round-over-round tracking covers them. Baselines for
+    # these two start at the r5 recording in BASELINE.md (the driver's
+    # BENCH_r04 timed only the original 16).
+    "q_join_bloom_prefilter", # Bloom bitmap build + pushed probe filter
+    "q_events_anomaly",       # bounded-frame rolling z-score window
 ]
 
 # Side-effecting sink/ingest ops are excluded from --all timing: they

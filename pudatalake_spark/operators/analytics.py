@@ -488,9 +488,10 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_events_anomaly",
-    oracle="""
+# Shared by q_events_anomaly and its chunk-parallel twin: both produce
+# the SAME rows (identical 51-row frames in identical order -> identical
+# IEEE doubles), so both hash-match the same oracle.
+_ANOMALY_ORACLE = """
     WITH scored AS (
       SELECT event_id, event_type, value,
              avg(value) OVER w AS mu,
@@ -506,8 +507,10 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM scored
     WHERE n_hist >= 30 AND sd > 0 AND abs((value - mu) / sd) > 3
     ORDER BY event_id
-    """,
-)
+    """
+
+
+@register("q_events_anomaly", oracle=_ANOMALY_ORACLE)
 def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-style anomaly detection as a batch analytic: per
     event type, each event's value is z-scored against the ROLLING
@@ -517,10 +520,14 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     and therefore the score - is fully deterministic in both engines.
 
     Scale shape: one shuffle on event_type, then a sorted running
-    frame per partition - identical profile to the sessionization
-    window ops. Skewed types are bounded by the 51-row frame (state
-    is O(frame), not O(partition)). The streaming twin of this shape
-    is s_stateful_running's arbitrary-state loop.
+    frame per partition. Frame STATE is O(51), but the partition key
+    has only |event_type| values, so the per-partition SORT runs in
+    one task each - fine here (and what the streaming twin
+    s_anomaly_score mirrors), but a scale hazard when a single type
+    holds billions of rows. The 100 TB form is
+    q_events_anomaly_chunked below: identical output (same oracle,
+    hash-matched), with the window split over time buckets plus a
+    50-row carry-in so no task ever sorts more than a bucket.
     """
     e = table(spark, sf_dir, "events")
     w = (
@@ -719,4 +726,142 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(10)
+    )
+
+
+ANOMALY_FRAME = 50
+ANOMALY_BUCKET_US = 86_400 * 1_000_000  # one-day chunks
+
+
+@register("q_events_anomaly_chunked", oracle=_ANOMALY_ORACLE)
+def q_events_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_events_anomaly re-planned for 100 TB: the same 50-predecessor
+    z-score frames, computed with BOUNDED tasks. The plain form
+    partitions the window by event_type alone - |types| tasks, each
+    sorting its ENTIRE type - which is exactly what does not survive a
+    billion-row type. This operator chunks the window by time bucket
+    with an overlap carry-in (the standard overlapping-window
+    decomposition):
+
+      1. bucket every event into day b = unix_micros(ts) div 1d; count
+         rows per (type, b) and the running count of all EARLIER
+         buckets - a tiny aggregate (|types| x |days| rows).
+      2. carry map (type, src_b -> dst_b): src bucket rows can be
+         frame-predecessors of dst bucket rows iff the row gap between
+         src's end and dst's start is < 50. Built by a self-join of
+         the tiny count table; broadcastable at any data size.
+      3. a src row is carried into dst iff rows_after_it_in_src +
+         rows_between < 50 (reverse rank via a per-bucket window -
+         bounded task). Each boundary replicates <= 50 rows per
+         reachable bucket.
+      4. union carried rows (tagged) with own rows, run the SAME
+         51-row frame inside (type, bucket), drop the carried rows.
+
+    Every row's frame holds exactly its true 50 predecessors in the
+    true order (all stream rows between the oldest carry row and the
+    scored row are present), so the aggregate accumulates the same
+    doubles in the same order as the single-window plan - the output
+    hash-matches the SAME oracle, which is the proof the
+    decomposition is sound. Parallelism goes from |types| tasks to
+    |types| x |buckets|; at sf0.1 that is 5 -> ~150.
+    """
+    e = table(spark, sf_dir, "events")
+    ev = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.expr(f"unix_micros(ts) div {ANOMALY_BUCKET_US}").alias("b"),
+    )
+    counts = ev.groupBy("event_type", "b").agg(F.count("*").alias("cnt"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = counts.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(wc), F.lit(0))
+    )
+    src = cum.select(
+        "event_type",
+        F.col("b").alias("src_b"),
+        F.col("cnt").alias("src_cnt"),
+        F.col("cum_before").alias("src_cum"),
+    )
+    dst = cum.select(
+        "event_type", F.col("b").alias("dst_b"), F.col("cum_before").alias("dst_cum")
+    )
+    carry_map = (
+        src.join(dst, "event_type")
+        .filter(
+            (F.col("dst_b") > F.col("src_b"))
+            & (
+                F.col("dst_cum") - (F.col("src_cum") + F.col("src_cnt"))
+                < ANOMALY_FRAME
+            )
+        )
+        .select(
+            "event_type",
+            "src_b",
+            "dst_b",
+            (F.col("dst_cum") - F.col("src_cum") - F.col("src_cnt")).alias(
+                "rows_between"
+            ),
+        )
+    )
+    wr = Window.partitionBy("event_type", "b").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.withColumn("rows_after", F.row_number().over(wr) - 1)
+    carries = (
+        ranked.withColumnRenamed("b", "src_b")
+        .join(F.broadcast(carry_map), ["event_type", "src_b"])
+        .filter(F.col("rows_after") + F.col("rows_between") < ANOMALY_FRAME)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            "ts",
+            F.col("dst_b").alias("part_b"),
+            F.lit(1).alias("is_carry"),
+        )
+    )
+    own = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.col("b").alias("part_b"),
+        F.lit(0).alias("is_carry"),
+    )
+    aug = own.unionByName(carries)
+    w = (
+        Window.partitionBy("event_type", "part_b")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_FRAME, -1)
+    )
+    scored = aug.select(
+        "event_id",
+        "event_type",
+        "value",
+        "is_carry",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    return (
+        scored.filter(
+            (F.col("is_carry") == 0)
+            & (F.col("n_hist") >= 30)
+            & (F.col("sd") > 0)
+            & (F.abs(z) > 3)
+        )
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_id")
     )
