@@ -618,9 +618,12 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, and the ratio are per-row array expressions (no explode, no
     shuffle, no state); at 100 TB this fuses into the document scan.
     rep_ratio is an exact count ratio - unrounded per the
-    functions/exact.py rule.
+    functions/exact.py rule. (Map-only still needs map PARALLELISM:
+    the single-file local fixture is one split, so spread() fans the
+    scan out before the interpreted array work - a no-op on a real
+    multi-split lake scan.)
     """
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
     t = _tokens()
     bg = F.transform(
         F.sequence(F.lit(1), F.size(t) - 1),
@@ -628,9 +631,13 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(t, i), F.element_at(t, i + 1)
         ),
     )
+    # n_bigrams == size(t) - 1 by construction: higher-order array
+    # expressions are interpreted (no codegen, no common-subexpression
+    # elimination), so building bg once instead of twice per row
+    # halves the per-row cost (measured 2.8s -> 1.5s at sf0.1).
     base = d.filter(F.size(t) >= 2).select(
         "doc_id",
-        F.size(bg).cast("bigint").alias("n_bigrams"),
+        (F.size(t) - 1).cast("bigint").alias("n_bigrams"),
         F.size(F.array_distinct(bg)).cast("bigint").alias("n_distinct"),
     )
     ratio = 1 - F.col("n_distinct").cast("double") / F.col("n_bigrams")

@@ -139,6 +139,42 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [],
         "mergeable sketches: partial build + union-merge, no raw re-scan for the union row",
     ),
+    "q_tpch_q3": (
+        [r"BroadcastHashJoin LeftSemi",
+         r"PushedFilters: \[IsNotNull\(l_shipdate\), GreaterThan"],
+        [r"CartesianProduct"],
+        "segment dim filter reaches orders as a broadcast semi join; both date predicates push to the scans",
+    ),
+    "q_agg_bitmap_distinct": (
+        [r"partial_bit_or", r"Exchange"],
+        [r"Window", r"expand"],
+        "bitmap words are a two-phase mergeable bit_or agg - no expand-based distinct, no window",
+    ),
+    "q_win_sliding_distinct": (
+        # The sliding COUNT(DISTINCT) must be the coverage rewrite:
+        # an explode (Generate) into window-end days, never a per-day
+        # window re-count.
+        [r"explode\(sequence", r"partial_count"],
+        [r"Window"],
+        "sliding distinct = bounded coverage explode + hash agg, not a window frame",
+    ),
+    "q_text_span_dedup": (
+        [r"xxhash64", r"partial_count"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "spans are hashed before the shuffle; df agg is two-phase; all JVM-side",
+    ),
+    "q_sample_fixed_k": (
+        [r"WindowGroupLimit"],
+        [],
+        "rank<=k pushes into the shuffle as a group limit - only k rows per stratum survive the exchange",
+    ),
+    "q_events_anomaly_chunked": (
+        # The carry map must broadcast; the window partitions on
+        # (type, bucket) - the whole point is bounded sort tasks.
+        [r"BroadcastHashJoin", r"Window", r"Union"],
+        [r"CartesianProduct"],
+        "overlap carry-in joins via broadcast; frames run per (type, bucket)",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
@@ -148,7 +184,7 @@ UDF_KEYS = {
     "udf_pandas_agg", "udtf_python", "q_multimodal_decode",
     "q_multimodal_decode_real", "q_multimodal_resize",
     "q_multimodal_audio_features", "q_multimodal_framesample",
-    "s_stateful_running",
+    "s_stateful_running", "q_pack_bestfit",
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
