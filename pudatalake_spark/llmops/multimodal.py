@@ -475,3 +475,79 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     mm = d.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
     return mm.mapInPandas(sample, schema=schema)
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("bits_set", T.IntegerType()),
+    ]
+)
+
+
+def phash_from_pixels(pixels) -> int:
+    """64-bit blockmean average hash (aHash) of an RGB raster: gray =
+    channel mean, 8x8 block means over integer block edges, bit k set
+    iff block k's mean > the global block mean. Pure numpy; shared by
+    the operator worker and the pinned test."""
+    import numpy as np
+
+    gray = pixels.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    re = (np.arange(9) * h) // 8
+    ce = (np.arange(9) * w) // 8
+    blocks = np.empty((8, 8), dtype=np.float64)
+    for r in range(8):
+        for c in range(8):
+            blocks[r, c] = gray[re[r]:re[r + 1], ce[c]:ce[c + 1]].mean()
+    mean = blocks.mean()
+    bits = (blocks > mean).reshape(-1)
+    v = 0
+    for k in range(64):
+        if bits[k]:
+            v |= 1 << k
+    return v - (1 << 64) if v >= (1 << 63) else v  # two's-complement bigint
+
+
+def _phash_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from . import codecs
+
+    for pdf in batches:
+        rows = {"doc_id": [], "phash": [], "bits_set": []}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = 16 + doc_id % 16, 8 + doc_id % 8
+            idx = np.arange(w * h * 3, dtype=np.int64)
+            img = ((doc_id * 3 + idx) % 256).astype(np.uint8).reshape(h, w, 3)
+            dec = codecs.decode(codecs.encode_png(img))["pixels"]
+            ph = phash_from_pixels(dec)
+            rows["doc_id"].append(doc_id)
+            rows["phash"].append(ph)
+            rows["bits_set"].append(bin(ph & ((1 << 64) - 1)).count("1"))
+        yield pd.DataFrame(rows)
+
+
+@register("q_multimodal_phash")  # hash-valued -> rows-only + pinned test
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hash (64-bit blockmean aHash) computed from
+    the REAL decoded raster: encode the closed-form PNG, decode it
+    with codecs.py, grayscale, 8x8 block means, threshold against the
+    global mean. The image fingerprint that makes image near-dup
+    dedup a q_dedup_simhash problem - band the 64-bit phash exactly
+    as that operator bands SimHash (4x16-bit pigeonhole for
+    hamming<=3) and the whole text-dedup machinery transfers to
+    images unchanged.
+
+    Rows-only (hash-valued); tests/test_codecs.py pins the hash
+    against a pure-numpy recomputation from the closed-form raster,
+    so a codec or blocking bug flips the pin, not just the bench.
+
+    Scale shape: map-only Arrow-batched decode+hash on executors;
+    only (doc_id, 64-bit hash) rows ever shuffle - the payload-never-
+    moves rule multimodal.py's header declares."""
+    d = table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return docs.mapInPandas(_phash_worker, schema=_PHASH_SCHEMA)

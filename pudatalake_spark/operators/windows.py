@@ -269,3 +269,68 @@ def q_win_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.countDistinct("user_id").cast("bigint").alias("u7"))
     )
+
+
+EWMA_ALPHA = 0.25
+EWMA_TAPS = 16
+
+
+@register(
+    "q_win_ewma",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_id, user_id, value,
+             {", ".join(
+                 f"lag(value, {k}) OVER (PARTITION BY user_id "
+                 f"ORDER BY ts, event_id) AS x{k}"
+                 for k in range(EWMA_TAPS)
+             )}
+      FROM events
+    )
+    SELECT event_id, user_id, value,
+           round((
+             {" + ".join(
+                 f"coalesce(x{k}, 0) * {EWMA_ALPHA * (1 - EWMA_ALPHA) ** k!r}"
+                 for k in range(EWMA_TAPS)
+             )}
+           ) / (
+             {" + ".join(
+                 f"(CASE WHEN x{k} IS NOT NULL THEN {EWMA_ALPHA * (1 - EWMA_ALPHA) ** k!r} ELSE 0 END)"
+                 for k in range(EWMA_TAPS)
+             )}
+           ), 6) AS ewma
+    FROM s
+    """,
+)
+def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event
+    values (alpha=0.25), expressed as a 16-tap FIR filter: ewma_i =
+    sum_k w_k x_{{i-k}} / sum_k w_k over the AVAILABLE taps (pandas
+    ewm(adjust=True) semantics), with w_k = a(1-a)^k. The IIR
+    recurrence (y_i = a x_i + (1-a) y_{{i-1}}) cannot be a window
+    function in either engine - it references its own output - but
+    truncating at 16 taps bounds the tail error at (1-a)^16 < 1%,
+    which the shared normalization absorbs entirely for steady
+    series.
+
+    Plan shape: ONE window pass producing 16 lag columns (lags over
+    the same (partition, order) share a single sort), then a map-only
+    weighted sum. Both engines evaluate the identical left-folded
+    expression with identical literal weights, so results match to
+    the 6-dp round. Scale: per-user partitions, bounded 16-value
+    frame lookback, no state beyond the sort."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w).alias(f"x{k}") for k in range(EWMA_TAPS)]
+    s = e.select("event_id", "user_id", "value", *lags)
+    num = None
+    den = None
+    for k in range(EWMA_TAPS):
+        wk = F.lit(EWMA_ALPHA * (1 - EWMA_ALPHA) ** k)
+        nk = F.coalesce(F.col(f"x{k}"), F.lit(0.0)) * wk
+        dk = F.when(F.col(f"x{k}").isNotNull(), wk).otherwise(F.lit(0.0))
+        num = nk if num is None else num + nk
+        den = dk if den is None else den + dk
+    return s.select(
+        "event_id", "user_id", "value", F.round(num / den, 6).alias("ewma")
+    )

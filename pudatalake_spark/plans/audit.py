@@ -184,7 +184,7 @@ UDF_KEYS = {
     "udf_pandas_agg", "udtf_python", "q_multimodal_decode",
     "q_multimodal_decode_real", "q_multimodal_resize",
     "q_multimodal_audio_features", "q_multimodal_framesample",
-    "s_stateful_running", "q_pack_bestfit",
+    "s_stateful_running", "q_pack_bestfit", "q_multimodal_phash",
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
