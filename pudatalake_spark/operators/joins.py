@@ -651,3 +651,87 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("d_seg").alias("seg"), "n_customers")
         .orderBy(F.col("seg").asc_nulls_first())
     )
+
+
+ASOF_NEAREST_TOL_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, n.click_id, n.cts AS click_ts,
+           CAST(n.adiff AS BIGINT) AS diff_us
+    FROM p LEFT JOIN LATERAL (
+      SELECT click_id, cts, abs(epoch_us(cts - p.ts)) AS adiff
+      FROM c
+      WHERE c.user_id = p.user_id
+        AND abs(epoch_us(cts - p.ts)) <= {ASOF_NEAREST_TOL_US}
+      ORDER BY adiff, cts, click_id DESC
+      LIMIT 1
+    ) n ON true
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join: each purchase matched to the closest click
+    of the same user within +-1 hour, in EITHER direction (pandas
+    merge_asof direction='nearest'); ties by absolute distance prefer
+    the earlier (backward) click, then the larger click_id.
+
+    Built as TWO passes of the one-shuffle asof_join utility -
+    backward as-is, forward by negating the time axis (earliest
+    click >= t under negation IS latest <= -t) - then a map-only
+    pick of the nearer match. Cost: 2 x (one shuffle + one sort),
+    never a candidate-pair range join; the oracle is the quadratic
+    LATERAL formulation with the identical tie rule.
+    """
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t_us")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+    )
+    tol = F.lit(ASOF_NEAREST_TOL_US)
+    back = asof_join(
+        p, c, on="user_id", left_ts="t_us", right_ts="c_us",
+        payload=["click_id"], tolerance=tol,
+    ).select(
+        "event_id",
+        F.col("click_id").alias("b_click"),
+        F.col("c_us_matched").alias("b_cus"),
+    )
+    fwd = asof_join(
+        p.select("event_id", "user_id", (-F.col("t_us")).alias("nt_us")),
+        c.select("user_id", "click_id", (-F.col("c_us")).alias("nc_us")),
+        on="user_id", left_ts="nt_us", right_ts="nc_us",
+        payload=["click_id"], tolerance=tol,
+    ).select(
+        "event_id",
+        F.col("click_id").alias("f_click"),
+        (-F.col("nc_us_matched")).alias("f_cus"),
+    )
+    j = p.join(back, "event_id").join(fwd, "event_id")
+    b_diff = F.col("t_us") - F.col("b_cus")
+    f_diff = F.col("f_cus") - F.col("t_us")
+    take_back = F.col("b_cus").isNotNull() & (
+        F.col("f_cus").isNull() | (b_diff <= f_diff)
+    )
+    click_id = F.when(take_back, F.col("b_click")).otherwise(F.col("f_click"))
+    click_us = F.when(take_back, F.col("b_cus")).otherwise(F.col("f_cus"))
+    diff = F.when(take_back, b_diff).otherwise(f_diff)
+    return j.select(
+        "event_id",
+        "user_id",
+        click_id.alias("click_id"),
+        F.timestamp_micros(click_us).alias("click_ts"),
+        diff.cast("bigint").alias("diff_us"),
+    )

@@ -12,6 +12,15 @@ lives in the executor state store, keyed and partitioned by the
 grouping key; watermarks bound state size by evicting windows older
 than max(event time) - delay. Checkpointing makes restarts
 exactly-once.
+
+API note (probed 2026-08-14): Spark 4's transformWithStateInPandas
+(the successor arbitrary-state API: typed ValueState/ListState,
+timers, RocksDB-backed) initializes a protobuf-based driver worker;
+this container lacks ``google.protobuf``, so the TWS runner crashes
+at init (STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE). The
+arbitrary-state operators here therefore use applyInPandasWithState,
+which carries the same state-bound guarantees without the protobuf
+dependency; swap to TWS where the runtime has it.
 """
 
 from __future__ import annotations
