@@ -865,3 +865,121 @@ def q_events_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "q_events_rfm",
+    oracle="""
+    WITH anchor AS (SELECT max(CAST(ts AS DATE)) AS a FROM events),
+    base AS (
+      SELECT user_id,
+             date_diff('day', max(CAST(ts AS DATE)), any_value(a))
+               AS recency_days,
+             count(*) AS frequency,
+             round(sum(value), 4) AS monetary
+      FROM events, anchor
+      WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    scored AS (
+      SELECT *,
+             ntile(4) OVER (ORDER BY recency_days, user_id) AS r,
+             ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f,
+             ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m
+      FROM base
+    )
+    SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(frequency AS BIGINT) AS frequency, monetary,
+           'R' || r || 'F' || f || 'M' || m AS segment
+    FROM scored
+    """,
+)
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary) of purchase
+    behavior: days since last purchase vs the corpus anchor date,
+    purchase count, purchase volume, each quartiled (ntile ties broken
+    by user_id so both engines cut identically), concatenated into
+    the classic 'R1F2M3' segment label.
+
+    Scale shape: one purchase-filtered agg per user; the anchor date
+    is an in-plan 1-row aggregate (broadcast, no driver action). The
+    ntile windows are global single-partition sorts over USER-level
+    rows - fine while users << events; at extreme user counts swap
+    ntile for approx_percentile cutoffs broadcast into a map-only
+    bucket lookup (same labels, no global sort).
+    """
+    e = table(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("a"))
+    base = (
+        e.filter(F.col("event_type") == "purchase")
+        .crossJoin(F.broadcast(anchor))
+        .groupBy("user_id")
+        .agg(
+            F.datediff(F.any_value("a"), F.max(F.to_date("ts"))).alias(
+                "recency_days"
+            ),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("value"), 4).alias("monetary"),
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
+    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+    return base.select(
+        "user_id",
+        F.col("recency_days").cast("bigint").alias("recency_days"),
+        F.col("frequency").cast("bigint").alias("frequency"),
+        "monetary",
+        F.concat(
+            F.lit("R"), r.cast("string"),
+            F.lit("F"), f.cast("string"),
+            F.lit("M"), m.cast("string"),
+        ).alias("segment"),
+    )
+
+
+@register(
+    "q_win_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    grp AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS g
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, g, count(*) AS len FROM grp GROUP BY user_id, g
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks
+    GROUP BY user_id
+    """,
+)
+def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user - the classic
+    gaps-and-islands identity: among a user's DISTINCT active days,
+    day - row_number(day) is constant exactly within a consecutive
+    run, so one window plus two aggregates finds every streak.
+
+    Scale shape: the per-day dedup collapses events to (user, day)
+    first (<= 30 rows/user here), then one user-partitioned window
+    over that tiny frame - same partitioning as every per-user
+    analytic, no self-join, no sequence explode.
+    """
+    e = table(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("g"),
+    )
+    streaks = grp.groupBy("user_id", "g").agg(F.count("*").alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("longest_streak"),
+        F.sum("len").cast("bigint").alias("active_days"),
+    )
