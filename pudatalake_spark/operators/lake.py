@@ -361,3 +361,99 @@ def q_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day", "event_type")
         .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
     )
+
+
+@register(
+    "q_diag_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey, count(*) AS n_rows
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (SELECT sum(n_rows) AS total, count(*) AS n_keys FROM per_key),
+    ranked AS (
+      SELECT l_suppkey, n_rows,
+             row_number() OVER (ORDER BY n_rows DESC, l_suppkey) AS rk
+      FROM per_key
+    )
+    SELECT rk, l_suppkey, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_rows AS DOUBLE) / total AS share,
+           round(CAST(n_rows AS DOUBLE) * n_keys / total, 4) AS skew_factor
+    FROM ranked, tot
+    WHERE rk <= 10
+    """,
+)
+def q_diag_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic for a prospective join/agg key: the 10
+    heaviest l_suppkey groups with their share of all rows and their
+    skew factor (rows / mean-rows-per-key; ~1 = uniform, >> 1 = the
+    keys that make a shuffle partition straggle). This is the
+    measurement that decides between a plain shuffle join, a salted
+    join (q_join_skew_salted), or AQE skew splitting - run it BEFORE
+    the 100 TB job, on a sample or the full table.
+
+    Plan shape: one two-phase count agg (the same work the shuffle
+    itself would do, so the diagnostic is never more expensive than
+    one pass), totals ride along as a broadcast 1-row aggregate,
+    top-10 via rank filter.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count("*").alias("n_rows"))
+    tot = per_key.agg(
+        F.sum("n_rows").alias("total"), F.count("*").alias("n_keys")
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_rows").desc(), F.col("l_suppkey"))
+    )
+    return (
+        per_key.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "l_suppkey",
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows").cast("double") / F.col("total")).alias("share"),
+            F.round(
+                F.col("n_rows").cast("double") * F.col("n_keys") / F.col("total"),
+                4,
+            ).alias("skew_factor"),
+        )
+    )
+
+
+@register("q_lake_manifest")  # paths are environment-local -> rows-only
+def q_lake_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake file manifest from the scan's hidden ``_metadata`` struct
+    (file path / size / modification time) - the table-maintenance
+    view behind compaction planning (q_compact_small_files sizes its
+    output from exactly this): rows and bytes per physical file, plus
+    each file's share of the table.
+
+    Plan shape: metadata columns are populated by the scan itself -
+    no extra I/O pass; one small agg per file. Rows-only (paths are
+    machine-local), but deterministic per environment."""
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet")
+    per_file = (
+        li.select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.file_size").alias("file_size"),
+        )
+        .groupBy("file_name", "file_size")
+        .agg(F.count("*").alias("n_rows"))
+    )
+    tot = per_file.agg(F.sum("n_rows").alias("total_rows"))
+    return (
+        per_file.crossJoin(F.broadcast(tot))
+        .select(
+            "file_name",
+            F.col("file_size").cast("bigint").alias("file_size"),
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            (F.col("n_rows").cast("double") / F.col("total_rows")).alias(
+                "row_share"
+            ),
+        )
+        .orderBy("file_name")
+    )
