@@ -614,3 +614,78 @@ def q_sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hits").cast("double"), RECALL_K * F.col("n_queries")
         ).alias("recall"),
     )
+
+
+@register(
+    "q_sim_centroid",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pos AS (
+      -- parallel unnest zips the value list with its 1-based index
+      -- (DuckDB 1.0 has no WITH ORDINALITY)
+      SELECT vec_id, label, unnest(v) AS x,
+             unnest(range(1, len(v) + 1)) AS pos
+      FROM e
+    ),
+    cent AS (
+      SELECT label, pos, avg(x) AS c
+      FROM pos GROUP BY label, pos
+    ),
+    cvec AS (
+      SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           round({_duck_cos("e.v", "cvec.cv")}, 6) AS cos_to_centroid,
+           round({_duck_cos("e.v", "cvec.cv")}, 6) < 0.2 AS outlier
+    FROM e JOIN cvec ON e.label = cvec.label
+    """,
+)
+def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality / outlier scoring: per-label mean vector
+    (centroid), then every vector's cosine to its own centroid, with
+    a low-similarity outlier flag - the mislabel/contamination miner
+    for embedding datasets.
+
+    Plan shape: centroids via posexplode -> (label, pos) avg -> one
+    64-dim array re-assembled per label (array_agg sorted by pos) -
+    a two-phase agg over dims x labels rows, NEVER a vector-x-vector
+    pairwise pass; the 10 centroid rows broadcast back. DuckDB
+    recomputes with unnest WITH ORDINALITY (1-based pos on both
+    sides via posexplode pos + 1).
+    """
+    e = _with_norm(
+        spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", "label", _vd("embedding").alias("v")
+        )
+    )
+    pos = e.select(
+        "label", F.posexplode("v").alias("pos", "x")
+    ).withColumn("pos", F.col("pos") + 1)
+    cent = pos.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cvec = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("c")))
+                ),
+                lambda s: s.getField("c"),
+            ).alias("cv")
+        )
+        .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        .withColumnRenamed("label", "c_label")
+    )
+    cos = _cos_pre(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn"))
+    return (
+        e.join(F.broadcast(cvec), F.col("label") == F.col("c_label"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cos, 6).alias("cos_to_centroid"),
+            (F.round(cos, 6) < 0.2).alias("outlier"),
+        )
+    )

@@ -728,3 +728,53 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# Composite filter: reuse the registered signal operators' oracle SQL
+# as derived tables (single source of truth, like q_sim_recall_eval).
+from ..registry import ORACLES as _T_ORACLES  # noqa: E402
+
+
+@register(
+    "q_text_cc_quality",
+    oracle=f"""
+    WITH q AS ({_T_ORACLES["q_text_quality"]}),
+    r AS ({_T_ORACLES["q_text_repetition"]})
+    SELECT q.doc_id,
+           q.quality_ok = 1 AS len_ok,
+           NOT r.flagged AS rep_ok,
+           (q.quality_ok = 1 AND NOT r.flagged) AS keep,
+           CASE WHEN q.quality_ok = 0 THEN 'length'
+                WHEN r.flagged THEN 'repetition'
+                ELSE 'ok' END AS reason
+    FROM q JOIN r ON q.doc_id = r.doc_id
+    """,
+)
+def q_text_cc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pretraining-filter verdict (the CCNet/Gopher rule
+    STACK): length/token-density gate AND within-doc repetition gate,
+    with a keep/drop decision and the FIRST failing rule as the
+    reason - the auditable form a data pipeline needs (how much did
+    each rule remove?). Composed from the registered q_text_quality
+    and q_text_repetition builders on the Spark side and from their
+    oracle SQL as derived tables on the DuckDB side, so the composite
+    can never drift from its components.
+
+    Scale: both inputs are map-only scans; the join is doc_id-keyed
+    (co-partitioned after AQE); add further gates (langid confidence,
+    LM score) as extra conjuncts with reasons in precedence order.
+    """
+    q = q_text_quality(spark, sf_dir).select("doc_id", "quality_ok")
+    r = q_text_repetition(spark, sf_dir).select("doc_id", "flagged")
+    len_ok = F.col("quality_ok") == 1
+    rep_ok = ~F.col("flagged")
+    return q.join(r, "doc_id").select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        rep_ok.alias("rep_ok"),
+        (len_ok & rep_ok).alias("keep"),
+        F.when(~len_ok, "length")
+        .when(F.col("flagged"), "repetition")
+        .otherwise("ok")
+        .alias("reason"),
+    )

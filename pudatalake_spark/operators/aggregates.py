@@ -560,3 +560,39 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return words.groupBy("event_type").agg(
         F.sum(F.bit_count("bits")).cast("bigint").alias("n_users")
     )
+
+
+@register(
+    "q_agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+             AS w_avg_price,
+           round(sum(l_quantity * l_discount) / sum(l_quantity), 6)
+             AS w_avg_discount,
+           CAST(sum(l_quantity) AS DOUBLE) AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted averages (quantity-weighted price and discount per
+    return flag) - the form every unit-mix-corrected metric takes.
+    Expressed as ratios of plain SUMs, so the whole thing is one
+    two-phase codegen'd hash agg (no UDAF, no window); both engines
+    compute identical double sums in scan order up to the 6-dp round.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("w_avg_price"),
+        F.round(
+            F.sum(F.col("l_quantity") * F.col("l_discount"))
+            / F.sum("l_quantity"),
+            6,
+        ).alias("w_avg_discount"),
+        F.sum("l_quantity").cast("double").alias("total_weight"),
+    )

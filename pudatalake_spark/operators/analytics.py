@@ -983,3 +983,94 @@ def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("len").cast("bigint").alias("longest_streak"),
         F.sum("len").cast("bigint").alias("active_days"),
     )
+
+
+@register(
+    "q_events_session_path",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts, event_type,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us,
+             epoch_us(ts) AS ts_us
+      FROM events
+    ),
+    sessions AS (
+      SELECT *,
+             sum(CASE WHEN prev_us IS NULL
+                        OR ts_us - prev_us > 1800000000
+                      THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      FROM ordered
+    ),
+    paths AS (
+      SELECT user_id, sess,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sessions GROUP BY user_id, sess
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 10
+    """,
+)
+def q_events_session_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 most common SESSION PATHS: sessionize with the shared
+    30-minute-gap rule (identical to q_stream_session's lag/cumsum
+    formulation), concatenate each session's event types in
+    (ts, event_id) order into a 'view>click>purchase' path string,
+    count paths. The product-analytics view of behavior that funnels
+    (fixed stage order) and transition matrices (one hop) cannot
+    show.
+
+    Order inside the path is made deterministic WITHOUT an ORDER BY
+    inside an aggregate (Spark has none): collect structs keyed by
+    (ts, event_id), array_sort, project the type field - same result
+    as DuckDB's string_agg(... ORDER BY). Scale: the session window
+    reuses the one user_id shuffle; path strings are bounded by
+    session length; top-10 via TakeOrderedAndProject.
+    """
+    from ..streaming.batch_windows import SESSION_GAP_US
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.when(
+            F.lag(F.unix_micros("ts")).over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+                > SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.withColumn("sess", F.sum("is_new").over(run))
+    paths = sessions.groupBy("user_id", "sess").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("ts"), F.col("event_id"), F.col("event_type"))
+                    )
+                ),
+                lambda s: s.getField("event_type"),
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
