@@ -765,13 +765,23 @@ def q_events_anomaly_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     decomposition is sound. Parallelism goes from |types| tasks to
     |types| x |buckets|; at sf0.1 that is 5 -> ~150.
     """
-    e = table(spark, sf_dir, "events")
+    return anomaly_chunked(table(spark, sf_dir, "events"))
+
+
+def anomaly_chunked(
+    e: DataFrame, bucket_us: int = ANOMALY_BUCKET_US
+) -> DataFrame:
+    """The chunked-anomaly core over any (event_id, event_type, value,
+    ts) frame - factored out so tests can drive it with SPARSE
+    synthetic streams (buckets with < frame rows, where the carry map
+    must reach across many buckets) beyond what the dense testdata
+    exercises."""
     ev = e.select(
         "event_id",
         "event_type",
         "value",
         "ts",
-        F.expr(f"unix_micros(ts) div {ANOMALY_BUCKET_US}").alias("b"),
+        F.expr(f"unix_micros(ts) div {bucket_us}").alias("b"),
     )
     counts = ev.groupBy("event_type", "b").agg(F.count("*").alias("cnt"))
     wc = (

@@ -187,3 +187,101 @@ def test_hll_intersect_within_tolerance(spark, duck):
         row["approx_both"],
         exact_both,
     )
+
+
+def test_interval_bucketization_exact_for_negative_epochs(spark):
+    """q_join_range_bucketed's trunc-div bucket math (ADVICE r4 fix)
+    must agree with the naive non-equi join even for PRE-1970
+    timestamps, where trunc-toward-zero differs from floor: the
+    monotone-step argument (both sides share the same div; an
+    interval of length w spans <= 2 trunc buckets) is what this probe
+    pins, far outside the testdata's positive range."""
+    w_us = 1_000  # tiny window so the probe is dense around zero
+    pts = list(range(-3_000, 3_001, 137))  # points straddling epoch 0
+    ivs = list(range(-2_900, 2_901, 251))  # interval starts
+    p = spark.createDataFrame([(t,) for t in pts], "tc long")
+    i = spark.createDataFrame([(t,) for t in ivs], "t0 long")
+    naive = (
+        i.join(p, (F.col("tc") >= F.col("t0")) & (F.col("tc") < F.col("t0") + w_us))
+        .groupBy("t0")
+        .count()
+    )
+    pb = p.withColumn("bucket", F.expr(f"tc div {w_us}"))
+    ib = i.select(
+        "t0",
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.expr(f"t0 div {w_us}"),
+                    F.expr(f"(t0 + {w_us}) div {w_us}"),
+                )
+            )
+        ).alias("bucket"),
+    )
+    bucketed = (
+        ib.join(pb, "bucket")
+        .filter((F.col("tc") >= F.col("t0")) & (F.col("tc") < F.col("t0") + w_us))
+        .groupBy("t0")
+        .count()
+    )
+    got = {r["t0"]: r["count"] for r in bucketed.collect()}
+    want = {r["t0"]: r["count"] for r in naive.collect()}
+    assert got == want
+    assert sum(want.values()) > 0  # the probe actually matched pairs
+
+
+def test_anomaly_chunked_equals_plain_on_sparse_stream(spark):
+    """The overlapping-window decomposition must be output-identical
+    to the single window even when buckets hold FAR fewer rows than
+    the 51-row frame - the regime where a row's 50 predecessors span
+    many buckets and the carry map must replicate across all of them
+    (dense testdata never exercises this; a naive 'carry the previous
+    bucket's tail' implementation passes there and breaks here)."""
+    import datetime
+
+    from pyspark.sql import Window
+
+    from pudatalake_spark.operators.analytics import anomaly_chunked
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    day = 0
+    for i in range(240):
+        # ragged spacing: bursts of 1-3 events, then multi-day gaps
+        day += (i % 7 == 0) * (2 + i % 5)
+        ts = t0 + datetime.timedelta(days=day, minutes=(i % 3) * 17)
+        base = float((i * 37) % 23) - 11.0
+        spike = 250.0 if i % 41 == 0 and i > 60 else 0.0
+        rows.append((i, ts, "sparse", base + spike))
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    scored = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_hist"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sd")
+    plain = (
+        scored.filter((F.col("n_hist") >= 30) & (F.col("sd") > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+        .orderBy("event_id")
+        .collect()
+    )
+    chunked = anomaly_chunked(e).collect()
+    assert len(plain) > 0  # the fixture actually produces anomalies
+    assert [tuple(r) for r in chunked] == [tuple(r) for r in plain]
