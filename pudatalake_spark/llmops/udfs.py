@@ -190,3 +190,49 @@ def udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id < 100
         """
     )
+
+
+@register(
+    "udf_sql_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged,
+           CASE WHEN l_quantity >= 30 THEN 'bulk' ELSE 'retail' END
+             AS order_class
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    """,
+)
+def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 `CREATE FUNCTION ...
+    RETURN expr`): the charged-amount and order-class business rules
+    declared ONCE as catalog functions and reused by name. Unlike
+    Python UDFs these are inlined by Catalyst at analysis time - the
+    plan is identical to writing the expression inline (codegen,
+    pushdown, no serialization boundary), which is why they are the
+    FIRST choice for shared business logic at 100 TB; the oracle
+    states the inlined expression directly. charged is per-row
+    arithmetic, so it is deliberately UNROUNDED (identical IEEE ops
+    both sides - the functions/exact.py rule; a 4-dp round tripped
+    the HALF_UP/HALF_EVEN divergence on one true-.5 row at sf0.001).
+    """
+    table(spark, sf_dir, "lineitem")  # registers the view
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pudl_charged("
+        "p DOUBLE, d DOUBLE, t DOUBLE) RETURNS DOUBLE "
+        "RETURN p * (1 - d) * (1 + t)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION pudl_order_class(q DOUBLE) "
+        "RETURNS STRING "
+        "RETURN CASE WHEN q >= 30 THEN 'bulk' ELSE 'retail' END"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               pudl_charged(l_extendedprice, l_discount, l_tax) AS charged,
+               pudl_order_class(l_quantity) AS order_class
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+        """
+    )

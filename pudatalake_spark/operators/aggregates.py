@@ -596,3 +596,48 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_avg_discount"),
         F.sum("l_quantity").cast("double").alias("total_weight"),
     )
+
+
+@register(
+    "q_agg_argmax",
+    oracle="""
+    WITH keyed AS (
+      SELECT user_id, event_type, value,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+               || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord_key
+      FROM events
+    )
+    SELECT user_id,
+           arg_max(event_type, ord_key) AS last_type,
+           round(arg_max(value, ord_key), 4) AS last_value,
+           arg_min(event_type, ord_key) AS first_type,
+           round(arg_min(value, ord_key), 4) AS first_value
+    FROM keyed
+    GROUP BY user_id
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arg-max aggregates: each user's FIRST and LAST event (type and
+    value) in one hash aggregate via max_by/min_by - the agg-native
+    alternative to a row_number window for latest-row-per-key (no
+    sort, map-side combinable, the same partial/final shape as any
+    min/max).
+
+    Determinism hazard pinned here: max_by with a non-unique ordering
+    key is engine-arbitrary on ties (and DuckDB 1.0's arg_max cannot
+    take a struct key), so the ordering key is a zero-padded
+    fixed-width string of (epoch_us, event_id) - lexicographic order
+    == numeric order, unique per row, identical in both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    k = e.select("user_id", "event_type", "value", key.alias("ord_key"))
+    return k.groupBy("user_id").agg(
+        F.max_by("event_type", F.col("ord_key")).alias("last_type"),
+        F.round(F.max_by("value", F.col("ord_key")), 4).alias("last_value"),
+        F.min_by("event_type", F.col("ord_key")).alias("first_type"),
+        F.round(F.min_by("value", F.col("ord_key")), 4).alias("first_value"),
+    )
