@@ -214,3 +214,76 @@ def test_anomaly_score_stream_equals_batch(spark):
     assert_frames_match(single, batch, "s_anomaly_score≡batch(single)")
     per_file = streams.s_anomaly_score(spark, SF_DIR, max_files=1).toPandas()
     assert_frames_match(per_file, batch, "s_anomaly_score≡batch(per-file)")
+
+
+def test_checkpoint_restart_is_exactly_once(spark):
+    """Exactly-once across RESTARTS: a stateful aggregation drains
+    half its input, stops, and a NEW query resumes from the same
+    checkpoint over the full directory. The checkpoint must both
+    restore the aggregate state and skip the already-committed files
+    - double-reading would inflate the counts, losing state would
+    deflate them; the final table must equal the one-shot batch
+    aggregate over everything."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from pudatalake_spark.streaming.streams import (
+        EVENT_SCHEMA,
+        _fresh,
+        stage_event_files,
+    )
+
+    src = stage_event_files(spark, "/root/testdata/sf0.001", "ckpt_restart")
+    hold = _fresh("ckpt_restart", "hold")
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    assert len(parts) >= 4
+    held = parts[2:]
+    for f in held:
+        shutil.move(os.path.join(src, f), os.path.join(hold, f))
+    ckpt = _fresh("ckpt_restart", "ckpt")
+
+    def run_query():
+        agg = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .parquet(src)
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 4).alias("sv"),
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("ckpt_restart_tbl")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_query()  # phase 1: first half of the files, then clean stop
+    partial = {
+        r["event_type"]: r["n"]
+        for r in spark.table("ckpt_restart_tbl").collect()
+    }
+    for f in held:
+        shutil.move(os.path.join(hold, f), os.path.join(src, f))
+    run_query()  # phase 2: NEW query, SAME checkpoint, full directory
+
+    got = {
+        r["event_type"]: (r["n"], r["sv"])
+        for r in spark.table("ckpt_restart_tbl").collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["sv"])
+        for r in spark.read.parquet(src)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+        .collect()
+    }
+    assert got == want
+    # phase 1 really was partial, so phase 2 provably resumed state
+    assert sum(partial.values()) < sum(n for n, _ in want.values())
