@@ -70,6 +70,10 @@ HEADLINE = [
     # BENCH_r04 timed only the original 16).
     "q_join_bloom_prefilter", # Bloom bitmap build + pushed probe filter
     "q_events_anomaly",       # bounded-frame rolling z-score window
+    # r5b breadth: one representative per r5b-added family (baselines
+    # start at the r5b recording in BASELINE.md).
+    "q_tpch_q5",              # 6-way star join (TPC-H suite)
+    "q_graph_pagerank",       # 3-superstep iterative join chain
 ]
 
 # Side-effecting sink/ingest ops are excluded from --all timing: they

@@ -392,3 +392,38 @@ def q_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, shard int, n_tok int, bin_id int, bin_fill int"
     )
     return toks.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+@register(
+    "q_kfold_split",
+    oracle=f"""
+    SELECT fold, lang, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             CAST({_hkey_sql("doc_id")} % 5 AS INT) AS fold
+      FROM documents)
+    GROUP BY fold, lang
+    """,
+)
+def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validation assignment by key hash, reported as the
+    fold x lang contingency table (doc counts + total chars) - the
+    stratification-quality check run before any CV experiment. Like
+    q_train_test_split, fold membership is a pure function of doc_id:
+    folds stay stable as the corpus grows, so cached per-fold
+    artifacts (tokenizations, eval scores) never invalidate.
+
+    Scale shape: stateless map over the scan + one small two-key agg;
+    no shuffle of document text, pushdown-friendly."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            (_hkey("doc_id") % 5).cast("int").alias("fold"), "lang", "n_chars"
+        )
+        .groupBy("fold", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )

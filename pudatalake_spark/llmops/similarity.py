@@ -689,3 +689,160 @@ def q_sim_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round(cos, 6) < 0.2).alias("outlier"),
         )
     )
+
+
+@register(
+    "q_feature_scale",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT vec_id, unnest(v) AS x, unnest(range(1, len(v) + 1)) AS pos
+      FROM e
+    ),
+    stats AS (
+      SELECT pos, avg(x) AS mu, stddev_pop(x) AS sigma
+      FROM pos GROUP BY pos
+    )
+    SELECT s.pos, round(s.mu, 6) AS mu, round(s.sigma, 6) AS sigma,
+           CAST(count(*) FILTER (WHERE abs(p.x - s.mu) > 3 * s.sigma)
+                AS BIGINT) AS n_outliers
+    FROM stats s JOIN pos p ON p.pos = s.pos
+    GROUP BY s.pos, s.mu, s.sigma
+    """,
+)
+def q_feature_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score scaling stats for the embedding matrix:
+    mean and population stddev of every dimension plus how many
+    vectors sit beyond 3 sigma there - the standardization step (and
+    its sanity report) before distance-based models / quantization.
+    The scaled vector itself is (x - mu) / sigma with these exact
+    stats; the report is what is hash-checkable driver-side (array
+    outputs are not canon-safe).
+
+    Scale shape: posexplode -> (pos) two-phase agg over 64 x N rows
+    -> the 64-row stats table broadcasts back onto the exploded rows
+    for the outlier count. Never a driver-side covariance pass; at
+    100 TB the explode streams and both aggs partial map-side.
+    """
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", _vd("embedding").alias("v")
+    )
+    pos = e.select(F.posexplode("v").alias("pos", "x")).withColumn(
+        "pos", F.col("pos") + 1
+    )
+    stats = pos.groupBy("pos").agg(
+        F.avg("x").alias("mu"), F.stddev_pop("x").alias("sigma")
+    )
+    return (
+        pos.join(F.broadcast(stats).withColumnRenamed("pos", "s_pos"),
+                 F.col("pos") == F.col("s_pos"))
+        .groupBy("pos", "mu", "sigma")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("x") - F.col("mu")) > 3 * F.col("sigma"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers")
+        )
+        .select(
+            "pos",
+            F.round("mu", 6).alias("mu"),
+            F.round("sigma", 6).alias("sigma"),
+            "n_outliers",
+        )
+    )
+
+
+MMR_QUERIES = 3          # bounded query block (vec_id 0..2)
+MMR_POOL = 20            # relevance-ranked candidate pool per query
+MMR_K = 5                # diversified picks per query
+MMR_LAMBDA = 0.7         # relevance-vs-diversity trade-off
+
+
+@register("q_sim_mmr")
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance retrieval: for each query vector,
+    greedily pick K=5 of its top-20 cosine candidates maximizing
+    lambda*rel(c) - (1-lambda)*max_sim(c, picked) - the diversified
+    top-k that deduplicates near-identical hits at serving time.
+
+    Greedy MMR is sequential in K by definition (pick i depends on
+    picks < i), so it cannot be one SQL expression: the candidate
+    POOL is built exactly like q_sim_cosine_topk (broadcast bounded
+    query block x streamed candidates, per-query top-20 window), then
+    the greedy loop runs in applyInPandas per query over its <= 20
+    pooled vectors - bounded state, one task per query, arbitrarily
+    many queries in parallel. No oracle by design (iterative
+    argmax chain); pinned against an independent numpy reference in
+    tests/test_correctness.py, and pool membership is oracle-covered
+    via q_sim_cosine_topk's identical construction.
+
+    Determinism: scores rounded to 6dp with vec_id tie-break inside
+    the greedy argmax - same rule as every top-k cut in the registry.
+    """
+    import pandas as pd
+
+    e = _with_norm(
+        spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", _vd("embedding").alias("v")
+        )
+    )
+    q = e.filter(F.col("vec_id") < MMR_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = e.filter(F.col("vec_id") >= MMR_QUERIES)
+    rel = F.round(
+        _cos_pre(F.col("v"), F.col("nrm"), F.col("qv"), F.col("qn")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("vec_id")
+    )
+    pool = (
+        cand.join(F.broadcast(q))
+        .select("query_id", "vec_id", "v", rel.alias("rel"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MMR_POOL)
+        .drop("rk")
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        vecs = np.array(pdf["v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt((vecs * vecs).sum(axis=1))
+        rels = pdf["rel"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        order = np.lexsort((ids, -rels))  # rel desc, id asc
+        vecs, nrm, rels, ids = vecs[order], nrm[order], rels[order], ids[order]
+        picked: list[int] = []
+        rows = []
+        for rank in range(1, min(MMR_K, len(ids)) + 1):
+            if picked:
+                sims = (vecs @ vecs[picked].T) / np.outer(nrm, nrm[picked])
+                max_sim = sims.max(axis=1)
+            else:
+                max_sim = np.zeros(len(ids))
+            score = np.round(
+                MMR_LAMBDA * rels - (1 - MMR_LAMBDA) * max_sim, 6
+            )
+            score[picked] = -np.inf
+            # argmax with vec_id tie-break: ids are sorted ascending
+            # within equal rel, and np.argmax takes the FIRST max, so
+            # scanning in (score desc, id asc) order is the tie rule.
+            best = int(np.lexsort((ids, -score))[0])
+            picked.append(best)
+            rows.append(
+                (int(pdf["query_id"].iloc[0]), rank, int(ids[best]),
+                 float(score[best]))
+            )
+        return pd.DataFrame(
+            rows, columns=["query_id", "rank", "vec_id", "mmr_score"]
+        )
+
+    schema = "query_id long, rank int, vec_id long, mmr_score double"
+    return pool.groupBy("query_id").applyInPandas(mmr, schema=schema)

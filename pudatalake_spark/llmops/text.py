@@ -778,3 +778,54 @@ def q_text_cc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("reason"),
     )
+
+
+@register(
+    "q_text_sentences",
+    oracle="""
+    WITH frags AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(text, '[.!?]'),
+                         s -> len(trim(s)) > 0) AS sents,
+             len(list_filter(string_split_regex(text, '\\s+'),
+                             w -> len(w) > 0)) AS n_words
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(sents) AS BIGINT) AS n_sentences,
+           n_words,
+           CASE WHEN len(sents) > 0
+                THEN CAST(n_words AS DOUBLE) / len(sents) END
+             AS words_per_sentence
+    FROM frags
+    """,
+)
+def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per document: terminator-delimited
+    ([.!?]) non-blank sentence count, word count, and mean sentence
+    length - the readability / chunking-prep signal (long-sentence
+    outliers are OCR noise; words_per_sentence feeds quality gates).
+
+    Scale shape: map-only array expressions over the text column (no
+    shuffle, no UDF); the split pattern is a single-char class so
+    Java and DuckDB regex semantics are identical by construction.
+    Exact unrounded division (both engines divide the same two
+    integers; NULL for sentence-free docs, not a 0-guard).
+    """
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]"),
+        lambda s: F.length(F.trim(s)) > 0,
+    )
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda w: F.length(w) > 0
+    )
+    return d.select(
+        "doc_id",
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        F.size(words).alias("n_words"),
+        F.when(
+            F.size(sents) > 0,
+            F.size(words).cast("double") / F.size(sents),
+        ).alias("words_per_sentence"),
+    )

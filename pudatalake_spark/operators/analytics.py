@@ -1084,3 +1084,76 @@ def q_events_session_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(10)
     )
+
+
+@register(
+    "q_events_stickiness",
+    oracle="""
+    WITH dau AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY 1
+    ),
+    cover AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS active_day, user_id
+      FROM events
+    ),
+    wau AS (
+      SELECT d.day, CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau
+      FROM (SELECT DISTINCT day FROM dau) d
+      JOIN cover c
+        ON c.active_day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day-WAU stickiness ratio per day - the
+    engagement metric pair (a user active today counted against the
+    week's active base ending today).
+
+    Scale shape: both distinct counts reduce to the per-(user, day)
+    dedup (ONE shuffle, |users|x|days| rows max); DAU is a direct
+    count, the rolling WAU reuses q_win_sliding_distinct's coverage
+    trick - each (user, day) row covers days d..d+6 via sequence()
+    explode (x7 replication of the TINY dedup table, not the events),
+    then an exact distinct per covered day. The oracle states the
+    same semantics as its literal interval join. Trailing windows at
+    the data's left edge count whatever exists (no warm-up trim),
+    identical on both sides.
+    """
+    ev = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    per_day = ev.distinct()
+    dau = per_day.groupBy("day").agg(
+        F.count_distinct("user_id").alias("dau")
+    )
+    covered = per_day.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("cday"),
+    )
+    wau = (
+        covered.join(
+            F.broadcast(dau.select(F.col("day").alias("cday"))).distinct(),
+            "cday",
+        )
+        .groupBy("cday")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["cday"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )

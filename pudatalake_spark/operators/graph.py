@@ -1,0 +1,268 @@
+"""Graph analytics over join-derived edge tables (SURVEY §2.15).
+
+The star schema induces natural graphs: the customer<->supplier
+bipartite purchase graph (distinct (o_custkey, l_suppkey) pairs via
+orders x lineitem) and the part co-purchase graph (parts appearing
+on the same order). Connected components already exist as
+q_dedup_groups' minhash-edge CC; this module adds the other classic
+graph kernels, each expressed as pure DataFrame joins/aggs so they
+shuffle on edge endpoints and never materialize adjacency on the
+driver.
+
+Scale notes (100 TB):
+- Edge derivation is a distinct-projection of the fact join: one
+  shuffle, output |E| << |lineitem|.
+- Triangle counting uses the DEGREE-ORDERED orientation (each
+  undirected edge directed from its lower-degree endpoint,
+  tie-broken by id): every wedge join then fans out by the SMALLER
+  degree, bounding work at O(sum deg(v) * min-deg) = O(E^1.5) for
+  arbitrary skew (the standard heavy-hitter-safe formulation) while
+  counting each triangle exactly once.
+- PageRank runs a FIXED number of supersteps as chained
+  join+aggregate stages - one shuffle per iteration, rank state is
+  (node, double) only. The unbounded-iteration variant would
+  materialize each superstep (localCheckpoint) exactly like
+  q_dedup_groups' CC loop; with k=3 fixed, the declarative chain
+  stays within Catalyst's analysis budget and needs no
+  materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..loaders import load
+from ..registry import register
+
+_EDGES_SQL = """
+    SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+"""
+
+
+def _bipartite_edges(t) -> DataFrame:
+    """Distinct customer->supplier purchase pairs (one shuffle)."""
+    return (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+
+
+@register(
+    "q_graph_degree",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    cdeg AS (SELECT ck, count(*) AS degree FROM edges GROUP BY ck),
+    sdeg AS (SELECT sk, count(*) AS degree FROM edges GROUP BY sk)
+    SELECT 'customer' AS side, degree, count(*) AS n_nodes FROM cdeg GROUP BY degree
+    UNION ALL
+    SELECT 'supplier' AS side, degree, count(*) AS n_nodes FROM sdeg GROUP BY degree
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the bipartite purchase graph, per side:
+    how many customers (suppliers) have exactly d distinct partners.
+    The first diagnostic of any graph workload - it decides whether
+    the triangle/PR joins below need skew handling.
+
+    Scale shape: edge distinct (one shuffle) -> per-endpoint count
+    (map-side partial) -> tiny histogram agg. Never adjacency lists.
+    """
+    e = _bipartite_edges(load(spark, sf_dir))
+    cd = e.groupBy("ck").agg(F.count("*").alias("degree"))
+    sd = e.groupBy("sk").agg(F.count("*").alias("degree"))
+    return (
+        cd.groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .select(F.lit("customer").alias("side"), "degree", "n_nodes")
+        .unionAll(
+            sd.groupBy("degree")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.lit("supplier").alias("side"), "degree", "n_nodes")
+        )
+    )
+
+
+_COPURCHASE_SQL = """
+    SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    WHERE a.l_quantity >= 35 AND b.l_quantity >= 35
+"""
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH edges AS ({_COPURCHASE_SQL})
+    SELECT count(*) AS n_triangles,
+           (SELECT count(*) FROM edges) AS n_edges
+    FROM edges e1
+    JOIN edges e2 ON e1.pb = e2.pa
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (high-quantity
+    lines on the same order). Triangles measure clustering; at corpus
+    scale the same kernel powers community detection and spam-graph
+    heuristics.
+
+    Scale shape: the naive id-ordered wedge join (the oracle's form)
+    fans out quadratically on heavy nodes. Here each edge is instead
+    ORIENTED from its lower-(degree, id) endpoint, so wedges are
+    enumerated from each node's out-neighborhood whose size is
+    <= sqrt(|E|) regardless of skew; the closing-edge join then
+    checks orientation-agnostic adjacency. Both orderings count each
+    triangle exactly once, so the count matches the oracle while the
+    heavy-hitter wedge explosion disappears.
+    """
+    t = load(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_quantity") >= 35).select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    # degree in the undirected graph (each edge touches both ends)
+    deg = (
+        und.select(F.col("pa").alias("node"))
+        .unionAll(und.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        und.join(F.broadcast(deg).alias("da"), F.col("pa") == F.col("da.node"))
+        .join(F.broadcast(deg).alias("db"), F.col("pb") == F.col("db.node"))
+        .select(
+            F.when(
+                (F.col("da.deg") < F.col("db.deg"))
+                | ((F.col("da.deg") == F.col("db.deg")) & (F.col("pa") < F.col("pb"))),
+                F.struct(F.col("pa").alias("src"), F.col("pb").alias("dst")),
+            )
+            .otherwise(F.struct(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+            .alias("o")
+        )
+        .select("o.src", "o.dst")
+    )
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    e1, e2 = e.alias("e1"), e.alias("e2")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src")).select(
+        F.col("e1.src").alias("x"),
+        F.col("e1.dst").alias("y"),
+        F.col("e2.dst").alias("z"),
+    )
+    # closing edge may be oriented either way relative to the wedge
+    closing = e.select(
+        F.col("src").alias("cx"), F.col("dst").alias("cz")
+    ).unionAll(e.select(F.col("dst").alias("cx"), F.col("src").alias("cz")))
+    tri = (
+        wedges.join(
+            closing,
+            (F.col("x") == F.col("cx")) & (F.col("z") == F.col("cz")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    return tri.crossJoin(n_edges)  # 1 row x 1 row
+
+
+_PR_EDGES_SQL = """
+    SELECT 'C' || CAST(ck AS VARCHAR) AS src, 'S' || CAST(sk AS VARCHAR) AS dst
+    FROM ({base}) e
+    UNION ALL
+    SELECT 'S' || CAST(sk AS VARCHAR) AS src, 'C' || CAST(ck AS VARCHAR) AS dst
+    FROM ({base}) e
+""".format(base=_EDGES_SQL)
+
+
+@register(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH edges AS ({_PR_EDGES_SQL}),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM edges GROUP BY src),
+    pr0 AS (SELECT node, 1.0 / (SELECT n FROM n) AS pr FROM nodes),
+    pr1 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM n) + 0.85 * sum(p.pr / d.outdeg) AS pr
+      FROM edges e JOIN pr0 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst),
+    pr2 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM n) + 0.85 * sum(p.pr / d.outdeg) AS pr
+      FROM edges e JOIN pr1 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst),
+    pr3 AS (
+      SELECT e.dst AS node,
+             0.15 / (SELECT n FROM n) + 0.85 * sum(p.pr / d.outdeg) AS pr
+      FROM edges e JOIN pr2 p ON e.src = p.node JOIN deg d ON e.src = d.src
+      GROUP BY e.dst)
+    SELECT node, round(pr, 6) AS pagerank
+    FROM pr3 ORDER BY round(pr, 6) DESC, node LIMIT 20
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, exactly 3 supersteps from the uniform
+    start) on the symmetrized customer<->supplier purchase graph;
+    top-20 nodes. Node ids are 'C<custkey>' / 'S<suppkey>' since the
+    two keyspaces overlap. Symmetrizing removes dangling nodes by
+    construction (every node in the edge set has out-degree >= 1),
+    so no dangling-mass redistribution term is needed.
+
+    Scale shape: each superstep is one shuffle - edges join the
+    (node, pr) state on src (state is broadcastable when |V| is
+    small, shuffled otherwise; AQE picks), contributions partially
+    aggregate map-side on dst. k is FIXED so the plan is a finite
+    declarative chain; for convergence-driven iteration counts the
+    CC pattern applies (materialize each superstep, stop on a
+    driver-side delta check). Final ranks rounded to 6dp BEFORE the
+    top-20 cut with node-id tie-break -> deterministic boundary.
+    """
+    t = load(spark, sf_dir)
+    bip = _bipartite_edges(t)
+    c = F.concat(F.lit("C"), F.col("ck").cast("string"))
+    s = F.concat(F.lit("S"), F.col("sk").cast("string"))
+    edges = bip.select(c.alias("src"), s.alias("dst")).unionAll(
+        bip.select(s.alias("src"), c.alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").cast("double").alias("n"))
+    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    # state_0: uniform 1/N (N delivered in-plan via a 1-row cross join)
+    pr = nodes.crossJoin(F.broadcast(n)).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("pr")
+    )
+    for _ in range(3):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(deg, edges["src"] == deg["src"])
+            .select(F.col("dst"), (F.col("pr") / F.col("outdeg")).alias("w"))
+            .groupBy("dst")
+            .agg(F.sum("w").alias("inflow"))
+        )
+        pr = contrib.crossJoin(F.broadcast(n)).select(
+            F.col("dst").alias("node"),
+            (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("inflow")).alias("pr"),
+        )
+    return (
+        pr.select("node", F.round("pr", 6).alias("pagerank"))
+        .orderBy(F.col("pagerank").desc(), "node")
+        .limit(20)
+    )

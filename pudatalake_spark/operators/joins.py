@@ -735,3 +735,114 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(click_us).alias("click_ts"),
         diff.cast("bigint").alias("diff_us"),
     )
+
+
+OVL_W_US = 21_600_000_000  # 6-hour busy-window buckets
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle=f"""
+    WITH sess AS (
+      SELECT user_id, session_id,
+             min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+      FROM (
+        SELECT user_id, ts, event_id,
+               CAST(sum(CASE WHEN prev_us IS NULL
+                              OR epoch_us(ts) - prev_us > 1800000000
+                         THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+        FROM (
+          SELECT user_id, ts, event_id,
+                 lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+          FROM events))
+      GROUP BY user_id, session_id
+    ),
+    buckets AS (
+      SELECT epoch_us(ts) // {OVL_W_US} AS b,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
+    busy AS (
+      SELECT b, n_events FROM buckets
+      WHERE n_events > 1.2 * (SELECT avg(n_events) FROM buckets)
+    )
+    SELECT make_timestamp(busy.b * {OVL_W_US}) AS window_start,
+           any_value(busy.n_events) AS n_busy_events,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(DISTINCT sess.user_id) AS BIGINT) AS n_users
+    FROM busy JOIN sess
+      ON sess.s_us < (busy.b + 1) * {OVL_W_US}
+     AND busy.b * {OVL_W_US} <= sess.e_us
+    GROUP BY busy.b
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval OVERLAP join (both sides are time ranges):
+    per-user activity sessions (30-min-gap sessionization) joined to
+    'busy' 6-hour windows (bucket event count > 1.2x the bucket
+    average, an in-plan scale-free threshold) wherever the two ranges
+    intersect - how many sessions/users were live during each busy
+    period.
+
+    Scale shape: the oracle's `s < we AND ws <= e` theta join is a
+    nested loop at scale. Because the busy windows tile time in
+    aligned W=6h buckets, a session [s, e] overlaps bucket b iff
+    b IN [s div W, e div W] - so the engine EXPLODES each session
+    into its covered bucket ids (sequence(); replication factor
+    ~ session_dur/W + 1, tiny) and the overlap becomes an EQUI join
+    on b with map-side partial aggregation. Same decomposition as
+    q_join_range_bucketed but for interval-interval semantics, and
+    the general alignment trick behind hypertable interval rollups.
+    Integer `div` floor-division on epoch-micros on BOTH sides (the
+    r5 negative-epoch bucket rule).
+    """
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    sess = (
+        ev.withColumn(
+            "is_new",
+            F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts_us").alias("s_us"), F.max("ts_us").alias("e_us"))
+    )
+    buckets = ev.groupBy(
+        F.expr(f"ts_us div {OVL_W_US}").alias("b")
+    ).agg(F.count("*").alias("n_events"))
+    busy = buckets.join(
+        F.broadcast(buckets.agg(F.avg("n_events").alias("avg_n")))
+    ).filter(F.col("n_events") > 1.2 * F.col("avg_n")).select("b", "n_events")
+    covered = sess.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"s_us div {OVL_W_US}"), F.expr(f"e_us div {OVL_W_US}")
+            )
+        ).alias("b"),
+    )
+    return (
+        covered.join(F.broadcast(busy), "b")
+        .groupBy("b")
+        .agg(
+            F.first("n_events").alias("n_busy_events"),
+            F.count("*").alias("n_sessions"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.timestamp_micros(F.col("b") * OVL_W_US).alias("window_start"),
+            "n_busy_events",
+            "n_sessions",
+            "n_users",
+        )
+    )

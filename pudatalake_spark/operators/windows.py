@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import avg_exact_over
-from ..loaders import table
+from ..loaders import load, table
 from ..registry import register
 
 
@@ -333,4 +333,69 @@ def q_win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         den = dk if den is None else den + dk
     return s.select(
         "event_id", "user_id", "value", F.round(num / den, 6).alias("ewma")
+    )
+
+
+@register(
+    "q_win_cum_share",
+    oracle="""
+    WITH daily AS (
+      SELECT c_mktsegment AS segment,
+             CAST(o_orderdate AS DATE) AS day,
+             round(sum(o_totalprice), 4) AS day_rev
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-04-01'
+      GROUP BY 1, 2
+    )
+    SELECT segment, day, day_rev,
+           round(sum(day_rev) OVER (
+                   PARTITION BY segment ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(day_rev) OVER (PARTITION BY segment), 6)
+             AS cum_share
+    FROM daily
+    """,
+)
+def q_win_cum_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running share of quarter revenue per market segment by day
+    (pacing curve: what fraction of the segment's Q1-1996 revenue had
+    landed by each date). Demonstrates mixing a running frame and a
+    whole-partition frame over ONE window sort.
+
+    Determinism: daily revenue is rounded to 4dp FIRST on both sides,
+    so the running sum adds the identical doubles in the identical
+    (day-ordered, unique per segment) sequence - same IEEE results;
+    the final ratio is a 6dp-rounded aggregate, per registry rules.
+    Scale shape: pre-aggregate to segment x day (tiny) BEFORE any
+    window sort; the fact shuffle is the groupBy, the windows run on
+    the small rollup.
+    """
+    t = load(spark, sf_dir)
+    o = t["orders"].filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    daily = (
+        o.join(
+            F.broadcast(t["customer"].select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("day_rev"))
+    )
+    running = Window.partitionBy("segment").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    whole = Window.partitionBy("segment")
+    return daily.select(
+        "segment",
+        "day",
+        "day_rev",
+        F.round(
+            F.sum("day_rev").over(running) / F.sum("day_rev").over(whole), 6
+        ).alias("cum_share"),
     )

@@ -168,6 +168,60 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [],
         "rank<=k pushes into the shuffle as a group limit - only k rows per stratum survive the exchange",
     ),
+    "q_tpch_q5": (
+        [r"BroadcastHashJoin",
+         r"PushedFilters: \[IsNotNull\(o_orderdate\), GreaterThanOrEqual"],
+        [r"CartesianProduct"],
+        "region/nation/supplier collapse to broadcasts; the date range pushes to the orders scan",
+    ),
+    "q_tpch_q10": (
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin",
+         r"PushedFilters: \[IsNotNull\(l_returnflag\), EqualTo\(l_returnflag,R\)"],
+        [r"CartesianProduct"],
+        "returnflag pushes to the lineitem scan; dims broadcast AFTER the per-customer agg; top-20 streams",
+    ),
+    "q_tpch_q16": (
+        [r"BroadcastHashJoin LeftAnti", r"partial_count\(distinct"],
+        [r"CartesianProduct"],
+        "supplier exclusion is a broadcast anti join; distinct supplier count is two-phase",
+    ),
+    "q_tpch_q18": (
+        [r"TakeOrderedAndProject", r"partial_sum"],
+        [r"CartesianProduct"],
+        "the HAVING set is ONE two-phase lineitem agg reused for filter + sum_qty; top-100 streams",
+    ),
+    "q_graph_triangles": (
+        # wedge join + closing-edge join are equi joins on the oriented
+        # edge list; the only non-equi join is the 1x1 count stitch.
+        [r"partial_count"],
+        [r"CartesianProduct"],
+        "triangle join is equi on oriented edges (degree-ordered); never a cartesian wedge scan",
+    ),
+    "q_graph_pagerank": (
+        [r"TakeOrderedAndProject", r"partial_sum", r"Exchange"],
+        [r"CartesianProduct"],
+        "each superstep is one shuffled join+agg; contributions partially aggregate map-side; top-20 streams",
+    ),
+    "q_join_interval_overlap": (
+        [r"explode\(sequence", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+        "interval overlap decomposes to covered-bucket explode + broadcast equi join, not a theta nested loop",
+    ),
+    "q_events_stickiness": (
+        [r"explode\(sequence", r"partial_count"],
+        [r"CartesianProduct", r"Window"],
+        "rolling WAU is the coverage explode of the tiny (user, day) dedup, not a window re-count",
+    ),
+    "q_win_cum_share": (
+        [r"Window", r"BroadcastHashJoin", r"partial_sum"],
+        [r"CartesianProduct"],
+        "window sorts run on the tiny segment x day rollup; customer dim broadcasts",
+    ),
+    "q_feature_scale": (
+        [r"Generate", r"partial_avg", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "per-dim stats via posexplode two-phase agg; 64-row stats broadcast back; JVM-side",
+    ),
     "q_events_anomaly_chunked": (
         # The carry map must broadcast; the window partitions on
         # (type, bucket) - the whole point is bounded sort tasks.
@@ -185,6 +239,7 @@ UDF_KEYS = {
     "q_multimodal_decode_real", "q_multimodal_resize",
     "q_multimodal_audio_features", "q_multimodal_framesample",
     "s_stateful_running", "q_pack_bestfit", "q_multimodal_phash",
+    "q_sim_mmr",
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
