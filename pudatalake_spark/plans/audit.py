@@ -190,6 +190,53 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct"],
         "the HAVING set is ONE two-phase lineitem agg reused for filter + sum_qty; top-100 streams",
     ),
+    "q_tpch_q6": (
+        # The pure-pushdown showcase: all three predicates reach the
+        # parquet scan; no join, no wide exchange - a single-row
+        # two-phase agg over the filtered scan.
+        [r"PushedFilters: \[IsNotNull\(l_shipdate\)",
+         r"partial_sum"],
+        [r"SortMergeJoin", r"BroadcastHashJoin", r"CartesianProduct"],
+        "Q6 is scan-bound: date/discount/quantity all push to the scan; no join anywhere in the plan",
+    ),
+    "q_tpch_q8": (
+        # The market filter is a LeftSemi against the Europe customer
+        # set - SortMergeJoin at dim-scale-unknown (the scale-correct
+        # default; a broadcast hint would cap customer growth).
+        [r"Join type: LeftSemi", r"BroadcastHashJoin",
+         r"PushedFilters: \[IsNotNull\(o_orderdate\), GreaterThanOrEqual"],
+        [r"CartesianProduct"],
+        "market = semi-join against Europe customers; part/supplier dims broadcast; date range pushes to the orders scan",
+    ),
+    "q_tpch_q19": (
+        # Catalyst must split the 3-branch OR: brand/size prune the
+        # broadcast build side, and the derived quantity range
+        # (1..30 overall) pushes to the lineitem scan.
+        # Catalyst pushes the full quantity Or-tree to the lineitem
+        # scan and the brand/size Or-tree to the part scan; the mixed
+        # residual rides the broadcast join condition.
+        [r"Or\(Or\(And\(GreaterThanOrEqual\(l_quantity",
+         r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+        "both sides of the OR disjunction push to their scans; the cross-table residual rides the broadcast join",
+    ),
+    "q_tpch_q21": (
+        # The decorrelated EXISTS/NOT-EXISTS pair: distinct-supplier
+        # counts are a two-phase agg on ONE orderkey shuffle, never a
+        # second fact self-join pass.
+        # The decorrelated EXISTS/NOT-EXISTS pair: the two distinct-
+        # supplier counts run as ONE Expand-based multi-distinct agg
+        # over the orderkey shuffle, never correlated per-row probes.
+        [r"Expand", r"TakeOrderedAndProject"],
+        [r"CartesianProduct"],
+        "waiting-supplier detection is one Expand multi-distinct agg + rejoin, not correlated self-join probes; top-20 streams",
+    ),
+    "q_tpch_q22": (
+        [r"BroadcastHashJoin LeftAnti",
+         r"PushedFilters: \[IsNotNull\(o_orderdate\), GreaterThanOrEqual"],
+        [r"CartesianProduct"],
+        "dormancy anti-join broadcasts the date-pruned order keys; threshold is a 1-row broadcast nested loop",
+    ),
     "q_graph_triangles": (
         # wedge join + closing-edge join are equi joins on the oriented
         # edge list; the only non-equi join is the 1x1 count stitch.
