@@ -427,3 +427,235 @@ def q_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
     )
+
+
+CHUNK_W = 20      # words per chunk
+CHUNK_STRIDE = 15  # overlap = W - stride = 5 words
+
+
+@register(
+    "q_chunk_documents",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), t -> t <> '') AS ts
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, ts, unnest(range(0, len(ts), {CHUNK_STRIDE})) AS start
+        FROM docs WHERE len(ts) > 0
+    )
+    SELECT doc_id,
+           CAST(start // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_word,
+           CAST(len(list_slice(ts, start + 1, start + {CHUNK_W})) AS BIGINT)
+               AS n_words,
+           md5(array_to_string(list_slice(ts, start + 1, start + {CHUNK_W}),
+                               ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window chunking: split every document into
+    overlapping word windows (W={CHUNK_W}, stride={CHUNK_STRIDE}) with
+    stable (doc_id, chunk_idx) addressing and a content hash per
+    chunk - the retrieval-prep step before embedding. Chunk text is
+    emitted as an md5 (driver canonicalizer needs flat scalars and
+    the hash is what a dedup/citation index stores anyway).
+
+    Scale shape: pure map-side explode - tokenize once, generate the
+    bounded start sequence (len/stride entries), slice the SAME token
+    array per start. No shuffle, no UDF; chunk count scales with
+    corpus size but each task only touches its own documents.
+    100 TB note: downstream writers should partition by
+    hash(doc_id) so all chunks of a document land together.
+    """
+    d = table(spark, sf_dir, "documents")
+    ts = F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    chunk = F.slice(F.col("ts"), F.col("start") + 1, CHUNK_W)
+    return (
+        d.select("doc_id", ts.alias("ts"))
+        .filter(F.size("ts") > 0)
+        .select(
+            "doc_id",
+            "ts",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.size("ts") - 1, F.lit(CHUNK_STRIDE)
+                )
+            ).alias("start"),
+        )
+        .select(
+            "doc_id",
+            (F.col("start") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.col("start").cast("bigint").alias("start_word"),
+            F.size(chunk).cast("bigint").alias("n_words"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+        )
+    )
+
+
+MIX_WEIGHTS = {"en": 0.4, "fr": 0.15, "de": 0.15, "es": 0.15, "zh": 0.15}
+
+
+@register(
+    "q_mix_weighted",
+    oracle=f"""
+    WITH weights(lang, w) AS (VALUES
+        ('en', 0.4), ('fr', 0.15), ('de', 0.15), ('es', 0.15),
+        ('zh', 0.15)),
+    avail AS (
+        SELECT lang, count(*) AS n_avail FROM documents GROUP BY lang
+    ),
+    cap AS (
+        -- largest total corpus T such that w_l * T <= n_l for all l
+        SELECT min(n_avail / w) AS t_max
+        FROM avail JOIN weights USING (lang)
+    ),
+    quota AS (
+        SELECT lang, n_avail, CAST(floor(w * t_max) AS BIGINT) AS k
+        FROM avail JOIN weights USING (lang), cap
+    ),
+    ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_hkey_sql("doc_id")}, doc_id) AS r
+        FROM documents
+    )
+    SELECT lang, n_avail, k AS quota,
+           count(*) AS n_taken,
+           CAST(count(*) AS DOUBLE)
+             / (SELECT sum(k) FROM quota) AS achieved_share
+    FROM ranked JOIN quota USING (lang)
+    WHERE r <= k
+    GROUP BY lang, n_avail, k
+    """,
+)
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-constrained training-mixture solve: given target
+    language weights w_l, find the LARGEST total corpus T with
+    w_l * T <= n_l for every language (T = min n_l / w_l), then take
+    the per-language quota floor(w_l * T) deterministically by key
+    hash - the data-mixing step that hits target proportions without
+    oversampling any source. Output: per-language availability,
+    quota, rows actually taken, achieved share.
+
+    Scale shape: availability is a small two-phase agg; the capacity
+    solve runs on the |langs|-row frame and broadcasts back as a
+    quota map; selection is a per-language hash-rank window
+    (WindowGroupLimit caps the shuffle at quota rows per language -
+    same shape as q_sample_fixed_k). Membership is a pure function
+    of (doc_id, corpus counts): re-runs select the same rows.
+    """
+    d = table(spark, sf_dir, "documents")
+    weights = F.create_map(
+        *[F.lit(x) for kv in MIX_WEIGHTS.items() for x in kv]
+    )
+    avail = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("n_avail"))
+        .withColumn("w", weights[F.col("lang")])
+    )
+    cap = avail.agg(F.min(F.col("n_avail") / F.col("w")).alias("t_max"))
+    quota = (
+        avail.crossJoin(F.broadcast(cap))
+        .select(
+            "lang",
+            "n_avail",
+            F.floor(F.col("w") * F.col("t_max")).cast("bigint").alias("k"),
+        )
+    )
+    total = quota.agg(F.sum("k").alias("total_k"))
+    w = Window.partitionBy("lang").orderBy(_hkey("doc_id"), "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("r", F.row_number().over(w))
+        .join(F.broadcast(quota), "lang")
+        .filter(F.col("r") <= F.col("k"))
+        .groupBy("lang", "n_avail", F.col("k").alias("quota"))
+        .agg(F.count("*").alias("n_taken"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_avail",
+            "quota",
+            "n_taken",
+            (F.col("n_taken").cast("double") / F.col("total_k")).alias(
+                "achieved_share"
+            ),
+        )
+    )
+
+
+LEN_BUCKET = 16  # tokens per histogram bucket
+
+
+@register(
+    "q_seq_len_buckets",
+    oracle=f"""
+    WITH lens AS (
+        SELECT len(list_filter(string_split(lower(text), ' '),
+                               t -> t <> '')) AS n_tokens
+        FROM documents
+    ),
+    b AS (
+        SELECT CAST((n_tokens // {LEN_BUCKET}) * {LEN_BUCKET} AS BIGINT)
+                   AS bucket_lo,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        FROM lens GROUP BY 1
+    )
+    SELECT bucket_lo, n_docs, total_tokens,
+           CAST(sum(n_docs) OVER (ORDER BY bucket_lo) AS BIGINT)
+               AS cum_docs,
+           CAST(sum(total_tokens) OVER (ORDER BY bucket_lo) AS DOUBLE)
+             / (SELECT sum(total_tokens) FROM b) AS cum_token_share
+    FROM b
+    """,
+)
+def q_seq_len_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in fixed {LEN_BUCKET}-token buckets
+    with cumulative doc count and token-mass share - the planning
+    view for sequence packing (choose max_len / packing strategy
+    from where the token mass actually lives).
+
+    Scale shape: token counting is map-side (size of split, no
+    explode); the histogram agg shuffles |buckets| partial rows; the
+    cumulative window runs over the bucket frame (bounded: max
+    doc length / {LEN_BUCKET} rows), NOT the corpus. Shares are
+    int-sum ratios -> one IEEE division, cross-engine exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.lower(F.col("text")), " "), lambda t: t != "")
+    )
+    b = (
+        d.select(n_tokens.alias("n_tokens"))
+        .groupBy(
+            (
+                F.floor(F.col("n_tokens") / LEN_BUCKET) * LEN_BUCKET
+            ).cast("bigint").alias("bucket_lo")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        )
+    )
+    wcum = Window.orderBy("bucket_lo").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    grand = b.agg(F.sum("total_tokens").alias("grand_tokens"))
+    return (
+        b.crossJoin(F.broadcast(grand))
+        .select(
+            "bucket_lo",
+            "n_docs",
+            "total_tokens",
+            F.sum("n_docs").over(wcum).cast("bigint").alias("cum_docs"),
+            (
+                F.sum("total_tokens").over(wcum).cast("double")
+                / F.col("grand_tokens")
+            ).alias("cum_token_share"),
+        )
+    )

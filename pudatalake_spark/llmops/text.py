@@ -829,3 +829,74 @@ def q_text_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(words).cast("double") / F.size(sents),
         ).alias("words_per_sentence"),
     )
+
+
+OOV_VOCAB = 100
+
+
+@register(
+    "q_text_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(list_filter(string_split(lower(text), ' '),
+                                        t -> t <> '')) AS token
+        FROM documents
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, count(*) AS n FROM toks GROUP BY token
+            ORDER BY n DESC, token LIMIT {OOV_VOCAB})
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS oov_rate
+    FROM toks LEFT JOIN vocab v USING (token)
+    GROUP BY lang
+    """,
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus top-V
+    vocabulary (V={OOV_VOCAB}, frequency-ranked, token tie-break as
+    in q_text_vocab) - the tokenizer-coverage check that decides
+    whether a vocab needs rebuilding for a new data mix.
+
+    Scale shape: ONE explode pass feeds both the vocab build (two-
+    phase count agg -> TakeOrderedAndProject top-V) and the coverage
+    join; the V-row vocab broadcasts, membership is a broadcast LEFT
+    join feeding a conditional count per language. OOV rate is an
+    int-count ratio -> one IEEE division, cross-engine exact.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang", F.explode(_tokens()).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(OOV_VOCAB)
+        .select(F.col("token").alias("v_token"))
+    )
+    return (
+        toks.join(
+            F.broadcast(vocab), F.col("token") == F.col("v_token"), "left"
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("v_token").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias(
+                "oov_rate"
+            ),
+        )
+    )
