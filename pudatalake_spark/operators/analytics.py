@@ -1157,3 +1157,142 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_events_forecast_seasonal",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(sum(value), 4) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    shifted AS (
+        SELECT event_type, day, rev,
+               lag(rev, 7) OVER (PARTITION BY event_type ORDER BY day)
+                   AS forecast
+        FROM daily
+    ),
+    backtest AS (
+        SELECT * FROM shifted
+        WHERE forecast IS NOT NULL
+          AND day >= (SELECT max(day) - INTERVAL 6 DAY FROM daily)
+    )
+    SELECT event_type,
+           count(*) AS n_days,
+           round(avg(abs(rev - forecast)), 4) AS mae,
+           round(avg(abs(rev - forecast) / rev), 4) AS mape,
+           round(avg(rev - forecast), 4) AS bias
+    FROM backtest GROUP BY event_type
+    """,
+)
+def q_events_forecast_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each of the last 7
+    days' daily revenue per event type as the value observed 7 days
+    earlier (weekly seasonality), and score MAE / MAPE / bias - the
+    baseline every fancier forecaster must beat, and the shape of any
+    backtest harness (point forecasts joined to actuals + error
+    aggs).
+
+    Scale shape: the daily rollup collapses the event stream FIRST
+    (two-phase agg, |types| x |days| rows); everything after -
+    lag(7) window, backtest filter, error aggregation - runs on that
+    bounded frame. The backtest window is derived IN-PLAN from
+    max(day) (1-row broadcast), so the operator survives testdata
+    regeneration with shifted date ranges. Daily sums are rounded at
+    4dp on both engines BEFORE differencing, making every downstream
+    error term an identical IEEE expression.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("rev"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    shifted = daily.withColumn("forecast", F.lag("rev", 7).over(w))
+    anchor = daily.agg(
+        F.date_sub(F.max("day"), 6).cast("timestamp").alias("win_start")
+    )
+    err = F.col("rev") - F.col("forecast")
+    return (
+        shifted.crossJoin(F.broadcast(anchor))
+        .filter(
+            F.col("forecast").isNotNull()
+            & (F.col("day") >= F.col("win_start"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days"),
+            F.round(F.avg(F.abs(err)), 4).alias("mae"),
+            F.round(F.avg(F.abs(err) / F.col("rev")), 4).alias("mape"),
+            F.round(F.avg(err), 4).alias("bias"),
+        )
+    )
+
+
+@register(
+    "q_events_ltv_cohort",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    daily AS (
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+                   AS age_days,
+               round(sum(e.value), 4) AS rev,
+               count(DISTINCT e.user_id) AS n_buyers
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2
+    )
+    SELECT CAST(cohort_day AS DATE) AS cohort_day,
+           CAST(age_days AS BIGINT) AS age_days, rev, n_buyers,
+           sum(rev) OVER (PARTITION BY cohort_day ORDER BY age_days)
+               AS cum_rev
+    FROM daily
+    """,
+)
+def q_events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: users grouped by first-seen day,
+    purchase revenue accumulated by account age in days - the LTV
+    matrix behind payback-period analysis (retention counts users;
+    this follows the money).
+
+    Scale shape: first-touch is a map-side min agg on user_id; the
+    purchase stream joins that small frame on the SAME key (one
+    shuffle, co-partitioned); the (cohort, age) rollup is bounded by
+    days^2. The cumulative sum runs UNROUNDED over the ordered
+    bounded frame - its inputs are the 4dp-rounded daily cells,
+    identical on both engines, and an ordered-frame cumsum adds them
+    in one defined order, so the running values are bit-identical
+    without double-rounding.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(day, F.col("cohort_day")).alias("age_days"),
+        )
+        .agg(
+            F.round(F.sum("value"), 4).alias("rev"),
+            F.count_distinct("user_id").alias("n_buyers"),
+        )
+    )
+    wc = Window.partitionBy("cohort_day").orderBy("age_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        F.col("cohort_day").cast("date").alias("cohort_day"),
+        F.col("age_days").cast("bigint").alias("age_days"),
+        "rev",
+        "n_buyers",
+        F.sum("rev").over(wc).alias("cum_rev"),
+    )

@@ -457,3 +457,68 @@ def q_lake_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@register(
+    "q_join_pit_scd2",
+    oracle=f"""
+    WITH scd AS ({_SCD2_SQL}),
+    p AS (
+        SELECT user_id, ts, value FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT s.event_type AS state,
+           count(*) AS n_purchases,
+           round(sum(p.value), 4) AS revenue
+    FROM p
+    JOIN scd s ON p.user_id = s.user_id
+              AND p.ts >= s.valid_from
+              AND (s.valid_to IS NULL OR p.ts < s.valid_to)
+    GROUP BY s.event_type
+    """,
+)
+def q_join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of a fact stream against the SCD2 dimension:
+    each purchase is attributed to the dimension version valid AT the
+    purchase timestamp (here: the user's activity state from
+    q_scd2_build's intervals), then revenue rolls up by state - THE
+    warehouse pattern for joining facts to slowly-changing dims
+    without leaking future attribute values.
+
+    Scale shape: SCD2 validity intervals tile each key's timeline
+    contiguously ([valid_from, next valid_from), last open-ended), so
+    the interval containment join is EXACTLY a backward as-of join on
+    valid_from - executed through the shared asof_join utility (ONE
+    shuffle on user_id + one sort, never interval-pair expansion).
+    The oracle keeps the declarative containment form, proving the
+    asof rewrite equivalent. Cites q_scd2_build (lake.py:135) for the
+    dimension and asof.py for the join engine.
+    """
+    load(spark, sf_dir)  # registers the events temp view for the SQL
+    from .asof import asof_join
+
+    scd = spark.sql(_SCD2_SQL).select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+    )
+    purchases = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts", "value")
+    )
+    matched = asof_join(
+        purchases,
+        scd,
+        on="user_id",
+        left_ts="ts",
+        right_ts="valid_from",
+        payload=["state"],
+    )
+    return (
+        matched.groupBy("state")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+    )
