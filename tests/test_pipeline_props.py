@@ -1,0 +1,128 @@
+"""Structural invariants for the r5c pipeline-prep operators —
+properties the row-for-row oracle can't state (it would just repeat
+the same SQL): chunk coverage/addressing algebra, mixture quota
+maths, histogram closure, and PIT-join totality.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from pudatalake_spark import registry
+from pudatalake_spark.llmops.pipeline import (
+    CHUNK_STRIDE,
+    CHUNK_W,
+    MIX_WEIGHTS,
+)
+from pudatalake_spark.loaders import table
+
+from tests.conftest import SF_DIR
+
+registry.load_all()
+
+
+def test_chunk_coverage_and_addressing(spark):
+    """Every document's chunks tile it: start = idx*stride, windows
+    cover word 0..n-1 with no gap, every chunk is full-width except
+    trailing ones, and n_words = min(W, n - start) exactly."""
+    out = registry.QUERIES["q_chunk_documents"](spark, SF_DIR).collect()
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), " "), lambda t: t != ""
+                )
+            ).alias("n"),
+        )
+        .collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every non-empty doc is chunked
+    assert set(by_doc) == {d for d, n in docs.items() if n > 0}
+    for doc_id, rows in by_doc.items():
+        n = docs[doc_id]
+        rows.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rows] == list(range(len(rows)))
+        assert len(rows) == math.ceil(n / CHUNK_STRIDE)
+        for r in rows:
+            assert r["start_word"] == r["chunk_idx"] * CHUNK_STRIDE
+            assert r["n_words"] == min(CHUNK_W, n - r["start_word"])
+        covered_to = rows[-1]["start_word"] + rows[-1]["n_words"]
+        assert covered_to == n  # no tail words dropped
+
+
+def test_mix_weighted_quota_math(spark):
+    """Quotas follow the capacity solve exactly: T = min(n_l / w_l),
+    k_l = floor(w_l * T), every quota is filled, and achieved shares
+    sum to 1."""
+    rows = {r["lang"]: r for r in
+            registry.QUERIES["q_mix_weighted"](spark, SF_DIR).collect()}
+    assert set(rows) == set(MIX_WEIGHTS)
+    t_max = min(r["n_avail"] / MIX_WEIGHTS[l] for l, r in rows.items())
+    total_quota = 0
+    for lang, r in rows.items():
+        assert r["quota"] == math.floor(MIX_WEIGHTS[lang] * t_max)
+        assert r["n_taken"] == r["quota"] <= r["n_avail"]
+        total_quota += r["quota"]
+    assert abs(sum(r["achieved_share"] for r in rows.values()) - 1.0) < 1e-12
+    # the mix is within one doc per language of the target proportion
+    for lang, r in rows.items():
+        assert abs(r["n_taken"] - MIX_WEIGHTS[lang] * total_quota) <= 1.0
+
+
+def test_seq_len_buckets_closure(spark):
+    """The histogram closes: cum_docs ends at the corpus size and
+    cum_token_share at exactly 1.0."""
+    rows = sorted(
+        registry.QUERIES["q_seq_len_buckets"](spark, SF_DIR).collect(),
+        key=lambda r: r["bucket_lo"],
+    )
+    n_docs = table(spark, SF_DIR, "documents").count()
+    assert rows[-1]["cum_docs"] == sum(r["n_docs"] for r in rows) == n_docs
+    assert rows[-1]["cum_token_share"] == 1.0
+    assert all(
+        a["cum_docs"] < b["cum_docs"] for a, b in zip(rows, rows[1:])
+    )
+
+
+def test_oov_rate_bounds(spark):
+    rows = registry.QUERIES["q_text_oov_rate"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert r["oov_rate"] == r["n_oov"] / r["n_tokens"]
+
+
+def test_pit_scd2_attributes_every_purchase(spark):
+    """SCD2 intervals tile each user's timeline from their first
+    event, so EVERY purchase matches exactly one version: attributed
+    purchase count == raw purchase count (no loss, no fan-out)."""
+    out = registry.QUERIES["q_join_pit_scd2"](spark, SF_DIR).collect()
+    n_attr = sum(r["n_purchases"] for r in out)
+    n_raw = (
+        table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert n_attr == n_raw
+
+
+def test_forecast_backtest_window(spark):
+    """The backtest scores only the trailing week: 1..7 scored days
+    per event type, and MAPE is consistent with MAE scale (both
+    derive from the same |err| terms)."""
+    rows = registry.QUERIES["q_events_forecast_seasonal"](
+        spark, SF_DIR
+    ).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_days"] <= 7
+        assert r["mae"] >= 0 and r["mape"] >= 0
+        assert abs(r["bias"]) <= r["mae"] + 1e-9
