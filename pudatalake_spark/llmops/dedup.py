@@ -517,13 +517,31 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    return hamming_pairs_64(sig, "doc_id", "simhash", max_hamming=3)
+
+
+def hamming_pairs_64(
+    sig: DataFrame, id_col: str, hash_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """All id pairs whose 64-bit signatures differ in <= max_hamming
+    bits, via 4x16-bit sub-band pigeonhole blocking: hamming <= 3
+    forces at least one of the four bands equal, so an equi join on
+    (band, chunk) finds every qualifying pair without the quadratic
+    scan, and bit_count on the XOR verifies exactly. Shared by
+    q_dedup_simhash (text SimHash) and q_multimodal_phash_dedup
+    (image perceptual hash) - the banding is signature-agnostic.
+
+    max_hamming must stay <= 3 for 4 bands (pigeonhole bound); a
+    larger radius needs more/narrower bands.
+    """
+    assert max_hamming <= 3, "4x16 banding only guarantees hamming<=3"
     bands = sig.select(
-        "doc_id",
-        "simhash",
+        F.col(id_col).alias("__id"),
+        F.col(hash_col).alias("__h"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned(F.col("simhash"), k * 16).bitwiseAND(0xFFFF)
+                    F.shiftrightunsigned(F.col(hash_col), k * 16).bitwiseAND(0xFFFF)
                     for k in range(4)
                 ]
             )
@@ -536,20 +554,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc1"),
-            F.col("b.doc_id").alias("doc2"),
-            F.col("a.simhash").alias("h1"),
-            F.col("b.simhash").alias("h2"),
+            F.col("a.__id").alias("doc1"),
+            F.col("b.__id").alias("doc2"),
+            F.col("a.__h").alias("h1"),
+            F.col("b.__h").alias("h2"),
         )
         .distinct()
     )
     hamming = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return (
         cand.withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= max_hamming)
         .select("doc1", "doc2", "hamming")
     )
 

@@ -551,3 +551,34 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     docs = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
     return docs.mapInPandas(_phash_worker, schema=_PHASH_SCHEMA)
+
+
+@register("q_multimodal_phash_dedup")  # hash-derived -> rows-only
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection: perceptual hashes from
+    q_multimodal_phash's real decode path, paired at hamming <= 3 by
+    the SAME 4x16-bit pigeonhole banding as text SimHash dedup
+    (dedup.hamming_pairs_64) - the multimodal half of the dedup
+    family: resized/re-encoded/lightly-edited copies keep their
+    blockmean hash within a few bits, so the text near-dup machinery
+    transfers to images with zero new join logic.
+
+    Rows-only (hash-derived; on this synthetic corpus the planted
+    rasters are distinct, so correctness is pinned by the planted-
+    pair unit test in tests/test_pipeline_props.py, which feeds
+    controlled signatures through the shared banding and checks
+    recall=1 at hamming<=3 and exclusion beyond).
+
+    Scale shape: decode+hash stays map-only on executors (payloads
+    never shuffle); banding explodes 4 rows per image; the bucket
+    join is equi on (band, chunk); exact bit_count verify runs on
+    candidates only. Identical cost profile to q_dedup_simhash.
+    """
+    from .dedup import hamming_pairs_64
+
+    d = table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    sig = docs.mapInPandas(_phash_worker, schema=_PHASH_SCHEMA).select(
+        "doc_id", "phash"
+    )
+    return hamming_pairs_64(sig, "doc_id", "phash", max_hamming=3)

@@ -126,3 +126,42 @@ def test_forecast_backtest_window(spark):
         assert 1 <= r["n_days"] <= 7
         assert r["mae"] >= 0 and r["mape"] >= 0
         assert abs(r["bias"]) <= r["mae"] + 1e-9
+
+
+def test_hamming_pairs_64_planted(spark):
+    """The shared 4x16 pigeonhole banding (text SimHash + image pHash
+    dedup) finds EVERY pair at hamming <= 3 and nothing beyond -
+    including the adversarial hamming-4 case with one flipped bit per
+    band (no band equal, so blocking alone would miss it; it must be
+    absent because it is truly beyond radius, and the
+    one-band-concentrated hamming-4 case must be caught as a
+    candidate then rejected by the exact verify)."""
+    from pudatalake_spark.llmops.dedup import hamming_pairs_64
+
+    base = 0x1234_5678_9ABC_DEF0
+    hashes = {
+        1: base,
+        2: base ^ 0x1,                                   # hamming 1
+        3: base ^ 0x7,                                   # hamming 3
+        4: base ^ (1 | (1 << 16) | (1 << 32) | (1 << 48)),  # 4, spread
+        5: base ^ 0xF,                                   # 4, one band
+        6: base,                                         # exact dup
+    }
+    sig = spark.createDataFrame(
+        [(i, h - (1 << 64) if h >= (1 << 63) else h)
+         for i, h in hashes.items()],
+        "doc_id long, phash long",
+    )
+    got = {
+        (r["doc1"], r["doc2"]): r["hamming"]
+        for r in hamming_pairs_64(sig, "doc_id", "phash").collect()
+    }
+    expect = {}
+    ids = sorted(hashes)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                d = bin(hashes[i] ^ hashes[j]).count("1")
+                if d <= 3:
+                    expect[(i, j)] = d
+    assert got == expect
