@@ -641,3 +641,36 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_type", F.col("ord_key")).alias("first_type"),
         F.round(F.min_by("value", F.col("ord_key")), 4).alias("first_value"),
     )
+
+
+@register("q_agg_approx_topk")  # sketch-valued -> rows-only + pinned test
+def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters via Spark 4's approx_top_k (a
+    mergeable frequent-items sketch: per-partition summaries merge
+    associatively, like the HLL family): top-10 suppliers by line
+    count, flattened to (rank, supplier, cnt) rows.
+
+    Rows-only by design (sketch semantics: counts can undercount once
+    cardinality exceeds the tracked capacity and tie order at the
+    boundary is unspecified). On THIS schema |suppliers| = 100 <<
+    maxItemsTracked = 10000, so every count is exact - pinned against
+    the exact groupBy top-10 in tests/test_pipeline_props.py; at true
+    scale the same call degrades gracefully to approximate instead of
+    shuffling the full distinct-key space.
+
+    Scale shape: ONE pass, map-side sketch build, single merged
+    summary on the reducer - no (key, count) shuffle of the full key
+    space, which is the point of a sketch at 100 TB key
+    cardinalities.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    topk = li.agg(
+        F.expr("approx_top_k(l_suppkey, 10, 10000)").alias("tk")
+    )
+    return topk.select(
+        F.posexplode("tk").alias("rank0", "entry")
+    ).select(
+        (F.col("rank0") + 1).cast("bigint").alias("rank"),
+        F.col("entry.item").cast("bigint").alias("supplier"),
+        F.col("entry.count").cast("bigint").alias("cnt"),
+    )

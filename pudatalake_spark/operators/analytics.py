@@ -1296,3 +1296,163 @@ def q_events_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_buyers",
         F.sum("rev").over(wc).alias("cum_rev"),
     )
+
+
+@register(
+    "q_basket_rules",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+    item AS (SELECT l_partkey, count(*) AS n_item FROM op GROUP BY 1),
+    pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_pair
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    )
+    SELECT pa, pb, n_pair,
+           CAST(n_pair AS DOUBLE) / n_orders AS support,
+           CAST(n_pair AS DOUBLE) / ia.n_item AS confidence,
+           (CAST(n_pair AS DOUBLE) * n_orders)
+             / (CAST(ia.n_item AS DOUBLE) * ib.n_item) AS lift
+    FROM pairs
+    JOIN item ia ON ia.l_partkey = pa
+    JOIN item ib ON ib.l_partkey = pb
+    CROSS JOIN n
+    WHERE n_pair >= 3
+    ORDER BY lift DESC, pa, pb
+    LIMIT 20
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules: top-20 part pairs by lift
+    (with support and confidence) among pairs co-purchased on >= 3
+    orders - the classic affinity-mining workload (recommendations,
+    bundling, shelf placement).
+
+    Scale shape: the pair enumeration is a SELF-JOIN ON THE BASKET
+    KEY, so fan-out is bounded by basket size squared (baskets are
+    small by nature; a degree cap on pathological baskets is the
+    standard guard) - never all-pairs across orders. Item counts and
+    the order total are small aggregates broadcast back into the
+    ratio expressions; every metric is a ratio of exact integers
+    written as the same IEEE expression on both engines, so no
+    rounding is needed and the lift ordering is deterministic (pa,
+    pb tie-break).
+    """
+    t = load(spark, sf_dir)
+    op = (
+        t["lineitem"].select("l_orderkey", "l_partkey").distinct()
+    )
+    n = op.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    item = op.groupBy("l_partkey").agg(F.count("*").alias("n_item"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("ka"), F.col("n_item").alias("n_a")
+    )
+    ib = item.select(
+        F.col("l_partkey").alias("kb"), F.col("n_item").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ia), F.col("pa") == F.col("ka"))
+        .join(F.broadcast(ib), F.col("pb") == F.col("kb"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            "n_pair",
+            (F.col("n_pair").cast("double") / F.col("n_orders")).alias(
+                "support"
+            ),
+            (F.col("n_pair").cast("double") / F.col("n_a")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_pair").cast("double") * F.col("n_orders"))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(20)
+    )
+
+
+@register(
+    "q_events_conversion_lag",
+    oracle="""
+    WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'purchase' GROUP BY user_id),
+    conv AS (
+        SELECT date_diff('day', date_trunc('day', t0),
+                         date_trunc('day', t1)) AS lag_days
+        FROM s JOIN p USING (user_id) WHERE t1 >= t0
+    ),
+    h AS (SELECT CAST(lag_days AS BIGINT) AS lag_days,
+                 count(*) AS n_users
+          FROM conv GROUP BY 1)
+    SELECT lag_days, n_users,
+           CAST(sum(n_users) OVER (ORDER BY lag_days) AS DOUBLE)
+             / (SELECT sum(n_users) FROM h) AS cum_share
+    FROM h
+    """,
+)
+def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-lag distribution: days between a user's first
+    signup and first subsequent purchase, as a histogram with
+    cumulative share - the time-to-convert curve behind trial-length
+    and nurture-campaign decisions (funnels count WHO converts; this
+    measures WHEN).
+
+    Scale shape: two map-side min-aggregates on user_id, one
+    co-partitioned join on the same key, then the histogram and its
+    cumulative window run on the bounded lag-days frame. Shares are
+    int-sum ratios -> one IEEE division, cross-engine exact.
+    """
+    e = table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    h = (
+        s.join(p, "user_id")
+        .filter(F.col("t1") >= F.col("t0"))
+        .select(
+            F.datediff(
+                F.date_trunc("day", "t1"), F.date_trunc("day", "t0")
+            ).cast("bigint").alias("lag_days")
+        )
+        .groupBy("lag_days")
+        .agg(F.count("*").alias("n_users"))
+    )
+    wcum = Window.orderBy("lag_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    total = h.agg(F.sum("n_users").alias("total_conv"))
+    return h.crossJoin(F.broadcast(total)).select(
+        "lag_days",
+        "n_users",
+        (
+            F.sum("n_users").over(wcum).cast("double") / F.col("total_conv")
+        ).alias("cum_share"),
+    )

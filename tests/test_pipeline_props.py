@@ -165,3 +165,29 @@ def test_hamming_pairs_64_planted(spark):
                 if d <= 3:
                     expect[(i, j)] = d
     assert got == expect
+
+
+def test_approx_topk_exact_at_low_cardinality(spark):
+    """approx_top_k with capacity >> cardinality is exact: the
+    sketch's top-10 supplier counts must equal the exact groupBy
+    counts (sets compared count-wise; tie ORDER at the k boundary is
+    sketch-unspecified, so membership is compared per count class,
+    not positionally)."""
+    from pudatalake_spark.loaders import table
+
+    rows = registry.QUERIES["q_agg_approx_topk"](spark, SF_DIR).collect()
+    exact = (
+        table(spark, SF_DIR, "lineitem")
+        .groupBy("l_suppkey")
+        .count()
+        .orderBy(F.col("count").desc(), "l_suppkey")
+        .collect()
+    )
+    assert len(rows) == 10
+    got_counts = sorted((r["cnt"] for r in rows), reverse=True)
+    want_counts = sorted((r["count"] for r in exact[:10]), reverse=True)
+    assert got_counts == want_counts
+    # every reported (supplier, cnt) matches its exact count
+    exact_map = {r["l_suppkey"]: r["count"] for r in exact}
+    for r in rows:
+        assert exact_map[r["supplier"]] == r["cnt"]
