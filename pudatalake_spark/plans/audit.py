@@ -286,6 +286,7 @@ UDF_KEYS = {
     "q_multimodal_decode_real", "q_multimodal_resize",
     "q_multimodal_audio_features", "q_multimodal_framesample",
     "s_stateful_running", "q_pack_bestfit", "q_multimodal_phash",
+    "q_multimodal_phash_dedup",  # same mapInPandas decode surface
     "q_sim_mmr",
 }
 
