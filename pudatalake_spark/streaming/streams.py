@@ -424,3 +424,39 @@ def s_anomaly_score(
     )
     run_to_memory(result, "s_anomaly_score", "append")
     return spark.table("s_anomaly_score")
+
+
+@register("s_window_approx_distinct")
+def s_window_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user sketches: approx_count_distinct per
+    6-hour tumbling window under a 10-minute watermark - the
+    sketch-in-state pattern for cardinality dashboards. HLL partials
+    merge associatively, so the per-window state is ONE bounded
+    sketch regardless of user cardinality (an exact streaming
+    distinct would hold every key in the state store), and the
+    watermark evicts closed windows.
+
+    Rows-only by design (approximate); the batch-equivalence test
+    asserts stream == the batch approx_count_distinct over the same
+    windows EXACTLY, because HLL merge is order-independent - the
+    same property that makes the sketch safe to merge across
+    micro-batches makes the equivalence check exact, not
+    tolerance-based.
+    """
+    src = stage_event_files(spark, sf_dir, "s_window_approx_distinct")
+    stream = read_event_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "approx_users",
+            "n_events",
+        )
+    )
+    run_to_memory(agg, "s_window_approx_distinct", "append")
+    return spark.table("s_window_approx_distinct")

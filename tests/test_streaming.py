@@ -287,3 +287,38 @@ def test_checkpoint_restart_is_exactly_once(spark):
     assert got == want
     # phase 1 really was partial, so phase 2 provably resumed state
     assert sum(partial.values()) < sum(n for n, _ in want.values())
+
+
+def test_window_approx_distinct_equals_batch_sketch(spark):
+    """Stream and batch HLL sketches agree EXACTLY (not within
+    tolerance): HLL merge is order/partitioning-independent, so the
+    micro-batched merge path must land on the same estimate as one
+    batch pass - and the closed-window rows must be a subset check
+    on count too (append mode emits only watermark-closed windows)."""
+    from pudatalake_spark.loaders import table
+
+    got = {
+        r["window_start"]: (r["approx_users"], r["n_events"])
+        for r in registry.QUERIES["s_window_approx_distinct"](
+            spark, SF_DIR
+        ).collect()
+    }
+    batch = {
+        r["window_start"]: (r["approx_users"], r["n_events"])
+        for r in (
+            table(spark, SF_DIR, "events")
+            .groupBy(F.window("ts", "6 hours").alias("w"))
+            .agg(
+                F.approx_count_distinct("user_id").alias("approx_users"),
+                F.count("*").alias("n_events"),
+            )
+            .select(
+                F.col("w.start").alias("window_start"),
+                "approx_users",
+                "n_events",
+            )
+        ).collect()
+    }
+    assert got, "no closed windows emitted"
+    for w, vals in got.items():
+        assert batch[w] == vals
