@@ -17,6 +17,8 @@ spark = (SparkSession.builder.master("local[32]")
 
 import __spark_entry__ as E
 
+if len(sys.argv) < 2:
+    sys.exit("usage: tools/check_keys.py [SF_DIR] KEY [KEY ...]")
 SF = sys.argv[1] if sys.argv[1].startswith("/") else "/root/testdata/sf0.01"
 keys = [a for a in sys.argv[1:] if not a.startswith("/")]
 
