@@ -906,3 +906,77 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+NOVEL_NGRAM = 5
+
+
+@register(
+    "q_text_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(
+                 list_slice(t, i, i + {NOVEL_NGRAM - 1}), ' ') AS g
+      FROM toks, unnest(range(1, len(t) - {NOVEL_NGRAM - 2})) AS u(i)
+      WHERE len(t) >= {NOVEL_NGRAM}
+    ),
+    first_seen AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / count(*) AS novelty_frac
+    FROM grams JOIN first_seen USING (g)
+    GROUP BY doc_id
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty curve: per document, the fraction of its
+    distinct word-{NOVEL_NGRAM}-grams FIRST seen in that document
+    (ingestion order = doc_id) - the dataset-curation signal for
+    diminishing returns: when marginal novelty collapses, more of the
+    same source stops adding information. Complements span-dedup
+    (which measures duplication anywhere) by attributing each gram to
+    its earliest occurrence.
+
+    Scale shape: the same inverted-index plan as span dedup - the
+    engine hashes grams to int64 before the shuffle (fixed-width
+    keys; the oracle keeps strings, counts agree modulo negligible
+    collisions), first-occurrence is ONE min-agg, and the count-back
+    join + ratio are exact-int arithmetic. At true scale doc_id
+    becomes the ingestion sequence number carried by the pipeline.
+    """
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    t = F.split(F.lower("text"), " ")
+    grams_arr = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (NOVEL_NGRAM - 1)),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(t, i, NOVEL_NGRAM))),
+    )
+    grams = (
+        d.filter(F.size(t) >= NOVEL_NGRAM)
+        .select("doc_id", F.explode(grams_arr).alias("g"))
+        .distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first_seen, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(novel).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            (F.col("n_novel").cast("double") / F.col("n_grams")).alias(
+                "novelty_frac"
+            ),
+        )
+    )

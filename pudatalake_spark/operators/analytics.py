@@ -1456,3 +1456,102 @@ def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_users").over(wcum).cast("double") / F.col("total_conv")
         ).alias("cum_share"),
     )
+
+
+AB_HASH_A = 2654435761
+AB_HASH_B = 1013904223
+AB_HASH_P = 1_000_000_007
+
+
+@register(
+    "q_events_ab_welch",
+    oracle=f"""
+    WITH spend AS (
+        SELECT user_id, round(sum(value), 4) AS x,
+               CASE WHEN ((user_id * {AB_HASH_A} + {AB_HASH_B})
+                          % {AB_HASH_P}) % 2 = 0
+                    THEN 'A' ELSE 'B' END AS variant
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    s AS (
+        SELECT
+            CAST(count(*) FILTER (variant = 'A') AS BIGINT) AS n_a,
+            CAST(count(*) FILTER (variant = 'B') AS BIGINT) AS n_b,
+            round(sum(x) FILTER (variant = 'A'), 4) AS sx_a,
+            round(sum(x) FILTER (variant = 'B'), 4) AS sx_b,
+            round(sum(x * x) FILTER (variant = 'A'), 4) AS sxx_a,
+            round(sum(x * x) FILTER (variant = 'B'), 4) AS sxx_b
+        FROM spend
+    )
+    SELECT n_a, n_b,
+           sx_a / n_a AS mean_a,
+           sx_b / n_b AS mean_b,
+           sx_a / n_a - sx_b / n_b AS diff,
+           round((sx_a / n_a - sx_b / n_b)
+             / sqrt(((sxx_a - sx_a * sx_a / n_a) / (n_a - 1)) / n_a
+                  + ((sxx_b - sx_b * sx_b / n_b) / (n_b - 1)) / n_b), 6)
+               AS welch_t
+    FROM s
+    """,
+)
+def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split 50/50 into variants
+    (same affine key hash as the sampling family - assignment is a
+    pure function of user_id, stable across reruns/backfills), then
+    per-user purchase spend compared with a Welch t statistic - the
+    experimentation-analytics primitive.
+
+    Determinism: every downstream number derives from SIX 4dp-rounded
+    aggregates (two counts, two sums, two sums of squares), so the
+    mean / diff / t expressions are identical IEEE arithmetic on
+    identical doubles in both engines - variance uses the
+    sum-of-squares identity rather than a second centered pass, which
+    is also the one-pass form a scale-out engine wants (map-side
+    partial sums only; the final math runs on one 6-number row).
+    """
+    e = table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("x"))
+        .withColumn(
+            "variant",
+            F.when(
+                ((F.col("user_id") * AB_HASH_A + AB_HASH_B) % AB_HASH_P) % 2
+                == 0,
+                "A",
+            ).otherwise("B"),
+        )
+    )
+    isa = F.col("variant") == "A"
+    s = spend.agg(
+        F.count(F.when(isa, 1)).alias("n_a"),
+        F.count(F.when(~isa, 1)).alias("n_b"),
+        F.round(F.sum(F.when(isa, F.col("x"))), 4).alias("sx_a"),
+        F.round(F.sum(F.when(~isa, F.col("x"))), 4).alias("sx_b"),
+        F.round(F.sum(F.when(isa, F.col("x") * F.col("x"))), 4).alias("sxx_a"),
+        F.round(F.sum(F.when(~isa, F.col("x") * F.col("x"))), 4).alias(
+            "sxx_b"
+        ),
+    )
+    mean_a = F.col("sx_a") / F.col("n_a")
+    mean_b = F.col("sx_b") / F.col("n_b")
+    var_a = (F.col("sxx_a") - F.col("sx_a") * F.col("sx_a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("sxx_b") - F.col("sx_b") * F.col("sx_b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_a - mean_b).alias("diff"),
+        F.round(
+            (mean_a - mean_b)
+            / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b")),
+            6,
+        ).alias("welch_t"),
+    )
