@@ -534,7 +534,11 @@ def hamming_pairs_64(
     max_hamming must stay <= 3 for 4 bands (pigeonhole bound); a
     larger radius needs more/narrower bands.
     """
-    assert max_hamming <= 3, "4x16 banding only guarantees hamming<=3"
+    if max_hamming > 3:  # not assert: must survive python -O
+        raise ValueError(
+            f"max_hamming={max_hamming}: 4x16 banding only guarantees "
+            "recall for hamming <= 3; use more/narrower bands"
+        )
     bands = sig.select(
         F.col(id_col).alias("__id"),
         F.col(hash_col).alias("__h"),

@@ -543,10 +543,14 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: availability is a small two-phase agg; the capacity
     solve runs on the |langs|-row frame and broadcasts back as a
-    quota map; selection is a per-language hash-rank window
-    (WindowGroupLimit caps the shuffle at quota rows per language -
-    same shape as q_sample_fixed_k). Membership is a pure function
-    of (doc_id, corpus counts): re-runs select the same rows.
+    quota map; selection is a per-language hash-rank window. Unlike
+    q_sample_fixed_k (literal k -> WindowGroupLimit prunes inside
+    the shuffle), the quota here is DATA-DERIVED, so the group-limit
+    rewrite cannot fire and the full per-language rank runs - the
+    price of a capacity-solved k; pass a precomputed literal cap to
+    recover the pruned plan when quotas are known ahead of time.
+    Membership is a pure function of (doc_id, corpus counts):
+    re-runs select the same rows.
     """
     d = table(spark, sf_dir, "documents")
     weights = F.create_map(

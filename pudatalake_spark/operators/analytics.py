@@ -1168,10 +1168,14 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     ),
     shifted AS (
-        SELECT event_type, day, rev,
-               lag(rev, 7) OVER (PARTITION BY event_type ORDER BY day)
-                   AS forecast
-        FROM daily
+        -- calendar self-join, NOT lag(7) row offsets: with a gap day
+        -- in the series a row-offset lag silently compares different
+        -- weekdays; joining on day - 7 CALENDAR days is gap-proof.
+        SELECT d.event_type, d.day, d.rev, prior.rev AS forecast
+        FROM daily d
+        LEFT JOIN daily prior
+          ON prior.event_type = d.event_type
+         AND prior.day = d.day - INTERVAL 7 DAY
     ),
     backtest AS (
         SELECT * FROM shifted
@@ -1210,8 +1214,21 @@ def q_events_forecast_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("value"), 4).alias("rev"))
     )
-    w = Window.partitionBy("event_type").orderBy("day")
-    shifted = daily.withColumn("forecast", F.lag("rev", 7).over(w))
+    prior = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.col("day").alias("p_day"),
+        F.col("rev").alias("forecast"),
+    )
+    # Calendar self-join (day - 7 DAYS), not lag(7): a row-offset lag
+    # breaks on gap days (compares different weekdays); the equi join
+    # on (type, day-7) is gap-proof and shuffles the bounded daily
+    # frame only.
+    shifted = daily.join(
+        prior,
+        (F.col("event_type") == F.col("p_type"))
+        & (F.col("p_day") == F.col("day") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    ).drop("p_type", "p_day")
     anchor = daily.agg(
         F.date_sub(F.max("day"), 6).cast("timestamp").alias("win_start")
     )
@@ -1395,12 +1412,18 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH s AS (SELECT user_id, min(ts) AS t0 FROM events
                WHERE event_type = 'signup' GROUP BY user_id),
-    p AS (SELECT user_id, min(ts) AS t1 FROM events
-          WHERE event_type = 'purchase' GROUP BY user_id),
+    p AS (
+        -- first purchase AT/AFTER signup (a purchase that predates
+        -- the signup must not hide a later converting purchase)
+        SELECT e.user_id, min(e.ts) AS t1
+        FROM events e JOIN s ON e.user_id = s.user_id AND e.ts >= s.t0
+        WHERE e.event_type = 'purchase'
+        GROUP BY e.user_id
+    ),
     conv AS (
         SELECT date_diff('day', date_trunc('day', t0),
                          date_trunc('day', t1)) AS lag_days
-        FROM s JOIN p USING (user_id) WHERE t1 >= t0
+        FROM s JOIN p USING (user_id)
     ),
     h AS (SELECT CAST(lag_days AS BIGINT) AS lag_days,
                  count(*) AS n_users
@@ -1413,7 +1436,8 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-lag distribution: days between a user's first
-    signup and first subsequent purchase, as a histogram with
+    signup and their first purchase AT OR AFTER that signup, as a
+    histogram with
     cumulative share - the time-to-convert curve behind trial-length
     and nurture-campaign decisions (funnels count WHO converts; this
     measures WHEN).
@@ -1429,15 +1453,18 @@ def q_events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
     )
+    # first purchase AT/AFTER signup: join the signup anchor into the
+    # purchase stream BEFORE the min, so a pre-signup purchase cannot
+    # hide a later converting one.
     p = (
         e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") >= F.col("t0"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+        .agg(F.min("ts").alias("t1"), F.min("t0").alias("t0"))
     )
     h = (
-        s.join(p, "user_id")
-        .filter(F.col("t1") >= F.col("t0"))
-        .select(
+        p.select(
             F.datediff(
                 F.date_trunc("day", "t1"), F.date_trunc("day", "t0")
             ).cast("bigint").alias("lag_days")

@@ -332,11 +332,10 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries (functions/exact.py) - probed: 1/13 rows flipped.
     """
     t = load(spark, sf_dir)
-    p_keys = (
-        t["part"]
-        .filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15))
-        .select("p_partkey")
+    p = t["part"].filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
     )
+    p_keys = p.select("p_partkey")
     # Filter-before-aggregate: the per-(partkey, suppkey) min is
     # computed from ALL of a part's lines, so restricting to the
     # target part keys BEFORE the aggregate changes nothing per group
@@ -370,9 +369,6 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_nationkey") == F.col("n_nationkey"),
         )
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
-    )
-    p = t["part"].filter(
-        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 15)
     )
     cand = (
         supply.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))

@@ -209,9 +209,6 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         "market = semi-join against Europe customers; part/supplier dims broadcast; date range pushes to the orders scan",
     ),
     "q_tpch_q19": (
-        # Catalyst must split the 3-branch OR: brand/size prune the
-        # broadcast build side, and the derived quantity range
-        # (1..30 overall) pushes to the lineitem scan.
         # Catalyst pushes the full quantity Or-tree to the lineitem
         # scan and the brand/size Or-tree to the part scan; the mixed
         # residual rides the broadcast join condition.
@@ -221,9 +218,6 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         "both sides of the OR disjunction push to their scans; the cross-table residual rides the broadcast join",
     ),
     "q_tpch_q21": (
-        # The decorrelated EXISTS/NOT-EXISTS pair: distinct-supplier
-        # counts are a two-phase agg on ONE orderkey shuffle, never a
-        # second fact self-join pass.
         # The decorrelated EXISTS/NOT-EXISTS pair: the two distinct-
         # supplier counts run as ONE Expand-based multi-distinct agg
         # over the orderkey shuffle, never correlated per-row probes.

@@ -7,6 +7,20 @@ for the full-inventory SELFCHECK sweep at round close.
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
+
+# Parse BEFORE touching Spark: a usage error must not pay (or hide
+# behind) the multi-second local[32] startup, and an SF_DIR-only
+# invocation must fail loudly rather than "pass" on zero keys.
+SF = "/root/testdata/sf0.01"
+keys = []
+for a in sys.argv[1:]:
+    if a.startswith("/"):
+        SF = a
+    else:
+        keys.append(a)
+if not keys:
+    sys.exit("usage: tools/check_keys.py [SF_DIR] KEY [KEY ...]")
+
 import duckdb
 from pyspark.sql import SparkSession
 
@@ -16,11 +30,6 @@ spark = (SparkSession.builder.master("local[32]")
          .appName("check-keys").getOrCreate())
 
 import __spark_entry__ as E
-
-if len(sys.argv) < 2:
-    sys.exit("usage: tools/check_keys.py [SF_DIR] KEY [KEY ...]")
-SF = sys.argv[1] if sys.argv[1].startswith("/") else "/root/testdata/sf0.01"
-keys = [a for a in sys.argv[1:] if not a.startswith("/")]
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
