@@ -236,17 +236,18 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 cut with node-id tie-break -> deterministic boundary.
     """
     t = load(spark, sf_dir)
-    bip = _bipartite_edges(t)
+    # The edge list is read ~5x (nodes, N, deg, 3 supersteps).
+    # Materialization strategy MEASURED at sf0.1: persist() DOUBLES
+    # steady-state (10-13 s vs 5.2 s plain - the InMemoryTableScan
+    # boundary blocks whole-stage fusion and AQE broadcast
+    # re-planning), but localCheckpoint(eager) of the distinct edge
+    # set WINS (3.8 s): checkpointed blocks replay as a plain scan
+    # with truncated lineage, exactly like q_dedup_groups' CC
+    # supersteps. At 100 TB the same role is played by writing the
+    # edge list to parquet once and iterating over that scan.
+    bip = _bipartite_edges(t).localCheckpoint(eager=True)
     c = F.concat(F.lit("C"), F.col("ck").cast("string"))
     s = F.concat(F.lit("S"), F.col("sk").cast("string"))
-    # The edge list is read ~5x (nodes, N, deg, 3 supersteps). We
-    # deliberately DON'T persist() it: measured at sf0.1, caching bip
-    # or edges ~doubles steady-state (5.0 s plain vs 10-13 s cached)
-    # because the InMemoryTableScan boundary blocks whole-stage fusion
-    # and AQE's broadcast re-planning of each superstep, while the
-    # re-derivation is one cheap codegen'd join. At 100 TB the trade
-    # flips (derivation reads the fact table): write the edge list to
-    # parquet once, then iterate over that scan.
     edges = bip.select(c.alias("src"), s.alias("dst")).unionAll(
         bip.select(s.alias("src"), c.alias("dst"))
     )
