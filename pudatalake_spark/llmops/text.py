@@ -980,3 +980,111 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+BOILER_SUFFIX = "© example corp all rights reserved 2024 footer"
+BOILER_WORDS = 8  # words in the injected footer
+BOILER_DF = 150   # docs sharing a suffix before it counts as boilerplate
+
+
+@register(
+    "q_text_boilerplate_strip",
+    oracle=f"""
+    WITH injected AS (
+        -- Reproduce a crawl with template footers: docs with even
+        -- doc_id carry the same 8-word suffix (same injection idea
+        -- as q_text_pii_redact's synthetic PII).
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0
+                    THEN text || ' {BOILER_SUFFIX}'
+                    ELSE text END AS t
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(t), ' '), w -> w <> '') AS w
+        FROM injected
+    ),
+    suffixed AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) >= {BOILER_WORDS}
+                    THEN array_to_string(
+                        list_slice(w, len(w) - {BOILER_WORDS - 1}, len(w)),
+                        ' ')
+                    END AS suffix
+        FROM words
+    ),
+    df AS (
+        SELECT suffix FROM suffixed WHERE suffix IS NOT NULL
+        GROUP BY suffix HAVING count(*) >= {BOILER_DF}
+    )
+    SELECT s.doc_id,
+           CASE WHEN df.suffix IS NOT NULL THEN 1 ELSE 0 END AS stripped,
+           CAST(CASE WHEN df.suffix IS NOT NULL
+                     THEN len(w) - {BOILER_WORDS} ELSE len(w) END
+                AS BIGINT) AS n_words_clean,
+           md5(CASE WHEN df.suffix IS NOT NULL
+                    THEN array_to_string(
+                        list_slice(w, 1, len(w) - {BOILER_WORDS}), ' ')
+                    ELSE array_to_string(w, ' ') END) AS clean_hash
+    FROM suffixed s LEFT JOIN df ON s.suffix = df.suffix
+    """,
+)
+def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-boilerplate removal: the crawl-cleaning step that
+    strips shared page furniture (footers/headers) BEFORE dedup and
+    quality scoring. Detection is corpus-statistical, not a pattern
+    list: a document-final {BOILER_WORDS}-word suffix occurring in >=
+    {BOILER_DF} documents is boilerplate by definition (no organic
+    suffix repeats across 30% of a corpus). The fixture injects a
+    footer on even doc_ids (as q_text_pii_redact injects PII) so
+    detection, stripping, and the untouched-doc path are all
+    exercised; output is the cleaned-text hash + word count (flat
+    scalars for the driver canonicalizer).
+
+    Scale shape: one suffix per document (map-side slice+join), a
+    two-phase count agg over those single suffixes, and the tiny
+    qualifying-suffix set broadcast back - the corpus text never
+    shuffles. Generalizing to headers or k positional spans
+    multiplies the per-doc probe rows by k, never the plan shape.
+    """
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    t = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.col("text"), F.lit(" " + BOILER_SUFFIX)),
+    ).otherwise(F.col("text"))
+    w = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
+    suffixed = d.select(
+        "doc_id",
+        w.alias("w"),
+        F.when(
+            F.size(w) >= BOILER_WORDS,
+            F.array_join(
+                F.slice(w, -BOILER_WORDS, BOILER_WORDS), " "
+            ),
+        ).alias("suffix"),
+    )
+    df = (
+        suffixed.filter(F.col("suffix").isNotNull())
+        .groupBy("suffix")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BOILER_DF)
+        .select(F.col("suffix").alias("boiler"))
+    )
+    clean_w = F.when(
+        F.col("boiler").isNotNull(),
+        F.slice(F.col("w"), 1, F.size("w") - BOILER_WORDS),
+    ).otherwise(F.col("w"))
+    return (
+        suffixed.join(
+            F.broadcast(df), F.col("suffix") == F.col("boiler"), "left"
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("boiler").isNotNull(), 1).otherwise(0).alias(
+                "stripped"
+            ),
+            F.size(clean_w).cast("bigint").alias("n_words_clean"),
+            F.md5(F.array_join(clean_w, " ")).alias("clean_hash"),
+        )
+    )

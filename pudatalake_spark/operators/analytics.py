@@ -1582,3 +1582,102 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("welch_t"),
     )
+
+
+@register(
+    "q_events_survival_km",
+    oracle="""
+    WITH days AS (
+        SELECT user_id, min(date_trunc('day', ts)) AS t0,
+               max(date_trunc('day', ts)) AS t1
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(t1) AS t_max FROM days),
+    users AS (
+        SELECT date_diff('day', t0, t1) AS lifetime,
+               CASE WHEN date_diff('day', t1, t_max) < 7
+                    THEN 0 ELSE 1 END AS observed
+        FROM days, horizon
+    ),
+    per_t AS (
+        SELECT lifetime AS t,
+               CAST(sum(observed) AS BIGINT) AS d,
+               CAST(count(*) AS BIGINT) AS n_ending
+        FROM users GROUP BY lifetime
+    ),
+    risk AS (
+        SELECT t, d,
+               CAST(sum(n_ending) OVER (
+                   ORDER BY t DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_at_risk
+        FROM per_t
+    )
+    SELECT t AS lifetime_days, d AS n_churned, n_at_risk,
+           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)) OVER (
+               ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+               AS km_survival
+    FROM risk
+    WHERE d > 0
+    """,
+)
+def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes: churn age =
+    last-active day minus first-active day, with users still active
+    in the final week CENSORED (they haven't churned; they ran out of
+    observation window) - the survival-analysis readout behind
+    retention forecasting, done properly: censored users leave the
+    risk set without counting as deaths, which naive retention
+    curves get wrong.
+
+    Scale shape: one shuffle to per-user (first, last) day; the
+    entire KM computation then runs on the bounded per-lifetime
+    frame (<= observation days rows): at-risk counts are a
+    DESCENDING cumulative sum, and the product Π(1 - d/n) is
+    exp(Σ ln) over an ORDERED frame - deterministic addition order,
+    cross-engine drift bounded by ulps (rounded at 6dp, orders of
+    magnitude inside the tolerance).
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    days = e.groupBy("user_id").agg(
+        F.min(day).alias("t0"), F.max(day).alias("t1")
+    )
+    horizon = days.agg(F.max("t1").alias("t_max"))
+    users = days.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("t1", "t0").alias("lifetime"),
+        F.when(F.datediff("t_max", "t1") < 7, 0).otherwise(1).alias(
+            "observed"
+        ),
+    )
+    per_t = users.groupBy(F.col("lifetime").alias("t")).agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("n_ending"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = per_t.select(
+        "t",
+        "d",
+        F.sum("n_ending").over(w_desc).cast("bigint").alias("n_at_risk"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    km = F.exp(
+        F.sum(
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk"))
+        ).over(w_asc)
+    )
+    return (
+        risk.withColumn("km_survival", F.round(km, 6))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("lifetime_days"),
+            F.col("d").alias("n_churned"),
+            "n_at_risk",
+            "km_survival",
+        )
+    )
