@@ -1681,3 +1681,80 @@ def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             "km_survival",
         )
     )
+
+
+@register(
+    "q_events_seasonality_index",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, date_trunc('day', ts) AS day,
+               round(sum(value), 4) AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    by_dow AS (
+        SELECT event_type, CAST(dayofweek(day) AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_days,
+               round(sum(rev), 4) AS dow_rev
+        FROM daily GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type,
+               round(sum(dow_rev), 4) AS tot_rev,
+               CAST(sum(n_days) AS BIGINT) AS tot_days
+        FROM by_dow GROUP BY 1
+    )
+    SELECT b.event_type, dow, n_days,
+           dow_rev / n_days AS dow_daily_avg,
+           (dow_rev / n_days) / (tot_rev / tot_days) AS seasonality_idx
+    FROM by_dow b JOIN base USING (event_type)
+    """,
+)
+def q_events_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality indices: each weekday's average daily
+    revenue relative to the overall daily average, per event type -
+    the multiplicative seasonal profile that turns the seasonal-naive
+    forecast (q_events_forecast_seasonal) into a classical
+    decomposition, and the capacity-planning view on its own.
+
+    Note DuckDB's dayofweek() is 0=Sunday while Spark's dayofweek()
+    is 1=Sunday - the engine subtracts 1 so both emit the same
+    numbering (§1.3-style dialect hazard, pinned by the oracle).
+
+    Scale shape: the stream collapses to the daily rollup first; the
+    dow profile and per-type base are tiny two-phase aggs over that
+    bounded frame; every output is a ratio chain over 4dp-rounded
+    sums and exact day counts - identical IEEE arithmetic on both
+    engines, no output rounding needed.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("rev"))
+    )
+    by_dow = daily.groupBy(
+        "event_type",
+        (F.dayofweek("day") - 1).cast("bigint").alias("dow"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.sum("rev"), 4).alias("dow_rev"),
+    )
+    base = by_dow.groupBy(F.col("event_type").alias("b_type")).agg(
+        F.round(F.sum("dow_rev"), 4).alias("tot_rev"),
+        F.sum("n_days").cast("bigint").alias("tot_days"),
+    )
+    dow_avg = F.col("dow_rev") / F.col("n_days")
+    overall_avg = F.col("tot_rev") / F.col("tot_days")
+    return (
+        by_dow.join(
+            F.broadcast(base), F.col("event_type") == F.col("b_type")
+        )
+        .select(
+            "event_type",
+            "dow",
+            "n_days",
+            dow_avg.alias("dow_daily_avg"),
+            (dow_avg / overall_avg).alias("seasonality_idx"),
+        )
+    )

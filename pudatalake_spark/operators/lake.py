@@ -522,3 +522,70 @@ def q_join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "q_lake_changelog_apply",
+    oracle="""
+    WITH log AS (
+        SELECT o_custkey AS key,
+               CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+               o_totalprice AS price,
+               lpad(CAST(epoch_us(o_orderdate) AS VARCHAR), 20, '0')
+                 || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS seq
+        FROM orders
+    ),
+    latest AS (
+        SELECT key,
+               arg_max(op, seq) AS last_op,
+               round(arg_max(price, seq), 4) AS last_price,
+               count(*) AS n_changes
+        FROM log GROUP BY key
+    )
+    SELECT key, round(last_price, 4) AS last_price,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM latest WHERE last_op <> 'D'
+    """,
+)
+def q_lake_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered CDC changelog apply: replay an insert/update/delete
+    log (orders as the log; 'P' status = tombstone) and materialize
+    the LATEST surviving row per key - the Debezium-feed / CDC-merge
+    semantics that q_merge_upsert (single upsert batch) and
+    q_delete_keys (erasure set) each cover half of. A key whose
+    final record is a delete is ABSENT from the result even if
+    earlier updates exist; out-of-order arrival is handled because
+    latest-wins is decided by the (event-time, unique-id) sequence
+    key, not file order.
+
+    Scale shape: ONE hash aggregate (max_by per column on the
+    zero-padded sequence key - the q_agg_argmax convention, unique by
+    construction so ties are impossible) replaces the sort+window
+    formulation; map-side partials keep only one candidate per key
+    per partition. Deletes filter AFTER the argmax - a tombstone
+    must supersede earlier updates, never be filtered out first.
+    """
+    o = table(spark, sf_dir, "orders")
+    seq = F.concat(
+        F.lpad(F.unix_micros(F.col("o_orderdate")).cast("string"), 20, "0"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.when(F.col("o_orderstatus") == "P", "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        seq.alias("seq"),
+    )
+    latest = log.groupBy("key").agg(
+        F.max_by("op", F.col("seq")).alias("last_op"),
+        F.round(F.max_by("price", F.col("seq")), 4).alias("last_price"),
+        F.count("*").alias("n_changes"),
+    )
+    return (
+        latest.filter(F.col("last_op") != "D")
+        .select(
+            "key",
+            F.round("last_price", 4).alias("last_price"),
+            F.col("n_changes").cast("bigint").alias("n_changes"),
+        )
+    )
