@@ -674,3 +674,74 @@ def q_agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("entry.item").cast("bigint").alias("supplier"),
         F.col("entry.count").cast("bigint").alias("cnt"),
     )
+
+
+@register(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 4) AS s1,
+               round(sum(l_quantity * l_quantity), 4) AS s2,
+               round(sum(l_quantity * l_quantity * l_quantity), 4) AS s3,
+               round(sum(l_quantity * l_quantity * l_quantity * l_quantity),
+                     4) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           s1 / n AS mean,
+           round((s2 / n - (s1 / n) * (s1 / n)), 6) AS var_pop,
+           round((s3 / n - 3 * (s1 / n) * s2 / n
+                   + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+           round((s4 / n - 4 * (s1 / n) * s3 / n
+                   + 6 * (s1 / n) * (s1 / n) * s2 / n
+                   - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 6)
+               AS excess_kurtosis
+    FROM s
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape profiling: population skewness and excess
+    kurtosis per group from RAW POWER SUMS (Σx..Σx⁴) - the one-pass,
+    map-side-combinable moments formulation. The builtin skewness()/
+    kurtosis() are NOT used on purpose: Spark and DuckDB disagree on
+    sample-vs-population conventions, while four rounded power sums
+    plus identical downstream arithmetic are engine-independent (the
+    same trick as q_events_ab_welch's variance).
+
+    Scale shape: one two-phase hash agg carrying 5 numbers per
+    group; the central-moment expansion runs on the tiny grouped
+    frame. Catastrophic-cancellation caveat: raw power sums lose
+    precision when |mean| >> stddev - fine for bounded quantities
+    like these (1..50); for ill-conditioned columns, center on a
+    first-pass approximate mean before the power sums.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum(q), 4).alias("s1"),
+        F.round(F.sum(q * q), 4).alias("s2"),
+        F.round(F.sum(q * q * q), 4).alias("s3"),
+        F.round(F.sum(q * q * q * q), 4).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m * m
+    m3 = F.col("s3") / F.col("n") - 3 * m * F.col("s2") / F.col("n") + 2 * m * m * m
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m * F.col("s3") / F.col("n")
+        + 6 * m * m * F.col("s2") / F.col("n")
+        - 3 * m * m * m * m
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        m.alias("mean"),
+        F.round(m2, 6).alias("var_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / F.pow(m2, 2) - 3, 6).alias("excess_kurtosis"),
+    )

@@ -1587,23 +1587,27 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_events_survival_km",
     oracle="""
-    WITH days AS (
-        SELECT user_id, min(date_trunc('day', ts)) AS t0,
-               max(date_trunc('day', ts)) AS t1
-        FROM events GROUP BY user_id
+    WITH s AS (SELECT user_id, min(date_trunc('day', ts)) AS t0
+               FROM events WHERE event_type = 'signup' GROUP BY user_id),
+    conv AS (
+        SELECT e.user_id, min(date_trunc('day', e.ts)) AS t1
+        FROM events e JOIN s ON e.user_id = s.user_id
+        WHERE e.event_type = 'purchase'
+          AND date_trunc('day', e.ts) >= s.t0
+        GROUP BY e.user_id
     ),
-    horizon AS (SELECT max(t1) AS t_max FROM days),
-    users AS (
-        SELECT date_diff('day', t0, t1) AS lifetime,
-               CASE WHEN date_diff('day', t1, t_max) < 7
-                    THEN 0 ELSE 1 END AS observed
-        FROM days, horizon
+    horizon AS (SELECT max(date_trunc('day', ts)) AS t_max FROM events),
+    subjects AS (
+        SELECT CASE WHEN c.user_id IS NOT NULL
+                    THEN date_diff('day', s.t0, c.t1)
+                    ELSE date_diff('day', s.t0, t_max) END AS t,
+               CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM s LEFT JOIN conv c ON s.user_id = c.user_id, horizon
     ),
     per_t AS (
-        SELECT lifetime AS t,
-               CAST(sum(observed) AS BIGINT) AS d,
+        SELECT t, CAST(sum(observed) AS BIGINT) AS d,
                CAST(count(*) AS BIGINT) AS n_ending
-        FROM users GROUP BY lifetime
+        FROM subjects GROUP BY t
     ),
     risk AS (
         SELECT t, d,
@@ -1613,45 +1617,73 @@ def q_events_ab_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS BIGINT) AS n_at_risk
         FROM per_t
     )
-    SELECT t AS lifetime_days, d AS n_churned, n_at_risk,
-           round(exp(sum(ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)) OVER (
-               ORDER BY t
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
-               AS km_survival
+    -- d = n_at_risk makes a zero factor: track zero factors apart
+    -- (DuckDB raises on ln(0)) and pin the curve to 0 from there.
+    SELECT t AS days_since_signup, d AS n_converted, n_at_risk,
+           CASE WHEN sum(CASE WHEN d = n_at_risk THEN 1 ELSE 0 END) OVER (
+                    ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+                THEN 0.0
+                ELSE round(exp(sum(
+                        CASE WHEN d < n_at_risk
+                             THEN ln(1.0 - CAST(d AS DOUBLE) / n_at_risk)
+                             ELSE 0.0 END) OVER (
+                    ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+           END AS km_not_yet_converted
     FROM risk
     WHERE d > 0
     """,
 )
 def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier survival curve over user lifetimes: churn age =
-    last-active day minus first-active day, with users still active
-    in the final week CENSORED (they haven't churned; they ran out of
-    observation window) - the survival-analysis readout behind
-    retention forecasting, done properly: censored users leave the
-    risk set without counting as deaths, which naive retention
-    curves get wrong.
+    """Kaplan-Meier time-to-conversion: for signed-up users, the
+    probability of NOT yet having purchased t days after signup,
+    with users who never purchase CENSORED at the observation
+    horizon - the survival-analysis readout done properly: censored
+    users leave the risk set without counting as conversions, which
+    a naive conversion-rate-by-day curve gets wrong. (An earlier
+    draft measured lifetime-to-churn; on this generator EVERY user
+    stays active through the final week, so that axis censors 100%
+    and the curve is vacuous - conversion is the axis with a real
+    event/censor mix, 69 events / 150 subjects at sf0.01.)
 
-    Scale shape: one shuffle to per-user (first, last) day; the
-    entire KM computation then runs on the bounded per-lifetime
-    frame (<= observation days rows): at-risk counts are a
-    DESCENDING cumulative sum, and the product Π(1 - d/n) is
-    exp(Σ ln) over an ORDERED frame - deterministic addition order,
-    cross-engine drift bounded by ulps (rounded at 6dp, orders of
-    magnitude inside the tolerance).
+    Scale shape: two map-side min-aggs + one co-partitioned user
+    join; the entire KM computation then runs on the bounded
+    per-day frame: at-risk counts are a DESCENDING cumulative sum
+    and the product Pi(1 - d/n) is exp(Sigma ln) over an ORDERED
+    frame - deterministic addition order, cross-engine drift bounded
+    by ulps (rounded at 6dp, orders of magnitude inside tolerance).
     """
     e = table(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts"))
-    days = e.groupBy("user_id").agg(
-        F.min(day).alias("t0"), F.max(day).alias("t1")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(day).alias("t0"))
     )
-    horizon = days.agg(F.max("t1").alias("t_max"))
-    users = days.crossJoin(F.broadcast(horizon)).select(
-        F.datediff("t1", "t0").alias("lifetime"),
-        F.when(F.datediff("t_max", "t1") < 7, 0).otherwise(1).alias(
-            "observed"
-        ),
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(day >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min(day).alias("t1"))
     )
-    per_t = users.groupBy(F.col("lifetime").alias("t")).agg(
+    horizon = e.agg(F.max(day).alias("t_max"))
+    subjects = (
+        s.join(conv, "user_id", "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("t1").isNotNull(), F.datediff("t1", "t0")
+            )
+            .otherwise(F.datediff("t_max", "t0"))
+            .alias("t"),
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias(
+                "observed"
+            ),
+        )
+    )
+    per_t = subjects.groupBy("t").agg(
         F.sum("observed").cast("bigint").alias("d"),
         F.count("*").cast("bigint").alias("n_ending"),
     )
@@ -1666,19 +1698,25 @@ def q_events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_asc = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    km = F.exp(
-        F.sum(
-            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk"))
-        ).over(w_asc)
+    # d = n_at_risk makes a zero factor (everyone left converts):
+    # count zero factors separately and pin the curve to 0 from
+    # there, summing logs over the strictly-positive factors only.
+    zero_factor = F.when(F.col("d") == F.col("n_at_risk"), 1).otherwise(0)
+    safe_ln = F.when(
+        F.col("d") < F.col("n_at_risk"),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_at_risk")),
+    ).otherwise(F.lit(0.0))
+    km = F.when(F.sum(zero_factor).over(w_asc) > 0, F.lit(0.0)).otherwise(
+        F.round(F.exp(F.sum(safe_ln).over(w_asc)), 6)
     )
     return (
-        risk.withColumn("km_survival", F.round(km, 6))
+        risk.withColumn("km_not_yet_converted", km)
         .filter(F.col("d") > 0)
         .select(
-            F.col("t").alias("lifetime_days"),
-            F.col("d").alias("n_churned"),
+            F.col("t").alias("days_since_signup"),
+            F.col("d").alias("n_converted"),
             "n_at_risk",
-            "km_survival",
+            "km_not_yet_converted",
         )
     )
 
