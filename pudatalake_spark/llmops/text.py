@@ -1088,3 +1088,165 @@ def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.array_join(clean_w, " ")).alias("clean_hash"),
         )
     )
+
+
+CURATION_MIN_WORDS = 30
+
+
+@register(
+    "q_curation_funnel",
+    oracle=f"""
+    WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 4),
+    planted AS (
+        -- Fixture: clone-farm the corpus (doc_id % 100 < 4 re-uses
+        -- doc (doc_id % 100)'s text) and stamp template footers on
+        -- even ids - the two pathologies the funnel must remove.
+        SELECT d.doc_id, d.lang,
+               CASE WHEN d.doc_id % 100 < 4 AND d.doc_id >= 100
+                    THEN s.text ELSE d.text END
+               || CASE WHEN d.doc_id % 2 = 0
+                       THEN ' {BOILER_SUFFIX}' ELSE '' END AS t
+        FROM documents d
+        LEFT JOIN src s ON d.doc_id % 100 = s.doc_id
+    ),
+    words AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(lower(t), ' '), w -> w <> '') AS w
+        FROM planted
+    ),
+    suffixed AS (
+        SELECT doc_id, lang, w,
+               CASE WHEN len(w) >= {BOILER_WORDS}
+                    THEN array_to_string(
+                        list_slice(w, len(w) - {BOILER_WORDS - 1}, len(w)),
+                        ' ') END AS suffix
+        FROM words
+    ),
+    boiler AS (
+        SELECT suffix FROM suffixed WHERE suffix IS NOT NULL
+        GROUP BY suffix HAVING count(*) >= {BOILER_DF}
+    ),
+    cleaned AS (
+        SELECT doc_id, lang,
+               CASE WHEN b.suffix IS NOT NULL
+                    THEN list_slice(w, 1, len(w) - {BOILER_WORDS})
+                    ELSE w END AS w
+        FROM suffixed s LEFT JOIN boiler b ON s.suffix = b.suffix
+    ),
+    deduped AS (
+        SELECT doc_id, lang, w,
+               CASE WHEN doc_id = min(doc_id) OVER (
+                        PARTITION BY md5(array_to_string(w, ' ')))
+                    THEN 1 ELSE 0 END AS keep_dedup
+        FROM cleaned
+    ),
+    gated AS (
+        SELECT *, CASE WHEN keep_dedup = 1
+                        AND len(w) >= {CURATION_MIN_WORDS}
+                       THEN 1 ELSE 0 END AS keep_final
+        FROM deduped
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_raw,
+           CAST(sum(keep_dedup) AS BIGINT) AS n_after_dedup,
+           CAST(sum(keep_final) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep_final = 1 THEN len(w) ELSE 0 END)
+                AS BIGINT) AS tokens_kept
+    FROM gated
+    GROUP BY lang
+    """,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel in ONE declarative plan:
+    boilerplate-strip -> exact dedup (survivor = min doc_id per
+    cleaned-content hash) -> length quality gate, reported as
+    per-language stage counts + surviving token mass. The fixture
+    plants both pathologies (clone-farmed texts re-using docs 0-3,
+    template footers on even ids) so every stage provably removes
+    something; the composition shows the stages FUSE - one job, no
+    intermediate materialization, because each stage is a
+    map/window/broadcast-join over the previous one.
+
+    Scale shape: the footer dictionary is a tiny broadcast; dedup's
+    survivor choice is a min-over-hash window partitioned by the
+    content hash (shuffles (hash, doc_id) pairs, not text - same key
+    discipline as q_dedup_exact); the funnel report is one final
+    agg. Every count is exact-int.
+    """
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    src = (
+        d.filter(F.col("doc_id") < 4)
+        .select(F.col("doc_id").alias("s_id"), F.col("text").alias("s_text"))
+    )
+    planted = (
+        d.join(
+            F.broadcast(src), F.col("doc_id") % 100 == F.col("s_id"), "left"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.concat(
+                F.when(
+                    (F.col("doc_id") % 100 < 4) & (F.col("doc_id") >= 100),
+                    F.col("s_text"),
+                ).otherwise(F.col("text")),
+                F.when(
+                    F.col("doc_id") % 2 == 0, F.lit(" " + BOILER_SUFFIX)
+                ).otherwise(F.lit("")),
+            ).alias("t"),
+        )
+    )
+    w = F.filter(F.split(F.lower("t"), " "), lambda x: x != "")
+    suffixed = planted.select(
+        "doc_id",
+        "lang",
+        w.alias("w"),
+        F.when(
+            F.size(w) >= BOILER_WORDS,
+            F.array_join(F.slice(w, -BOILER_WORDS, BOILER_WORDS), " "),
+        ).alias("suffix"),
+    )
+    boiler = (
+        suffixed.filter(F.col("suffix").isNotNull())
+        .groupBy("suffix")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BOILER_DF)
+        .select(F.col("suffix").alias("bsfx"))
+    )
+    cleaned = (
+        suffixed.join(
+            F.broadcast(boiler), F.col("suffix") == F.col("bsfx"), "left"
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("bsfx").isNotNull(),
+                F.slice(F.col("w"), 1, F.size("w") - BOILER_WORDS),
+            )
+            .otherwise(F.col("w"))
+            .alias("w"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    hsh = F.md5(F.array_join(F.col("w"), " "))
+    keep_dedup = F.when(
+        F.col("doc_id") == F.min("doc_id").over(W.partitionBy(hsh)), 1
+    ).otherwise(0)
+    deduped = cleaned.withColumn("keep_dedup", keep_dedup)
+    keep_final = F.when(
+        (F.col("keep_dedup") == 1) & (F.size("w") >= CURATION_MIN_WORDS), 1
+    ).otherwise(0)
+    return (
+        deduped.withColumn("keep_final", keep_final)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_raw"),
+            F.sum("keep_dedup").cast("bigint").alias("n_after_dedup"),
+            F.sum("keep_final").cast("bigint").alias("n_kept"),
+            F.sum(
+                F.when(F.col("keep_final") == 1, F.size("w")).otherwise(0)
+            ).cast("bigint").alias("tokens_kept"),
+        )
+    )
