@@ -231,6 +231,36 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct"],
         "dormancy anti-join broadcasts the date-pruned order keys; threshold is a 1-row broadcast nested loop",
     ),
+    "q_basket_rules": (
+        # Pair enumeration must be an equi self-join on the basket
+        # key with two-phase counting; the only nested-loop is the
+        # broadcast-tiny 1-row totals stitch.
+        [r"partial_count", r"BroadcastHashJoin"],
+        [r"CartesianProduct"],
+        "pairs come from the basket-key equi self-join; item totals broadcast; never cross-order pairing",
+    ),
+    "q_agg_moments": (
+        [r"partial_sum", r"partial_count"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"Window"],
+        "power sums are ONE two-phase hash agg; moment expansion is projection math, no window, no Python",
+    ),
+    "q_lake_changelog_apply": (
+        # Latest-wins must be the agg-native arg-max (map-side
+        # combinable), not a sort + row_number window.
+        [r"partial_max_by"],
+        [r"Window", r"CartesianProduct"],
+        "changelog replay is one max_by hash agg on the sequence key - no sort+window formulation",
+    ),
+    "q_events_survival_km": (
+        [r"partial_min", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "per-user anchors are min/max aggs; KM windows run on the bounded per-day frame; horizon is a broadcast",
+    ),
+    "q_curation_funnel": (
+        [r"BroadcastHashJoin LeftOuter", r"Window", r"partial_count"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "funnel stages fuse: footer dict broadcasts, dedup survivor is a min-over-hash window, one final agg",
+    ),
     "q_graph_triangles": (
         # wedge join + closing-edge join are equi joins on the oriented
         # edge list; the only non-equi join is the 1x1 count stitch.
