@@ -987,6 +987,36 @@ BOILER_WORDS = 8  # words in the injected footer
 BOILER_DF = 150   # docs sharing a suffix before it counts as boilerplate
 
 
+def _boiler_suffix_col(w):
+    """Document-final BOILER_WORDS-word suffix (NULL for short docs)."""
+    return F.when(
+        F.size(w) >= BOILER_WORDS,
+        F.array_join(F.slice(w, -BOILER_WORDS, BOILER_WORDS), " "),
+    )
+
+
+def _boiler_dict(suffixed: DataFrame) -> DataFrame:
+    """Suffixes shared by >= BOILER_DF docs, as a broadcastable
+    1-column frame aliased `bsfx` (tiny by definition: at most
+    n_docs / BOILER_DF rows)."""
+    return (
+        suffixed.filter(F.col("suffix").isNotNull())
+        .groupBy("suffix")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= BOILER_DF)
+        .select(F.col("suffix").alias("bsfx"))
+    )
+
+
+def _strip_boiler_col(w):
+    """Cleaned word array: drop the suffix when the joined `bsfx`
+    matched, pass through otherwise."""
+    return F.when(
+        F.col("bsfx").isNotNull(),
+        F.slice(w, 1, F.size(w) - BOILER_WORDS),
+    ).otherwise(w)
+
+
 @register(
     "q_text_boilerplate_strip",
     oracle=f"""
@@ -1055,33 +1085,18 @@ def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.col("text"))
     w = F.filter(F.split(F.lower(t), " "), lambda x: x != "")
     suffixed = d.select(
-        "doc_id",
-        w.alias("w"),
-        F.when(
-            F.size(w) >= BOILER_WORDS,
-            F.array_join(
-                F.slice(w, -BOILER_WORDS, BOILER_WORDS), " "
-            ),
-        ).alias("suffix"),
+        "doc_id", w.alias("w"), _boiler_suffix_col(w).alias("suffix")
     )
-    df = (
-        suffixed.filter(F.col("suffix").isNotNull())
-        .groupBy("suffix")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= BOILER_DF)
-        .select(F.col("suffix").alias("boiler"))
-    )
-    clean_w = F.when(
-        F.col("boiler").isNotNull(),
-        F.slice(F.col("w"), 1, F.size("w") - BOILER_WORDS),
-    ).otherwise(F.col("w"))
+    clean_w = _strip_boiler_col(F.col("w"))
     return (
         suffixed.join(
-            F.broadcast(df), F.col("suffix") == F.col("boiler"), "left"
+            F.broadcast(_boiler_dict(suffixed)),
+            F.col("suffix") == F.col("bsfx"),
+            "left",
         )
         .select(
             "doc_id",
-            F.when(F.col("boiler").isNotNull(), 1).otherwise(0).alias(
+            F.when(F.col("bsfx").isNotNull(), 1).otherwise(0).alias(
                 "stripped"
             ),
             F.size(clean_w).cast("bigint").alias("n_words_clean"),
@@ -1198,34 +1213,16 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = F.filter(F.split(F.lower("t"), " "), lambda x: x != "")
     suffixed = planted.select(
-        "doc_id",
-        "lang",
-        w.alias("w"),
-        F.when(
-            F.size(w) >= BOILER_WORDS,
-            F.array_join(F.slice(w, -BOILER_WORDS, BOILER_WORDS), " "),
-        ).alias("suffix"),
-    )
-    boiler = (
-        suffixed.filter(F.col("suffix").isNotNull())
-        .groupBy("suffix")
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= BOILER_DF)
-        .select(F.col("suffix").alias("bsfx"))
+        "doc_id", "lang", w.alias("w"), _boiler_suffix_col(w).alias("suffix")
     )
     cleaned = (
         suffixed.join(
-            F.broadcast(boiler), F.col("suffix") == F.col("bsfx"), "left"
+            F.broadcast(_boiler_dict(suffixed)),
+            F.col("suffix") == F.col("bsfx"),
+            "left",
         )
         .select(
-            "doc_id",
-            "lang",
-            F.when(
-                F.col("bsfx").isNotNull(),
-                F.slice(F.col("w"), 1, F.size("w") - BOILER_WORDS),
-            )
-            .otherwise(F.col("w"))
-            .alias("w"),
+            "doc_id", "lang", _strip_boiler_col(F.col("w")).alias("w")
         )
     )
     from pyspark.sql import Window as W

@@ -240,12 +240,16 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Materialization strategy MEASURED at sf0.1: persist() DOUBLES
     # steady-state (10-13 s vs 5.2 s plain - the InMemoryTableScan
     # boundary blocks whole-stage fusion and AQE broadcast
-    # re-planning), but localCheckpoint(eager) of the distinct edge
-    # set WINS (3.8 s): checkpointed blocks replay as a plain scan
-    # with truncated lineage, exactly like q_dedup_groups' CC
-    # supersteps. At 100 TB the same role is played by writing the
-    # edge list to parquet once and iterating over that scan.
-    bip = _bipartite_edges(t).localCheckpoint(eager=True)
+    # re-planning), but localCheckpoint of the distinct edge set
+    # WINS (3.8 s): checkpointed blocks replay as a plain scan with
+    # truncated lineage, exactly like q_dedup_groups' CC supersteps.
+    # eager=False keeps the BUILDER lazy - plan-only consumers (the
+    # plan audit calls every builder just to explainString) must not
+    # run edge-derivation jobs or pin never-unpersisted blocks; the
+    # first real action checkpoints once and later readers reuse it.
+    # At 100 TB the same role is played by writing the edge list to
+    # parquet once and iterating over that scan.
+    bip = _bipartite_edges(t).localCheckpoint(eager=False)
     c = F.concat(F.lit("C"), F.col("ck").cast("string"))
     s = F.concat(F.lit("S"), F.col("sk").cast("string"))
     edges = bip.select(c.alias("src"), s.alias("dst")).unionAll(

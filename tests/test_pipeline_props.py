@@ -314,11 +314,10 @@ def test_boilerplate_strip_targets_injected_footer(spark):
     assert set(rows) == set(docs)
     for doc_id, words in docs.items():
         r = rows[doc_id]
-        if doc_id % 2 == 0:
-            assert r["stripped"] == 1
-            assert r["n_words_clean"] == len(words) + BOILER_WORDS - BOILER_WORDS
-        else:
-            assert r["stripped"] == 0
-            assert r["n_words_clean"] == len(words)
-            want = hashlib.md5(" ".join(words).encode()).hexdigest()
-            assert r["clean_hash"] == want
+        # in BOTH branches the cleaned text must equal the
+        # pre-injection original - a strip that removes the wrong 8
+        # words keeps the count right but flips the hash
+        want = hashlib.md5(" ".join(words).encode()).hexdigest()
+        assert r["stripped"] == (1 if doc_id % 2 == 0 else 0)
+        assert r["n_words_clean"] == len(words)
+        assert r["clean_hash"] == want
