@@ -715,7 +715,11 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey AS p_partkey, round(val, 4) AS part_value
     FROM pv
-    WHERE round(val, 4) > (SELECT round(sum(val), 4) * 0.001 FROM pv)
+    -- scale-free threshold: 2x the MEAN per-part share (the official
+    -- query scales its 0.0001 fraction by 1/SF for the same reason -
+    -- a fixed fraction empties out as the part count grows)
+    WHERE round(val, 4) > (SELECT round(sum(val), 4) * 2.0 / count(*)
+                           FROM pv)
     """,
 )
 def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -761,8 +765,11 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # Scale-free threshold: 2x the mean per-part value (mirrors the
+    # official query's 1/SF fraction scaling; a fixed 0.1% share
+    # returned 0 rows at sf0.1's 20k parts).
     total = pv.agg(
-        (F.round(F.sum("val"), 4) * 0.001).alias("threshold")
+        (F.round(F.sum("val"), 4) * 2.0 / F.count("*")).alias("threshold")
     )
     return (
         pv.crossJoin(F.broadcast(total))
