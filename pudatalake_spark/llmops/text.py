@@ -15,6 +15,8 @@ are embarrassingly parallel scans.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -1246,4 +1248,59 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("keep_final") == 1, F.size("w")).otherwise(0)
             ).cast("bigint").alias("tokens_kept"),
         )
+    )
+
+
+COMPRESS_MAX_RATIO = 0.55  # flag docs compressing below this (repetitive)
+
+
+@register("q_text_compression_ratio")  # UDF-surface -> rows-only + pin
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal: zlib(level 6) compressed
+    bytes / raw UTF-8 bytes per document, with a repetitiveness flag
+    below {COMPRESS_MAX_RATIO} - the classic pretraining filter
+    (highly compressible text is boilerplate/template/repetition;
+    incompressible text is often binary junk or high-entropy noise).
+    Deterministic: zlib with a pinned level is a pure function of the
+    bytes - same output on every executor, every rerun.
+
+    Rows-only by design (no SQL twin for DEFLATE);
+    tests/test_pipeline_props.py pins a sample of rows against
+    direct zlib from the same texts, so a codec-parameter drift
+    flips the pin.
+
+    Scale shape: Arrow-batched pandas UDF (declared slow-path
+    surface, like the multimodal codecs) - map-only, no shuffle;
+    only (doc_id, two ints, ratio, flag) ever leave the executor.
+    The JVM-side complement for cheap screening is
+    q_text_repetition's n-gram ratios; compression catches the
+    long-range redundancy n-grams miss.
+    """
+    import zlib
+
+    # raw size is JVM-side (octet_length); ONLY the DEFLATE size
+    # needs the Python surface.
+    @F.pandas_udf("bigint")
+    def comp_bytes_udf(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+        )
+
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.octet_length("text").cast("bigint").alias("raw_bytes"),
+        comp_bytes_udf("text").alias("comp_bytes"),
+    )
+    ratio = F.col("comp_bytes").cast("double") / F.col("raw_bytes")
+    return sized.select(
+        "doc_id",
+        "lang",
+        "raw_bytes",
+        "comp_bytes",
+        ratio.alias("comp_ratio"),
+        F.when(ratio < COMPRESS_MAX_RATIO, 1).otherwise(0).alias(
+            "too_repetitive"
+        ),
     )

@@ -311,6 +311,7 @@ UDF_KEYS = {
     "q_multimodal_audio_features", "q_multimodal_framesample",
     "s_stateful_running", "q_pack_bestfit", "q_multimodal_phash",
     "q_multimodal_phash_dedup",  # same mapInPandas decode surface
+    "q_text_compression_ratio",  # declared pandas-UDF zlib surface
     "q_sim_mmr",
 }
 

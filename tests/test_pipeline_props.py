@@ -321,3 +321,32 @@ def test_boilerplate_strip_targets_injected_footer(spark):
         assert r["stripped"] == (1 if doc_id % 2 == 0 else 0)
         assert r["n_words_clean"] == len(words)
         assert r["clean_hash"] == want
+
+
+def test_compression_ratio_matches_zlib(spark):
+    """The compression signal equals direct zlib(level 6) on the same
+    texts for every document, and the flag applies the declared
+    threshold."""
+    import zlib
+
+    from pudatalake_spark.llmops.text import COMPRESS_MAX_RATIO
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry.QUERIES["q_text_compression_ratio"](
+            spark, SF_DIR
+        ).collect()
+    }
+    docs = dict(
+        table(spark, SF_DIR, "documents").select("doc_id", "text").collect()
+    )
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        r = rows[doc_id]
+        raw = text.encode("utf-8")
+        assert r["raw_bytes"] == len(raw)
+        assert r["comp_bytes"] == len(zlib.compress(raw, 6))
+        assert r["comp_ratio"] == r["comp_bytes"] / r["raw_bytes"]
+        assert r["too_repetitive"] == (
+            1 if r["comp_ratio"] < COMPRESS_MAX_RATIO else 0
+        )
