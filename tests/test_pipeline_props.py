@@ -350,3 +350,57 @@ def test_compression_ratio_matches_zlib(spark):
         assert r["too_repetitive"] == (
             1 if r["comp_ratio"] < COMPRESS_MAX_RATIO else 0
         )
+
+
+def test_hamming_pairs_64_fuzz(spark):
+    """Hypothesis fuzz of the shared banding vs brute force: for
+    random signature sets (drawn to cluster within a few bits so
+    near pairs actually occur), the banded join returns EXACTLY the
+    hamming<=3 pairs. Few examples (each costs a Spark job), but
+    each example checks every pair."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pudatalake_spark.llmops.dedup import hamming_pairs_64
+
+    base_s = st.integers(0, (1 << 64) - 1)
+    # each signature = base XOR a mask with 0..6 random bit flips
+    flips_s = st.lists(
+        st.lists(st.integers(0, 63), min_size=0, max_size=6),
+        min_size=2,
+        max_size=8,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(base=base_s, flip_sets=flips_s)
+    def run(base, flip_sets):
+        hashes = {}
+        for i, flips in enumerate(flip_sets):
+            h = base
+            for b in flips:
+                h ^= 1 << b
+            hashes[i] = h
+        sig = spark.createDataFrame(
+            [
+                (i, h - (1 << 64) if h >= (1 << 63) else h)
+                for i, h in hashes.items()
+            ],
+            "doc_id long, phash long",
+        )
+        got = {
+            (r["doc1"], r["doc2"]): r["hamming"]
+            for r in hamming_pairs_64(sig, "doc_id", "phash").collect()
+        }
+        expect = {
+            (i, j): bin(hashes[i] ^ hashes[j]).count("1")
+            for i in hashes
+            for j in hashes
+            if i < j and bin(hashes[i] ^ hashes[j]).count("1") <= 3
+        }
+        assert got == expect
+
+    run()
