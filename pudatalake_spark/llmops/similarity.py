@@ -946,7 +946,7 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bucket sizes ~N/8; at true scale use more sign bits + multiple
     band tables to keep buckets bounded); exact cosine only on
     candidates; per-vector top-k via WindowGroupLimit inside the
-    shuffle. Payload vectors ride the join once, pre-normed.
+    shuffle. Payload vectors join back once, pre-normed, AFTER pair dedup.
     """
     e = table(spark, sf_dir, "embeddings")
 
@@ -966,35 +966,51 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus; the 4-band union measures 0.625 (pinned in tests) - the
     # recall-vs-cost ladder in action, each band adding one bounded
     # candidate stream.
+    # Band table carries IDS ONLY (the q_dedup_embedding discipline,
+    # dedup.py): payload vectors must not ride the banded self-join -
+    # they would be replicated x bands on both sides - and the exact
+    # cosine must run ONCE per distinct candidate pair, not once per
+    # shared band. Dedup the (src, dst) pairs first, then join the
+    # normed vectors back exactly once.
     banded = eb.select(
         "vec_id",
-        "v",
-        "nrm",
         F.posexplode(
             F.array(*[band_bucket(k) for k in range(KNN_GRAPH_BANDS)])
         ).alias("band", "bucket"),
     )
     a = banded.select(
         F.col("vec_id").alias("src"),
-        F.col("v").alias("av"),
-        F.col("nrm").alias("an"),
         F.col("band").alias("a_band"),
         F.col("bucket").alias("a_bucket"),
     )
     b = banded.select(
         F.col("vec_id").alias("dst"),
-        F.col("v").alias("bv"),
-        F.col("nrm").alias("bn"),
         F.col("band").alias("b_band"),
         F.col("bucket").alias("b_bucket"),
     )
-    scored = (
+    cand = (
         a.join(
             b,
             (F.col("a_band") == F.col("b_band"))
             & (F.col("a_bucket") == F.col("b_bucket"))
             & (F.col("src") != F.col("dst")),
         )
+        .select("src", "dst")
+        .distinct()
+    )
+    va = eb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    vb = eb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    scored = (
+        cand.join(va, F.col("src") == F.col("a_id"))
+        .join(vb, F.col("dst") == F.col("b_id"))
         .select(
             "src",
             "dst",
@@ -1003,7 +1019,6 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("cos_sim"),
         )
-        .distinct()
     )
     w = Window.partitionBy("src").orderBy(
         F.col("cos_sim").desc(), F.col("dst")

@@ -1282,8 +1282,12 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # needs the Python surface.
     @F.pandas_udf("bigint")
     def comp_bytes_udf(texts: pd.Series) -> pd.Series:
+        # null-propagate like a built-in (None.encode would kill the
+        # whole task); pd.NA keeps the bigint column nullable
         return texts.map(
             lambda t: len(zlib.compress(t.encode("utf-8"), 6))
+            if isinstance(t, str)
+            else None
         )
 
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
@@ -1293,7 +1297,12 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length("text").cast("bigint").alias("raw_bytes"),
         comp_bytes_udf("text").alias("comp_bytes"),
     )
-    ratio = F.col("comp_bytes").cast("double") / F.col("raw_bytes")
+    # guard the degenerate rows: null/empty text has no ratio and
+    # must not silently classify as fine - it gets its own flag
+    ratio = F.when(
+        F.col("raw_bytes") > 0,
+        F.col("comp_bytes").cast("double") / F.col("raw_bytes"),
+    )
     return sized.select(
         "doc_id",
         "lang",
@@ -1303,4 +1312,7 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ratio < COMPRESS_MAX_RATIO, 1).otherwise(0).alias(
             "too_repetitive"
         ),
+        F.when(
+            F.col("raw_bytes").isNull() | (F.col("raw_bytes") == 0), 1
+        ).otherwise(0).alias("degenerate"),
     )
