@@ -117,3 +117,40 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length"),
         F.octet_length("content").alias("content_bytes"),
     ).orderBy("file")
+
+
+@register("src_xml")
+def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML round-trip (Spark 4 ships the XML source natively - the
+    feeds/exports format that still dominates B2B interchange):
+    write the supplier dim as <suppliers><supplier>...</supplier>
+    rows, read back with an explicit rowTag + schema (the same
+    no-inference production rule as CSV/JSON - inference reads the
+    data twice and can drift types across files).
+
+    Returns a checkable aggregate over the round-tripped rows so the
+    rows-only gate proves values, not just row counts, survived the
+    format: count + exact-cent acctbal total + distinct nations.
+    """
+    out = _scratch("xml", "supplier")
+    s = table(spark, sf_dir, "supplier")
+    (
+        s.write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(out)
+    )
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(s.schema)
+        .load(out)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias(
+            "acctbal_cents"
+        ),
+        F.countDistinct("s_nationkey").alias("n_nations"),
+    )
