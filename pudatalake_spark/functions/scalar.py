@@ -417,3 +417,47 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("k")).alias("k"),
     )
+
+
+@register(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                AS BIGINT) AS max_k,
+           CAST(count(json_extract_string(props, '$.missing')) AS BIGINT)
+               AS n_missing_hits
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path: parse the semi-structured props column
+    ONCE into the binary VARIANT encoding, then typed
+    `variant_get` extractions - the open-lakehouse answer to
+    Snowflake-style semi-structured columns. Differs from q_fn_json
+    (string-path get_json_object re-parses the JSON text per
+    extraction): VARIANT parses once and every subsequent path read
+    is a binary traversal, which is the 100 TB shape for
+    multi-field extraction. `try_variant_get` on a missing path
+    null-propagates (counted: must be zero hits) instead of erroring.
+
+    The VARIANT value itself never reaches the output (binary-coded
+    column - not driver-canon-safe); only extracted scalars do.
+    """
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    missing = F.expr("try_variant_get(parse_json(props), '$.missing', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"), missing.alias("m"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.count("m").cast("bigint").alias("n_missing_hits"),
+        )
+    )
