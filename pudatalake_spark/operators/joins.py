@@ -846,3 +846,44 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users",
         )
     )
+
+
+_LATERAL_SQL = """
+    SELECT c_custkey, c_mktsegment,
+           o.o_orderkey,
+           round(o.o_totalprice, 4) AS o_totalprice,
+           o.rk
+    FROM customer,
+    LATERAL (SELECT o_orderkey, o_totalprice,
+                    row_number() OVER (ORDER BY o_totalprice DESC,
+                                       o_orderkey) AS rk
+             FROM orders
+             WHERE o_custkey = c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c_custkey <= 200
+"""
+
+
+@register(
+    "q_join_lateral_topn",
+    oracle=_LATERAL_SQL,
+)
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join: each customer's top-2 orders by price
+    via a per-row subquery - the declarative form of top-N-per-group
+    that arrives as a JOIN, not a window-then-filter (both engines
+    run the SAME SQL text, EP3 style). Catalyst decorrelates the
+    LATERAL LIMIT into a partitioned rank under the hood, so the
+    declared per-row semantics execute as one shuffle + group
+    limit - write the intent, let the optimizer pick the join
+    strategy.
+
+    Scale shape: decorrelation turns N per-customer probes into a
+    single orders shuffle keyed on custkey with the rank pushed into
+    it; the alternative interpretation (re-executing the subquery
+    per outer row) would be N scans and is exactly what the rewrite
+    avoids. Deterministic: price ties broken by orderkey inside the
+    LATERAL's ORDER BY.
+    """
+    load(spark, sf_dir)  # registers the temp views for the SQL
+    return spark.sql(_LATERAL_SQL)
