@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..loaders import table
+from ..loaders import load, table
 from ..registry import register
 
 
@@ -461,3 +461,50 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("m").cast("bigint").alias("n_missing_hits"),
         )
     )
+
+
+_SCRIPT_THR = (
+    "(SELECT CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE)"
+    " / (count(*) * 100.0) * 2.0 FROM orders)"
+)
+
+
+@register(
+    "q_sql_script",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_big,
+           round(sum(o_totalprice), 4) AS big_revenue
+    FROM orders
+    WHERE o_totalprice > {_SCRIPT_THR}
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scripting (BEGIN..END): a multi-statement script
+    DECLAREs a session variable, SETs it from a data-derived scalar
+    (2x the exact-cent mean order value - the same integer-cent
+    arithmetic as functions/exact.py, so the threshold double is
+    bit-identical cross-engine), then emits the parameterized
+    report - the stored-procedure-shaped workflow (parameterize ->
+    compute -> report) as one engine-side script instead of
+    driver-side glue.
+
+    The oracle inlines the threshold subquery into a single SELECT,
+    proving the script's staged execution equals the declarative
+    form. Scale shape: the variable is ONE scalar on the driver;
+    both statements are ordinary two-phase aggregates.
+    """
+    load(spark, sf_dir)  # registers the orders temp view
+    return spark.sql(f"""
+    BEGIN
+      DECLARE thr DOUBLE;
+      SET thr = {_SCRIPT_THR};
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_big,
+             round(sum(o_totalprice), 4) AS big_revenue
+      FROM orders
+      WHERE o_totalprice > thr
+      GROUP BY o_orderpriority;
+    END
+    """)
