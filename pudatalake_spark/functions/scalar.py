@@ -508,3 +508,57 @@ def q_sql_script(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY o_orderpriority;
     END
     """)
+
+
+@register(
+    "q_fn_collation",
+    oracle="""
+    WITH mixed AS (
+        SELECT c_custkey, c_acctbal,
+               CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS seg
+        FROM customer
+    )
+    SELECT lower(min(seg)) AS segment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           CAST(count(DISTINCT seg) AS BIGINT) AS n_case_variants,
+           round(sum(c_acctbal), 4) AS sum_bal
+    FROM mixed
+    GROUP BY lower(seg)
+    """,
+)
+def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 string collations: group a deliberately case-mangled
+    segment column under UTF8_LCASE, so 'BUILDING' and 'building'
+    are ONE group at the type level - no lower() rewrites scattered
+    through predicates, and (at scale) no loss of scan statistics
+    that expression-wrapped keys cause. The oracle states the
+    semantic contract via the classic lower() rewrite; the
+    case-variant count (2 per group) proves the collation actually
+    collapsed binary-distinct values. Output keys are canonicalized
+    deterministically (lower of the binary min) because the
+    collated group's representative value is engine-chosen.
+
+    Scale shape: one two-phase hash agg; the collated comparison is
+    ICU-backed at the type level, letting Catalyst keep pushdown
+    and statistics that a lower(col) wrapper would forfeit.
+    """
+    c = table(spark, sf_dir, "customer")
+    seg = F.when(
+        F.col("c_custkey") % 2 == 0, F.upper("c_mktsegment")
+    ).otherwise(F.lower("c_mktsegment"))
+    mixed = c.select("c_custkey", "c_acctbal", seg.alias("seg"))
+    return (
+        mixed.groupBy(F.expr("collate(seg, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.lower(F.min(F.expr("collate(seg, 'UTF8_BINARY')"))).alias(
+                "segment"
+            ),
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.count_distinct(F.expr("collate(seg, 'UTF8_BINARY')"))
+            .cast("bigint")
+            .alias("n_case_variants"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_bal"),
+        )
+        .drop("k")
+    )
