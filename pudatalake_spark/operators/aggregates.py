@@ -745,3 +745,41 @@ def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         F.round(m4 / F.pow(m2, 2) - 3, 6).alias("excess_kurtosis"),
     )
+
+
+@register(
+    "q_agg_listagg",
+    oracle="""
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    WHERE user_id < 20
+    GROUP BY user_id
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ordered string aggregation: Spark 4's
+    listagg ... WITHIN GROUP (ORDER BY ts, event_id) assembles each
+    user's full event path in event-time order - the DECLARATIVE
+    form of what q_events_session_path builds manually via
+    array_sort(collect_list(struct)). The WITHIN GROUP ordering
+    with the unique event_id tie-break makes the string a pure
+    function of the data (the determinism rule), and DuckDB's
+    string_agg(... ORDER BY) states the same contract.
+
+    Scale shape: ordered aggregation buffers per-group values for
+    the sort - fine for bounded per-user event counts; for unbounded
+    groups, pre-truncate (e.g. first-K events by window) before the
+    agg. One shuffle on user_id either way.
+    """
+    load(spark, sf_dir)  # registers the events temp view
+    return spark.sql("""
+        SELECT user_id,
+               listagg(event_type, '>')
+                   WITHIN GROUP (ORDER BY ts, event_id) AS path,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        WHERE user_id < 20
+        GROUP BY user_id
+    """)
