@@ -562,3 +562,47 @@ def q_fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("k")
     )
+
+
+@register(
+    "q_fn_try_safe",
+    oracle="""
+    SELECT o_orderkey,
+           -- UNROUNDED: identical IEEE division both engines;
+           -- round(x,4) itself diverges at decimal boundaries
+           CASE WHEN o_orderkey % 10 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 10) END AS price_per,
+           CASE WHEN o_orderpriority LIKE '%-%'
+                THEN TRY_CAST(string_split(o_orderpriority, '-')[1] AS INTEGER)
+                ELSE NULL END AS prio_num,
+           TRY_CAST(o_orderstatus AS INTEGER) AS bad_cast
+    FROM orders
+    """,
+)
+def q_fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data-safe arithmetic under ANSI mode: this engine runs
+    with spark.sql.ansi.enabled=true (errors over silent corruption
+    - the production setting), so the try_ family is how pipelines
+    survive bad rows WITHOUT turning ANSI off: try_divide
+    null-propagates the %10==0 divisor instead of raising
+    DIVIDE_BY_ZERO, try_cast yields NULL for non-numeric strings
+    where ANSI CAST raises. The oracle states the same semantics
+    with explicit CASE guards (DuckDB division by zero and failed
+    casts behave differently, so the contract is written out).
+
+    Scale shape: pure map-side expressions under whole-stage
+    codegen; the point is semantic (fail-closed NULLs at the
+    expression level beat job-killing exceptions at row 10^12).
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.col("o_totalprice"),
+            F.nullif(F.col("o_orderkey") % 10, F.lit(0)),
+        ).alias("price_per"),
+        F.try_element_at(F.split("o_orderpriority", "-"), F.lit(1))
+        .try_cast("int")
+        .alias("prio_num"),
+        F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
+    )
