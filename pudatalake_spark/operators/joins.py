@@ -172,14 +172,22 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no large (>400k) order - LEFT ANTI with a
+    pushed build-side filter. (The unconditioned customers-without-
+    orders form was VACUOUS on this generator - every customer has
+    orders, so the anti path matched nothing on both engines; the
+    probed threshold keeps 20+ rows at every SF.)"""
     t = load(spark, sf_dir)
+    big = t["orders"].filter(F.col("o_totalprice") > 400000)
     return (
         t["customer"]
-        .join(t["orders"], t["orders"].o_custkey == t["customer"].c_custkey, "left_anti")
+        .join(big, big.o_custkey == t["customer"].c_custkey, "left_anti")
         .select("c_custkey", "c_name")
     )
 

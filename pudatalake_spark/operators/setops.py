@@ -82,15 +82,21 @@ def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id FROM events WHERE event_type = 'view'
     EXCEPT
-    SELECT user_id FROM events WHERE event_type = 'error'
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 90
     """,
 )
 def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Viewers who never hit an error (set semantics)."""
+    """Viewers who never made a big (>90) purchase, set semantics.
+    (The original viewers-minus-error-users pair was VACUOUS on this
+    generator - every viewer also errors, so both engines agreed on
+    an empty result and the EXCEPT path went unexercised; the probed
+    predicate keeps 3+ rows at every SF.)"""
     ev = table(spark, sf_dir, "events")
     views = ev.filter(F.col("event_type") == "view").select("user_id")
-    errs = ev.filter(F.col("event_type") == "error").select("user_id")
-    return views.subtract(errs)
+    big = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") > 90)
+    ).select("user_id")
+    return views.subtract(big)
 
 
 @register(
