@@ -463,44 +463,59 @@ def q_lake_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_pit_scd2",
     oracle=f"""
     WITH scd AS ({_SCD2_SQL}),
+    -- the dimension is the NON-purchase activity states: a purchase
+    -- always sits inside its own 'purchase' run, so containment
+    -- against the full dim degenerates to one state; the business
+    -- question is "what was the user doing BEFORE converting"
+    dim AS (SELECT * FROM scd WHERE event_type <> 'purchase'),
     p AS (
         SELECT user_id, ts, value FROM events
         WHERE event_type = 'purchase'
+    ),
+    matched AS (
+        SELECT p.user_id, p.ts, p.value,
+               max_by(d.event_type, d.valid_from) AS state
+        FROM p
+        JOIN dim d ON p.user_id = d.user_id AND d.valid_from <= p.ts
+        GROUP BY p.user_id, p.ts, p.value
     )
-    SELECT s.event_type AS state,
+    SELECT state,
            count(*) AS n_purchases,
-           round(sum(p.value), 4) AS revenue
-    FROM p
-    JOIN scd s ON p.user_id = s.user_id
-              AND p.ts >= s.valid_from
-              AND (s.valid_to IS NULL OR p.ts < s.valid_to)
-    GROUP BY s.event_type
+           round(sum(value), 4) AS revenue
+    FROM matched
+    GROUP BY state
     """,
 )
 def q_join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time join of a fact stream against the SCD2 dimension:
-    each purchase is attributed to the dimension version valid AT the
-    purchase timestamp (here: the user's activity state from
-    q_scd2_build's intervals), then revenue rolls up by state - THE
-    warehouse pattern for joining facts to slowly-changing dims
-    without leaking future attribute values.
+    each purchase is attributed to the LATEST NON-purchase activity
+    state at or before the purchase timestamp (the purchase's own run
+    always contains it, so the full-dim containment degenerates to
+    one state - probed: 1 row; the prior-state question "what was
+    the user doing before converting" is the informative PIT form),
+    then revenue rolls up by state - the warehouse pattern for
+    joining facts to slowly-changing dims without leaking future
+    attribute values.
 
-    Scale shape: SCD2 validity intervals tile each key's timeline
-    contiguously ([valid_from, next valid_from), last open-ended), so
-    the interval containment join is EXACTLY a backward as-of join on
-    valid_from - executed through the shared asof_join utility (ONE
-    shuffle on user_id + one sort, never interval-pair expansion).
-    The oracle keeps the declarative containment form, proving the
-    asof rewrite equivalent. Cites q_scd2_build (lake.py:135) for the
-    dimension and asof.py for the join engine.
+    Scale shape: the filtered SCD2 dim's intervals still order each
+    key's timeline, so latest-at-or-before is EXACTLY a backward
+    as-of join on valid_from - executed through the shared asof_join
+    utility (ONE shuffle on user_id + one sort, never interval-pair
+    expansion). The oracle states the same semantics as a per-fact
+    max_by over qualifying versions. Cites q_scd2_build (lake.py:135)
+    for the dimension and asof.py for the join engine.
     """
     load(spark, sf_dir)  # registers the events temp view for the SQL
     from .asof import asof_join
 
-    scd = spark.sql(_SCD2_SQL).select(
-        "user_id",
-        F.col("event_type").alias("state"),
-        "valid_from",
+    scd = (
+        spark.sql(_SCD2_SQL)
+        .filter(F.col("event_type") != "purchase")
+        .select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "valid_from",
+        )
     )
     purchases = (
         table(spark, sf_dir, "events")
@@ -516,7 +531,8 @@ def q_join_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=["state"],
     )
     return (
-        matched.groupBy("state")
+        matched.filter(F.col("state").isNotNull())
+        .groupBy("state")
         .agg(
             F.count("*").alias("n_purchases"),
             F.round(F.sum("value"), 4).alias("revenue"),

@@ -101,17 +101,28 @@ def test_oov_rate_bounds(spark):
 
 
 def test_pit_scd2_attributes_every_purchase(spark):
-    """SCD2 intervals tile each user's timeline from their first
-    event, so EVERY purchase matches exactly one version: attributed
-    purchase count == raw purchase count (no loss, no fan-out)."""
+    """Prior-state PIT accounting: every purchase with ANY earlier
+    non-purchase activity is attributed exactly once (no fan-out
+    despite multiple qualifying versions), purchases with no prior
+    state are excluded - the two counts reconcile against a direct
+    computation, and the state distribution is non-degenerate
+    (>1 state, the reason the prior-state form exists)."""
     out = registry.QUERIES["q_join_pit_scd2"](spark, SF_DIR).collect()
     n_attr = sum(r["n_purchases"] for r in out)
-    n_raw = (
-        table(spark, SF_DIR, "events")
-        .filter(F.col("event_type") == "purchase")
+    ev = table(spark, SF_DIR, "events")
+    first_np = (
+        ev.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_np"))
+    )
+    n_expected = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_np, "user_id")
+        .filter(F.col("ts") >= F.col("t_np"))
         .count()
     )
-    assert n_attr == n_raw
+    assert n_attr == n_expected
+    assert len(out) > 1  # degenerate single-state output is the bug
 
 
 def test_forecast_backtest_window(spark):
