@@ -140,16 +140,28 @@ def main() -> None:
         registry.clear_caches(spark)
     total = round(sum(per_query.values()), 3)
 
-    print(json.dumps({
+    report = {
         "metric": "headline_total_wall" if not run_all else "all_total_wall",
         "value": total,
         "unit": "sec",
         "queries": per_query,
-        "cold_queries": cold,
-        "steady_samples": samples,
         "steady_runs": n_steady,
         "sf": sf,
-    }))
+    }
+    detail = dict(report, cold_queries=cold, steady_samples=samples)
+    # Driver-proofing (VERDICT r5 #6): the r5 driver tail-parse missed
+    # the JSON line once cold/steady detail pushed it past the driver's
+    # line-length assumptions. The full detail goes to bench_last.json
+    # (recoverable) and an earlier DETAIL line; the FINAL stdout line is
+    # the compact report only, with compact separators.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    print("DETAIL " + json.dumps(detail, separators=(",", ":")))
+    print(json.dumps(report, separators=(",", ":")))
 
 
 if __name__ == "__main__":

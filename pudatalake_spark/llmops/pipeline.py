@@ -457,7 +457,8 @@ CHUNK_STRIDE = 15  # overlap = W - stride = 5 words
 )
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG/context-window chunking: split every document into
-    overlapping word windows (W={CHUNK_W}, stride={CHUNK_STRIDE}) with
+    overlapping word windows (W=20 words, stride=15, i.e. CHUNK_W /
+    CHUNK_STRIDE) with
     stable (doc_id, chunk_idx) addressing and a content hash per
     chunk - the retrieval-prep step before embedding. Chunk text is
     emitted as an md5 (driver canonicalizer needs flat scalars and
@@ -619,7 +620,7 @@ LEN_BUCKET = 16  # tokens per histogram bucket
     """,
 )
 def q_seq_len_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-length histogram in fixed {LEN_BUCKET}-token buckets
+    """Sequence-length histogram in fixed 16-token (LEN_BUCKET) buckets
     with cumulative doc count and token-mass share - the planning
     view for sequence packing (choose max_len / packing strategy
     from where the token mass actually lives).
@@ -627,7 +628,7 @@ def q_seq_len_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: token counting is map-side (size of split, no
     explode); the histogram agg shuffles |buckets| partial rows; the
     cumulative window runs over the bucket frame (bounded: max
-    doc length / {LEN_BUCKET} rows), NOT the corpus. Shares are
+    doc length / LEN_BUCKET rows), NOT the corpus. Shares are
     int-sum ratios -> one IEEE division, cross-engine exact.
     """
     d = table(spark, sf_dir, "documents")

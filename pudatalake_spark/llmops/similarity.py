@@ -855,7 +855,7 @@ PCA_ITERS = 3
 def q_embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dominant principal direction of the (uncentered) embedding
     matrix by POWER ITERATION, entirely in-plan: v <- normalize(
-    A^T (A v)) for a fixed {PCA_ITERS} supersteps from the uniform
+    A^T (A v)) for a fixed 3 (PCA_ITERS) supersteps from the uniform
     start - the Gram-matrix-free way to get the top component of a
     matrix that never fits one machine (quantization axes, whitening
     direction, drift monitoring). Output: per-dimension loading plus
@@ -923,7 +923,7 @@ def q_embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_GRAPH_K = 5
-KNN_GRAPH_BANDS = 4
+KNN_GRAPH_BANDS = 6
 
 
 @register("q_sim_knn_graph")  # bucketed ANN self-join -> rows-only
@@ -962,10 +962,10 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         spread(e, "vec_id").select("vec_id", _vd("embedding").alias("v"))
     )
     # KNN_GRAPH_BANDS independent sign-bit bands (candidate = sharing
-    # ANY band bucket): single-band recall@5 measured 0.22 on this
-    # corpus; the 4-band union measures 0.625 (pinned in tests) - the
-    # recall-vs-cost ladder in action, each band adding one bounded
-    # candidate stream.
+    # ANY band bucket): the measured recall@5 ladder on this corpus is
+    # 1 band = 0.22, 4 bands = 0.625, 6 bands = 0.788 (pinned in
+    # tests) - each band adds one bounded candidate stream at ~linear
+    # cost, which is the recall dial at any scale.
     # Band table carries IDS ONLY (the q_dedup_embedding discipline,
     # dedup.py): payload vectors must not ride the banded self-join -
     # they would be replicated x bands on both sides - and the exact

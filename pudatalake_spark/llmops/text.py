@@ -867,7 +867,7 @@ OOV_VOCAB = 100
 )
 def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate per language against the corpus top-V
-    vocabulary (V={OOV_VOCAB}, frequency-ranked, token tie-break as
+    vocabulary (V=100, OOV_VOCAB, frequency-ranked, token tie-break as
     in q_text_vocab) - the tokenizer-coverage check that decides
     whether a vocab needs rebuilding for a new data mix.
 
@@ -939,7 +939,7 @@ NOVEL_NGRAM = 5
 )
 def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram novelty curve: per document, the fraction of its
-    distinct word-{NOVEL_NGRAM}-grams FIRST seen in that document
+    distinct word-5-grams (NOVEL_NGRAM) FIRST seen in that document
     (ingestion order = doc_id) - the dataset-curation signal for
     diminishing returns: when marginal novelty collapses, more of the
     same source stops adding information. Complements span-dedup
@@ -1258,7 +1258,7 @@ COMPRESS_MAX_RATIO = 0.55  # flag docs compressing below this (repetitive)
 def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compression-ratio quality signal: zlib(level 6) compressed
     bytes / raw UTF-8 bytes per document, with a repetitiveness flag
-    below {COMPRESS_MAX_RATIO} - the classic pretraining filter
+    below 0.55 (COMPRESS_MAX_RATIO) - the classic pretraining filter
     (highly compressible text is boilerplate/template/repetition;
     incompressible text is often binary junk or high-entropy noise).
     Deterministic: zlib with a pinned level is a pure function of the

@@ -1185,7 +1185,8 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_days,
            round(avg(abs(rev - forecast)), 4) AS mae,
-           round(avg(abs(rev - forecast) / rev), 4) AS mape,
+           round(avg(CASE WHEN rev <> 0
+                          THEN abs(rev - forecast) / rev END), 4) AS mape,
            round(avg(rev - forecast), 4) AS bias
     FROM backtest GROUP BY event_type
     """,
@@ -1243,7 +1244,12 @@ def q_events_forecast_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_days"),
             F.round(F.avg(F.abs(err)), 4).alias("mae"),
-            F.round(F.avg(F.abs(err) / F.col("rev")), 4).alias("mape"),
+            # Zero-revenue backtest days are excluded from the MAPE
+            # mean (avg skips the NULL term; CASE WHEN in the oracle)
+            # so a rev=0 day yields a finite score, not inf/NaN.
+            F.round(
+                F.avg(F.when(F.col("rev") != 0, F.abs(err) / F.col("rev"))), 4
+            ).alias("mape"),
             F.round(F.avg(err), 4).alias("bias"),
         )
     )

@@ -258,14 +258,24 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes = edges.select(F.col("src").alias("node")).distinct()
     n = nodes.agg(F.count("*").cast("double").alias("n"))
     deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
+    # Fold outdeg into the edge table ONCE (r6, VERDICT r5 #2): the r5
+    # loop re-joined `deg` inside every superstep (2 joins/step); with
+    # the weight carried on the checkpointed edge table each superstep
+    # is a single edges><state join + map-side-partial agg. outdeg is
+    # kept (not pre-reciprocaled) so pr/outdeg is bitwise identical to
+    # the oracle's division order.
+    edges_w = (
+        edges.join(deg, "src")
+        .select("src", "dst", "outdeg")
+        .localCheckpoint(eager=False)
+    )
     # state_0: uniform 1/N (N delivered in-plan via a 1-row cross join)
     pr = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
     )
     for _ in range(3):
         contrib = (
-            edges.join(pr, edges["src"] == pr["node"])
-            .join(deg, edges["src"] == deg["src"])
+            edges_w.join(pr, edges_w["src"] == pr["node"])
             .select(F.col("dst"), (F.col("pr") / F.col("outdeg")).alias("w"))
             .groupBy("dst")
             .agg(F.sum("w").alias("inflow"))

@@ -65,7 +65,13 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.driver.memory", os.environ.get("PUDL_DRIVER_MEM", "8g"))
+        # 32g measured best on the 128 GiB local[32] bench box (r6):
+        # the old 8g heap made a 20-query session GC-bound (orig-16
+        # subtotal 10.1 s at 8g vs 7.8 s at 32g, uniform drift across
+        # unrelated plans - the BENCH_r05 mystery); 64g regressed
+        # (longer pauses). On a real cluster this comes from
+        # spark-submit per-executor sizing instead.
+        .config("spark.driver.memory", os.environ.get("PUDL_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

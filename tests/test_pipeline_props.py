@@ -418,11 +418,12 @@ def test_hamming_pairs_64_fuzz(spark):
 
 
 def test_knn_graph_recall_floor(spark):
-    """The banded kNN graph must keep recall@5 >= 0.55 against the
-    exact numpy graph (measured 0.625 with 4 bands on this
-    near-isotropic corpus - the HARD case for sign-bit LSH; one band
-    measured 0.22, which is why the ladder exists). Every returned
-    edge's cosine must also match numpy to 1e-6."""
+    """The banded kNN graph must keep recall@5 >= 0.70 against the
+    exact numpy graph (measured 0.788 with 6 bands at sf0.01 on this
+    near-isotropic corpus - the HARD case for sign-bit LSH; the
+    measured ladder is 1 band = 0.22, 4 bands = 0.625, 6 bands =
+    0.788, ~linear cost per band). Every returned edge's cosine must
+    also match numpy to 1e-6."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -445,6 +446,6 @@ def test_knn_graph_recall_floor(spark):
         top = {ids[j] for j in np.argsort(-S[i])[:KNN_GRAPH_K]}
         hits += len(top & got.get(vid, set()))
         tot += KNN_GRAPH_K
-    assert hits / tot >= 0.55
+    assert hits / tot >= 0.70
     for r in rows:
         assert abs(r["cos_sim"] - S[idx[r["src"]], idx[r["dst"]]]) < 1e-6
