@@ -163,11 +163,46 @@ def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     # Hashed-int64 shingles: same Jaccard as string shingles up to
     # xxhash64 collisions (negligible), 5x cheaper to build and the
     # inverted-index join keys become fixed-width ints.
-    sh = docs.select("doc_id", _hashed_shingles_col().alias("s")).select(
-        "doc_id", "s", F.size("s").alias("n_sh")
+    #
+    # Instance build is explode -> substring -> xxhash64 -> groupBy
+    # distinct, NOT array_distinct(transform(...)): higher-order
+    # functions are interpreted per element (no whole-stage codegen),
+    # and the HOF shingle build alone was MEASURED at ~10s of the
+    # ~15s sf0.1 runtime (r6). The flat form keeps every expression
+    # codegen'd; the (doc_id, shingle) distinct is one shuffle whose
+    # map-side partial agg already collapses in-doc duplicates
+    # (docs are pre-partitioned by doc_id via spread()).
+    t = F.lower(F.col("text"))
+    pos = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(
+            # Empty sequence guard: F.sequence counts DOWN when stop <
+            # start, and substr on non-positive positions fabricates
+            # junk shingles the oracle's range() never produces.
+            F.when(
+                F.length(t) >= SHINGLE_LEN,
+                F.sequence(F.lit(1), F.length(t) - (SHINGLE_LEN - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
     )
-    inst = sh.select("doc_id", "n_sh", F.explode("s").alias("shingle"))
-    n_docs = sh.agg(F.count("*").alias("n_docs"))
+    # Cached: the distinct instance table feeds three branches (set
+    # sizes, the df dictionary, the flagged stream) and exchange
+    # reuse does not recognize the diamond.
+    inst0 = cached(
+        pos.select(
+            "doc_id",
+            F.xxhash64(
+                F.expr(f"substring(t, i, {SHINGLE_LEN})")
+            ).alias("shingle"),
+        ).distinct()
+    )
+    # Per-doc set size rides back onto the instances via a doc-keyed
+    # agg join; AQE broadcasts it while |docs| is small and falls back
+    # to a shuffle join at corpus scale - no hint needed either way.
+    ns = inst0.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inst = inst0.join(ns, "doc_id").select("doc_id", "n_sh", "shingle")
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     # Hot dictionary: qualifying shingles ranked hottest-first. The
     # single-partition window is safe at ANY corpus size: shingles
     # with df > 0.2*N number at most sum(df)/(0.2*N) = 5x the mean
@@ -175,7 +210,7 @@ def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     from pyspark.sql import Window
 
     hotdict = (
-        inst.groupBy("shingle")
+        inst0.groupBy("shingle")
         .agg(F.count("*").alias("df"))
         .join(F.broadcast(n_docs))
         .filter(
@@ -228,7 +263,7 @@ def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
     # zero rare overlap (proof in the docstring). Small by
     # construction of the cap, so the pair enumeration broadcasts.
     hd = (
-        sh.join(masks.select("doc_id", "hot_cnt"), "doc_id")
+        ns.join(masks.select("doc_id", "hot_cnt"), "doc_id")
         .filter(F.col("hot_cnt") >= tau * F.col("n_sh"))
         .select("doc_id", "n_sh")
     )
