@@ -300,6 +300,43 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct"],
         "overlap carry-in joins via broadcast; frames run per (type, bucket)",
     ),
+    # --- r6 additions (VERDICT r5 #7): the r5c operator wave ---
+    "q_curation_funnel": (
+        # strip -> dedup -> gate fuse as two broadcast LEFT joins; the
+        # only Exchanges are the doc_id spread, the window sort, and
+        # the final rollup - no stage-boundary materialization.
+        [r"(?s)BroadcastHashJoin LeftOuter.*BroadcastHashJoin LeftOuter"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+        "funnel stages fuse via broadcast left joins, no shuffle between stages",
+    ),
+    "q_text_boilerplate_strip": (
+        # The suffix-frequency shuffle must move (suffix, count)
+        # partial rows ONLY - corpus text stays on the map side.
+        [r"hashpartitioning\(suffix#"],
+        [r"Input \[\d+\]: \[[^\]]*text#[^\]]*\]\n"
+         r"Arguments: hashpartitioning\(suffix#"],
+        "corpus text must not ride the suffix-aggregation shuffle",
+    ),
+    "q_mix_weighted": (
+        # Quota is DATA-DERIVED (capacity solve), so the
+        # WindowGroupLimit rewrite CANNOT fire (needs a literal k -
+        # documented in the operator docstring); the invariants are
+        # the per-language window + broadcast quota map, no
+        # shuffle join anywhere.
+        [r"Window", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+        "per-language hash-rank window; data-derived quota broadcasts back",
+    ),
+    "q_sim_knn_graph": (
+        # Banded self-join carries IDS ONLY (3-column broadcast:
+        # id, band, bucket); pairs dedup (keys-only agg on src,dst)
+        # BEFORE any payload join; top-k prunes inside the shuffle.
+        [r"Input \[3\]: \[dst#\d+L?, b_band#\d+, b_bucket#\d+\]",
+         r"Keys \[2\]: \[src#\d+L?, dst#\d+L?\]\nFunctions: \[\]",
+         r"WindowGroupLimit"],
+        [r"CartesianProduct"],
+        "ids-only banded self-join, pair dedup before payload join, in-shuffle top-k",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
