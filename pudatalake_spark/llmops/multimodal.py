@@ -582,3 +582,105 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "phash"
     )
     return hamming_pairs_64(sig, "doc_id", "phash", max_hamming=3)
+
+
+VAD_FRAME = 64  # samples per VAD frame (8 ms at the 8 kHz fixture rate)
+VAD_RMS_THRESH = 1150.0  # active-frame energy cut (median RMS ~1042)
+
+_VAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_active", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("active_ratio", T.DoubleType()),
+    ]
+)
+
+
+def _vad_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode+decode real WAV per doc, frame the DECODED samples, flag
+    energy-active frames, count frames / active frames / segments."""
+    import numpy as np
+
+    from . import codecs
+
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "n_frames", "n_active", "n_segments", "active_ratio")}
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            n = 256 + doc_id % 128
+            idx = np.arange(n, dtype=np.int64)
+            samples = (((doc_id * 7 + idx * 13) % 4096) - 2048).astype(np.int16)
+            s = codecs.decode(codecs.encode_wav(samples, rate=8000))["samples"]
+            nf = s.size // VAD_FRAME
+            fr = s[: nf * VAD_FRAME].astype(np.float64).reshape(nf, VAD_FRAME)
+            rms = np.sqrt((fr * fr).mean(axis=1))
+            active = rms > VAD_RMS_THRESH
+            starts = int(active[0]) + int((active[1:] & ~active[:-1]).sum())
+            rows["doc_id"].append(doc_id)
+            rows["n_frames"].append(nf)
+            rows["n_active"].append(int(active.sum()))
+            rows["n_segments"].append(starts)
+            rows["active_ratio"].append(round(float(active.sum()) / nf, 6))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "q_multimodal_audio_vad",
+    oracle=f"""
+    WITH dims AS (
+      SELECT doc_id, 256 + doc_id % 128 AS n
+      FROM documents
+      WHERE doc_id % 3 = 2
+    ),
+    samp AS (
+      SELECT doc_id, i // {VAD_FRAME} AS frame,
+             CAST(((doc_id * 7 + i * 13) % 4096) - 2048 AS DOUBLE) AS s
+      FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM dims)
+      WHERE i < (n // {VAD_FRAME}) * {VAD_FRAME}
+    ),
+    frames AS (
+      SELECT doc_id, frame,
+             CASE WHEN sqrt(sum(s * s) / {VAD_FRAME}) > {VAD_RMS_THRESH}
+                  THEN 1 ELSE 0 END AS active
+      FROM samp GROUP BY doc_id, frame
+    ),
+    runs AS (
+      SELECT doc_id, active,
+             lag(active, 1, 0) OVER (
+               PARTITION BY doc_id ORDER BY frame) AS prev_active
+      FROM frames
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(active) AS BIGINT) AS n_active,
+           CAST(count(*) FILTER (WHERE active = 1 AND prev_active = 0)
+                AS BIGINT) AS n_segments,
+           round(CAST(sum(active) AS DOUBLE) / count(*), 6) AS active_ratio
+    FROM runs
+    GROUP BY doc_id
+    """,
+)
+def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-based VOICE-ACTIVITY segmentation over real RIFF/PCM
+    WAV payloads: decode (codecs.py), frame into 64-sample (8 ms)
+    windows, flag frames whose RMS exceeds the energy cut, and count
+    active frames and contiguous active SEGMENTS - the
+    silence-trimming / utterance-splitting pass an audio training
+    pipeline runs before transcription or feature extraction. The
+    oracle recomputes everything from the closed-form sample
+    function, hash-verifying codec, framing, and run-length logic
+    together (frame RMS derives from exact int16 squares, so both
+    engines compare identical doubles against the threshold).
+
+    Scale shape: map-only Arrow-batched mapInPandas - decode and
+    framing happen where the payload row lives, only the 5-column
+    summary ever shuffles. Per-clip state is one frame vector
+    (bounded by clip length); segments come from one vectorized
+    shift-compare, no per-sample Python loop.
+    """
+    d = table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    return docs.mapInPandas(_vad_worker, schema=_VAD_SCHEMA)

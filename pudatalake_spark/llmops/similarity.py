@@ -1030,3 +1030,77 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src", "dst", "cos_sim", F.col("rn").cast("bigint").alias("rank")
         )
     )
+
+
+HARD_NEG_K = 3
+
+
+@register(
+    "q_sim_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, label, v FROM e WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, CAST(q.label AS BIGINT) AS query_label,
+             c.vec_id AS neg_id, CAST(c.label AS BIGINT) AS neg_label,
+             round({_duck_cos("q.v", "c.v")}, 6) AS cos_sim
+      FROM q JOIN e c ON c.label <> q.label
+    )
+    SELECT query_id, query_label, neg_id, neg_label, cos_sim
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cos_sim DESC, neg_id) AS rn
+          FROM scored)
+    WHERE rn <= {HARD_NEG_K}
+    """,
+)
+def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining for contrastive training: for each query
+    vector, the top-3 most-similar vectors with a DIFFERENT label -
+    the highest-loss negatives a triplet/contrastive objective wants,
+    and the standard mining pass over a labeled embedding corpus.
+
+    Scale shape: identical to q_sim_cosine_topk (broadcast bounded
+    query block, candidates stream past it, hoisted norms, top-k via
+    rank window) with the label inequality fused into the join
+    condition so same-label candidates are dropped BEFORE any
+    arithmetic. For all-vectors mining swap the broadcast block for
+    q_sim_knn_graph's banded self-join and add the label filter to
+    its band join; per-label candidate caps bound skew when one label
+    dominates.
+    """
+    e = _with_norm(
+        spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", F.col("label").cast("bigint").alias("label"),
+            _vd("embedding").alias("v"),
+        )
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(
+                _cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neg_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= HARD_NEG_K)
+        .select("query_id", "query_label", "neg_id", "neg_label", "cos_sim")
+    )

@@ -1316,3 +1316,148 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("raw_bytes").isNull() | (F.col("raw_bytes") == 0), 1
         ).otherwise(0).alias("degenerate"),
     )
+
+
+@register(
+    "q_text_entropy",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS ch
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM chars GROUP BY doc_id, ch
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+             sum(c * ln(c)) AS sclnc
+      FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, n AS n_chars_counted,
+           round(ln(n) - sclnc / n, 4) AS char_entropy
+    FROM per_doc
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document (natural log),
+    via the grouped-count identity H = ln(n) - sum(c*ln c)/n - the
+    quality signal that separates natural text (~3 nats) from
+    repeated-character junk (low) and random/binary noise (high),
+    complementing the zlib ratio (q_text_compression_ratio) with a
+    model-free closed form that HAS a SQL twin.
+
+    Scale shape: one explode to (doc, char) - bounded by text length
+    - then two map-side-combinable aggs on the doc-partitioned
+    stream; no window, no UDF. Chars come from regexp_extract_all
+    '.', the same non-newline-codepoint contract in both engines.
+    The c*ln(c) partial sums are per-(doc,char) EXACT integers fed to
+    ln once each; the final 4dp round absorbs summation-order ULPs.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '.', 0)")
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("sclnc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_chars_counted"),
+        F.round(
+            F.log(F.col("n")) - F.col("sclnc") / F.col("n"), 4
+        ).alias("char_entropy"),
+    )
+
+
+ZIPF_TOP = 100  # frequency-ranked tokens entering the fit
+
+
+@register(
+    "q_text_zipf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS token
+      FROM documents
+    ),
+    freq AS (
+      SELECT token, CAST(count(*) AS BIGINT) AS f
+      FROM toks GROUP BY token
+      ORDER BY f DESC, token LIMIT {ZIPF_TOP}
+    ),
+    ranked AS (
+      SELECT ln(row_number() OVER (ORDER BY f DESC, token)) AS x,
+             ln(f) AS y
+      FROM freq
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM ranked
+    )
+    SELECT n AS n_tokens_fit,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 4) AS intercept
+    FROM sums
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF-LAW fit over the corpus: least-squares slope of ln(freq)
+    vs ln(rank) for the top-100 tokens. Natural language sits near
+    slope -1; template/boilerplate corpora flatten and synthetic
+    word-soup steepens - a one-row corpus-health gauge for curation
+    dashboards (this generator's near-uniform vocabulary reads
+    shallow by construction, which is itself the signal).
+
+    Scale shape: the token count is one explode + two-phase agg; the
+    top-100 cut is TakeOrderedAndProject (never a full sort); the
+    regression runs in closed form over the 100-row frame via five
+    sums - no ML library, no iteration, one final 1-row projection.
+    Ranks tie-break on token so the fit is a pure function of the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(
+            F.explode(F.split(F.lower("text"), " ")).alias("token")
+        )
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("f"))
+        .orderBy(F.col("f").desc(), "token")
+        .limit(ZIPF_TOP)
+    )
+    w = Window.orderBy(F.col("f").desc(), "token")
+    ranked = freq.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("f").cast("double")).alias("y"),
+    )
+    sums = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_tokens_fit"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+    )

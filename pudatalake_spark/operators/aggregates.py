@@ -783,3 +783,107 @@ def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE user_id < 20
         GROUP BY user_id
     """)
+
+
+# Count-Min sketch geometry: d independent rows x w counters. The
+# hash family is affine over the bigint key modulo a Mersenne prime -
+# pure integer arithmetic, so the SAME sketch (and therefore the
+# SAME estimates) is computable in ANSI SQL and the operator keeps a
+# full value oracle, unlike the opaque-library sketches (hll/topk).
+CMS_W = 64
+CMS_D = 4
+_CMS_P = 2147483647  # 2^31 - 1
+_CMS_A = (1299709, 2750159, 4256233, 5800079)
+_CMS_B = (15485863, 32452843, 49979687, 67867967)
+
+
+def _cms_slot_sql(d: int, key: str) -> str:
+    return (
+        f"(({_CMS_A[d]} * {key} + {_CMS_B[d]}) % {_CMS_P}) % {CMS_W}"
+    )
+
+
+@register(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH ds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS t(d)),
+    cells AS (
+      SELECT d,
+             CASE d
+               WHEN 0 THEN {_cms_slot_sql(0, "user_id")}
+               WHEN 1 THEN {_cms_slot_sql(1, "user_id")}
+               WHEN 2 THEN {_cms_slot_sql(2, "user_id")}
+               ELSE {_cms_slot_sql(3, "user_id")} END AS slot,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN ds
+      GROUP BY 1, 2
+    ),
+    probes AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id LIMIT 5
+    )
+    SELECT p.user_id, p.exact_n, min(c.cnt) AS est_n
+    FROM probes p
+    JOIN cells c
+      ON c.slot = CASE c.d
+             WHEN 0 THEN {_cms_slot_sql(0, "p.user_id")}
+             WHEN 1 THEN {_cms_slot_sql(1, "p.user_id")}
+             WHEN 2 THEN {_cms_slot_sql(2, "p.user_id")}
+             WHEN 3 THEN {_cms_slot_sql(3, "p.user_id")} END
+    GROUP BY p.user_id, p.exact_n
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN SKETCH point estimation: build a d=4 x w=64 CMS of
+    per-user event counts, then estimate the 5 true-heaviest users
+    and report exact vs estimate (est >= exact always; the one-sided
+    CMS error). The hash family is affine mod a Mersenne prime -
+    deterministic integer arithmetic both engines reproduce exactly,
+    which is what keeps this sketch FULLY oracled where the opaque
+    datasketches aggs (q_agg_hll_sketch, q_agg_approx_topk) are
+    rows-only by design.
+
+    Scale shape: the sketch build is ONE map-side-combinable agg with
+    a hard 256-cell output regardless of input size - the textbook
+    mergeable-summary shape (partials merge by cell addition, so a
+    1000-executor build shuffles 256 rows per partition, not keys).
+    The probe side is a 5-row broadcast. At 100 TB the sketch replaces
+    any exact count over an unbounded keyspace where one-sided
+    overestimates are acceptable; width trades error (e/w per row)
+    for memory.
+    """
+    e = table(spark, sf_dir, "events").select("user_id")
+
+    def slot(d: int, key):
+        return (
+            (F.lit(_CMS_A[d]) * key + F.lit(_CMS_B[d])) % _CMS_P
+        ) % CMS_W
+
+    cells = (
+        e.select(
+            F.posexplode(
+                F.array(*[slot(d, F.col("user_id")) for d in range(CMS_D)])
+            ).alias("d", "slot")
+        )
+        .groupBy("d", "slot")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = (
+        e.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(5)
+    )
+    probe_slots = probes.select(
+        "user_id",
+        "exact_n",
+        F.posexplode(
+            F.array(*[slot(d, F.col("user_id")) for d in range(CMS_D)])
+        ).alias("d", "slot"),
+    )
+    return (
+        cells.join(F.broadcast(probe_slots), ["d", "slot"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )

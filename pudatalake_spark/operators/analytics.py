@@ -1802,3 +1802,244 @@ def q_events_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dow_avg / overall_avg).alias("seasonality_idx"),
         )
     )
+
+
+FUNNEL_WINDOW_H = 24  # max hours from first view to complete the chain
+
+
+@register(
+    "q_events_window_funnel",
+    oracle=f"""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, v.t1, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+        AND e.ts <= v.t1 + INTERVAL {FUNNEL_WINDOW_H} HOUR
+      GROUP BY e.user_id, v.t1
+    ),
+    p AS (
+      SELECT c.user_id
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+        AND e.ts <= c.t1 + INTERVAL {FUNNEL_WINDOW_H} HOUR
+      GROUP BY c.user_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS depth, 'view' AS step,
+             CAST(count(*) AS BIGINT) AS n_users FROM v
+      UNION ALL
+      SELECT CAST(2 AS BIGINT), 'click',
+             CAST(count(*) AS BIGINT) FROM c
+      UNION ALL
+      SELECT CAST(3 AS BIGINT), 'purchase',
+             CAST(count(*) AS BIGINT) FROM p
+    ) ORDER BY depth
+    """,
+)
+def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-CONSTRAINED ordered funnel (the windowFunnel shape):
+    view -> click -> purchase where every later step lands within 24
+    hours of the user's FIRST view, each step strictly after the
+    previous one. q_events_funnel counts eventual converters; this
+    counts converters within the engagement window - the form
+    campaign attribution and session-conversion analyses need.
+
+    Scale shape: each stage is a per-user min-agg (map-side
+    combinable to one row per user pre-shuffle) equi-joined to the
+    prior stage on user_id - three co-partitioned shuffles, no
+    window sort, no row adjacency; the time constraint is a join-side
+    predicate, so late/out-of-order events cost nothing extra. The
+    final counts are three 1-row aggs unioned.
+    """
+    e = table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {FUNNEL_WINDOW_H} HOURS")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + win))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t1") + win))
+        .select("user_id")
+        .distinct()
+    )
+
+    def stage(df: DataFrame, depth: int, step: str) -> DataFrame:
+        return df.agg(
+            F.lit(depth).cast("bigint").alias("depth"),
+            F.lit(step).alias("step"),
+            F.count("*").alias("n_users"),
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click"))
+        .unionByName(stage(p, 3, "purchase"))
+        .orderBy("depth")
+    )
+
+
+MAD_K = 0.6745  # normal-consistency factor: robust_z ~ z under normality
+MAD_FLAG_Z = 3.5  # the classic Iglewicz-Hoaglin outlier cut
+
+
+@register(
+    "q_events_anomaly_mad",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 4) AS rev
+      FROM events GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, median(rev) AS med FROM daily GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.rev, m.med,
+             abs(d.rev - m.med) AS adev
+      FROM daily d JOIN med m ON d.event_type = m.event_type
+    ),
+    mad AS (
+      SELECT event_type, median(adev) AS mad FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.rev,
+           round(d.med, 4) AS med, round(x.mad, 4) AS mad,
+           round(CASE WHEN x.mad <> 0
+                      THEN {MAD_K} * (d.rev - d.med) / x.mad END, 4)
+               AS robust_z,
+           CASE WHEN x.mad <> 0
+                AND abs({MAD_K} * (d.rev - d.med) / x.mad) > {MAD_FLAG_Z}
+                THEN 1 ELSE 0 END AS is_outlier
+    FROM dev d JOIN mad x ON d.event_type = x.event_type
+    """,
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST daily-revenue outlier scoring via median absolute
+    deviation: robust_z = 0.6745 * (x - median) / MAD, flagged above
+    3.5 (Iglewicz-Hoaglin). The z-score twin (q_events_anomaly) is
+    itself dragged by the outliers it hunts; the MAD breaks down only
+    past 50% contamination - the robust complement every anomaly
+    stack carries.
+
+    Scale shape: the event stream collapses to the bounded
+    (type, day) rollup FIRST; both medians are exact sort-based aggs
+    over that bounded frame (|days| rows per type), never over raw
+    events, and join back broadcast-small. MAD = 0 (>= half the days
+    identical) yields NULL scores, not a division error - mirrored
+    CASE in both engines. Medians of even counts interpolate
+    (a + b) / 2 identically on identical 4dp-rounded inputs.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("rev"))
+    )
+    med = daily.groupBy("event_type").agg(F.median("rev").alias("med"))
+    dev = daily.join(med, "event_type").withColumn(
+        "adev", F.abs(F.col("rev") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    rz = F.lit(MAD_K) * (F.col("rev") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "rev",
+            F.round("med", 4).alias("med"),
+            F.round("mad", 4).alias("mad"),
+            F.round(F.when(F.col("mad") != 0, rz), 4).alias("robust_z"),
+            F.when(
+                (F.col("mad") != 0) & (F.abs(rz) > MAD_FLAG_Z), 1
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("is_outlier"),
+        )
+    )
+
+
+@register(
+    "q_events_user_overlap",
+    oracle="""
+    WITH au AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    sizes AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM au GROUP BY 1
+    ),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM au a JOIN au b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           round(i.n_common::DOUBLE / (sa.n + sb.n - i.n_common), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.event_type = i.type_a
+    JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+)
+def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise AUDIENCE OVERLAP between event types: |users(A) n
+    users(B)| and Jaccard for every type pair - the
+    segment-similarity matrix behind cross-sell targeting and
+    cannibalization checks (and the exact twin of what
+    q_agg_hll_intersect estimates with sketches).
+
+    Scale shape: events dedup to the (type, user) audience table
+    first (one shuffle, map-side combinable); the pair intersection
+    is a self-join ON user_id, so fan-out per user is bounded by
+    |types|^2, never cross-user; per-type sizes are a |types|-row agg
+    that AQE broadcasts back. The single division per output row is
+    IEEE-identical cross-engine. At 100 TB with unbounded type
+    vocabularies, the sketch twin (hll_intersect) is the declared
+    approximate path.
+    """
+    e = table(spark, sf_dir, "events")
+    au = e.select("event_type", "user_id").distinct()
+    sizes = au.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = au.select(F.col("event_type").alias("type_a"), "user_id")
+    b = au.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, "type_a")
+        .join(sb, "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
