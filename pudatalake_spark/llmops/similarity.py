@@ -1104,3 +1104,102 @@ def q_sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= HARD_NEG_K)
         .select("query_id", "query_label", "neg_id", "neg_label", "cos_sim")
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def _sqdist(a, b):
+    """Squared euclidean distance between two double arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register("q_sim_kmeans_lloyd")  # iterative float -> rows-only + pin
+def q_sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-MEANS (Lloyd) over the embedding corpus, entirely in-plan:
+    k=8 centroids seeded from vec_id 0..7, exactly 2 assignment/
+    update supersteps, reporting per-cluster size and inertia - the
+    embedding-space structure probe (and the exact algorithm behind
+    q_sim_ann_ivf's coarse quantizer, here LEARNED instead of fixed).
+
+    Rows-only by design (iterative float linear algebra has no SQL
+    twin); tests/test_pipeline_props.py re-runs the identical
+    algorithm (same seeding, same min-(dist, cid) tie-break) in numpy
+    and pins sizes and 4dp inertia row-for-row.
+
+    Scale shape: each superstep broadcasts the k x 64 centroid table
+    (tiny at any corpus size), assignment is a map-side
+    min-over-struct per vector (no shuffle), and the centroid update
+    is the posexplode -> (cluster, dim) avg -> re-assemble two-phase
+    agg from q_sim_centroid - so one superstep costs ONE bounded
+    shuffle of dims x k partials. Fixed iteration count keeps the
+    chain declarative (the q_graph_pagerank rule); convergence-driven
+    variants materialize supersteps via localCheckpoint like the CC
+    loop.
+    """
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", _vd("embedding").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = (
+            e.join(F.broadcast(cents))
+            .select(
+                "vec_id",
+                "v",
+                F.struct(
+                    _sqdist(F.col("v"), F.col("cv")).alias("d"),
+                    F.col("cid").alias("cid"),
+                ).alias("dc"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dc").alias("best"), F.first("v").alias("v"))
+            .select("vec_id", "v", F.col("best.cid").alias("cid"))
+        )
+        pos = assigned.select(
+            "cid", F.posexplode("v").alias("pos", "x")
+        )
+        cents = (
+            pos.groupBy("cid", "pos")
+            .agg(F.avg("x").alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("c")))
+                    ),
+                    lambda s: s.getField("c"),
+                ).alias("cv")
+            )
+        )
+    final = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(
+                _sqdist(F.col("v"), F.col("cv")).alias("d"),
+                F.col("cid").alias("cid"),
+            ).alias("dc"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dc").alias("best"))
+        .select(
+            F.col("best.cid").alias("cluster_id"),
+            F.col("best.d").alias("d"),
+        )
+    )
+    return (
+        final.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.round(F.sum("d"), 4).alias("inertia"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -887,3 +887,87 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_n")
         .agg(F.min("cnt").alias("est_n"))
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _corr_sql_pair(a: str, b: str) -> str:
+    """Pearson r from the five raw sums - the one-pass identity,
+    written out so BOTH engines evaluate the identical expression
+    (library corr() implementations differ (Welford vs naive) in
+    float detail; explicit sums make the oracle exact)."""
+    return f"""
+      SELECT '{a}' AS col_a, '{b}' AS col_b,
+             round((n * s_{a}_{b} - s_{a} * s_{b})
+                   / (sqrt(n * s_{a}_{a} - s_{a} * s_{a})
+                      * sqrt(n * s_{b}_{b} - s_{b} * s_{b})), 4) AS r
+      FROM sums"""
+
+
+@register(
+    "q_agg_corr_matrix",
+    oracle=(
+        "WITH sums AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        + ", ".join(
+            f"sum({a}) AS s_{a}" for a in _CORR_COLS
+        )
+        + ", "
+        + ", ".join(
+            f"sum({a} * {b}) AS s_{a}_{b}"
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i:]
+        )
+        + " FROM lineitem)\n"
+        + "\nUNION ALL".join(
+            _corr_sql_pair(a, b)
+            for i, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[i + 1:]
+        )
+    ),
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise PEARSON CORRELATION matrix over lineitem's four
+    numeric measures (quantity, extendedprice, discount, tax) - the
+    feature-screening pass before any modeling step, emitted as the
+    6-row upper triangle. Correlations come from the one-pass
+    five-sums identity, NOT library corr(): Welford-style streaming
+    implementations differ across engines in float detail, while
+    explicit sums make both sides evaluate the same IEEE expression.
+
+    Scale shape: ONE full-scan aggregate computes all 15 sums
+    map-side-combinably (a single 1-row reduce regardless of input
+    size); every pairwise r is then arithmetic on that 1-row frame -
+    the covariance matrix for p columns needs one pass and
+    O(p^2) accumulators, never p^2 scans.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").cast("double").alias("n")]
+    aggs += [F.sum(a).alias(f"s_{a}") for a in _CORR_COLS]
+    aggs += [
+        F.sum(F.col(a) * F.col(b)).alias(f"s_{a}_{b}")
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i:]
+    ]
+    sums = li.agg(*aggs)
+
+    def r_expr(a: str, b: str):
+        n = F.col("n")
+        num = n * F.col(f"s_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        da = F.sqrt(n * F.col(f"s_{a}_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+        db = F.sqrt(n * F.col(f"s_{b}_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+        return F.round(num / (da * db), 4)
+
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    out = None
+    for a, b in pairs:
+        row = sums.select(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            r_expr(a, b).alias("r"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

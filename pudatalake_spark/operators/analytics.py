@@ -2043,3 +2043,142 @@ def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_events_dwell_time",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(date_diff('microsecond', ts,
+                  lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id)) AS DOUBLE)
+               / 1000000.0 AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_s) AS BIGINT) AS n_gaps,
+           round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+           round(quantile_cont(gap_s, 0.9), 4) AS p90_s,
+           round(avg(gap_s), 4) AS mean_s
+    FROM gaps
+    WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DWELL-TIME distribution: per event type, the median / p90 /
+    mean seconds until the SAME user's next event (any type) - the
+    engagement-depth signal behind session-timeout tuning and
+    content-ranking labels (what users linger on).
+
+    Scale shape: one window shuffle on user_id (the same
+    partitioning every per-user analytic reuses) computes the
+    lead-gap; the percentile agg then groups by event_type - exact
+    interpolated percentiles over per-type gap frames. Gaps derive
+    from exact microsecond integer diffs, so both engines interpolate
+    identical doubles; at 100 TB swap the exact percentile for
+    approx_percentile and keep the identical plan shape.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (
+            (
+                F.unix_micros(F.lead("ts").over(w))
+                - F.unix_micros(F.col("ts"))
+            ).cast("double")
+            / 1000000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_gaps"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(gap_s, 0.9)"), 4).alias("p90_s"),
+        F.round(F.avg("gap_s"), 4).alias("mean_s"),
+    )
+
+
+MARKOV_STEPS = 3
+
+
+@register(
+    "q_events_markov_stationary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type, CAST(count(*) AS DOUBLE) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    p AS (
+      SELECT prev_type, event_type,
+             n / sum(n) OVER (PARTITION BY prev_type) AS p
+      FROM c
+    ),
+    states AS (SELECT DISTINCT prev_type AS state FROM c),
+    pi0 AS (
+      SELECT state, 1.0 / (SELECT count(*) FROM states) AS pi FROM states
+    ),
+    pi1 AS (
+      SELECT p.event_type AS state, sum(x.pi * p.p) AS pi
+      FROM p JOIN pi0 x ON p.prev_type = x.state GROUP BY p.event_type
+    ),
+    pi2 AS (
+      SELECT p.event_type AS state, sum(x.pi * p.p) AS pi
+      FROM p JOIN pi1 x ON p.prev_type = x.state GROUP BY p.event_type
+    ),
+    pi3 AS (
+      SELECT p.event_type AS state, sum(x.pi * p.p) AS pi
+      FROM p JOIN pi2 x ON p.prev_type = x.state GROUP BY p.event_type
+    )
+    SELECT state, round(pi, 6) AS pi FROM pi3
+    """,
+)
+def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-STATIONARY distribution of the behavior Markov chain:
+    power-iterate the transition matrix (q_events_transition's P)
+    {MARKOV_STEPS} steps from uniform - where user behavior settles,
+    the long-run share of each action, and the chain-level summary a
+    next-action model is benchmarked against. Fixed step count keeps
+    the plan a finite declarative chain (the q_graph_pagerank rule).
+
+    Scale shape: ONE user-partitioned window shuffle builds the
+    transitions; everything after runs on the |types|^2 frame - each
+    superstep is a join + sum over at most |types|^2 rows, broadcast
+    by AQE. Per-state inflow terms are summed per engine in
+    different orders; the 6dp final round absorbs the ULPs (at most
+    |types| terms per state).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    c = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").cast("double").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    p = c.select(
+        "prev_type", "event_type", (F.col("n") / F.sum("n").over(wp)).alias("p")
+    )
+    states = c.select(F.col("prev_type").alias("state")).distinct()
+    n_states = states.agg(F.count("*").alias("k"))
+    pi = states.crossJoin(F.broadcast(n_states)).select(
+        "state", (F.lit(1.0) / F.col("k")).alias("pi")
+    )
+    for _ in range(MARKOV_STEPS):
+        pi = (
+            p.join(pi, p["prev_type"] == pi["state"])
+            .select("event_type", (F.col("pi") * F.col("p")).alias("w_"))
+            .groupBy("event_type")
+            .agg(F.sum("w_").alias("pi"))
+            .select(F.col("event_type").alias("state"), "pi")
+        )
+    return pi.select("state", F.round("pi", 6).alias("pi"))

@@ -289,3 +289,99 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(20)
     )
+
+
+@register(
+    "q_graph_label_prop",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    clab AS (
+      SELECT c_custkey AS ck, n_name AS label
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    svotes AS (
+      SELECT e.sk, c.label, CAST(count(*) AS BIGINT) AS n
+      FROM edges e JOIN clab c ON e.ck = c.ck
+      GROUP BY e.sk, c.label
+    ),
+    slab AS (
+      SELECT sk, label, n FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY sk ORDER BY n DESC, label) AS rn
+        FROM svotes) WHERE rn = 1
+    ),
+    cvotes AS (
+      SELECT e.ck, s.label, CAST(count(*) AS BIGINT) AS n
+      FROM edges e JOIN slab s ON e.sk = s.sk
+      GROUP BY e.ck, s.label
+    ),
+    clab2 AS (
+      SELECT ck, label, n FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY ck ORDER BY n DESC, label) AS rn
+        FROM cvotes) WHERE rn = 1
+    )
+    SELECT 'S' || CAST(sk AS VARCHAR) AS node, label, n AS n_votes
+    FROM slab
+    UNION ALL
+    SELECT 'C' || CAST(ck AS VARCHAR) AS node, label, n AS n_votes
+    FROM clab2
+    """,
+)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-superstep LABEL PROPAGATION on the customer<->supplier
+    purchase graph, seeded with customer nations: supersteps adopt
+    each node's most-frequent neighbor label (ties -> smallest
+    label) - step 1 labels every supplier with the nation that
+    dominates its customer base, step 2 re-labels customers with the
+    dominant label of their suppliers. The community-detection
+    primitive (and the label-denoising shape weak supervision uses),
+    with the same fixed-superstep declarative-chain rule as
+    q_graph_pagerank.
+
+    Scale shape: each superstep is one edges><labels equi-join whose
+    vote counts partially aggregate map-side on the destination key,
+    then a WindowGroupLimit-able rank-1 cut per node; label state is
+    (node, label) rows only. Deterministic: votes tie-break on label
+    text, so the fixpoint is a pure function of the graph.
+    """
+    t = load(spark, sf_dir)
+    bip = _bipartite_edges(t).localCheckpoint(eager=False)
+    clab = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"]),
+            t["customer"]["c_nationkey"] == t["nation"]["n_nationkey"],
+        )
+        .select(F.col("c_custkey").alias("ck"), F.col("n_name").alias("label"))
+    )
+
+    def adopt(edges: DataFrame, labels: DataFrame, src: str, dst: str) -> DataFrame:
+        """One superstep: dst nodes adopt their most-common src label."""
+        votes = (
+            edges.join(labels, src)
+            .groupBy(dst, "label")
+            .agg(F.count("*").alias("n"))
+        )
+        w = Window.partitionBy(dst).orderBy(F.col("n").desc(), "label")
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(dst, "label", F.col("n").alias("n_votes"))
+        )
+
+    from pyspark.sql import Window
+
+    slab = adopt(bip, clab, "ck", "sk")
+    clab2 = adopt(bip, slab.select("sk", "label"), "sk", "ck")
+    s_out = slab.select(
+        F.concat(F.lit("S"), F.col("sk").cast("string")).alias("node"),
+        "label",
+        "n_votes",
+    )
+    c_out = clab2.select(
+        F.concat(F.lit("C"), F.col("ck").cast("string")).alias("node"),
+        "label",
+        "n_votes",
+    )
+    return s_out.unionByName(c_out)

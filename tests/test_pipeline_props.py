@@ -449,3 +449,53 @@ def test_knn_graph_recall_floor(spark):
     assert hits / tot >= 0.70
     for r in rows:
         assert abs(r["cos_sim"] - S[idx[r["src"]], idx[r["dst"]]]) < 1e-6
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    """q_sim_kmeans_lloyd pin: re-run the IDENTICAL algorithm in
+    numpy - seed centroids = vec_id 0..7, exactly 2 (assign, update)
+    supersteps with min-(dist, cid) tie-break, final assignment on
+    the updated centroids, empty clusters dropped - and require the
+    same cluster sizes and 4dp inertia row-for-row."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from pudatalake_spark.llmops.similarity import KMEANS_ITERS, KMEANS_K
+
+    got = {
+        int(r["cluster_id"]): (int(r["n_members"]), float(r["inertia"]))
+        for r in registry.QUERIES["q_sim_kmeans_lloyd"](spark, SF_DIR).collect()
+    }
+
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = np.array(t["vec_id"].to_pylist())
+    A = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, A = ids[order], A[order]
+    cids = list(range(KMEANS_K))
+    C = A[np.isin(ids, cids)]
+
+    def assign(C, cids):
+        d = ((A[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        best = d.argmin(axis=1)  # ties -> lowest index = lowest cid
+        return np.array([cids[b] for b in best]), d.min(axis=1)
+
+    for _ in range(KMEANS_ITERS):
+        a, _ = assign(C, cids)
+        kept, newC = [], []
+        for c in cids:
+            m = a == c
+            if m.any():
+                kept.append(c)
+                newC.append(A[m].mean(axis=0))
+        cids, C = kept, np.array(newC)
+    a, d = assign(C, cids)
+    expect = {}
+    for c in cids:
+        m = a == c
+        if m.any():
+            expect[c] = (int(m.sum()), round(float(d[m].sum()), 4))
+    assert set(got) == set(expect)
+    for c in expect:
+        assert got[c][0] == expect[c][0], (c, got[c], expect[c])
+        assert abs(got[c][1] - expect[c][1]) < 1e-3, (c, got[c], expect[c])
