@@ -1461,3 +1461,100 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+CONTAIN_NGRAM = 5  # word n-gram width for containment sets
+CONTAIN_TAU = 0.5  # directed-containment threshold
+
+
+@register(
+    "q_text_containment",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id,
+             list_distinct([hash(array_to_string(
+                 w[i + 1:i + {CONTAIN_NGRAM}], ' '))
+               FOR i IN range(0, len(w) - {CONTAIN_NGRAM} + 1)]) AS g
+      FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                       t -> t <> '') AS w
+            FROM documents)
+      WHERE len(w) >= {CONTAIN_NGRAM}
+    ),
+    n AS (SELECT doc_id, len(g) AS n FROM grams),
+    inst AS (SELECT doc_id, unnest(g) AS h FROM grams),
+    inter AS (
+      SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS i
+      FROM inst a JOIN inst b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc1, doc2,
+           round(i::DOUBLE / na.n, 6) AS c1_in_2,
+           round(i::DOUBLE / nb.n, 6) AS c2_in_1
+    FROM inter JOIN n na ON na.doc_id = doc1 JOIN n nb ON nb.doc_id = doc2
+    WHERE i::DOUBLE / least(na.n, nb.n) >= {CONTAIN_TAU}
+    """,
+)
+def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC n-gram CONTAINMENT pairs: directed containment
+    C(A in B) = |A n B| / |A| over word-5-gram sets, keeping pairs
+    where the SMALLER document is >= 50% contained in the other.
+    Jaccard dedup misses quote-inclusion (a small doc embedded in a
+    big one has low Jaccard but containment ~ 1); this is the
+    Broder containment complement - the sub-document duplication /
+    quotation detector contamination pipelines need.
+
+    Scale shape: the same inverted-index discipline as
+    q_dedup_near_jaccard - hashed distinct grams, equi self-join on
+    the gram hash, counting aggregate, ratios on the bounded pair
+    frame. Word-5-grams are rare (far rarer than char shingles), so
+    the index join needs no df cap here; at 100 TB the cap +
+    pigeonhole machinery transfers unchanged. Exact-by-contract; the
+    sub-quadratic screen is minhash banding on the same gram sets.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    grams = (
+        d.select("doc_id", w.alias("w"))
+        .filter(F.size("w") >= CONTAIN_NGRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.size("w") - CONTAIN_NGRAM)
+            ).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(
+                F.array_join(
+                    F.slice(F.col("w"), F.col("i") + 1, CONTAIN_NGRAM), " "
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    grams = cached(grams)
+    n = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = grams.select(F.col("doc_id").alias("doc1"), "h")
+    b = grams.select(F.col("doc_id").alias("doc2"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("i"))
+    )
+    na = n.select(F.col("doc_id").alias("doc1"), F.col("n").alias("n1"))
+    nb = n.select(F.col("doc_id").alias("doc2"), F.col("n").alias("n2"))
+    return (
+        inter.join(na, "doc1")
+        .join(nb, "doc2")
+        .filter(
+            F.col("i").cast("double") / F.least("n1", "n2") >= CONTAIN_TAU
+        )
+        .select(
+            "doc1",
+            "doc2",
+            F.round(F.col("i").cast("double") / F.col("n1"), 6).alias("c1_in_2"),
+            F.round(F.col("i").cast("double") / F.col("n2"), 6).alias("c2_in_1"),
+        )
+    )

@@ -2182,3 +2182,223 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("event_type").alias("state"), "pi")
         )
     return pi.select("state", F.round("pi", 6).alias("pi"))
+
+
+@register(
+    "q_events_growth_accounting",
+    oracle="""
+    WITH au AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    lagged AS (
+      SELECT user_id, day,
+             lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day
+      FROM au
+    )
+    SELECT day,
+           CAST(count(*) FILTER (WHERE prev_day IS NULL) AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (WHERE prev_day = day - INTERVAL 1 DAY)
+                AS BIGINT) AS n_retained,
+           CAST(count(*) FILTER (WHERE prev_day IS NOT NULL
+                                 AND prev_day < day - INTERVAL 1 DAY)
+                AS BIGINT) AS n_resurrected,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM lagged
+    GROUP BY day
+    """,
+)
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROWTH ACCOUNTING: every active (user, day) classified as new
+    (first-ever day), retained (also active the previous calendar
+    day), or resurrected (returning after a gap) - the standard
+    DAU-decomposition behind growth dashboards, where net change =
+    new + resurrected - churned and the three inflows are exactly
+    these columns.
+
+    Scale shape: the event stream dedups to (user, day) first (one
+    map-side-combinable shuffle); the lag runs per user over that
+    BOUNDED frame (<= |days| rows per user, not events); the daily
+    rollup is a |days|-row aggregate. Calendar comparison (day - 1),
+    not row adjacency, so gap days classify correctly.
+    """
+    e = table(spark, sf_dir, "events")
+    au = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    lagged = au.withColumn("prev_day", F.lag("day").over(w))
+    one_day = F.expr("INTERVAL 1 DAYS")
+    return lagged.groupBy("day").agg(
+        F.count(F.when(F.col("prev_day").isNull(), 1)).alias("n_new"),
+        F.count(
+            F.when(F.col("prev_day") == F.col("day") - one_day, 1)
+        ).alias("n_retained"),
+        F.count(
+            F.when(
+                F.col("prev_day").isNotNull()
+                & (F.col("prev_day") < F.col("day") - one_day),
+                1,
+            )
+        ).alias("n_resurrected"),
+        F.count("*").alias("n_active"),
+    )
+
+
+BOT_MIN_EVENTS = 10
+BOT_CV_MAX = 0.5
+
+
+@register(
+    "q_events_bot_detect",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(date_diff('microsecond',
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                  ts) AS DOUBLE) / 1000000.0 AS gap_s
+      FROM events
+    ),
+    stats AS (
+      SELECT user_id,
+             CAST(count(gap_s) AS BIGINT) AS n_gaps,
+             round(avg(gap_s), 4) AS mean_gap_s,
+             round(stddev_samp(gap_s), 4) AS sd_gap_s
+      FROM gaps WHERE gap_s IS NOT NULL
+      GROUP BY user_id
+      HAVING count(gap_s) >= {BOT_MIN_EVENTS}
+    )
+    SELECT user_id, n_gaps, mean_gap_s, sd_gap_s,
+           round(sd_gap_s / mean_gap_s, 4) AS gap_cv,
+           CASE WHEN sd_gap_s / mean_gap_s < {BOT_CV_MAX}
+                THEN 1 ELSE 0 END AS bot_like
+    FROM stats
+    WHERE mean_gap_s > 0
+    """,
+)
+def q_events_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOT / automation detection by inter-event-time regularity:
+    per user (>= 10 gaps), the coefficient of variation of gaps
+    between consecutive events - humans are bursty (cv ~ 1 for
+    Poisson-like arrivals, higher with sessions), schedulers and
+    scripted clients are metronomic (cv -> 0). The data-cleaning
+    gate a training pipeline runs before behavioral events become
+    features.
+
+    Scale shape: ONE user-partitioned window (the shared per-user
+    sort) emits gaps; the stats are map-side-combinable aggs; cv
+    derives from the two 4dp-rounded aggregates so both engines do
+    the identical final division. Thresholds are named constants;
+    the flag is data-dependent (0 flagged on a truly random corpus
+    is itself the correct reading).
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "user_id",
+        (
+            (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+            ).cast("double")
+            / 1000000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    stats = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            F.round(F.avg("gap_s"), 4).alias("mean_gap_s"),
+            F.round(F.stddev_samp("gap_s"), 4).alias("sd_gap_s"),
+        )
+        .filter(
+            (F.col("n_gaps") >= BOT_MIN_EVENTS) & (F.col("mean_gap_s") > 0)
+        )
+    )
+    cv = F.col("sd_gap_s") / F.col("mean_gap_s")
+    return stats.select(
+        "user_id",
+        "n_gaps",
+        "mean_gap_s",
+        "sd_gap_s",
+        F.round(cv, 4).alias("gap_cv"),
+        F.when(cv < BOT_CV_MAX, 1).otherwise(0).cast("int").alias("bot_like"),
+    )
+
+
+@register(
+    "q_win_period_growth",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 4) AS rev
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day, d.rev,
+           round(CASE WHEN p1.rev <> 0 THEN d.rev / p1.rev - 1 END, 4)
+               AS dod_growth,
+           round(CASE WHEN p7.rev <> 0 THEN d.rev / p7.rev - 1 END, 4)
+               AS wow_growth
+    FROM daily d
+    LEFT JOIN daily p1 ON p1.event_type = d.event_type
+                      AND p1.day = d.day - INTERVAL 1 DAY
+    LEFT JOIN daily p7 ON p7.event_type = d.event_type
+                      AND p7.day = d.day - INTERVAL 7 DAY
+    """,
+)
+def q_win_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIOD-OVER-PERIOD growth: day-over-day and week-over-week
+    revenue growth rates per event type - the dashboard staple.
+    Prior periods come from CALENDAR self-joins (day - 1 / day - 7),
+    not lag() row offsets: a row-offset lag silently compares the
+    wrong period across gap days (the q_events_forecast_seasonal
+    rule). Missing or zero baselines yield NULL growth, mirrored in
+    both engines.
+
+    Scale shape: events collapse to the bounded (type, day) rollup
+    first; both self-joins and the growth arithmetic run on that
+    |types| x |days| frame (AQE broadcasts it); 4dp-first rounding
+    keeps the division IEEE-identical cross-engine.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("rev"))
+    )
+
+    def prior(days: int, alias: str) -> DataFrame:
+        return daily.select(
+            F.col("event_type").alias(f"{alias}_type"),
+            F.col("day").alias(f"{alias}_day"),
+            F.col("rev").alias(f"{alias}_rev"),
+        )
+
+    p1, p7 = prior(1, "p1"), prior(7, "p7")
+    return (
+        daily.join(
+            p1,
+            (F.col("event_type") == F.col("p1_type"))
+            & (F.col("p1_day") == F.col("day") - F.expr("INTERVAL 1 DAYS")),
+            "left",
+        )
+        .join(
+            p7,
+            (F.col("event_type") == F.col("p7_type"))
+            & (F.col("p7_day") == F.col("day") - F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .select(
+            "event_type",
+            "day",
+            "rev",
+            F.round(
+                F.when(F.col("p1_rev") != 0, F.col("rev") / F.col("p1_rev") - 1),
+                4,
+            ).alias("dod_growth"),
+            F.round(
+                F.when(F.col("p7_rev") != 0, F.col("rev") / F.col("p7_rev") - 1),
+                4,
+            ).alias("wow_growth"),
+        )
+    )

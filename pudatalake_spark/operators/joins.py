@@ -895,3 +895,46 @@ def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir)  # registers the temp views for the SQL
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT max(v.ts) FROM events v
+            WHERE v.user_id = p.user_id
+              AND v.event_type = 'view'
+              AND v.ts <= p.ts
+              AND v.ts >= p.ts - INTERVAL 1 HOUR) AS last_view_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-staleness as-of join: each purchase matched to the
+    user's latest view at or before it, but ONLY within a 1-hour
+    tolerance - stale matches become NULL instead of silently
+    attributing to hours-old context (pandas merge_asof
+    tolerance= / feature-store point-in-time freshness semantics;
+    compare q_join_asof, which accepts any age).
+
+    Spark formulation: the SAME one-shuffle union-tag asof_join
+    utility with its tolerance column bound - the staleness check is
+    applied to the matched struct inside the window pass, so the
+    plan cost is identical to the unbounded as-of (no extra join, no
+    range-candidate blow-up) at any scale.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload=[],
+        tolerance=F.expr("INTERVAL 1 HOURS"),
+    ).withColumnRenamed("ts_matched", "last_view_ts")
