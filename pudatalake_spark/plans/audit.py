@@ -327,6 +327,34 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"SortMergeJoin", r"CartesianProduct"],
         "per-language hash-rank window; data-derived quota broadcasts back",
     ),
+    # --- r6 operator-wave rules ---
+    "q_agg_countmin": (
+        # Sketch build must be two-phase (map-side cell partials);
+        # the probe side must broadcast, never shuffle the sketch.
+        [r"partial_count", r"Exchange", r"BroadcastHashJoin"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+        "CMS cells partial-agg map-side; 20-row probe set broadcasts",
+    ),
+    "q_agg_corr_matrix": (
+        # All 15 sums in ONE scan's aggregate - no window, no join
+        # in the sums path (the pairwise rows are unions over the
+        # 1-row frame).
+        [r"partial_sum", r"Union"],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct"],
+        "one full-scan agg computes every sum; correlations are arithmetic",
+    ),
+    "q_events_growth_accounting": (
+        [r"partial_", r"Window"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+        "dedup + per-user lag over the bounded day frame, conditional agg",
+    ),
+    "q_sim_kmeans_lloyd": (
+        # Centroids broadcast into a nested-loop cross (k rows);
+        # assignment must stay an aggregate, not a window sort.
+        [r"BroadcastNestedLoopJoin", r"partial_min"],
+        [r"CartesianProduct", r"SortMergeJoin"],
+        "k x 64 centroids broadcast; assignment is a map-side min-struct agg",
+    ),
     "q_sim_knn_graph": (
         # Banded self-join carries IDS ONLY (3-column broadcast:
         # id, band, bucket); pairs dedup (keys-only agg on src,dst)
@@ -350,6 +378,7 @@ UDF_KEYS = {
     "q_multimodal_phash_dedup",  # same mapInPandas decode surface
     "q_text_compression_ratio",  # declared pandas-UDF zlib surface
     "q_sim_mmr",
+    "q_multimodal_audio_vad",  # same mapInPandas codec surface (r6)
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
