@@ -2402,3 +2402,319 @@ def q_win_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wow_growth"),
         )
     )
+
+
+SEQ_MINE_TOP = 20
+
+
+@register(
+    "q_events_sequence_mining",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS pattern,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, pattern
+    LIMIT {SEQ_MINE_TOP}
+    """,
+)
+def q_events_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTIGUOUS-SEQUENCE mining: the top-20 most frequent 3-step
+    event-type sequences across all user streams - the bounded-
+    pattern complement to q_events_session_path (full paths explode
+    in cardinality; fixed-length windows stay countable) and the
+    input to next-action candidate generation.
+
+    Scale shape: ONE user-partitioned window sort (shared with every
+    per-user analytic) emits both leads; the pattern agg is two-phase
+    over at most |types|^3 distinct keys; top-20 is
+    TakeOrderedAndProject. No self-joins, no explode.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("pattern")
+        )
+        .groupBy("pattern")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pattern")
+        .limit(SEQ_MINE_TOP)
+    )
+
+
+@register(
+    "q_win_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 4) AS rev
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, rev,
+           round(median(rev) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM daily
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING MEDIAN smoothing: trailing-7-row median of daily
+    revenue per event type - the robust trendline that a single
+    spike day cannot drag (the windowed sibling of
+    q_events_anomaly_mad's global median; q_win_moving_avg is the
+    outlier-sensitive version).
+
+    Scale shape: the stream collapses to the bounded (type, day)
+    rollup first, so the exact windowed median - O(frame log frame)
+    per row - runs over |days| rows per type, never raw events.
+    Spark refuses median() with a window frame
+    (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame is
+    gathered with collect_list (frameable), sorted, and interpolated
+    explicitly - the identical (a+b)/2 even-count rule DuckDB's
+    windowed median() applies, over identical 4dp-rounded inputs;
+    frame width <= 7 bounds the per-row array.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("rev"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    fr = F.array_sort(F.collect_list("rev").over(w))
+    n = F.size(fr)
+    med = F.when(
+        n % 2 == 1, F.element_at(fr, ((n + 1) / 2).cast("int"))
+    ).otherwise(
+        (
+            F.element_at(fr, (n / 2).cast("int"))
+            + F.element_at(fr, (n / 2).cast("int") + 1)
+        )
+        / 2.0
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "rev",
+        F.round(med, 4).alias("med7"),
+    )
+
+
+@register(
+    "q_events_hour_heatmap",
+    oracle="""
+    SELECT isodow(ts) AS dow, CAST(hour(ts) AS BIGINT) AS hour,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS revenue
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACTIVITY HEATMAP: event count and revenue by ISO day-of-week
+    x hour-of-day - the usage-rhythm view behind staffing,
+    batch-window placement, and anomaly baselines. Day numbering is
+    the cross-engine hazard (Spark dayofweek is 1=Sunday, DuckDB
+    dayofweek is 0=Sunday): both sides pin ISO numbering (1=Monday
+    .. 7=Sunday; Spark weekday()+1 = DuckDB isodow()).
+
+    Scale shape: one two-phase agg straight off the scan into a hard
+    7 x 24 output - flat at any input size; the grouping keys are
+    computed map-side from the timestamp, no calendar join.
+    """
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            (F.weekday("ts") + 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q_events_concurrent_peak",
+    oracle="""
+    WITH bounds AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id)
+                     > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id,
+             sum(is_start) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sid,
+             ts
+      FROM bounds
+    ),
+    ivals AS (
+      SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY user_id, sid
+    ),
+    marks AS (
+      SELECT s AS ts, 1 AS delta FROM ivals
+      UNION ALL
+      SELECT e AS ts, -1 AS delta FROM ivals
+    ),
+    sweep AS (
+      SELECT ts, sum(delta) OVER (
+               ORDER BY ts, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS concurrent
+      FROM marks
+    )
+    SELECT date_trunc('day', ts) AS day,
+           CAST(max(concurrent) AS BIGINT) AS peak_concurrent
+    FROM sweep
+    GROUP BY 1
+    """,
+)
+def q_events_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PEAK CONCURRENCY by sweep line: sessionize each user's stream
+    (30-min gap), turn every session interval into +1/-1 boundary
+    marks, running-sum the marks in time order, and report the daily
+    maximum of simultaneously-open sessions - the capacity-planning
+    number (a +1 sorts before a -1 at the same instant, so touching
+    sessions count as concurrent; both engines order (ts, delta
+    DESC)).
+
+    Scale shape: sessionization is the standard lag+cumsum pair of
+    windows on the shared user partitioning; the sweep operates on
+    2 x |sessions| boundary rows, NOT events. The global time-order
+    window is the honest cost at 100 TB - partition the sweep by
+    day with carry-in counts (the q_events_anomaly_chunked overlap
+    pattern) to bound the sort; at this corpus a single ordered
+    frame is optimal.
+    """
+    e = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bounds = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (
+                F.col("ts") - F.lag("ts").over(wu)
+                > F.expr("INTERVAL 30 MINUTES")
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+        "event_id",
+    )
+    sess = bounds.select(
+        "user_id",
+        F.sum("is_start").over(wu).alias("sid"),
+        "ts",
+    )
+    ivals = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    marks = ivals.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
+        ivals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    ws = Window.orderBy(F.col("ts"), F.col("delta").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = marks.select("ts", F.sum("delta").over(ws).alias("concurrent"))
+    return (
+        sweep.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+    )
+
+
+LEAD_TIME_LATE_DAYS = 90
+
+
+@register(
+    "q_supplier_lead_time",
+    oracle=f"""
+    WITH lat AS (
+      SELECT l_suppkey,
+             CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)
+               AS lead_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_suppkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(avg(lead_days), 4) AS mean_days,
+           round(quantile_cont(lead_days, 0.9), 4) AS p90_days,
+           round(CAST(count(*) FILTER (WHERE lead_days > {LEAD_TIME_LATE_DAYS})
+                 AS DOUBLE) / count(*), 6) AS late_rate
+    FROM lat
+    GROUP BY l_suppkey
+    HAVING count(*) >= 20
+    """,
+)
+def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUPPLIER LEAD-TIME scorecard: order-to-ship latency per
+    supplier (mean, exact p90, share beyond 90 days) over suppliers
+    with >= 20 lines - the vendor-performance rollup procurement
+    dashboards run (and TPC-H Q21's late-supplier theme as a full
+    scorecard instead of one count).
+
+    Scale shape: ONE fact-fact equi join on the order key (the same
+    shuffle q_join_inner_shuffle benchmarks) projecting only the two
+    dates; per-supplier stats are map-side-combinable plus one exact
+    interpolated percentile over each supplier's bounded latency
+    frame. Latencies are exact integer day diffs, so both engines
+    interpolate identical doubles.
+    """
+    t = load(spark, sf_dir)
+    lat = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "l_suppkey",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("double")
+            .alias("lead_days"),
+        )
+    )
+    return (
+        lat.groupBy("l_suppkey")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.avg("lead_days"), 4).alias("mean_days"),
+            F.round(F.expr("percentile(lead_days, 0.9)"), 4).alias("p90_days"),
+            F.round(
+                F.count(
+                    F.when(F.col("lead_days") > LEAD_TIME_LATE_DAYS, 1)
+                ).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("late_rate"),
+        )
+        .filter(F.col("n_lines") >= 20)
+    )
