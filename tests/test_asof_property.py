@@ -71,6 +71,57 @@ def test_asof_join_matches_brute_force(spark, lrows, rrows):
     assert (got["k"] == want["k"]).all() and (got["ts"] == want["ts"]).all()
 
 
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lrows=left_rows, rrows=right_rows, tol=st.integers(0, 15))
+def test_asof_join_tolerance_matches_brute_force(spark, lrows, rrows, tol):
+    """tolerance= additionally requires left_ts - right_ts <= tol;
+    matches older than the tolerance become NULL (the
+    q_join_asof_tolerance semantics), verified against brute force
+    on random inputs and random tolerances."""
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lrows)], "k INT, ts INT, lid INT"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, ts * 10) for (k, ts) in rrows] or [(None, None, None)],
+        "k INT, rts INT, val INT",
+    )
+    if not rrows:
+        right = right.filter("k IS NOT NULL")
+    got = (
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            payload=["val"], tolerance=F.lit(tol),
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "lid"])
+        .reset_index(drop=True)
+    )
+    out = []
+    for i, (k, ts) in enumerate(lrows):
+        prior = [
+            (rts, rts * 10)
+            for (rk, rts) in rrows
+            if rk == k and rts <= ts and ts - rts <= tol
+        ]
+        mts, val = max(prior) if prior else (None, None)
+        out.append({"k": k, "ts": ts, "lid": i, "rts_matched": mts, "val": val})
+    want = (
+        pd.DataFrame(out).sort_values(["k", "ts", "lid"]).reset_index(drop=True)
+    )
+    for col in ("rts_matched", "val"):
+        pd.testing.assert_series_equal(
+            got[col].astype("float64"),
+            want[col].astype("float64"),
+            check_names=False,
+        )
+
+
 def test_asof_join_rejects_colliding_output_names(spark):
     import pytest
 
