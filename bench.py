@@ -74,6 +74,10 @@ HEADLINE = [
     # start at the r5b recording in BASELINE.md).
     "q_tpch_q5",              # 6-way star join (TPC-H suite)
     "q_graph_pagerank",       # 3-superstep iterative join chain
+    # r6 breadth: one sketch + one sweep-line representative of the
+    # r6 operator waves (baselines seed at the r6 recording).
+    "q_agg_countmin",         # mergeable CMS build + broadcast probe
+    "q_events_concurrent_peak",  # sessionize + boundary sweep
 ]
 
 # Side-effecting sink/ingest ops are excluded from --all timing: they
