@@ -1558,3 +1558,176 @@ def q_text_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("i").cast("double") / F.col("n2"), 6).alias("c2_in_1"),
         )
     )
+
+
+@register(
+    "q_text_readability",
+    oracle="""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                           1) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                 - 84.6 * (n_syllables::DOUBLE / n_words), 4) AS flesch
+    FROM feats
+    WHERE n_words > 0
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE per document, with syllables approximated
+    by vowel-group runs (the standard regex proxy) and sentences by
+    terminator runs - the readability axis of quality scoring
+    (q_text_quality measures junk; this measures register), and a
+    grade-level filter for curriculum-style data mixes.
+
+    Scale shape: map-only - three regexp/split counts per row
+    straight off the scan, one closed-form expression, no shuffle at
+    all. Zero-sentence / zero-syllable docs clamp to 1 (both
+    engines) so the formula stays finite; the two divisions run on
+    exact integer counts, so 4dp rounding is cross-engine safe.
+    """
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.filter(F.split(F.lower("text"), " "), lambda t: t != ""))
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+        F.lit(1),
+    )
+    feats = d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        n_syll.cast("bigint").alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )
+
+
+@register(
+    "q_text_code_detect",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(len(regexp_extract_all(text,
+                 '[{}()\\[\\];=<>|&]')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS symbol_ratio,
+           round(CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE)
+                 / greatest(length(text), 1), 6) AS digit_ratio,
+           CAST(len(regexp_extract_all(lower(text),
+                '\\b(def|class|return|import|function|var|const|if|else|for|while)\\b'))
+                AS BIGINT) AS kw_hits,
+           CASE WHEN CAST(len(regexp_extract_all(text,
+                  '[{}()\\[\\];=<>|&]')) AS DOUBLE)
+                  / greatest(length(text), 1) > 0.05
+                 AND len(regexp_extract_all(lower(text),
+                  '\\b(def|class|return|import|function|var|const|if|else|for|while)\\b'))
+                  >= 2
+                THEN 1 ELSE 0 END AS code_like
+    FROM documents
+    """,
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CODE-vs-PROSE detection heuristic: structural-symbol density,
+    digit density, and programming-keyword hits, combined into a
+    code_like flag (symbol ratio > 5% AND >= 2 keywords) - the
+    routing signal that decides whether a document enters the code
+    or the prose pipeline (tokenizer, quality model, dedup config
+    all differ). On this prose corpus the flag is expected ~0;
+    the per-doc feature columns are the operator's real output.
+
+    Scale shape: map-only regexp counting straight off the scan - no
+    shuffle, no UDF; identical regex classes on both engines, exact
+    integer counts under the 6dp-rounded ratios.
+    """
+    d = table(spark, sf_dir, "documents")
+    sym = F.size(F.expr(r"regexp_extract_all(text, '[{}()\\[\\];=<>|&]', 0)"))
+    dig = F.size(F.expr("regexp_extract_all(text, '[0-9]', 0)"))
+    kw = F.size(
+        F.expr(
+            r"regexp_extract_all(lower(text), "
+            r"'\\b(def|class|return|import|function|var|const|if|else|for|while)\\b', 0)"
+        )
+    )
+    chars = F.greatest(F.length("text"), F.lit(1))
+    sym_ratio = sym.cast("double") / chars
+    return d.select(
+        "doc_id",
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(dig.cast("double") / chars, 6).alias("digit_ratio"),
+        kw.cast("bigint").alias("kw_hits"),
+        F.when((sym_ratio > 0.05) & (kw >= 2), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("code_like"),
+    )
+
+
+@register(
+    "q_docs_source_diversity",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             sum(c * ln(c)) AS sclnc
+      FROM counts GROUP BY lang
+    )
+    SELECT lang, n_docs, n_sources, entropy,
+           round(exp(entropy), 4) AS effective_sources
+    FROM (
+      SELECT lang, n AS n_docs, n_sources,
+             round(ln(n) - sclnc / n, 4) AS entropy
+      FROM tot
+    )
+    """,
+)
+def q_docs_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOURCE-MIX DIVERSITY per language: Shannon entropy of the
+    source distribution and its exponential (the effective number of
+    sources) - the data-mix health gauge that catches a language
+    silently collapsing onto one crawl source (q_text_ngram_novelty
+    sees the symptom; this sees the cause).
+
+    Scale shape: two nested map-side-combinable aggs ((lang, source)
+    then lang) via the same grouped-count entropy identity as
+    q_text_entropy; output is |langs| rows. exp(round(H)) keeps the
+    derived column a pure function of the published entropy.
+    """
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang", "source").agg(F.count("*").alias("c"))
+    tot = counts.groupBy("lang").agg(
+        F.sum("c").alias("n"),
+        F.count("*").alias("n_sources"),
+        F.sum(F.col("c") * F.log("c")).alias("sclnc"),
+    )
+    ent = F.round(F.log(F.col("n")) - F.col("sclnc") / F.col("n"), 4)
+    return tot.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        "n_sources",
+        ent.alias("entropy"),
+        F.round(F.exp(ent), 4).alias("effective_sources"),
+    )

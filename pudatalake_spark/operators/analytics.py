@@ -2718,3 +2718,75 @@ def q_supplier_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_lines") >= 20)
     )
+
+
+@register(
+    "q_events_multitouch_attribution",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT user_id, ts AS touch_ts, event_type AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    credited AS (
+      SELECT p.event_id, t.touch_type, p.value,
+             count(*) OVER (PARTITION BY p.event_id) AS n_touches
+      FROM purchases p
+      JOIN touches t
+        ON t.user_id = p.user_id
+       AND t.touch_ts < p.ts
+       AND t.touch_ts >= p.ts - INTERVAL 7 DAY
+    )
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n_credits,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_purchases_touched,
+           round(sum(value / n_touches), 4) AS credited_revenue
+    FROM credited
+    GROUP BY touch_type
+    """,
+)
+def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR MULTI-TOUCH attribution: every click/view in the 7 days
+    before a purchase shares the purchase value equally (value /
+    n_touches) - the multi-touch complement to q_events_attribution's
+    last-touch model, and the fairer budget-allocation readout when
+    journeys have many touchpoints.
+
+    Scale shape: purchases join touches per USER (equi key; the range
+    predicate rides the join), so fan-out is bounded by per-user
+    touch density, never cross-user; the per-purchase touch count is
+    a window over that co-partitioned frame; credit aggregation is
+    two-phase. The division happens per credit row BEFORE the sum,
+    and the 4dp final round absorbs cross-engine summation-order
+    ULPs.
+    """
+    e = table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("touch_ts"),
+        F.col("event_type").alias("touch_type"),
+    )
+    credited = (
+        purchases.join(
+            touches,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("touch_ts") < F.col("ts"))
+            & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .withColumn(
+            "n_touches", F.count("*").over(Window.partitionBy("event_id"))
+        )
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").alias("n_credits"),
+        F.countDistinct("event_id").alias("n_purchases_touched"),
+        F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias(
+            "credited_revenue"
+        ),
+    )
