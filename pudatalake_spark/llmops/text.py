@@ -1322,7 +1322,8 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_entropy",
     oracle="""
     WITH chars AS (
-      SELECT doc_id, unnest(regexp_extract_all(lower(text), '.')) AS ch
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[^\n\r]')) AS ch
       FROM documents
     ),
     counts AS (
@@ -1349,8 +1350,11 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one explode to (doc, char) - bounded by text length
     - then two map-side-combinable aggs on the doc-partitioned
-    stream; no window, no UDF. Chars come from regexp_extract_all
-    '.', the same non-newline-codepoint contract in both engines.
+    stream; no window, no UDF. Chars come from an EXPLICIT
+    [^\\n\\r] class, not '.': Java's dot also excludes \\r and the
+    U+2028/U+2029/U+0085 separators while RE2's excludes only \\n -
+    a latent divergence on CRLF text; the explicit class means the
+    same codepoint set on both engines.
     The c*ln(c) partial sums are per-(doc,char) EXACT integers fed to
     ln once each; the final 4dp round absorbs summation-order ULPs.
     """
@@ -1359,7 +1363,7 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id",
             F.explode(
-                F.expr("regexp_extract_all(lower(text), '.', 0)")
+                F.expr(r"regexp_extract_all(lower(text), '[^\n\r]', 0)")
             ).alias("ch"),
         )
         .groupBy("doc_id", "ch")

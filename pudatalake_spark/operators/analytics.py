@@ -1159,6 +1159,22 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_rev(e: DataFrame) -> DataFrame:
+    """Bounded (event_type, day, rev) daily-revenue rollup - the
+    shared first stage of every daily analytic here (forecast,
+    seasonality, MAD outliers, period growth, rolling median).
+    Sums are rounded at 4dp BEFORE any downstream arithmetic so
+    every derived term is an identical IEEE expression on both
+    engines; any change to rounding or tz policy happens HERE once
+    (each operator's oracle SQL states the same rollup inline)."""
+    return (
+        e.groupBy(
+            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+        )
+        .agg(F.round(F.sum("value"), 4).alias("rev"))
+    )
+
+
 @register(
     "q_events_forecast_seasonal",
     oracle="""
@@ -1208,13 +1224,7 @@ def q_events_forecast_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     4dp on both engines BEFORE differencing, making every downstream
     error term an identical IEEE expression.
     """
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-        )
-        .agg(F.round(F.sum("value"), 4).alias("rev"))
-    )
+    daily = _daily_rev(table(spark, sf_dir, "events"))
     prior = daily.select(
         F.col("event_type").alias("p_type"),
         F.col("day").alias("p_day"),
@@ -1770,13 +1780,7 @@ def q_events_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums and exact day counts - identical IEEE arithmetic on both
     engines, no output rounding needed.
     """
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-        )
-        .agg(F.round(F.sum("value"), 4).alias("rev"))
-    )
+    daily = _daily_rev(table(spark, sf_dir, "events"))
     by_dow = daily.groupBy(
         "event_type",
         (F.dayofweek("day") - 1).cast("bigint").alias("dow"),
@@ -1942,13 +1946,7 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     CASE in both engines. Medians of even counts interpolate
     (a + b) / 2 identically on identical 4dp-rounded inputs.
     """
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-        )
-        .agg(F.round(F.sum("value"), 4).alias("rev"))
-    )
+    daily = _daily_rev(table(spark, sf_dir, "events"))
     med = daily.groupBy("event_type").agg(F.median("rev").alias("med"))
     dev = daily.join(med, "event_type").withColumn(
         "adev", F.abs(F.col("rev") - F.col("med"))
@@ -2045,6 +2043,28 @@ def q_events_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _user_gap_seconds(e: DataFrame, attach: str) -> DataFrame:
+    """Per-user inter-event gaps in seconds over the shared
+    (user_id) x (ts, event_id) ordering - the common first stage of
+    dwell-time and bot-detection. `attach` names the column carried
+    alongside each gap: the gap between consecutive events is
+    attributed to the EARLIER event (lead form), so attaching
+    event_type yields dwell semantics and attaching user_id yields
+    the per-user gap multiset. Gaps derive from exact microsecond
+    integer diffs."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        attach,
+        (
+            (
+                F.unix_micros(F.lead("ts").over(w))
+                - F.unix_micros(F.col("ts"))
+            ).cast("double")
+            / 1000000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+
+
 @register(
     "q_events_dwell_time",
     oracle="""
@@ -2080,18 +2100,7 @@ def q_events_dwell_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical doubles; at 100 TB swap the exact percentile for
     approx_percentile and keep the identical plan shape.
     """
-    e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = e.select(
-        "event_type",
-        (
-            (
-                F.unix_micros(F.lead("ts").over(w))
-                - F.unix_micros(F.col("ts"))
-            ).cast("double")
-            / 1000000.0
-        ).alias("gap_s"),
-    ).filter(F.col("gap_s").isNotNull())
+    gaps = _user_gap_seconds(table(spark, sf_dir, "events"), "event_type")
     return gaps.groupBy("event_type").agg(
         F.count("gap_s").alias("n_gaps"),
         F.round(F.expr("percentile(gap_s, 0.5)"), 4).alias("p50_s"),
@@ -2291,18 +2300,9 @@ def q_events_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     the flag is data-dependent (0 flagged on a truly random corpus
     is itself the correct reading).
     """
-    e = table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gaps = e.select(
-        "user_id",
-        (
-            (
-                F.unix_micros(F.col("ts"))
-                - F.unix_micros(F.lag("ts").over(w))
-            ).cast("double")
-            / 1000000.0
-        ).alias("gap_s"),
-    ).filter(F.col("gap_s").isNotNull())
+    # lead-form gaps: the same per-user multiset the oracle's lag
+    # form produces (each consecutive pair contributes exactly once).
+    gaps = _user_gap_seconds(table(spark, sf_dir, "events"), "user_id")
     stats = (
         gaps.groupBy("user_id")
         .agg(
@@ -2359,18 +2359,17 @@ def q_win_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     |types| x |days| frame (AQE broadcasts it); 4dp-first rounding
     keeps the division IEEE-identical cross-engine.
     """
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-        )
-        .agg(F.round(F.sum("value"), 4).alias("rev"))
-    )
+    daily = _daily_rev(table(spark, sf_dir, "events"))
 
     def prior(days: int, alias: str) -> DataFrame:
+        """The rollup shifted FORWARD by `days`, so the caller joins
+        on plain equality and the offset cannot drift from the
+        parameter."""
         return daily.select(
             F.col("event_type").alias(f"{alias}_type"),
-            F.col("day").alias(f"{alias}_day"),
+            (F.col("day") + F.expr(f"INTERVAL {days} DAYS")).alias(
+                f"{alias}_day"
+            ),
             F.col("rev").alias(f"{alias}_rev"),
         )
 
@@ -2379,13 +2378,13 @@ def q_win_period_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.join(
             p1,
             (F.col("event_type") == F.col("p1_type"))
-            & (F.col("p1_day") == F.col("day") - F.expr("INTERVAL 1 DAYS")),
+            & (F.col("p1_day") == F.col("day")),
             "left",
         )
         .join(
             p7,
             (F.col("event_type") == F.col("p7_type"))
-            & (F.col("p7_day") == F.col("day") - F.expr("INTERVAL 7 DAYS")),
+            & (F.col("p7_day") == F.col("day")),
             "left",
         )
         .select(
@@ -2487,13 +2486,7 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     windowed median() applies, over identical 4dp-rounded inputs;
     frame width <= 7 bounds the per-row array.
     """
-    e = table(spark, sf_dir, "events")
-    daily = (
-        e.groupBy(
-            "event_type", F.date_trunc("day", F.col("ts")).alias("day")
-        )
-        .agg(F.round(F.sum("value"), 4).alias("rev"))
-    )
+    daily = _daily_rev(table(spark, sf_dir, "events"))
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")

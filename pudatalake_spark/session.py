@@ -52,6 +52,17 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_heap() -> str:
+    """Driver-heap default: RAM/4, clamped to [4g, 32g]."""
+    try:
+        total_gb = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) // (1024 ** 3)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(4, min(32, total_gb // 4))}g"
+
+
 def get_spark(
     app_name: str = "pudatalake-spark",
     master: str | None = None,
@@ -65,13 +76,16 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        # 32g measured best on the 128 GiB local[32] bench box (r6):
-        # the old 8g heap made a 20-query session GC-bound (orig-16
+        # Heap default keyed on physical RAM, capped at the 32g that
+        # measured best on the 128 GiB local[32] bench box (r6): the
+        # old fixed 8g made a 20-query session GC-bound (orig-16
         # subtotal 10.1 s at 8g vs 7.8 s at 32g, uniform drift across
         # unrelated plans - the BENCH_r05 mystery); 64g regressed
-        # (longer pauses). On a real cluster this comes from
-        # spark-submit per-executor sizing instead.
-        .config("spark.driver.memory", os.environ.get("PUDL_DRIVER_MEM", "32g"))
+        # (longer pauses). RAM/4 keeps the default safe on small dev
+        # boxes (a fixed 32g would OOM a 16 GB laptop); on a real
+        # cluster this comes from spark-submit sizing instead.
+        .config("spark.driver.memory",
+                os.environ.get("PUDL_DRIVER_MEM", _default_heap()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
