@@ -971,3 +971,111 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+EQUIDEPTH_BUCKETS = 8
+
+
+@register(
+    "q_agg_quantile_bands",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_totalprice,
+             ntile({EQUIDEPTH_BUCKETS}) OVER (
+               ORDER BY o_totalprice, o_orderkey) AS bucket
+      FROM orders
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(min(o_totalprice), 4) AS lo,
+           round(max(o_totalprice), 4) AS hi,
+           round(sum(o_totalprice), 4) AS band_total
+    FROM b
+    GROUP BY bucket
+    """,
+)
+def q_agg_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram of order value: ntile-8 bands with their
+    boundaries and revenue mass - the feature-binning / fairness-
+    banding complement to q_agg_histogram's equi-WIDTH buckets
+    (equi-width starves the tail; equi-depth gives every band equal
+    support). Ties broken by o_orderkey so the band assignment is a
+    pure function of the data.
+
+    Scale shape: ntile needs a total order - ONE global sort (range
+    partitioner, so it scales out; this is the one window family
+    where the sort is the contract itself); everything after is a
+    |buckets|-row two-phase agg. At 100 TB prefer
+    approx_percentile boundaries + a broadcast range join when the
+    exact equal-count property is not required.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    b = o.select(
+        "o_totalprice",
+        F.ntile(EQUIDEPTH_BUCKETS).over(w).cast("bigint").alias("bucket"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+        F.round(F.sum("o_totalprice"), 4).alias("band_total"),
+    )
+
+
+@register(
+    "q_agg_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, round(sum(o_totalprice), 4) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i
+      FROM spend
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx,
+             sum(i * x) AS six
+      FROM ranked
+    )
+    SELECT n AS n_customers,
+           round(sx, 4) AS total_spend,
+           round(2.0 * six / (n * sx) - (n + 1.0) / n, 6) AS gini
+    FROM s
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI COEFFICIENT of customer-spend concentration via the
+    rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over
+    ascending-sorted spend - the one-number inequality gauge behind
+    whale-dependence and revenue-concentration monitoring (0 =
+    uniform, ->1 = one customer is the business).
+
+    Scale shape: per-customer spend is a combinable agg; the rank
+    needs ONE global sort of |customers| rows (range-partitioned,
+    scales out); the final statistic is three sums on the ranked
+    frame collapsed to a 1-row result. Ranks tie-break on custkey,
+    and i*x products are summed from 4dp-rounded spends - the 6dp
+    final round absorbs ordering ULPs.
+    """
+    o = table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 4).alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = spend.select("x", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return s.select(
+        F.col("n").alias("n_customers"),
+        F.round(F.col("sx"), 4).alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.col("six") / (F.col("n") * F.col("sx"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"),
+            6,
+        ).alias("gini"),
+    )

@@ -2783,3 +2783,164 @@ def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
             "credited_revenue"
         ),
     )
+
+
+@register(
+    "q_events_cart_abandonment",
+    oracle="""
+    WITH clicks AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+      FROM events WHERE event_type = 'click'
+    ),
+    converted AS (
+      SELECT DISTINCT c.user_id, c.day
+      FROM clicks c JOIN events p
+        ON p.user_id = c.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts >= c.day
+       AND p.ts < c.day + INTERVAL 2 DAY
+    )
+    SELECT c.day,
+           CAST(count(*) AS BIGINT) AS n_engaged,
+           CAST(count(*) FILTER (WHERE v.user_id IS NULL) AS BIGINT)
+               AS n_abandoned,
+           round(CAST(count(*) FILTER (WHERE v.user_id IS NULL) AS DOUBLE)
+                 / count(*), 6) AS abandonment_rate
+    FROM clicks c
+    LEFT JOIN converted v ON v.user_id = c.user_id AND v.day = c.day
+    GROUP BY c.day
+    """,
+)
+def q_events_cart_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABANDONMENT RATE: per day, the share of users who clicked that
+    day but did not purchase within the day or the next (a 48-hour
+    conversion window from midnight) - the inverse of the funnel's
+    conversion read, and the daily e-commerce KPI
+    (q_events_window_funnel counts completers; this names the
+    leakage).
+
+    Scale shape: engaged users dedup to (user, day) map-side; the
+    conversion probe is a per-user equi join with the 2-day window
+    riding it, deduped back to (user, day); the daily rollup counts
+    via a LEFT join on the bounded engaged frame. No window
+    functions at all - pure dedup/join/agg.
+    """
+    e = table(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = (
+        clicks.join(
+            purchases,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("day"))
+            & (F.col("p_ts") < F.col("day") + F.expr("INTERVAL 2 DAYS")),
+        )
+        .select("user_id", "day")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        clicks.join(converted, ["user_id", "day"], "left")
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_engaged"),
+            F.count(F.when(F.col("converted").isNull(), 1)).alias(
+                "n_abandoned"
+            ),
+            F.round(
+                F.count(F.when(F.col("converted").isNull(), 1)).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("abandonment_rate"),
+        )
+    )
+
+
+SEG_SPLIT_DAY = 15  # first half: day-of-month < 15 (generator spans one month)
+
+
+@register(
+    "q_customer_segment_migration",
+    oracle=f"""
+    WITH halves AS (
+      SELECT user_id,
+             CASE WHEN day(ts) < {SEG_SPLIT_DAY} THEN 1 ELSE 2 END AS half,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    spend AS (
+      SELECT user_id, half, round(sum(value), 4) AS spend
+      FROM halves GROUP BY user_id, half
+    ),
+    med AS (
+      SELECT half, median(spend) AS med FROM spend GROUP BY half
+    ),
+    seg AS (
+      SELECT s.user_id, s.half,
+             CASE WHEN s.spend >= m.med THEN 'high' ELSE 'low' END AS segment
+      FROM spend s JOIN med m ON s.half = m.half
+    ),
+    paired AS (
+      SELECT coalesce(a.segment, 'none') AS seg_h1,
+             coalesce(b.segment, 'none') AS seg_h2
+      FROM (SELECT user_id, segment FROM seg WHERE half = 1) a
+      FULL OUTER JOIN (SELECT user_id, segment FROM seg WHERE half = 2) b
+        ON a.user_id = b.user_id
+    )
+    SELECT seg_h1, seg_h2, CAST(count(*) AS BIGINT) AS n_users
+    FROM paired GROUP BY seg_h1, seg_h2
+    """,
+)
+def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENT MIGRATION matrix: split the window into two halves,
+    segment purchasers high/low against each half's median spend,
+    and count users per (first-half segment, second-half segment)
+    cell including entrances and exits ('none') - the
+    churn-and-upgrade movement view behind lifecycle marketing
+    (q_events_rfm scores a single window; this tracks movement
+    BETWEEN windows).
+
+    Scale shape: per-(user, half) spend is one combinable agg; the
+    medians are 2-row aggs broadcast back; the migration pairing is
+    a per-user FULL OUTER self-join of two bounded segment tables;
+    the matrix is a <=9-row agg. Median thresholds make the
+    segmentation scale-free (no fixed dollar cut to re-tune).
+    """
+    e = table(spark, sf_dir, "events")
+    halves = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.when(F.dayofmonth("ts") < SEG_SPLIT_DAY, 1).otherwise(2).alias("half"),
+        "value",
+    )
+    spend = halves.groupBy("user_id", "half").agg(
+        F.round(F.sum("value"), 4).alias("spend")
+    )
+    med = spend.groupBy("half").agg(F.median("spend").alias("med"))
+    seg = spend.join(med, "half").select(
+        "user_id",
+        "half",
+        F.when(F.col("spend") >= F.col("med"), "high")
+        .otherwise("low")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("half") == 1).select(
+        "user_id", F.col("segment").alias("s1")
+    )
+    b = seg.filter(F.col("half") == 2).select(
+        "user_id", F.col("segment").alias("s2")
+    )
+    return (
+        a.join(b, "user_id", "full_outer")
+        .select(
+            F.coalesce(F.col("s1"), F.lit("none")).alias("seg_h1"),
+            F.coalesce(F.col("s2"), F.lit("none")).alias("seg_h2"),
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count("*").alias("n_users"))
+    )
