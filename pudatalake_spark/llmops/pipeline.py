@@ -664,3 +664,121 @@ def q_seq_len_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_token_share"),
         )
     )
+
+
+MIX_TEMP_ALPHA = 0.3   # UniMax/mT5-style temperature exponent
+MIX_TEMP_BUDGET = 10_000  # documents in the hypothetical training mix
+
+
+@register(
+    "q_mix_temperature",
+    oracle=f"""
+    WITH avail AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    z AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+             sum(pow(n_docs, {MIX_TEMP_ALPHA})) AS z
+      FROM avail
+    )
+    SELECT a.lang, a.n_docs,
+           round(CAST(a.n_docs AS DOUBLE) / z.n_total, 6) AS p_raw,
+           round(pow(a.n_docs, {MIX_TEMP_ALPHA}) / z.z, 6) AS p_temp,
+           round((pow(a.n_docs, {MIX_TEMP_ALPHA}) / z.z)
+                 / (CAST(a.n_docs AS DOUBLE) / z.n_total), 6) AS boost,
+           CAST(round({MIX_TEMP_BUDGET} * pow(a.n_docs, {MIX_TEMP_ALPHA})
+                      / z.z, 0) AS BIGINT) AS budget_docs
+    FROM avail a, z
+    ORDER BY a.lang
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (the mT5/UniMax sampling
+    rule): p_l ∝ n_l^alpha with alpha=0.3 (MIX_TEMP_ALPHA) flattens
+    the natural distribution so low-resource languages are
+    up-sampled - reported per language as raw vs temperature share,
+    the up/down-sampling boost, and the document budget at a 10k
+    (MIX_TEMP_BUDGET) mix. The capacity-constrained complement of
+    q_mix_weighted (which takes target weights as given; HERE the
+    weights are derived from availability).
+
+    Scale shape: one two-phase count agg to a |langs|-row frame, the
+    normalizer is a 1-row agg broadcast back (crossJoin of
+    bounded x 1), and the mixture math is projection arithmetic.
+    pow() may differ by ULPs across engines, so every reported
+    float is rounded 6 dp (SURVEY §5.2).
+    """
+    d = table(spark, sf_dir, "documents")
+    avail = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    z = avail.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum(F.pow("n_docs", F.lit(MIX_TEMP_ALPHA))).alias("z"),
+    )
+    pt = F.pow("n_docs", F.lit(MIX_TEMP_ALPHA)) / F.col("z")
+    praw = F.col("n_docs").cast("double") / F.col("n_total")
+    return (
+        avail.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(praw, 6).alias("p_raw"),
+            F.round(pt, 6).alias("p_temp"),
+            F.round(pt / praw, 6).alias("boost"),
+            F.round(F.lit(MIX_TEMP_BUDGET) * pt, 0)
+            .cast("bigint")
+            .alias("budget_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+WSAMPLE_K = 500      # sample size
+WSAMPLE_U_MOD = 10_000  # uniform-grid resolution for the priority draw
+
+
+@register(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               ORDER BY CAST(({_hkey_sql("doc_id")}) % {WSAMPLE_U_MOD} + 0.5
+                             AS DOUBLE)
+                        / greatest(n_chars, 1),
+                        doc_id) AS rk
+      FROM documents)
+    WHERE rk <= {WSAMPLE_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, probability
+    proportional to size (n_chars), via SEQUENTIAL POISSON sampling
+    (Ohlsson): draw u_i from the deterministic key-hash grid, rank
+    by u_i / w_i ascending, keep the first k=500 (WSAMPLE_K). Long
+    documents are proportionally more likely to be kept - the
+    token-mass-preserving subsample - yet membership stays a pure
+    function of doc_id (re-runs and backfills agree), unlike
+    rand()-keyed reservoir implementations.
+
+    No transcendentals on purpose: the textbook A-ES key
+    -ln(u)/w ranks identically to u/w (ln is monotone), and the
+    plain division is bit-identical across engines, so the top-k
+    boundary cannot flip between Spark and the oracle. Ties broken
+    by doc_id.
+
+    Scale shape: map-side key computation + rank<=k pushed into the
+    shuffle as a WindowGroupLimit (only k rows per partition survive
+    the exchange) - the q_sample_fixed_k plan shape with a weighted
+    priority instead of a stratum hash.
+    """
+    d = table(spark, sf_dir, "documents")
+    u = (_hkey("doc_id") % WSAMPLE_U_MOD + F.lit(0.5)).cast("double")
+    pri = u / F.greatest(F.col("n_chars"), F.lit(1))
+    w = Window.orderBy(pri, F.col("doc_id"))
+    return (
+        d.select("doc_id", "lang", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= WSAMPLE_K)
+        .select("doc_id", "lang", "n_chars")
+    )

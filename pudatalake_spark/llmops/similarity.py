@@ -928,7 +928,7 @@ KNN_GRAPH_BANDS = 6
 
 @register("q_sim_knn_graph")  # bucketed ANN self-join -> rows-only
 def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-vectors kNN GRAPH: every vector's top-{KNN_GRAPH_K}
+    """All-vectors kNN GRAPH: every vector's top-5 (KNN_GRAPH_K)
     neighbors among candidates sharing its sign-bit LSH bucket - the
     self-join ANN shape behind graph-based clustering, near-dup
     graph construction, and HNSW-style index bootstrapping. Unlike
@@ -937,7 +937,7 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     thing standing between this and an N^2 all-pairs.
 
     Rows-only by design (bucketed recall < 1 has no SQL twin);
-    tests/test_pipeline_props.py measures recall@{KNN_GRAPH_K}
+    tests/test_pipeline_props.py measures recall@5
     against the exact numpy graph and pins a floor (measured value
     recorded there). The scale ladder mirrors dedup's: more bands
     (union of per-band candidates) buys recall linearly in cost.

@@ -1066,8 +1066,8 @@ def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Template-boilerplate removal: the crawl-cleaning step that
     strips shared page furniture (footers/headers) BEFORE dedup and
     quality scoring. Detection is corpus-statistical, not a pattern
-    list: a document-final {BOILER_WORDS}-word suffix occurring in >=
-    {BOILER_DF} documents is boilerplate by definition (no organic
+    list: a document-final 8-word (BOILER_WORDS) suffix occurring in >=
+    150 (BOILER_DF) documents is boilerplate by definition (no organic
     suffix repeats across 30% of a corpus). The fixture injects a
     footer on even doc_ids (as q_text_pii_redact injects PII) so
     detection, stripping, and the untouched-doc path are all

@@ -2153,7 +2153,7 @@ MARKOV_STEPS = 3
 def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-STATIONARY distribution of the behavior Markov chain:
     power-iterate the transition matrix (q_events_transition's P)
-    {MARKOV_STEPS} steps from uniform - where user behavior settles,
+    3 (MARKOV_STEPS) steps from uniform - where user behavior settles,
     the long-run share of each action, and the chain-level summary a
     next-action model is benchmarked against. Fixed step count keeps
     the plan a finite declarative chain (the q_graph_pagerank rule).

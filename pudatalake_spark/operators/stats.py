@@ -1,0 +1,418 @@
+"""Statistical inference operators (SURVEY §2.16): hypothesis
+tests and estimators that close the loop between the descriptive
+analytics family (q_events_*) and a decision — "did the metric
+move, and is the movement real?".
+
+Members:
+- q_stats_ks_test       two-sample Kolmogorov-Smirnov on a spend
+                        distribution (the distribution-shift test
+                        behind data-drift monitors).
+- q_stats_ols_trend     per-series OLS slope/intercept/R^2 of daily
+                        revenue (the trend estimator).
+- q_stats_cusum         one-sided CUSUM drift statistic on daily
+                        event counts (sequential change detection).
+- q_stats_did           difference-in-differences estimator over a
+                        2x2 (treatment x period) design.
+
+Determinism notes (the registry contract):
+- KS/CUSUM comparisons happen on doubles produced by IDENTICAL
+  integer-count arithmetic in both engines (count/n divisions,
+  cumulative sums in a pinned order), so equality and argmax are
+  engine-stable without rounding; only the FINAL reported floats
+  are rounded.
+- OLS and DiD aggregate raw doubles, so every reported aggregate
+  is rounded 4-6 dp in both engines per SURVEY §5.2.
+
+Scale notes (100 TB):
+- KS reduces the fact table to one row per DISTINCT metric value
+  (two-phase agg) before the single ordered pass; at 100 TB the
+  exact sup over distinct values is replaced by a 4096-bin
+  equi-depth sketch (approx_percentile boundaries + the same
+  cumulative compare) — the operator's shape is unchanged.
+- OLS/CUSUM/DiD all collapse to bounded frames (per-series daily
+  rollups, 2x2 cells) in ONE map-side-combining aggregation; the
+  estimator arithmetic runs on the tiny frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..loaders import table
+from ..registry import register
+
+KS_SEG_A = "BUILDING"
+KS_SEG_B = "MACHINERY"
+
+
+@register(
+    "q_stats_ks_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS a
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+    ),
+    per_v AS (
+      SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+             CAST(count(*) - sum(a) AS BIGINT) AS cb
+      FROM s GROUP BY v
+    ),
+    n AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+      FROM per_v
+    ),
+    ecdf AS (
+      SELECT abs(CAST(sum(ca) OVER w AS DOUBLE) / n.na
+               - CAST(sum(cb) OVER w AS DOUBLE) / n.nb) AS d,
+             n.na AS na, n.nb AS nb
+      FROM per_v, n
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(max(d), 6) AS ks_d,
+           round(least(1.0, 2 * exp(-2 * max(d) * max(d) * na * nb
+                                    / (na + nb))), 6) AS p_value
+    FROM ecdf GROUP BY na, nb
+    """,
+)
+def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: does the order-value
+    distribution differ between BUILDING and MACHINERY customers?
+    D = sup over the combined support of |ECDF_a - ECDF_b|, with the
+    asymptotic two-sided p-value 2*exp(-2 D^2 n_a n_b/(n_a+n_b))
+    (clamped to 1) - the distribution-shift test behind data-drift
+    monitors, evaluated exactly.
+
+    Scale shape: the fact join collapses to one row per DISTINCT
+    price (two-phase hash agg with per-sample counts as map-side
+    partials); the sup is one ordered pass over that distinct-value
+    frame with two running sums - the only sort in the plan. The
+    cumulative counts are integers and n_a/n_b divisions are the
+    same IEEE ops in both engines, so max and argmax are
+    engine-stable; only the reported D and p are rounded. 100 TB:
+    replace distinct values with 4096 equi-depth bins
+    (approx_percentile boundaries), same cumulative compare.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("c_mktsegment") == KS_SEG_A, 1).otherwise(0).alias("a"),
+        )
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        (F.count("*") - F.sum("a")).cast("bigint").alias("cb"),
+    )
+    n = per_v.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = (
+        per_v.crossJoin(F.broadcast(n))
+        .withColumn(
+            "d",
+            F.abs(
+                F.sum("ca").over(w).cast("double") / F.col("na")
+                - F.sum("cb").over(w).cast("double") / F.col("nb")
+            ),
+        )
+    )
+    return ecdf.groupBy(F.col("na").alias("n_a"), F.col("nb").alias("n_b")).agg(
+        F.round(F.max("d"), 6).alias("ks_d"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                2
+                * F.exp(
+                    -2
+                    * F.max("d")
+                    * F.max("d")
+                    * F.col("na")
+                    * F.col("nb")
+                    / (F.col("na") + F.col("nb"))
+                ),
+            ),
+            6,
+        ).alias("p_value"),
+    )
+
+
+@register(
+    "q_stats_ols_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_trunc('day', ts) AS day,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    xy AS (
+      SELECT event_type,
+             CAST(datediff('day', min(day) OVER (PARTITION BY event_type),
+                           day) AS DOUBLE) AS x,
+             y
+      FROM daily
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 6)
+               AS slope,
+           round((sy - (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0)
+                  * sx) / n, 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 6)
+               AS r2
+    FROM sums ORDER BY event_type
+    """,
+)
+def q_stats_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of daily revenue on the day index
+    (x = days since the series' first day): slope, intercept (at the
+    first day), and R^2 from the closed-form power sums - "is this
+    metric growing, and how much of the variance is the trend?".
+
+    Scale shape: ONE two-phase hash agg builds the per-(type, day)
+    rollup (daily y rounded 4 dp so both engines sum identical
+    values); x comes from a min-day window on the bounded daily
+    frame; a second tiny agg computes the five power sums per type,
+    and the estimator is pure projection arithmetic on a |types|-row
+    frame. Degenerate series (single day / constant x) yield NULL
+    slope via the nullif guard in both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    wmin = Window.partitionBy("event_type")
+    xy = daily.withColumn(
+        "x", F.datediff(F.col("day"), F.min("day").over(wmin)).cast("double")
+    )
+    sums = xy.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = num / F.nullif(den_x, F.lit(0))
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            num
+            * num
+            / F.nullif(
+                den_x * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0),
+            ),
+            6,
+        ).alias("r2"),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_stats_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    mu AS (
+      SELECT event_type, sum(x) / count(*) AS mu
+      FROM daily GROUP BY event_type
+    ),
+    cs AS (
+      SELECT d.event_type, d.day,
+             sum(d.x - m.mu) OVER (PARTITION BY d.event_type ORDER BY d.day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+             m.mu AS mu
+      FROM daily d JOIN mu m ON d.event_type = m.event_type
+    ),
+    s AS (
+      SELECT event_type, day, mu,
+             cs - least(0.0, min(cs) OVER (PARTITION BY event_type
+                  ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)) AS s
+      FROM cs
+    ),
+    agg AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             max(s) AS max_s, any_value(mu) AS mu,
+             CAST(count(*) FILTER (WHERE s > mu) AS BIGINT) AS n_drift_days
+      FROM s GROUP BY event_type
+    )
+    SELECT a.event_type, a.n_days,
+           round(a.max_s, 6) AS max_cusum,
+           min(s.day) AS peak_day,
+           a.n_drift_days
+    FROM agg a JOIN s ON s.event_type = a.event_type AND s.s = a.max_s
+    GROUP BY a.event_type, a.n_days, a.max_s, a.n_drift_days
+    ORDER BY a.event_type
+    """,
+)
+def q_stats_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift statistic per event type: on the daily
+    count series, S_t = max(0, S_{t-1} + (x_t - mu)) measures the
+    accumulated above-mean excess - the sequential change detector
+    (Page's test with k=0). Reported per type: the peak statistic,
+    the day it peaks (earliest on ties), and how many days the
+    accumulated excess exceeds one average day's volume (S_t > mu).
+
+    The recursion is deliberately NOT a UDF loop: S_t equals
+    CS_t - min(0, min_{j<=t} CS_j) for the cumulative sum CS of
+    (x - mu), so two stacked windows (running sum, then running min)
+    express it declaratively. All inputs are integer counts and mu
+    is one shared division, so every intermediate double is
+    bit-identical across engines - the float equality in the
+    peak-day argmax join is exact by construction.
+
+    Scale shape: the fact scan collapses to |types| x |days| rows in
+    one two-phase agg; windows and the argmax join run on that
+    bounded frame, partitioned by type.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    mu = daily.groupBy("event_type").agg(
+        (F.sum("x") / F.count("*")).alias("mu")
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = (
+        daily.join(F.broadcast(mu), "event_type")
+        .withColumn("cs", F.sum(F.col("x") - F.col("mu")).over(wcum))
+        .withColumn(
+            "s", F.col("cs") - F.least(F.lit(0.0), F.min("cs").over(wcum))
+        )
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.max("s").alias("max_s"),
+        F.any_value(F.col("mu")).alias("mu_"),
+        F.count(F.when(F.col("s") > F.col("mu"), 1))
+        .cast("bigint")
+        .alias("n_drift_days"),
+    )
+    return (
+        agg.join(
+            s.select("event_type", "day", "s"),
+            (agg.event_type == s.event_type) & (F.col("s") == F.col("max_s")),
+        )
+        .groupBy(agg.event_type, "n_days", "max_s", "n_drift_days")
+        .agg(F.min("day").alias("peak_day"))
+        .select(
+            agg.event_type,
+            "n_days",
+            F.round(F.col("max_s"), 6).alias("max_cusum"),
+            "peak_day",
+            "n_drift_days",
+        )
+        .orderBy(agg.event_type)
+    )
+
+
+DID_SPLIT_DAY = 15  # post-period: day-of-month >= 15 (generator spans one month)
+
+
+@register(
+    "q_stats_did",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated,
+             CASE WHEN day(ts) >= {DID_SPLIT_DAY} THEN 1 ELSE 0 END AS post,
+             value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT treated, post,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(value) / count(*), 4) AS mean_v
+      FROM cells GROUP BY treated, post
+    )
+    SELECT
+      max(CASE WHEN treated = 1 AND post = 0 THEN mean_v END) AS t_pre,
+      max(CASE WHEN treated = 1 AND post = 1 THEN mean_v END) AS t_post,
+      max(CASE WHEN treated = 0 AND post = 0 THEN mean_v END) AS c_pre,
+      max(CASE WHEN treated = 0 AND post = 1 THEN mean_v END) AS c_post,
+      round(max(CASE WHEN treated = 1 AND post = 1 THEN mean_v END)
+          - max(CASE WHEN treated = 1 AND post = 0 THEN mean_v END)
+          - (max(CASE WHEN treated = 0 AND post = 1 THEN mean_v END)
+             - max(CASE WHEN treated = 0 AND post = 0 THEN mean_v END)),
+          4) AS did,
+      CAST(sum(n) AS BIGINT) AS n_obs
+    FROM m
+    """,
+)
+def q_stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator on purchase value over a
+    2x2 design: treatment = even user_id (the documented synthetic
+    assignment - in production this is the experiment flag), period
+    split at day 15 (DID_SPLIT_DAY, q_customer_segment_migration's
+    halves). DiD = (T_post - T_pre) - (C_post - C_pre): the
+    treatment effect net of the shared time trend, the workhorse
+    estimator for staggered feature rollouts.
+
+    Scale shape: ONE two-phase hash agg reduces the fact scan to the
+    four (treated, post) cells; cell means are rounded 4 dp (raw
+    double sums differ by engine sum order) and the estimator is
+    exact arithmetic on the rounded cells, pivoted on a 4-row frame.
+    """
+    e = table(spark, sf_dir, "events")
+    m = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(F.col("user_id") % 2 == 0, 1).otherwise(0).alias("treated"),
+            F.when(F.dayofmonth("ts") >= DID_SPLIT_DAY, 1)
+            .otherwise(0)
+            .alias("post"),
+            "value",
+        )
+        .groupBy("treated", "post")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("value") / F.count("*"), 4).alias("mean_v"),
+        )
+    )
+
+    def cell(t: int, p: int):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), F.col("mean_v"))
+        )
+
+    return m.agg(
+        cell(1, 0).alias("t_pre"),
+        cell(1, 1).alias("t_post"),
+        cell(0, 0).alias("c_pre"),
+        cell(0, 1).alias("c_post"),
+        F.round(
+            cell(1, 1) - cell(1, 0) - (cell(0, 1) - cell(0, 0)), 4
+        ).alias("did"),
+        F.sum("n").cast("bigint").alias("n_obs"),
+    )

@@ -249,7 +249,7 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         # combinable), not a sort + row_number window.
         [r"partial_max_by"],
         [r"Window", r"CartesianProduct"],
-        "changelog replay is one max_by hash agg on the sequence key - no sort+window formulation",
+        "changelog replay is one two-phase max_by aggregate (sort-based on the string key) - no sort+window formulation",
     ),
     "q_events_survival_km": (
         [r"partial_min", r"Window"],

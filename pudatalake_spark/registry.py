@@ -42,7 +42,7 @@ def load_all() -> None:
     if _LOADED:
         return
     # Imports are side-effecting (decorators fill QUERIES/ORACLES).
-    from .operators import aggregates, analytics, graph, joins, lake, relational, setops, sorts, tpch, windows  # noqa: F401
+    from .operators import aggregates, analytics, graph, joins, lake, relational, setops, sorts, stats, tpch, windows  # noqa: F401
     from .functions import scalar  # noqa: F401
     from .sources import ingest, sinks  # noqa: F401
     from .streaming import batch_windows, streams  # noqa: F401
