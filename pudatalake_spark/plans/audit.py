@@ -365,6 +365,54 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct"],
         "ids-only banded self-join, pair dedup before payload join, in-shuffle top-k",
     ),
+    # --- r6 statistical-inference wave ---
+    "q_stats_ks_test": (
+        # Fact join collapses to one row per DISTINCT price in a
+        # two-phase agg BEFORE the single ordered ECDF pass; the
+        # sample-size normalizer is a broadcast 1-row stitch.
+        [r"partial_sum", r"Window", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "KS: distinct-value two-phase agg, then ONE ordered pass; n_a/n_b broadcast",
+    ),
+    "q_stats_ols_trend": (
+        # Power sums are combinable aggregates over the bounded
+        # daily rollup; estimator is projection math - no second
+        # scan, no Python.
+        [r"partial_sum", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "OLS: daily rollup -> five combinable power sums -> projection arithmetic",
+    ),
+    "q_stats_cusum": (
+        # The CUSUM recursion must appear as stacked windows
+        # (running sum + running min) on the daily frame, with the
+        # per-type mean broadcast back - never a Python loop.
+        [r"Window", r"partial_count", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "CUSUM = cumsum - running min as stacked windows; mean broadcasts; no UDF",
+    ),
+    "q_stats_did": (
+        # One two-phase agg to the 4 design cells; the pivot is a
+        # conditional aggregate on the 4-row frame - windowless.
+        [r"partial_sum", r"partial_count"],
+        [r"Window", r"CartesianProduct", r"BatchEvalPython"],
+        "DiD: one two-phase agg to 4 cells, conditional-agg pivot, no window",
+    ),
+    "q_mix_temperature": (
+        # |langs|-row availability agg; the 1-row normalizer rides a
+        # broadcast nested-loop stitch back.
+        [r"partial_count", r"BroadcastNestedLoopJoin"],
+        [r"SortMergeJoin", r"CartesianProduct"],
+        "temperature mix: count agg + broadcast 1-row normalizer, projection math",
+    ),
+    "q_sample_weighted": (
+        # The GLOBAL rank<=k collapses to a streaming top-k: every
+        # partition keeps only k rows (TakeOrderedAndProject), no
+        # full sort, no all-rows exchange (stronger than
+        # q_sample_fixed_k's per-stratum WindowGroupLimit).
+        [r"TakeOrderedAndProject"],
+        [r"BatchEvalPython", r"ArrowEvalPython"],
+        "PPS sample: priority is map-side; global rank<=k runs as streaming top-k",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
