@@ -385,3 +385,77 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_votes",
     )
     return s_out.unionByName(c_out)
+
+
+JACC_TOPK = 20     # reported pairs
+JACC_MIN_COMMON = 2  # candidate gate: at least 2 shared customers
+
+
+@register(
+    "q_graph_jaccard_neighbors",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    deg AS (SELECT sk, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY sk),
+    common AS (
+      SELECT a.sk AS sa, b.sk AS sb, CAST(count(*) AS BIGINT) AS i
+      FROM edges a JOIN edges b
+        ON a.ck = b.ck AND a.sk < b.sk
+      GROUP BY a.sk, b.sk
+      HAVING count(*) >= {JACC_MIN_COMMON}
+    )
+    SELECT sa, sb, i AS n_common,
+           round(CAST(i AS DOUBLE) / (da.d + db.d - i), 6) AS jaccard
+    FROM common JOIN deg da ON sa = da.sk JOIN deg db ON sb = db.sk
+    ORDER BY CAST(i AS DOUBLE) / (da.d + db.d - i) DESC, sa, sb
+    LIMIT {JACC_TOPK}
+    """,
+)
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural neighbor similarity: the top-20 supplier pairs by
+    Jaccard overlap of their CUSTOMER neighborhoods in the bipartite
+    purchase graph - "these two suppliers serve the same customers"
+    (substitutability / link prediction, the common-neighbors kernel
+    every recommender baseline starts from).
+
+    Scale shape: the pair candidates come from the INVERTED-INDEX
+    self-join on the shared customer (equi on ck, s < s orientation
+    halves it) - the same shape as q_dedup_near_jaccard's shingle
+    index, so work is sum over customers of deg^2, NOT |S|^2; the
+    >= 2-common gate drops the singleton-overlap tail before the
+    degree joins; degrees broadcast (|suppliers| rows); jaccard is
+    integer-ratio arithmetic, ordered exactly with (sa, sb)
+    tie-breaks, and only the reported ratio is rounded. 100 TB: cap
+    hub customers (deg > ~1k) exactly as the dedup family caps hot
+    shingles - the pinned df-cap pattern.
+    """
+    t = load(spark, sf_dir)
+    e = _bipartite_edges(t)
+    deg = e.groupBy("sk").agg(F.count("*").cast("bigint").alias("d"))
+    a = e.alias("a")
+    b = e.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck")) & (F.col("a.sk") < F.col("b.sk")),
+        )
+        .groupBy(F.col("a.sk").alias("sa"), F.col("b.sk").alias("sb"))
+        .agg(F.count("*").cast("bigint").alias("i"))
+        .filter(F.col("i") >= JACC_MIN_COMMON)
+    )
+    da = deg.select(F.col("sk").alias("sa"), F.col("d").alias("da"))
+    db = deg.select(F.col("sk").alias("sb"), F.col("d").alias("db"))
+    jac = F.col("i").cast("double") / (F.col("da") + F.col("db") - F.col("i"))
+    return (
+        common.join(F.broadcast(da), "sa")
+        .join(F.broadcast(db), "sb")
+        .select(
+            "sa",
+            "sb",
+            F.col("i").alias("n_common"),
+            F.round(jac, 6).alias("jaccard"),
+            jac.alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), "sa", "sb")
+        .limit(JACC_TOPK)
+        .drop("_ord")
+    )

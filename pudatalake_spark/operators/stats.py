@@ -416,3 +416,151 @@ def q_stats_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did"),
         F.sum("n").cast("bigint").alias("n_obs"),
     )
+
+
+@register(
+    "q_stats_chi2",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, isodow(ts) AS dow, CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, isodow(ts)
+    ),
+    rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+           FROM obs GROUP BY event_type),
+    ct AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM obs GROUP BY dow),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+                   CAST(count(DISTINCT dow) AS BIGINT) AS c
+            FROM obs),
+    terms AS (
+      SELECT o.o, CAST(rt.rt AS DOUBLE) * ct.ct / tot.n AS e,
+             tot.n AS n, tot.r AS r, tot.c AS c
+      FROM obs o JOIN rt ON o.event_type = rt.event_type
+                 JOIN ct ON o.dow = ct.dow, tot
+    )
+    SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+           CAST((max(r) - 1) * (max(c) - 1) AS BIGINT) AS dof,
+           max(n) AS n_obs,
+           round(sqrt(sum((o - e) * (o - e) / e)
+                      / (max(n) * least(max(r) - 1, max(c) - 1))), 6)
+               AS cramers_v
+    FROM terms
+    """,
+)
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test on the event_type x ISO-weekday
+    contingency table (does WHAT users do depend on WHICH day?), with
+    Cramer's V as the bounded effect size - the categorical-drift
+    test next to q_stats_ks_test's continuous one. The dow key uses
+    the weekday()+1 = isodow identity pinned by q_events_hour_heatmap.
+
+    Scale shape: the fact scan collapses to the |types| x 7 observed
+    table in ONE two-phase count agg; row/column/grand totals are
+    three aggs of that bounded frame broadcast back; the statistic is
+    a sum over <= |types| x 7 projection terms. Expected counts are
+    integer-ratio doubles (identical both engines); only the final
+    chi2/V are rounded (term-sum order differs by engine).
+    """
+    e = table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.weekday("ts") + 1).alias("dow")
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    rt = obs.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rt"))
+    ct = obs.groupBy("dow").agg(F.sum("o").cast("bigint").alias("ct"))
+    tot = obs.agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.count_distinct("event_type").cast("bigint").alias("r"),
+        F.count_distinct("dow").cast("bigint").alias("c"),
+    )
+    terms = (
+        obs.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("e", F.col("rt").cast("double") * F.col("ct") / F.col("n"))
+    )
+    dev = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return terms.agg(
+        F.round(F.sum(dev), 6).alias("chi2"),
+        ((F.max("r") - 1) * (F.max("c") - 1)).cast("bigint").alias("dof"),
+        F.max("n").alias("n_obs"),
+        F.round(
+            F.sqrt(
+                F.sum(dev)
+                / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@register(
+    "q_stats_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    xy AS (
+      SELECT event_type,
+             CAST(datediff('day', min(day) OVER (PARTITION BY event_type),
+                           day) AS DOUBLE) AS x, y
+      FROM daily
+    ),
+    slopes AS (
+      SELECT a.event_type, (b.y - a.y) / (b.x - a.x) AS slope
+      FROM xy a JOIN xy b
+        ON a.event_type = b.event_type AND a.x < b.x
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(median(slope), 6) AS sen_slope
+    FROM slopes GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes of the daily-revenue series - insensitive to the
+    outlier days that drag q_stats_ols_trend's least-squares fit
+    (the two operators bracket the trend estimate: agreeing slopes
+    mean a clean series).
+
+    Scale shape: the pair join is a SELF-JOIN OF THE BOUNDED DAILY
+    FRAME (|days| rows per type -> |days|^2/2 pairs per type, ~500
+    at a 31-day horizon) - never the fact table; AQE broadcasts it.
+    Slopes are divisions of identical 4dp/integer inputs, so the
+    per-type median (interpolated, both engines) sees identical
+    multisets; the reported median is rounded 6 dp.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    wmin = Window.partitionBy("event_type")
+    xy = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.min("day").over(wmin))
+        .cast("double")
+        .alias("x"),
+        "y",
+    )
+    a = xy.alias("a")
+    b = xy.alias("b")
+    slopes = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.x") - F.col("a.x"))).alias(
+            "slope"
+        ),
+    )
+    return (
+        slopes.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.median("slope"), 6).alias("sen_slope"),
+        )
+        .orderBy("event_type")
+    )

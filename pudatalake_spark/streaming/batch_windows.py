@@ -140,3 +140,50 @@ def q_stream_sessionize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Second-level aggregate over sessions: volume + duration stats."""
     load(spark, sf_dir)
     return spark.sql(_session_stats_sql("unix_micros"))
+
+
+WINDOW_TOPK = 3  # event types reported per hour window
+
+
+@register(
+    "q_stream_window_topk",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS window_start, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY window_start
+                    ORDER BY n DESC, event_type) AS rk
+      FROM hourly)
+    WHERE rk <= {WINDOW_TOPK}
+    """,
+)
+def q_stream_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window leaderboard: the top-3 event types by volume in
+    each 1-hour tumbling window (the 'trending now' panel). Batch
+    formulation of the streaming pattern windowed-agg -> per-window
+    rank; in Structured Streaming the same rank runs in a
+    foreachBatch over the window-complete output mode.
+
+    Scale shape: the fact scan collapses to |windows| x |types| rows
+    in one two-phase count agg; rank<=3 runs per window partition
+    and pushes into the shuffle as a WindowGroupLimit (only k rows
+    per window survive the exchange). Counts are integers; ties
+    break on event_type - no floats anywhere.
+    """
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(F.desc("n"), "event_type")
+    )
+    return (
+        hourly.select("window_start", "event_type", "n", rk.alias("rk"))
+        .filter(F.col("rk") <= WINDOW_TOPK)
+    )
