@@ -413,6 +413,36 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"BatchEvalPython", r"ArrowEvalPython"],
         "PPS sample: priority is map-side; global rank<=k runs as streaming top-k",
     ),
+    "q_stats_chi2": (
+        # Observed table is ONE two-phase agg; row/col/grand totals
+        # broadcast back; statistic is a bounded-frame sum.
+        [r"partial_count", r"BroadcastHashJoin"],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct",
+         r"BatchEvalPython"],
+        "chi2: one two-phase agg to the contingency table; totals broadcast; no window",
+    ),
+    "q_stats_theil_sen": (
+        # The pair join is EQUI on event_type (x< rides as the join
+        # filter) over the bounded daily frame - one side broadcasts,
+        # never the raw fact table, never a nested loop.
+        [r"partial_sum", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BroadcastNestedLoopJoin",
+         r"BatchEvalPython", r"ArrowEvalPython"],
+        "Theil-Sen: pair join equi on type over the daily rollup, one side broadcast",
+    ),
+    "q_graph_jaccard_neighbors": (
+        # Candidates come from the equi self-join on the shared
+        # customer; degree tables broadcast; top-20 streams.
+        [r"partial_count", r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "neighbor Jaccard: inverted-index equi self-join on ck; degrees broadcast; top-k streams",
+    ),
+    "q_stream_window_topk": (
+        # rank<=3 per window must prune inside the shuffle.
+        [r"partial_count", r"WindowGroupLimit"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "window top-k: two-phase count agg, rank<=k as in-shuffle group limit",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
