@@ -1203,3 +1203,122 @@ def q_sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "q_sim_silhouette",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pos AS (
+      SELECT vec_id, label, unnest(v) AS x,
+             unnest(range(1, len(v) + 1)) AS pos
+      FROM e
+    ),
+    cent AS (SELECT label, pos, avg(x) AS c FROM pos GROUP BY label, pos),
+    cvec AS (
+      SELECT label AS c_label, list(c ORDER BY pos) AS cv
+      FROM cent GROUP BY label
+    ),
+    dists AS (
+      SELECT e.vec_id, e.label, c.c_label,
+             1.0 - {_duck_cos("e.v", "c.cv")} AS d
+      FROM e CROSS JOIN cvec c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             min(CASE WHEN label = c_label THEN d END) AS a,
+             min(CASE WHEN label <> c_label THEN d END) AS b
+      FROM dists GROUP BY vec_id, label
+    ),
+    si AS (
+      SELECT label,
+             CAST(round((b - a) / greatest(a, b) * 1000000, 0) AS BIGINT)
+                 AS s_i,
+             CAST(round(a * 1000000, 0) AS BIGINT) AS a_i,
+             CAST(round(b * 1000000, 0) AS BIGINT) AS b_i
+      FROM ab
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(s_i) AS DOUBLE) / (count(*) * 1000000.0)
+               AS mean_silhouette,
+           CAST(sum(a_i) AS DOUBLE) / (count(*) * 1000000.0) AS mean_intra,
+           CAST(sum(b_i) AS DOUBLE) / (count(*) * 1000000.0) AS mean_inter
+    FROM si GROUP BY label ORDER BY label
+    """,
+)
+def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label SIMPLIFIED silhouette over cosine distance: for
+    every vector, a = distance to its own label centroid, b = the
+    nearest OTHER centroid, s = (b-a)/max(a,b); reported as the
+    per-label mean with intra/inter diagnostics - the clustering /
+    labeling quality score (simplified = centroid-based, the
+    standard O(n*k) variant; the O(n^2) pairwise silhouette is
+    exactly what this formulation exists to avoid).
+
+    Float protocol: per-row silhouettes are irrational
+    (cosine-derived - engine-identical by the q_sim_centroid
+    argument), so they quantize to integer MICRO-units per row and
+    aggregate exactly (functions/exact.py discipline: integer sums
+    are order-independent, then ONE identical division; no
+    engine-side rounding of short-decimal rationals).
+
+    Scale shape: centroids via the posexplode (label, dim) two-phase
+    agg - never pairwise; the k-row centroid table broadcasts into a
+    nested-loop cross against the streamed vectors (k=|labels|~10
+    rows); per-vector min/agg collapses before the |labels|-row
+    rollup. O(n*k*dim) work, one shuffle.
+    """
+    e = _with_norm(
+        spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", "label", _vd("embedding").alias("v")
+        )
+    )
+    pos = e.select("label", F.posexplode("v").alias("pos", "x")).withColumn(
+        "pos", F.col("pos") + 1
+    )
+    cent = pos.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    cvec = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("c")))),
+                lambda s: s.getField("c"),
+            ).alias("cv")
+        )
+        .withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        .withColumnRenamed("label", "c_label")
+    )
+    d = F.lit(1.0) - _cos_pre(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn"))
+    ab = (
+        e.crossJoin(F.broadcast(cvec))
+        .select("vec_id", "label", F.col("c_label"), d.alias("d"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(F.when(F.col("label") == F.col("c_label"), F.col("d"))).alias("a"),
+            F.min(F.when(F.col("label") != F.col("c_label"), F.col("d"))).alias("b"),
+        )
+    )
+    to_i = lambda c: F.round(c * 1000000, 0).cast("long")  # noqa: E731
+    si = ab.select(
+        "label",
+        to_i(
+            (F.col("b") - F.col("a")) / F.greatest(F.col("a"), F.col("b"))
+        ).alias("s_i"),
+        to_i(F.col("a")).alias("a_i"),
+        to_i(F.col("b")).alias("b_i"),
+    )
+    div = F.count("*") * F.lit(1000000.0)
+    return (
+        si.groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vectors"),
+            (F.sum("s_i").cast("double") / div).alias("mean_silhouette"),
+            (F.sum("a_i").cast("double") / div).alias("mean_intra"),
+            (F.sum("b_i").cast("double") / div).alias("mean_inter"),
+        )
+        .orderBy("label")
+    )

@@ -564,3 +564,329 @@ def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stats_mannwhitney",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN c_mktsegment = '{KS_SEG_A}' THEN 1 ELSE 0 END AS a
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+    ),
+    per_v AS (
+      SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+             CAST(count(*) - sum(a) AS BIGINT) AS cb
+      FROM s GROUP BY v
+    ),
+    ranked AS (
+      SELECT ca, cb, ca + cb AS t,
+             CAST(sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                  PRECEDING AND CURRENT ROW) - (ca + cb) AS DOUBLE)
+               + (ca + cb + 1) / 2.0 AS avg_rank
+      FROM per_v
+    ),
+    agg AS (
+      SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+             sum(ca * avg_rank) AS r1,
+             CAST(sum(t * (t * t - 1)) AS BIGINT) AS ties
+      FROM ranked
+    )
+    SELECT na AS n_a, nb AS n_b,
+           round(r1 - na * (na + 1) / 2.0, 2) AS u,
+           round((r1 - na * (na + 1) / 2.0) / (CAST(na AS DOUBLE) * nb), 6)
+               AS cles,
+           round((r1 - na * (na + 1) / 2.0 - CAST(na AS DOUBLE) * nb / 2)
+                 / sqrt(CAST(na AS DOUBLE) * nb / 12
+                        * ((na + nb + 1)
+                           - CAST(ties AS DOUBLE)
+                             / ((na + nb) * CAST(na + nb - 1 AS DOUBLE)))),
+                 6) AS z
+    FROM agg
+    """,
+)
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test on the same two
+    customer segments as q_stats_ks_test: the NONPARAMETRIC location
+    test - U from tie-averaged ranks, the tie-corrected normal
+    z-statistic (no continuity correction), and the common-language
+    effect size U/(n_a*n_b) = P(a > b). KS asks "any difference in
+    shape?"; this asks "does one segment stochastically dominate?".
+
+    Scale shape: identical to KS - collapse to one row per DISTINCT
+    value (two-phase agg), ONE ordered pass for the tie-averaged
+    ranks (avg_rank = preceding count + (t+1)/2), then a 1-row agg.
+    Every rank is an exact .5-multiple and every partial sum stays
+    far below 2^52, so the rank-sum is EXACT in IEEE double
+    regardless of engine summation order - no rounding hazard
+    anywhere before the reported statistics.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            F.col("o_totalprice").alias("v"),
+            F.when(F.col("c_mktsegment") == KS_SEG_A, 1).otherwise(0).alias("a"),
+        )
+    )
+    per_v = s.groupBy("v").agg(
+        F.sum("a").cast("bigint").alias("ca"),
+        (F.count("*") - F.sum("a")).cast("bigint").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = F.col("ca") + F.col("cb")
+    ranked = per_v.select(
+        "ca",
+        "cb",
+        t.alias("t"),
+        ((F.sum(t).over(w) - t).cast("double") + (t + 1) / F.lit(2.0)).alias(
+            "avg_rank"
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("ca").cast("bigint").alias("na"),
+        F.sum("cb").cast("bigint").alias("nb"),
+        F.sum(F.col("ca") * F.col("avg_rank")).alias("r1"),
+        F.sum(F.col("t") * (F.col("t") * F.col("t") - 1))
+        .cast("bigint")
+        .alias("ties"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    u = F.col("r1") - na * (na + 1) / F.lit(2.0)
+    sigma = F.sqrt(
+        na.cast("double")
+        * nb
+        / 12
+        * (
+            (na + nb + 1)
+            - F.col("ties").cast("double")
+            / ((na + nb) * (na + nb - 1).cast("double"))
+        )
+    )
+    return agg.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.round(u, 2).alias("u"),
+        F.round(u / (na.cast("double") * nb), 6).alias("cles"),
+        F.round((u - na.cast("double") * nb / 2) / sigma, 6).alias("z"),
+    )
+
+
+ACF_MAX_LAG = 3
+
+
+@register(
+    "q_stats_autocorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             round(sum(value), 4) AS y
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    dev AS (
+      SELECT event_type, day,
+             y - sum(y) OVER (PARTITION BY event_type)
+                 / count(*) OVER (PARTITION BY event_type) AS d
+      FROM daily
+    ),
+    den AS (
+      SELECT event_type, sum(d * d) AS den, CAST(count(*) AS BIGINT) AS n
+      FROM dev GROUP BY event_type
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+    num AS (
+      SELECT a.event_type, l.lag, sum(a.d * b.d) AS num,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM dev a
+      JOIN lags l ON true
+      JOIN dev b ON b.event_type = a.event_type
+                AND b.day = a.day + to_days(CAST(l.lag AS INTEGER))
+      GROUP BY a.event_type, l.lag
+    )
+    SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, n.n_pairs,
+           round(n.num / d.den, 6) AS acf
+    FROM num n JOIN den d ON n.event_type = d.event_type
+    ORDER BY n.event_type, n.lag
+    """,
+)
+def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue per event type at
+    lags 1..3 (ACF_MAX_LAG): r_k = sum(d_t * d_(t+k)) / sum(d_t^2)
+    with deviations from the series mean - the weekly-rhythm /
+    momentum detector that decides whether q_stats_ols_trend's
+    residuals are even independent.
+
+    Scale shape: the fact scan collapses to the per-(type, day)
+    rollup once; deviations come from a partition-wide mean window
+    on the bounded frame; each lag is a calendar self-JOIN (equi on
+    type and shifted day, missing days drop out naturally) exploded
+    from a 3-row lag spine - all on the |types| x |days| frame, AQE
+    broadcasts. Products of identical doubles sum in engine order,
+    so only the final ratio is rounded (6 dp).
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.sum("value"), 4).alias("y"))
+    wall = Window.partitionBy("event_type")
+    dev = daily.select(
+        "event_type",
+        "day",
+        (F.col("y") - F.sum("y").over(wall) / F.count("*").over(wall)).alias("d"),
+    )
+    den = dev.groupBy("event_type").agg(
+        F.sum(F.col("d") * F.col("d")).alias("den"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    a = dev.alias("a")
+    b = dev.alias("b")
+    num = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b.event_type") == F.col("a.event_type"))
+            & (
+                F.col("b.day")
+                == F.col("a.day")
+                + F.col("lag").cast("int") * F.expr("INTERVAL 1 DAY")
+            ),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"), "lag")
+        .agg(
+            F.sum(F.col("a.d") * F.col("b.d")).alias("num"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+    )
+    return (
+        num.join(F.broadcast(den), "event_type")
+        .select(
+            "event_type",
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            F.round(F.col("num") / F.col("den"), 6).alias("acf"),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+@register(
+    "q_stats_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+                 AS yi
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    pre AS (
+      SELECT event_type, day,
+             CAST(row_number() OVER wd AS BIGINT) AS t,
+             CAST(sum(yi) OVER (wd ROWS BETWEEN UNBOUNDED PRECEDING AND
+                          CURRENT ROW) AS BIGINT) AS st,
+             CAST(sum(yi) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+             CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM daily
+      WINDOW wd AS (PARTITION BY event_type ORDER BY day)
+    ),
+    gains AS (
+      SELECT event_type, day, t, n,
+             CAST(st AS DOUBLE) / (t * 10000.0) AS m_l,
+             CAST(s - st AS DOUBLE) / ((n - t) * 10000.0) AS m_r,
+             CAST(t * (n - t) AS DOUBLE) / n
+               * (CAST(st AS DOUBLE) / (t * 10000.0)
+                  - CAST(s - st AS DOUBLE) / ((n - t) * 10000.0))
+               * (CAST(st AS DOUBLE) / (t * 10000.0)
+                  - CAST(s - st AS DOUBLE) / ((n - t) * 10000.0)) AS gain
+      FROM pre WHERE t < n
+    ),
+    best AS (
+      SELECT event_type, max(gain) AS gmax FROM gains GROUP BY event_type
+    )
+    SELECT g.event_type,
+           min(g.day) AS split_day,
+           any_value(g.n) AS n_days,
+           any_value(b.gmax) AS gain,
+           min_by(g.m_l, g.day) AS mean_left,
+           min_by(g.m_r, g.day) AS mean_right
+    FROM gains g JOIN best b
+      ON g.event_type = b.event_type AND g.gain = b.gmax
+    GROUP BY g.event_type
+    ORDER BY g.event_type
+    """,
+)
+def q_stats_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint per event type (binary segmentation,
+    step 1): the split of the daily-revenue series that maximizes the
+    between-segment variance gain t*(n-t)/n * (m_left - m_right)^2 -
+    equivalently the largest SSE reduction of any one break, the
+    'did the level shift, and when?' detector feeding
+    q_stats_cusum's 'is it drifting?'.
+
+    Float protocol (functions/exact.py): daily revenue aggregates as
+    INTEGER ten-thousandths (order-independent exact sums - a
+    round(sum(double)) formulation flipped a 4dp boundary between
+    engines in build testing), every mean is ONE identical IEEE
+    division, and NOTHING is engine-rounded - the max/argmax
+    equality join and the emitted doubles are bit-identical by
+    construction.
+
+    Scale shape: prefix sums over the bounded daily frame (ONE
+    window sort per type) price every candidate split in O(n); the
+    argmax is a max-gain agg joined back on (exact) gain equality,
+    earliest day winning ties; segment means ride along via min_by.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("yi"))
+    wd = Window.partitionBy("event_type").orderBy("day")
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.row_number().over(wd).cast("bigint").alias("t"),
+        F.sum("yi")
+        .over(wd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("st"),
+        F.sum("yi").over(wall).alias("s"),
+        F.count("*").over(wall).cast("bigint").alias("n"),
+    )
+    m_l = F.col("st").cast("double") / (F.col("t") * F.lit(10000.0))
+    m_r = (F.col("s") - F.col("st")).cast("double") / (
+        (F.col("n") - F.col("t")) * F.lit(10000.0)
+    )
+    gains = pre.filter(F.col("t") < F.col("n")).select(
+        "event_type",
+        "day",
+        "n",
+        m_l.alias("m_l"),
+        m_r.alias("m_r"),
+        (
+            (F.col("t") * (F.col("n") - F.col("t"))).cast("double")
+            / F.col("n")
+            * (m_l - m_r)
+            * (m_l - m_r)
+        ).alias("gain"),
+    )
+    best = gains.groupBy("event_type").agg(F.max("gain").alias("gmax"))
+    g = gains.alias("g")
+    return (
+        g.join(
+            F.broadcast(best.alias("b")),
+            (F.col("g.event_type") == F.col("b.event_type"))
+            & (F.col("g.gain") == F.col("b.gmax")),
+        )
+        .groupBy(F.col("g.event_type").alias("event_type"))
+        .agg(
+            F.min("day").alias("split_day"),
+            F.any_value("n").alias("n_days"),
+            F.any_value("gmax").alias("gain"),
+            F.min_by("m_l", F.col("day")).alias("mean_left"),
+            F.min_by("m_r", F.col("day")).alias("mean_right"),
+        )
+        .orderBy("event_type")
+    )
