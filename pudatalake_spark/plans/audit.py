@@ -443,6 +443,35 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct", r"BatchEvalPython"],
         "window top-k: two-phase count agg, rank<=k as in-shuffle group limit",
     ),
+    "q_stats_mannwhitney": (
+        # Same contract as KS: distinct-value two-phase agg before
+        # the single ordered rank pass.
+        [r"partial_sum", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "rank-sum: distinct-value agg, ONE ordered pass for tie-averaged ranks",
+    ),
+    "q_stats_autocorr": (
+        # Each lag is an equi join of the bounded daily frame against
+        # the 3-row lag spine - broadcast, never a cartesian lattice.
+        [r"partial_sum", r"BroadcastHashJoin", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "ACF: daily frame x 3-row lag spine, calendar equi self-join, broadcast",
+    ),
+    "q_stats_changepoint": (
+        # Prefix sums price every split in one window pass; the
+        # integer 1e-4 aggregation keeps the argmax join exact.
+        [r"partial_sum", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "changepoint: O(n) prefix-sum pricing per type; exact integer revenue units",
+    ),
+    "q_sim_silhouette": (
+        # k-row centroid table broadcasts into a nested-loop cross
+        # against streamed vectors - NEVER a pairwise vector join;
+        # centroids come from the posexplode two-phase agg.
+        [r"BroadcastNestedLoopJoin", r"Generate", r"partial_avg"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BatchEvalPython"],
+        "silhouette: posexplode centroid agg + k-row broadcast cross; no pairwise",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
