@@ -1,0 +1,235 @@
+"""Independent reference pins for operators/stats.py.
+
+The DuckDB oracles in the registry MIRROR each operator's formula,
+so a formulation bug would pass the oracle gate on both sides.
+These tests recompute each statistic from the raw parquet with
+plain numpy/python (different code path, different algebra where
+possible) and assert agreement — the same discipline as
+test_pack_bestfit / test_mmr for the rows-only family.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tests.conftest import SF_DIR
+from pudatalake_spark import registry
+
+registry.load_all()
+
+
+@pytest.fixture(scope="module")
+def events_pdf():
+    df = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    df["ts"] = pd.to_datetime(df["ts"])
+    df["day"] = df["ts"].dt.floor("D")
+    return df
+
+
+@pytest.fixture(scope="module")
+def seg_prices():
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    a = j.loc[j.c_mktsegment == "BUILDING", "o_totalprice"].to_numpy()
+    b = j.loc[j.c_mktsegment == "MACHINERY", "o_totalprice"].to_numpy()
+    return a, b
+
+
+def _daily(events_pdf):
+    """The shared bounded frame: per (type, day) revenue, 4dp."""
+    d = (
+        events_pdf.groupby(["event_type", "day"])["value"]
+        .sum()
+        .round(4)
+        .reset_index(name="y")
+    )
+    return d
+
+
+def test_ks_matches_bruteforce(spark, seg_prices):
+    a, b = seg_prices
+    # Brute force: evaluate both ECDFs on the combined support.
+    support = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), support, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), support, side="right") / len(b)
+    d_ref = np.abs(fa - fb).max()
+    row = registry.QUERIES["q_stats_ks_test"](spark, SF_DIR).collect()[0]
+    assert row.n_a == len(a) and row.n_b == len(b)
+    assert row.ks_d == pytest.approx(d_ref, abs=1e-6)
+
+
+def test_mannwhitney_matches_bruteforce(spark, seg_prices):
+    a, b = seg_prices
+    # Brute force: scipy-free tie-averaged ranks via argsort.
+    combined = np.concatenate([a, b])
+    order = pd.Series(combined).rank(method="average").to_numpy()
+    r1 = order[: len(a)].sum()
+    u_ref = r1 - len(a) * (len(a) + 1) / 2
+    row = registry.QUERIES["q_stats_mannwhitney"](spark, SF_DIR).collect()[0]
+    assert row.u == pytest.approx(u_ref, abs=0.01)
+    assert row.cles == pytest.approx(u_ref / (len(a) * len(b)), abs=1e-6)
+    # z sanity: tie-corrected normal approximation, same formula
+    n = len(a) + len(b)
+    _, t_counts = np.unique(combined, return_counts=True)
+    ties = (t_counts.astype(float) ** 3 - t_counts).sum()
+    sigma = np.sqrt(len(a) * len(b) / 12 * ((n + 1) - ties / (n * (n - 1))))
+    z_ref = (u_ref - len(a) * len(b) / 2) / sigma
+    assert row.z == pytest.approx(z_ref, abs=1e-5)
+
+
+def test_cusum_matches_recursion(spark, events_pdf):
+    # Reference: the literal S_t = max(0, S_{t-1} + x - mu) recursion
+    # (the operator uses the cumsum - running-min identity instead).
+    counts = (
+        events_pdf.groupby(["event_type", "day"]).size().reset_index(name="x")
+    )
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_stats_cusum"](spark, SF_DIR).collect()
+    }
+    for et, g in counts.groupby("event_type"):
+        xs = g.sort_values("day")["x"].to_numpy(dtype=float)
+        mu = xs.mean()
+        s, smax, drift = 0.0, 0.0, 0
+        for x in xs:
+            s = max(0.0, s + (x - mu))
+            smax = max(smax, s)
+            if s > mu:
+                drift += 1
+        row = out[et]
+        assert row.n_days == len(xs)
+        assert row.max_cusum == pytest.approx(smax, abs=1e-4)
+        assert row.n_drift_days == drift
+
+
+def test_changepoint_matches_bruteforce(spark, events_pdf):
+    # Reference: O(n^2)-style direct scan over every split using the
+    # exact integer units the operator aggregates in.
+    d = events_pdf.copy()
+    d["yi"] = (d["value"] * 10000).round().astype("int64")
+    daily = d.groupby(["event_type", "day"])["yi"].sum().reset_index()
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_stats_changepoint"](spark, SF_DIR).collect()
+    }
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        y = g["yi"].to_numpy(dtype="int64")
+        days = g["day"].to_list()
+        n = len(y)
+        best_gain, best_t = -1.0, None
+        for t in range(1, n):
+            m_l = y[:t].sum() / (t * 10000.0)
+            m_r = y[t:].sum() / ((n - t) * 10000.0)
+            gain = (t * (n - t)) / n * (m_l - m_r) ** 2
+            if gain > best_gain:
+                best_gain, best_t = gain, t
+        row = out[et]
+        assert row.split_day == days[best_t - 1]
+        assert row.gain == pytest.approx(best_gain, rel=1e-12)
+
+
+def test_theil_sen_matches_bruteforce(spark, events_pdf):
+    daily = _daily(events_pdf)
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_stats_theil_sen"](spark, SF_DIR).collect()
+    }
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        x = (g["day"] - g["day"].min()).dt.days.to_numpy(dtype=float)
+        y = g["y"].to_numpy(dtype=float)
+        slopes = [
+            (y[j] - y[i]) / (x[j] - x[i])
+            for i in range(len(x))
+            for j in range(i + 1, len(x))
+        ]
+        row = out[et]
+        assert row.n_pairs == len(slopes)
+        assert row.sen_slope == pytest.approx(np.median(slopes), abs=1e-6)
+
+
+def test_ols_matches_numpy(spark, events_pdf):
+    daily = _daily(events_pdf)
+    out = {
+        r.event_type: r
+        for r in registry.QUERIES["q_stats_ols_trend"](spark, SF_DIR).collect()
+    }
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day")
+        x = (g["day"] - g["day"].min()).dt.days.to_numpy(dtype=float)
+        y = g["y"].to_numpy(dtype=float)
+        slope_ref, intercept_ref = np.polyfit(x, y, 1)
+        r_ref = np.corrcoef(x, y)[0, 1] ** 2
+        row = out[et]
+        assert row.slope == pytest.approx(slope_ref, abs=1e-4)
+        assert row.intercept == pytest.approx(intercept_ref, abs=1e-2)
+        assert row.r2 == pytest.approx(r_ref, abs=1e-6)
+
+
+def test_did_matches_pandas(spark, events_pdf):
+    p = events_pdf[events_pdf.event_type == "purchase"].copy()
+    p["treated"] = (p["user_id"] % 2 == 0).astype(int)
+    p["post"] = (p["ts"].dt.day >= 15).astype(int)
+    cells = p.groupby(["treated", "post"])["value"].mean().round(4)
+    did_ref = round(
+        (cells[1, 1] - cells[1, 0]) - (cells[0, 1] - cells[0, 0]), 4
+    )
+    row = registry.QUERIES["q_stats_did"](spark, SF_DIR).collect()[0]
+    assert row.t_post == pytest.approx(cells[1, 1], abs=2e-4)
+    assert row.did == pytest.approx(did_ref, abs=5e-4)
+
+
+def test_autocorr_matches_numpy(spark, events_pdf):
+    daily = _daily(events_pdf)
+    rows = registry.QUERIES["q_stats_autocorr"](spark, SF_DIR).collect()
+    out = {(r.event_type, r.lag): r for r in rows}
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").set_index("day")
+        y = g["y"]
+        d = y - y.mean()
+        den = (d**2).sum()
+        for lag in (1, 2, 3):
+            shifted = d.copy()
+            shifted.index = shifted.index - pd.Timedelta(days=lag)
+            joined = pd.concat(
+                [d.rename("a"), shifted.rename("b")], axis=1, join="inner"
+            )
+            r_ref = (joined["a"] * joined["b"]).sum() / den
+            row = out[(et, lag)]
+            assert row.n_pairs == len(joined)
+            assert row.acf == pytest.approx(r_ref, abs=1e-6)
+
+
+def test_silhouette_bounds_and_reference(spark):
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    v = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    labels = emb["label"].to_numpy()
+    cents = {
+        l: v[labels == l].mean(axis=0) for l in np.unique(labels)  # noqa: E741
+    }
+    cl = sorted(cents)
+    cmat = np.stack([cents[l] for l in cl])
+    sims = (v @ cmat.T) / (
+        np.linalg.norm(v, axis=1)[:, None] * np.linalg.norm(cmat, axis=1)[None, :]
+    )
+    dist = 1.0 - sims
+    own = np.array([cl.index(l) for l in labels])
+    a = dist[np.arange(len(v)), own]
+    masked = dist.copy()
+    masked[np.arange(len(v)), own] = np.inf
+    b = masked.min(axis=1)
+    s = (b - a) / np.maximum(a, b)
+    # quantize exactly as the operator does before averaging
+    s_q = np.round(s * 1_000_000) / 1_000_000
+    rows = registry.QUERIES["q_sim_silhouette"](spark, SF_DIR).collect()
+    for row in rows:
+        mask = labels == row.label
+        assert row.n_vectors == int(mask.sum())
+        assert row.mean_silhouette == pytest.approx(
+            s_q[mask].mean(), abs=2e-6
+        )
+        assert -1.0 <= row.mean_silhouette <= 1.0
