@@ -890,3 +890,190 @@ def q_stats_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "q_stats_benford",
+    oracle="""
+    WITH pos AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_totalprice > 0
+    ),
+    digits AS (
+      SELECT CAST(floor(v / power(10, floor(log10(v)))) AS BIGINT) AS digit
+      FROM pos
+    ),
+    counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT c.digit, c.n,
+           CAST(c.n AS DOUBLE) / t.total AS observed_p,
+           round(log10(1 + 1.0 / c.digit), 6) AS benford_p,
+           round(abs(CAST(c.n AS DOUBLE) / t.total
+                     - log10(1 + 1.0 / c.digit)), 6) AS abs_dev
+    FROM counts c, tot t
+    ORDER BY c.digit
+    """,
+)
+def q_stats_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of order totals: the observed
+    first-significant-digit distribution vs log10(1 + 1/d) - the
+    classic fabricated-data / data-quality screen (synthetic uniform
+    generators fail it loudly, which is itself the diagnostic).
+
+    Float protocol: the first digit is floor(v / 10^floor(log10 v));
+    both JVM Math.log10 and libm return EXACT integers for exact
+    powers of ten (documented), so the digit extraction cannot
+    straddle engines. observed_p is an integer ratio emitted as ONE
+    identical division - never rounded (functions/exact.py: short
+    decimals must not be engine-rounded); only the irrational
+    Benford reference and deviation are rounded.
+
+    Scale shape: a map-side digit projection + two-phase 9-row count
+    agg; the grand total broadcasts back. One shuffle of 9 rows.
+    """
+    o = table(spark, sf_dir, "orders")
+    digit = F.floor(
+        F.col("v") / F.pow(F.lit(10.0), F.floor(F.log10("v")))
+    ).cast("bigint")
+    counts = (
+        o.filter(F.col("o_totalprice") > 0)
+        .select(F.col("o_totalprice").alias("v"))
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    obs = F.col("n").cast("double") / F.col("total")
+    ref = F.log10(1 + 1.0 / F.col("digit"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            "n",
+            obs.alias("observed_p"),
+            F.round(ref, 6).alias("benford_p"),
+            F.round(F.abs(obs - ref), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )
+
+
+@register(
+    "q_stats_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+                 AS yi
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    trended AS (
+      SELECT event_type, day, yi,
+             CAST(sum(yi) OVER w7 AS BIGINT) AS s7,
+             CAST(count(*) OVER w7 AS BIGINT) AS c7
+      FROM daily
+      WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, day, isodow(day) AS dow,
+             yi / 10000.0 - CAST(s7 AS DOUBLE) / (7 * 10000.0) AS d
+      FROM trended WHERE c7 = 7
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(count(*) AS BIGINT) AS n_days,
+             sum(d) / count(*) AS s
+      FROM det GROUP BY event_type, dow
+    ),
+    resid AS (
+      SELECT d.event_type,
+             var_samp(d.d) AS var_det,
+             var_samp(d.d - s.s) AS var_resid
+      FROM det d JOIN seas s
+        ON d.event_type = s.event_type AND d.dow = s.dow
+      GROUP BY d.event_type
+    )
+    SELECT s.event_type, CAST(s.dow AS BIGINT) AS dow, s.n_days,
+           round(s.s, 4) AS seasonal,
+           round(greatest(0.0, 1 - r.var_resid / r.var_det), 6)
+               AS seasonal_strength
+    FROM seas s JOIN resid r ON s.event_type = r.event_type
+    ORDER BY s.event_type, s.dow
+    """,
+)
+def q_stats_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of daily revenue per
+    event type: trend = centered 7-day moving average (interior days
+    only), seasonal = mean detrended value per ISO weekday, and the
+    STL-style seasonal strength 1 - Var(residual)/Var(detrended) -
+    'how much of the de-trended wiggle is the weekly rhythm?'.
+
+    Float protocol: revenue aggregates as integer 1e-4 units
+    (functions/exact.py), the trend is ONE division of an exact
+    integer window sum, so detrended values are identical doubles
+    both engines; the seasonal mean and strength are engine-rounded
+    only at irrational-valued outputs (mean of /7 rationals, variance
+    ratios - boundary measure ~0), never at short decimals.
+
+    Scale shape: everything after the ONE fact-scan rollup runs on
+    the bounded |types| x |days| frame: a 7-row centered window, a
+    (type, dow) two-phase agg, a broadcast join back, and a
+    |types|-row variance agg. Same discipline as q_stats_cusum.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("yi"))
+    w7 = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    det = (
+        daily.select(
+            "event_type",
+            "day",
+            "yi",
+            F.sum("yi").over(w7).alias("s7"),
+            F.count("*").over(w7).alias("c7"),
+        )
+        .filter(F.col("c7") == 7)
+        .select(
+            "event_type",
+            (F.weekday("day") + 1).alias("dow"),
+            (
+                F.col("yi") / F.lit(10000.0)
+                - F.col("s7").cast("double") / F.lit(7 * 10000.0)
+            ).alias("d"),
+        )
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        (F.sum("d") / F.count("*")).alias("s"),
+    )
+    resid = (
+        det.join(F.broadcast(seas.select("event_type", "dow", "s")), ["event_type", "dow"])
+        .groupBy("event_type")
+        .agg(
+            F.var_samp("d").alias("var_det"),
+            F.var_samp(F.col("d") - F.col("s")).alias("var_resid"),
+        )
+    )
+    return (
+        seas.join(F.broadcast(resid), "event_type")
+        .select(
+            "event_type",
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days",
+            F.round(F.col("s"), 4).alias("seasonal"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0), 1 - F.col("var_resid") / F.col("var_det")
+                ),
+                6,
+            ).alias("seasonal_strength"),
+        )
+        .orderBy("event_type", "dow")
+    )

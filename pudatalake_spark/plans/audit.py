@@ -472,6 +472,21 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct", r"SortMergeJoin", r"BatchEvalPython"],
         "silhouette: posexplode centroid agg + k-row broadcast cross; no pairwise",
     ),
+    "q_stats_benford": (
+        # Digit projection is map-side; 9-row count agg two-phase;
+        # the grand total rides a broadcast stitch.
+        [r"partial_count", r"BroadcastNestedLoopJoin"],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct",
+         r"BatchEvalPython"],
+        "Benford: map-side digit + 9-row two-phase agg + broadcast total",
+    ),
+    "q_stats_seasonal_decompose": (
+        # Trend is ONE centered window on the bounded daily frame;
+        # seasonal/variance joins broadcast.
+        [r"partial_sum", r"Window", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "decompose: exact-integer rollup -> centered window trend -> broadcast joins",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must

@@ -233,3 +233,44 @@ def test_silhouette_bounds_and_reference(spark):
             s_q[mask].mean(), abs=2e-6
         )
         assert -1.0 <= row.mean_silhouette <= 1.0
+
+
+def test_benford_matches_bruteforce(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    v = o.loc[o.o_totalprice > 0, "o_totalprice"].to_numpy(dtype=float)
+    first = (v / 10 ** np.floor(np.log10(v))).astype(int)
+    rows = registry.QUERIES["q_stats_benford"](spark, SF_DIR).collect()
+    total = len(first)
+    for row in rows:
+        n_ref = int((first == row.digit).sum())
+        assert row.n == n_ref
+        assert row.observed_p == pytest.approx(n_ref / total, rel=1e-12)
+        assert row.benford_p == pytest.approx(
+            np.log10(1 + 1 / row.digit), abs=1e-6
+        )
+    assert sum(r.n for r in rows) == total
+
+
+def test_seasonal_decompose_matches_pandas(spark, events_pdf):
+    d = events_pdf.copy()
+    d["yi"] = (d["value"] * 10000).round().astype("int64")
+    daily = d.groupby(["event_type", "day"])["yi"].sum().reset_index()
+    rows = registry.QUERIES["q_stats_seasonal_decompose"](
+        spark, SF_DIR
+    ).collect()
+    out = {(r.event_type, r.dow): r for r in rows}
+    for et, g in daily.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        y = g["yi"].to_numpy(dtype="int64")
+        trend = pd.Series(y).rolling(7, center=True).sum()
+        interior = trend.notna()
+        det = y[interior] / 10000.0 - trend[interior].to_numpy() / 70000.0
+        dows = g.loc[interior, "day"].dt.dayofweek.to_numpy() + 1
+        seas = {dw: det[dows == dw].mean() for dw in np.unique(dows)}
+        resid = det - np.array([seas[dw] for dw in dows])
+        strength = max(0.0, 1 - resid.var(ddof=1) / det.var(ddof=1))
+        for dw, s_ref in seas.items():
+            row = out[(et, dw)]
+            assert row.n_days == int((dows == dw).sum())
+            assert row.seasonal == pytest.approx(s_ref, abs=2e-4)
+            assert row.seasonal_strength == pytest.approx(strength, abs=1e-6)
