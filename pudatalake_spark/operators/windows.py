@@ -399,3 +399,196 @@ def q_win_cum_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("day_rev").over(running) / F.sum("day_rev").over(whole), 6
         ).alias("cum_share"),
     )
+
+
+@register(
+    "q_win_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+                 AS yi
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    cum AS (
+      SELECT event_type, day,
+             CAST(sum(yi) OVER w AS BIGINT) AS c
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    dd AS (
+      SELECT event_type, day,
+             CAST(max(c) OVER w2 AS BIGINT) - c AS d
+      FROM cum
+      WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    best AS (
+      SELECT event_type, CAST(max(d) AS BIGINT) AS dmax,
+             CAST(count(*) AS BIGINT) AS n_days
+      FROM dd GROUP BY event_type
+    )
+    SELECT b.event_type,
+           CAST(b.dmax AS DOUBLE) / 10000.0 AS max_drawdown,
+           min(d.day) AS trough_day,
+           b.n_days
+    FROM best b JOIN dd d
+      ON d.event_type = b.event_type AND d.d = b.dmax
+    GROUP BY b.event_type, b.dmax, b.n_days
+    ORDER BY b.event_type
+    """,
+)
+def q_win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of cumulative daily revenue per event type:
+    the deepest drop from a running peak (running-max minus running
+    sum), with the earliest trough day - the finance-style worst-case
+    pacing metric ('how far below the best-so-far did this stream
+    fall?').
+
+    Float protocol: revenue accumulates as INTEGER 1e-4 units, so
+    the running sum, running peak, drawdown, and its argmax equality
+    join are all EXACT integer arithmetic - one division to dollars
+    at the very end (functions/exact.py).
+
+    Scale shape: one fact-scan rollup, then stacked windows (running
+    sum, then running max OVER the running sum) on the bounded
+    |types| x |days| frame - the q_stats_cusum pattern with max
+    instead of min.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 10000, 0).cast("long")).alias("yi"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = daily.select(
+        "event_type", "day", F.sum("yi").over(w).alias("c")
+    )
+    dd = cum.select(
+        "event_type",
+        "day",
+        (F.max("c").over(w.orderBy("day")) - F.col("c")).alias("d"),
+    )
+    best = dd.groupBy("event_type").agg(
+        F.max("d").cast("bigint").alias("dmax"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    b = best.alias("b")
+    d = dd.alias("d")
+    return (
+        b.join(
+            d,
+            (F.col("d.event_type") == F.col("b.event_type"))
+            & (F.col("d.d") == F.col("b.dmax")),
+        )
+        .groupBy(
+            F.col("b.event_type").alias("event_type"), "dmax", "n_days"
+        )
+        .agg(F.min("day").alias("trough_day"))
+        .select(
+            "event_type",
+            (F.col("dmax").cast("double") / F.lit(10000.0)).alias(
+                "max_drawdown"
+            ),
+            "trough_day",
+            "n_days",
+        )
+        .orderBy("event_type")
+    )
+
+
+ROLLCORR_A = "click"
+ROLLCORR_B = "purchase"
+ROLLCORR_W = 14  # trailing window, rows
+
+
+@register(
+    "q_win_rolling_corr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(sum(CASE WHEN event_type = '{ROLLCORR_A}'
+                  THEN CAST(round(value * 10000, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS xi,
+             CAST(sum(CASE WHEN event_type = '{ROLLCORR_B}'
+                  THEN CAST(round(value * 10000, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS yi
+      FROM events WHERE event_type IN ('{ROLLCORR_A}', '{ROLLCORR_B}')
+      GROUP BY date_trunc('day', ts)
+    ),
+    sums AS (
+      SELECT day,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(xi) OVER w AS BIGINT) AS sx,
+             CAST(sum(yi) OVER w AS BIGINT) AS sy,
+             CAST(sum(xi * yi) OVER w AS BIGINT) AS sxy,
+             CAST(sum(xi * xi) OVER w AS BIGINT) AS sxx,
+             CAST(sum(yi * yi) OVER w AS BIGINT) AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN {ROLLCORR_W - 1} PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT day, n,
+           (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                  * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+               AS roll_corr
+    FROM sums WHERE n = {ROLLCORR_W}
+    ORDER BY day
+    """,
+)
+def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 14-day rolling Pearson correlation between click and
+    purchase daily revenue - 'are engagement and monetization still
+    moving together?', the co-movement drift monitor (a windowed
+    sibling of q_agg_corr_matrix's global correlations).
+
+    Float protocol: both series aggregate as INTEGER 1e-4 units, so
+    every window power sum is exact int64 (products bounded ~1e17 <
+    2^63); the correlation is computed from identical integers with
+    identical IEEE ops and emitted unrounded (functions/exact.py -
+    no engine-side rounding of potentially-short decimals).
+
+    Scale shape: ONE conditional-sum rollup collapses the fact scan
+    to |days| rows with both series as columns (no join at all);
+    the rolling frame is a bounded 14-row window over that frame.
+    """
+    e = table(spark, sf_dir, "events")
+    unit = F.round(F.col("value") * 10000, 0).cast("long")
+    daily = (
+        e.filter(F.col("event_type").isin(ROLLCORR_A, ROLLCORR_B))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == ROLLCORR_A, unit).otherwise(0)
+            ).alias("xi"),
+            F.sum(
+                F.when(F.col("event_type") == ROLLCORR_B, unit).otherwise(0)
+            ).alias("yi"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-(ROLLCORR_W - 1), 0)
+    sums = daily.select(
+        "day",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("xi").over(w).alias("sx"),
+        F.sum("yi").over(w).alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).over(w).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).over(w).alias("sxx"),
+        F.sum(F.col("yi") * F.col("yi")).over(w).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    den = F.sqrt(
+        (nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return (
+        sums.filter(F.col("n") == ROLLCORR_W)
+        .select("day", "n", (num / den).alias("roll_corr"))
+        .orderBy("day")
+    )

@@ -487,6 +487,27 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
         "decompose: exact-integer rollup -> centered window trend -> broadcast joins",
     ),
+    "q_win_drawdown": (
+        # Stacked running-sum/running-max windows on the daily frame;
+        # integer-exact argmax join.
+        [r"partial_sum", r"Window", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "drawdown: stacked windows over integer units; exact argmax equality",
+    ),
+    "q_win_rolling_corr": (
+        # Both series pivot out of ONE conditional-sum rollup - the
+        # plan must contain NO join at all.
+        [r"partial_sum", r"Window"],
+        [r"Join", r"CartesianProduct", r"BatchEvalPython"],
+        "rolling corr: one conditional rollup, bounded window, joinless",
+    ),
+    "q_lake_bloom_index": (
+        # Signature build is a map-side-combinable bit_or agg; probe
+        # set broadcasts.
+        [r"partial_bit_or", r"BroadcastNestedLoopJoin"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "bloom index: two-phase bit_or signature; broadcast probes",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
