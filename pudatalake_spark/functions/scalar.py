@@ -614,3 +614,103 @@ def q_fn_try_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prio_num"),
         F.col("o_orderstatus").try_cast("int").alias("bad_cast"),
     )
+
+
+@register(
+    "q_fn_struct",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS y,
+           round(o_totalprice, 2) AS price,
+           o_orderpriority AS prio,
+           year(o_orderdate) >= 2024 AND o_totalprice > 200000
+               AS big_recent
+    FROM orders
+    WHERE o_totalprice > 150000
+    """,
+)
+def q_fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT construction, field access, and struct-aware predicates:
+    pack (year, price, priority) into a named struct, then read the
+    fields back and evaluate a predicate over them - the nested-type
+    surface every log/semi-structured schema leans on (the oracle
+    states the semantic result of extract-after-pack; struct literals
+    don't round-trip across dialects).
+
+    Scale shape: map-only projection - structs are columnar in
+    Tungsten (no materialization cost) and the filter still pushes to
+    the scan below the struct build.
+    """
+    o = table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.year("o_orderdate").alias("y"),
+        F.round(F.col("o_totalprice"), 2).alias("price"),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    return (
+        o.withColumn("s", s)
+        .filter(F.col("o_totalprice") > 150000)
+        .select(
+            "o_orderkey",
+            F.col("s.y").cast("int").alias("y"),
+            F.col("s.price").alias("price"),
+            F.col("s.prio").alias("prio"),
+            ((F.col("s.y") >= 2024) & (F.col("s.price") > 200000)).alias(
+                "big_recent"
+            ),
+        )
+    )
+
+
+@register(
+    "q_fn_interval",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 91 DAY AS due_date,
+           o_orderdate + INTERVAL 3 MONTH AS quarter_out,
+           CAST(date_trunc('month', o_orderdate) + INTERVAL 1 MONTH
+                - INTERVAL 1 DAY AS TIMESTAMP) AS month_end,
+           CAST(datediff('day', o_orderdate,
+                         date_trunc('month', o_orderdate)
+                         + INTERVAL 1 MONTH - INTERVAL 1 DAY)
+                AS BIGINT) AS days_to_month_end
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar INTERVAL arithmetic: fixed-length (days) and
+    variable-length (months) offsets, month-end computation, and a
+    countdown - the SLA / billing-period date math, pinned because
+    month arithmetic (clamping, end-of-month) is a classic dialect
+    divergence. The SLA offset is 91 days ON PURPOSE: DuckDB's
+    interval equality treats 1 month as 30 days, so ts + INTERVAL 90
+    DAY and ts + INTERVAL 3 MONTH compare EQUAL and its
+    common-subexpression elimination collapses both columns to the
+    first expression's value (probed in build testing; 91 is not a
+    multiple of 30, so the expressions stay distinct). Both engines
+    agree on add-months clamping for these inputs.
+
+    Scale shape: map-only projection; the key filter pushes to the
+    scan.
+    """
+    o = table(spark, sf_dir, "orders")
+    month_start = F.date_trunc("month", F.col("o_orderdate"))
+    month_end = F.expr(
+        "date_trunc('month', o_orderdate) + INTERVAL 1 MONTH - INTERVAL 1 DAY"
+    )
+    return (
+        o.filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 91 DAYS")).alias(
+                "due_date"
+            ),
+            (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias(
+                "quarter_out"
+            ),
+            month_end.cast("timestamp").alias("month_end"),
+            F.datediff(month_end, F.col("o_orderdate"))
+            .cast("bigint")
+            .alias("days_to_month_end"),
+        )
+    )

@@ -1079,3 +1079,43 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_agg_any_all",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           bool_and(c_acctbal > 0) AS all_positive,
+           bool_or(c_acctbal > 9000) AS any_whale,
+           CAST(count(*) FILTER (WHERE c_acctbal < 0) AS BIGINT)
+               AS n_negative
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_agg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean quantifier aggregates per segment: every(...) /
+    some(...) - 'does EVERY customer have positive balance, does ANY
+    exceed 9000?' - the assertion-style rollup data-quality rules
+    compile to (bool_and/bool_or in DuckDB, every/some/bool_and in
+    Spark - same two-phase combinable semantics).
+
+    Scale shape: booleans partial-aggregate map-side exactly like
+    sums (AND/OR are associative+commutative), so the shuffle moves
+    one pair of booleans per group per partition.
+    """
+    c = table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.every(F.col("c_acctbal") > 0).alias("all_positive"),
+            F.some(F.col("c_acctbal") > 9000).alias("any_whale"),
+            F.count(F.when(F.col("c_acctbal") < 0, 1))
+            .cast("bigint")
+            .alias("n_negative"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -2944,3 +2944,54 @@ def q_customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("seg_h1", "seg_h2")
         .agg(F.count("*").alias("n_users"))
     )
+
+
+@register(
+    "q_subquery_not_in",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+          AS never_ordered,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               UNION ALL SELECT NULL))
+          AS with_null_poison,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE o_custkey IS NOT NULL))
+          AS null_filtered
+    """,
+)
+def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN three-valued-logic pin: customers who never ordered,
+    counted three ways - against the raw subquery, against the same
+    subquery WITH a NULL injected (SQL's famous NOT IN null poison:
+    the count collapses to 0 because x NOT IN (..., NULL) is never
+    TRUE), and against the explicitly null-filtered subquery (the
+    production-safe form). Both engines implement the standard
+    semantics; this operator exists so a refactor to anti-join
+    (which has NOT-EXISTS semantics, not NOT-IN) cannot silently
+    change results.
+
+    Scale shape: Catalyst plans NOT IN as a null-aware anti join
+    (broadcast here); the three counts are independent scalar
+    subqueries over the same broadcast.
+    """
+    load(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT CAST(count(*) AS BIGINT) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders))
+              AS never_ordered,
+          (SELECT CAST(count(*) AS BIGINT) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   UNION ALL SELECT NULL))
+              AS with_null_poison,
+          (SELECT CAST(count(*) AS BIGINT) FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   WHERE o_custkey IS NOT NULL))
+              AS null_filtered
+        """
+    )
