@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..loaders import cached, load, spread, table
@@ -1734,4 +1734,126 @@ def q_docs_source_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_sources",
         ent.alias("entropy"),
         F.round(F.exp(ent), 4).alias("effective_sources"),
+    )
+
+
+COLLOC_MIN_N = 20   # minimum bigram frequency before PMI is meaningful
+COLLOC_TOPK = 20
+
+
+@register(
+    "q_text_collocations",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w, CAST(pos AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS w,
+               unnest(range(1, len(list_filter(string_split(lower(text), ' '),
+                                               t -> t <> '')) + 1)) AS pos
+        FROM documents)
+    ),
+    bigrams AS (
+      SELECT a.w AS wa, b.w AS wb, CAST(count(*) AS BIGINT) AS n_ab
+      FROM words a JOIN words b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      GROUP BY a.w, b.w
+      HAVING count(*) >= {COLLOC_MIN_N}
+    ),
+    uni AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nu,
+             (SELECT CAST(sum(n_ab) AS BIGINT)
+              FROM (SELECT a.w AS wa, b.w AS wb,
+                           CAST(count(*) AS BIGINT) AS n_ab
+                    FROM words a JOIN words b
+                      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                    GROUP BY a.w, b.w)) AS nb
+      FROM uni
+    )
+    SELECT bg.wa, bg.wb, bg.n_ab,
+           round(ln((CAST(bg.n_ab AS DOUBLE) / t.nb)
+                    / ((CAST(ua.n AS DOUBLE) / t.nu)
+                       * (CAST(ub.n AS DOUBLE) / t.nu))), 6) AS pmi
+    FROM bigrams bg
+    JOIN uni ua ON bg.wa = ua.w
+    JOIN uni ub ON bg.wb = ub.w
+    CROSS JOIN tot t
+    ORDER BY pmi DESC, bg.wa, bg.wb
+    LIMIT {COLLOC_TOPK}
+    """,
+)
+def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PMI-scored word collocations ('strongly associated
+    bigrams'): PMI = ln(p(ab) / (p(a) p(b))) over adjacent word
+    pairs with a min-frequency gate - the phrase-mining /
+    tokenizer-merge-candidate signal (BPE merges and phrase
+    detection both start from exactly this table).
+
+    Plan shape: ONE posexplode builds the (doc, pos, word) table;
+    bigrams come from a window LEAD on the (doc, pos) ordering (one
+    shuffle-sort, whole-stage codegen - NOT a corpus-wide
+    higher-order function, per the r6 jaccard lesson); unigram and
+    bigram totals are two-phase aggs with the tiny dictionaries
+    joined back (AQE broadcasts the HAVING-gated bigram list).
+    PMI's log is irrational, so rounding at 6 dp is boundary-safe;
+    count ratios inside are identical integer divisions.
+
+    Scale shape: everything shuffles on hashed words/bigrams -
+    linear in corpus size; the min-frequency gate caps the PMI
+    table long before the top-k.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), " "),
+                    lambda t: t != "",
+                )
+            ).alias("pos", "w"),
+        )
+        .withColumn("pos", (F.col("pos") + 1).cast("bigint"))
+    )
+    wnext = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        words.withColumn("wb", F.lead("w").over(wnext))
+        .filter(F.col("wb").isNotNull())
+        .select(F.col("w").alias("wa"), "wb")
+    )
+    bigram_all = pairs.groupBy("wa", "wb").agg(
+        F.count("*").cast("bigint").alias("n_ab")
+    )
+    bigrams = bigram_all.filter(F.col("n_ab") >= COLLOC_MIN_N)
+    uni = words.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+    tot = uni.agg(F.sum("n").cast("bigint").alias("nu")).crossJoin(
+        bigram_all.agg(F.sum("n_ab").cast("bigint").alias("nb"))
+    )
+    ua = uni.select(F.col("w").alias("wa"), F.col("n").alias("na"))
+    ub = uni.select(F.col("w").alias("wb"), F.col("n").alias("nb_u"))
+    pmi = F.log(
+        (F.col("n_ab").cast("double") / F.col("nb"))
+        / (
+            (F.col("na").cast("double") / F.col("nu"))
+            * (F.col("nb_u").cast("double") / F.col("nu"))
+        )
+    )
+    return (
+        bigrams.join(ua, "wa")
+        .join(ub, "wb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "wa",
+            "wb",
+            "n_ab",
+            F.round(pmi, 6).alias("pmi"),
+            pmi.alias("_ord"),
+        )
+        .orderBy(F.desc("_ord"), "wa", "wb")
+        .limit(COLLOC_TOPK)
+        .drop("_ord")
     )

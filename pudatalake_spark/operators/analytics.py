@@ -2995,3 +2995,173 @@ def q_subquery_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
               AS null_filtered
         """
     )
+
+
+@register(
+    "q_part_price_elasticity",
+    oracle="""
+    WITH obs AS (
+      SELECT p.p_brand,
+             ln(l.l_quantity) AS ly,
+             ln(l.l_extendedprice / l.l_quantity
+                * (1 - l.l_discount)) AS lx
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+        AND l.l_discount < 1
+    ),
+    sums AS (
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(lx) AS sx, sum(ly) AS sy, sum(lx * ly) AS sxy,
+             sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+      FROM obs GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           round((n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0), 4)
+               AS elasticity,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / nullif((n * sxx - sx * sx) * (n * syy - sy * sy), 0), 4)
+               AS r2
+    FROM sums ORDER BY p_brand
+    """,
+)
+def q_part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: OLS slope of
+    ln(quantity) on ln(effective unit price) over line items - the
+    log-log regression whose slope IS the elasticity estimate, the
+    pricing-analytics workhorse (elasticity < -1 = elastic; the
+    synthetic generator's independent price/qty draws land near 0,
+    which is itself the null-result read).
+
+    Scale shape: one fact-dim broadcast join projects two log
+    columns map-side; the five power sums are ONE two-phase
+    combinable agg per brand; the estimator is projection
+    arithmetic on the |brands|-row frame (q_stats_ols_trend's
+    discipline on a log-transformed fact scan). Log outputs are
+    irrational, so the 4dp rounding of sums-of-logs is
+    boundary-safe.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    obs = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(
+            (F.col("l_quantity") > 0)
+            & (F.col("l_extendedprice") > 0)
+            & (F.col("l_discount") < 1)
+        )
+        .select(
+            "p_brand",
+            F.log(F.col("l_quantity")).alias("ly"),
+            F.log(
+                F.col("l_extendedprice")
+                / F.col("l_quantity")
+                * (1 - F.col("l_discount"))
+            ).alias("lx"),
+        )
+    )
+    sums = obs.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        "p_brand",
+        "n",
+        F.round(num / F.nullif(den, F.lit(0)), 4).alias("elasticity"),
+        F.round(
+            num
+            * num
+            / F.nullif(
+                den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")),
+                F.lit(0),
+            ),
+            4,
+        ).alias("r2"),
+    ).orderBy("p_brand")
+
+
+@register(
+    "q_orders_backlog",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_orderkey, max(l_shipdate) AS done_ts
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    marks AS (
+      SELECT date_trunc('day', o.o_orderdate) AS day, 1 AS delta
+      FROM orders o
+      UNION ALL
+      SELECT date_trunc('day', s.done_ts) AS day, -1 AS delta
+      FROM orders o JOIN shipped s ON o.o_orderkey = s.l_orderkey
+    ),
+    daily AS (
+      SELECT day, CAST(sum(delta) AS BIGINT) AS net,
+             CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_opened,
+             CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_closed
+      FROM marks GROUP BY day
+    )
+    SELECT day, n_opened, n_closed,
+           CAST(sum(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+    FROM daily ORDER BY day
+    """,
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog curve by sweep line: +1 when an order is
+    placed, -1 on the day its LAST line item ships (completion =
+    max shipdate per order), cumulative sum = how many orders are
+    in flight each day - the operations 'work in progress' series
+    (q_events_concurrent_peak's sweep discipline applied to the
+    order lifecycle; orders never shipped simply never emit -1 and
+    stay in the terminal backlog).
+
+    Scale shape: completion is ONE max-agg per order (map-side
+    combinable); the sweep runs on 2 rows per order collapsed to
+    |days| rows before the single ordered cumsum window. All
+    integer arithmetic - no float protocol needed.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    shipped = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("done_ts"))
+    opened = o.select(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        F.lit(1).alias("delta"),
+    )
+    closed = (
+        o.join(shipped, o.o_orderkey == shipped.l_orderkey)
+        .select(
+            F.date_trunc("day", F.col("done_ts")).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = (
+        opened.unionAll(closed)
+        .groupBy("day")
+        .agg(
+            F.sum("delta").cast("bigint").alias("net"),
+            F.count(F.when(F.col("delta") == 1, 1))
+            .cast("bigint")
+            .alias("n_opened"),
+            F.count(F.when(F.col("delta") == -1, 1))
+            .cast("bigint")
+            .alias("n_closed"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.select(
+            "day",
+            "n_opened",
+            "n_closed",
+            F.sum("net").over(w).cast("bigint").alias("backlog"),
+        )
+        .orderBy("day")
+    )
