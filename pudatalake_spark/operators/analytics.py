@@ -3165,3 +3165,141 @@ def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+VELOCITY_WINDOW_S = 86400  # 24-hour trailing window
+VELOCITY_FLAG_N = 3       # >=3 purchases in the window flags
+
+
+@register(
+    "q_events_velocity_flags",
+    oracle=f"""
+    WITH p AS (
+      SELECT user_id, epoch(ts) AS es
+      FROM events WHERE event_type = 'purchase'
+    ),
+    vel AS (
+      SELECT user_id,
+             CAST(count(*) OVER (PARTITION BY user_id ORDER BY es
+                  RANGE BETWEEN {VELOCITY_WINDOW_S} PRECEDING
+                  AND CURRENT ROW) AS BIGINT) AS v
+      FROM p
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           max(v) AS max_velocity,
+           CAST(count(*) FILTER (WHERE v >= {VELOCITY_FLAG_N}) AS BIGINT)
+               AS n_flagged
+    FROM vel GROUP BY user_id
+    HAVING max(v) >= {VELOCITY_FLAG_N}
+    ORDER BY user_id
+    """,
+)
+def q_events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity fraud rule: users with >= 3 purchases inside ANY
+    trailing 24-hour window, found with a RANGE (time-interval)
+    window frame - not the row-count frames every other window
+    operator uses. RANGE BETWEEN 86400 PRECEDING on epoch seconds
+    counts every purchase in the sliding day exactly, regardless of
+    how many events share a timestamp (a ROWS frame would undercount
+    ties - that hazard is WHY this is a range frame). Thresholds
+    calibrated non-vacuous on the fixture (the 1-hour/5x variant
+    returns zero rows at every SF - probed, rejected).
+
+    Scale shape: one user-partitioned shuffle-sort; the frame is
+    bounded by data density, not row count; per-user rollup rides
+    the same partitioning. All-integer arithmetic.
+    """
+    e = table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").alias("es")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-VELOCITY_WINDOW_S, 0)
+    )
+    vel = p.select(
+        "user_id", F.count("*").over(w).cast("bigint").alias("v")
+    )
+    return (
+        vel.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.max("v").alias("max_velocity"),
+            F.count(F.when(F.col("v") >= VELOCITY_FLAG_N, 1))
+            .cast("bigint")
+            .alias("n_flagged"),
+        )
+        .filter(F.col("max_velocity") >= VELOCITY_FLAG_N)
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                  * 100, 0) AS BIGINT)) AS BIGINT) AS r
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT nation, CAST(sum(r) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_suppliers
+      FROM rev GROUP BY nation
+    )
+    SELECT t.nation, t.n_suppliers,
+           round(sum((CAST(r.r AS DOUBLE) / t.total)
+                     * (CAST(r.r AS DOUBLE) / t.total)), 6) AS hhi,
+           round(1.0 / t.n_suppliers, 6) AS hhi_floor
+    FROM rev r JOIN tot t ON r.nation = t.nation
+    GROUP BY t.nation, t.n_suppliers
+    ORDER BY t.nation
+    """,
+)
+def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman market concentration per nation: the sum
+    of squared supplier revenue shares (1/n = perfect competition
+    floor, 1 = monopoly) - the antitrust-style concentration gauge
+    complementing q_agg_gini's customer-side inequality read.
+
+    Float protocol: revenue aggregates as integer cents
+    (functions/exact.py), each share is ONE identical division, and
+    only the squared-share SUM (engine summation order differs) is
+    rounded - at 6 dp on an irrational-ish sum of big-denominator
+    rationals, boundary hits have measure ~0.
+
+    Scale shape: fact-dim broadcast join -> (nation, supplier)
+    two-phase cent agg -> |nations|-row totals broadcast back ->
+    bounded share arithmetic.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nation"), "l_suppkey")
+        .agg(F.sum(cents).alias("r"))
+    )
+    tot = rev.groupBy("nation").agg(
+        F.sum("r").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+    )
+    share = F.col("r").cast("double") / F.col("total")
+    return (
+        rev.join(F.broadcast(tot), "nation")
+        .groupBy("nation", "n_suppliers")
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+        .select(
+            "nation",
+            "n_suppliers",
+            "hhi",
+            F.round(1.0 / F.col("n_suppliers"), 6).alias("hhi_floor"),
+        )
+        .orderBy("nation")
+    )

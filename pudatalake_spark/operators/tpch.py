@@ -1325,3 +1325,44 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 4).alias("totacctbal"),
         )
     )
+
+
+@register(
+    "q_tpch_q1",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 4)      AS sum_qty,
+           round(sum(l_extendedprice), 4) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+               AS sum_charge,
+           CAST(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(l_quantity) * 100.0) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(l_extendedprice) * 100.0) AS avg_price,
+           CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS DOUBLE)
+                 / (count(l_discount) * 100.0) AS avg_disc,
+           count(*)                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report) under its OFFICIAL name and
+    ordering. This is the same computation as q_agg_groupby - the
+    repo's flagship query was built AS Q1 from the start (SURVEY
+    §7.2) and this registration exists so the q_tpch_* namespace is
+    the literal 22/22 set; the only delta is the spec's ORDER BY
+    l_returnflag, l_linestatus. Delegation is deliberate and
+    documented, not a hidden re-export.
+
+    Scale shape: scan -> pushed shipdate filter -> two-phase hash
+    agg; 6 groups x 8 aggregates shuffle regardless of input size.
+    """
+    from .aggregates import q_agg_groupby
+
+    return q_agg_groupby(spark, sf_dir).orderBy(
+        "l_returnflag", "l_linestatus"
+    )
