@@ -684,3 +684,97 @@ def q_multimodal_audio_vad(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     docs = d.filter(F.col("doc_id") % 3 == 2).select("doc_id")
     return docs.mapInPandas(_vad_worker, schema=_VAD_SCHEMA)
+
+
+_IMGSTATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("std_all", T.DoubleType()),
+    ]
+)
+
+
+def _image_stats_worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Encode a real PNG per image doc, decode it, report per-channel
+    means and the all-channel std FROM THE DECODED raster (integer
+    sums -> one double division, so the oracle's closed-form
+    recomputation is bit-identical)."""
+    import numpy as np
+
+    from . import codecs
+
+    for pdf in batches:
+        rows = {
+            k: []
+            for k in ("doc_id", "n_pixels", "mean_r", "mean_g", "mean_b", "std_all")
+        }
+        for doc_id in pdf["doc_id"]:
+            doc_id = int(doc_id)
+            w, h = 16 + doc_id % 16, 8 + doc_id % 8
+            idx = np.arange(w * h * 3, dtype=np.int64)
+            img = ((doc_id * 3 + idx) % 256).astype(np.uint8).reshape(h, w, 3)
+            dec = codecs.decode(codecs.encode_png(img))["pixels"].astype(np.int64)
+            n = w * h
+            s = dec.reshape(-1, 3).sum(axis=0)  # exact int per channel
+            tot = int(dec.sum())
+            tot2 = int((dec.astype(np.int64) ** 2).sum())
+            nn = 3 * n
+            var = tot2 / nn - (tot / nn) * (tot / nn)
+            rows["doc_id"].append(doc_id)
+            rows["n_pixels"].append(n)
+            rows["mean_r"].append(int(s[0]) / n)
+            rows["mean_g"].append(int(s[1]) / n)
+            rows["mean_b"].append(int(s[2]) / n)
+            rows["std_all"].append(round(float(np.sqrt(var)), 6))
+        yield pd.DataFrame(rows)
+
+
+@register(
+    "q_multimodal_image_stats",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, 16 + doc_id % 16 AS w, 8 + doc_id % 8 AS h
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    px AS (
+      SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS idx
+      FROM docs
+    ),
+    vals AS (
+      SELECT doc_id, w * h AS n, idx % 3 AS ch,
+             (doc_id * 3 + idx) % 256 AS v
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(any_value(n) AS BIGINT) AS n_pixels,
+           CAST(sum(v) FILTER (ch = 0) AS DOUBLE) / any_value(n) AS mean_r,
+           CAST(sum(v) FILTER (ch = 1) AS DOUBLE) / any_value(n) AS mean_g,
+           CAST(sum(v) FILTER (ch = 2) AS DOUBLE) / any_value(n) AS mean_b,
+           round(sqrt(CAST(sum(v * v) AS DOUBLE) / (3 * any_value(n))
+                 - (CAST(sum(v) AS DOUBLE) / (3 * any_value(n)))
+                   * (CAST(sum(v) AS DOUBLE) / (3 * any_value(n)))), 6)
+               AS std_all
+    FROM vals GROUP BY doc_id
+    """,
+)
+def q_multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL per-image channel statistics: decode an actual PNG
+    (codecs.py), report per-channel means and the all-channel
+    population std FROM THE DECODED raster - the
+    brightness/colorfulness gate of an image-curation pipeline. The
+    DuckDB oracle recomputes every stat from the closed-form raster,
+    so the match proves decode exactness AND the stats arithmetic
+    (integer pixel sums -> one identical division; only the
+    irrational std is rounded).
+
+    Scale shape: map-only Arrow-batched mapInPandas; payloads never
+    shuffle, only the 6-scalar stat row does - the
+    q_multimodal_resize discipline.
+    """
+    d = table(spark, sf_dir, "documents")
+    docs = d.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return docs.mapInPandas(_image_stats_worker, schema=_IMGSTATS_SCHEMA)

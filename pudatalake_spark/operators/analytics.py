@@ -3303,3 +3303,209 @@ def q_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+CUPED_SPLIT_DAY = 15  # pre-period: day-of-month < 15 (the DiD split)
+
+
+@register(
+    "q_events_ab_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN ((user_id * {AB_HASH_A} + {AB_HASH_B})
+                        % {AB_HASH_P}) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant,
+             CAST(sum(CASE WHEN day(ts) < {CUPED_SPLIT_DAY}
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS pre_c,
+             CAST(sum(CASE WHEN day(ts) >= {CUPED_SPLIT_DAY}
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS post_c
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    theta AS (
+      SELECT (CAST(count(*) AS DOUBLE) * sum(CAST(pre_c AS DOUBLE) * post_c)
+              - CAST(sum(pre_c) AS DOUBLE) * sum(post_c))
+             / nullif(CAST(count(*) AS DOUBLE)
+                      * sum(CAST(pre_c AS DOUBLE) * pre_c)
+                      - CAST(sum(pre_c) AS DOUBLE) * sum(pre_c), 0)
+                 AS th,
+             CAST(sum(pre_c) AS DOUBLE) / (count(*) * 100.0) AS pre_mean
+      FROM per_user
+    ),
+    adj AS (
+      SELECT u.variant,
+             u.post_c / 100.0 AS y,
+             u.post_c / 100.0
+               - t.th * (u.pre_c / 100.0 - t.pre_mean) AS y_adj
+      FROM per_user u, theta t
+    )
+    SELECT variant,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(y) / count(*), 4) AS mean_raw,
+           round(sum(y_adj) / count(*), 4) AS mean_cuped,
+           round(var_samp(y), 4) AS var_raw,
+           round(var_samp(y_adj), 4) AS var_cuped
+    FROM adj GROUP BY variant ORDER BY variant
+    """,
+)
+def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for the A/B readout: adjust each
+    user's post-period spend by theta * (pre-period spend - mean)
+    where theta = cov(pre, post)/var(pre) - the standard
+    experimentation trick that removes pre-existing user variance
+    from the treatment comparison (var_cuped < var_raw is the
+    whole point, visible in the output). Assignment reuses
+    q_events_ab_welch's hash split; the period split reuses
+    q_stats_did's day-15 boundary.
+
+    Float protocol: per-user pre/post spends aggregate as integer
+    CENTS (order-independent); theta's moment sums promote to
+    double (cent products overflow int64 summed corpus-wide) but
+    every engine sees the same multiset and the 4dp-rounded outputs
+    absorb the summation-order ULPs; theta itself and the
+    per-user adjustment are identical-double arithmetic.
+
+    Scale shape: ONE two-phase agg to the per-user frame; theta is
+    a 1-row agg broadcast back; the readout is a 2-row rollup.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.dayofmonth("ts") < CUPED_SPLIT_DAY, cents).otherwise(
+                    0
+                )
+            ).alias("pre_c"),
+            F.sum(
+                F.when(
+                    F.dayofmonth("ts") >= CUPED_SPLIT_DAY, cents
+                ).otherwise(0)
+            ).alias("post_c"),
+        )
+        .select(
+            F.when(
+                (F.col("user_id") * AB_HASH_A + AB_HASH_B)
+                % AB_HASH_P
+                % 2
+                == 0,
+                "A",
+            )
+            .otherwise("B")
+            .alias("variant"),
+            "pre_c",
+            "post_c",
+        )
+    )
+    nd = F.count("*").cast("double")
+    theta = per_user.agg(
+        (
+            (
+                nd * F.sum(F.col("pre_c").cast("double") * F.col("post_c"))
+                - F.sum("pre_c").cast("double") * F.sum("post_c")
+            )
+            / F.nullif(
+                nd * F.sum(F.col("pre_c").cast("double") * F.col("pre_c"))
+                - F.sum("pre_c").cast("double") * F.sum("pre_c"),
+                F.lit(0.0),
+            )
+        ).alias("th"),
+        (F.sum("pre_c").cast("double") / (F.count("*") * F.lit(100.0))).alias(
+            "pre_mean"
+        ),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        (F.col("post_c") / F.lit(100.0)).alias("y"),
+        (
+            F.col("post_c") / F.lit(100.0)
+            - F.col("th") * (F.col("pre_c") / F.lit(100.0) - F.col("pre_mean"))
+        ).alias("y_adj"),
+    )
+    return (
+        adj.groupBy("variant")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.sum("y") / F.count("*"), 4).alias("mean_raw"),
+            F.round(F.sum("y_adj") / F.count("*"), 4).alias("mean_cuped"),
+            F.round(F.var_samp("y"), 4).alias("var_raw"),
+            F.round(F.var_samp("y_adj"), 4).alias("var_cuped"),
+        )
+        .orderBy("variant")
+    )
+
+
+@register(
+    "q_events_srm_check",
+    oracle=f"""
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN ((user_id * {AB_HASH_A} + {AB_HASH_B})
+                        % {AB_HASH_P}) % 2 = 0
+                  THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ),
+    counts AS (
+      SELECT CAST(count(*) FILTER (variant = 'A') AS BIGINT) AS n_a,
+             CAST(count(*) FILTER (variant = 'B') AS BIGINT) AS n_b
+      FROM assign
+    )
+    SELECT n_a, n_b,
+           round((CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+                 * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+                 + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+                 * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0), 6)
+               AS chi2,
+           ((CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
+            * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+            + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
+            * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)) > 3.841
+               AS srm_alarm
+    FROM counts
+    """,
+)
+def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the A/B split: chi-squared
+    goodness-of-fit of the observed variant counts against the
+    designed 50/50, alarmed at the 1-dof 5% critical value (3.841) -
+    the first thing a trustworthy experimentation pipeline checks,
+    because a skewed split invalidates every downstream readout
+    (q_events_ab_welch / q_events_ab_cuped).
+
+    Scale shape: user dedup (two-phase) -> one 1-row conditional
+    count agg; the statistic is exact integer-ratio arithmetic, and
+    the alarm compares identical doubles in both engines.
+    """
+    e = table(spark, sf_dir, "events")
+    assign = e.select(
+        "user_id",
+        F.when(
+            (F.col("user_id") * AB_HASH_A + AB_HASH_B) % AB_HASH_P % 2 == 0,
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+    ).distinct()
+    counts = assign.agg(
+        F.count(F.when(F.col("variant") == "A", 1))
+        .cast("bigint")
+        .alias("n_a"),
+        F.count(F.when(F.col("variant") == "B", 1))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    exp = (F.col("n_a") + F.col("n_b")) / F.lit(2.0)
+    chi2 = (F.col("n_a").cast("double") - exp) * (F.col("n_a") - exp) / exp + (
+        F.col("n_b").cast("double") - exp
+    ) * (F.col("n_b") - exp) / exp
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    )
