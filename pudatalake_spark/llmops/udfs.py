@@ -236,3 +236,99 @@ def udf_sql_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_returnflag = 'R'
         """
     )
+
+
+@register(
+    "udf_sql_table",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > 250000
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def udf_sql_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (Spark 4 `CREATE FUNCTION ...
+    RETURNS TABLE`): the 'big orders' slice declared once as a
+    parameterized catalog relation and consumed with plain FROM -
+    the reusable-view-with-arguments pattern (what dbt macros /
+    parameterized views compile to). Like SQL scalar functions the
+    body INLINES at analysis time: the plan below the call is
+    identical to writing the query by hand - pushdown through the
+    function boundary, no materialization, no serialization - which
+    is why this beats a Python data source for shared slices at
+    100 TB. The oracle states the inlined query.
+    """
+    table(spark, sf_dir, "orders")
+    table(spark, sf_dir, "customer")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pudl_big_orders(thresh DOUBLE)
+        RETURNS TABLE (o_custkey BIGINT, o_totalprice DOUBLE)
+        RETURN SELECT o_custkey, o_totalprice FROM orders
+               WHERE o_totalprice > thresh
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(b.o_totalprice), 2) AS revenue
+        FROM pudl_big_orders(250000.0) b
+        JOIN customer c ON b.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+        """
+    )
+
+
+@register(
+    "udtf_table_arg",
+    oracle="""
+    SELECT lang,
+           CAST(sum(CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_long,
+           CAST(sum(CASE WHEN n_chars < 500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF with a TABLE argument (Spark 4 polymorphic table
+    function): the UDTF consumes `TABLE(SELECT ...)` row-by-row and
+    emits a classified stream, which SQL then aggregates - the
+    newest UDF surface generation (beyond the scalar/grouped 3.x
+    forms already covered by udf_* / udtf_python). The Python body
+    is a trivial length gate ON PURPOSE: the operator exists to pin
+    the TABLE-argument calling convention and its Arrow row
+    transport, and the oracle proves the roundtrip against the pure
+    SQL equivalent.
+
+    Scale note: TABLE-arg UDTFs evaluate per-partition like any
+    Python eval node; this is the declared-UDF surface, not a hot
+    path (the SQL CASE twin in the oracle IS the production form).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang STRING, is_long INT")
+    class LengthGate:
+        def eval(self, row):
+            yield str(row["lang"]), 1 if int(row["n_chars"]) >= 500 else 0
+
+    spark.udtf.register("pudl_length_gate", LengthGate)
+    table(spark, sf_dir, "documents")
+    return spark.sql(
+        """
+        SELECT lang,
+               CAST(sum(is_long) AS BIGINT) AS n_long,
+               CAST(sum(1 - is_long) AS BIGINT) AS n_short
+        FROM pudl_length_gate(TABLE(SELECT lang, n_chars FROM documents))
+        GROUP BY lang
+        ORDER BY lang
+        """
+    )

@@ -1119,3 +1119,82 @@ def q_agg_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_agg_weighted_percentile",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice AS v,
+             CAST(round(l_quantity, 0) AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    per_v AS (
+      SELECT l_returnflag, v, CAST(sum(wt) AS BIGINT) AS wt
+      FROM w GROUP BY l_returnflag, v
+    ),
+    cum AS (
+      SELECT l_returnflag, v, wt,
+             CAST(sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cw,
+             CAST(sum(wt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS tw
+      FROM per_v
+    )
+    SELECT l_returnflag, any_value(tw) AS total_weight,
+           min(v) FILTER (WHERE 2 * cw >= tw) AS weighted_median,
+           min(v) FILTER (WHERE 10 * cw >= 9 * tw) AS weighted_p90
+    FROM cum GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED percentiles: median and p90 of line-item price
+    weighted by quantity per return flag - 'the price at which half
+    the UNITS (not half the rows) ship', the volume-weighted
+    distribution read (q_agg_percentile's rows-weighted sibling).
+    The selector is the lower weighted percentile: the smallest
+    value whose cumulative weight reaches the target fraction,
+    expressed as the cross-multiplied integer inequality
+    2*cw >= tw (no division, no floats anywhere - quantities round
+    to exact integer weights).
+
+    Scale shape: collapse to one row per DISTINCT (flag, value)
+    with summed weights (two-phase agg), ONE ordered cumulative
+    pass per flag, then a conditional-min agg - the KS/Mann-Whitney
+    ordered-pass discipline applied to a weighted quantile.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("wt"),
+    )
+    per_v = w.groupBy("l_returnflag", "v").agg(
+        F.sum("wt").cast("bigint").alias("wt")
+    )
+    win = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = per_v.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(win).cast("bigint").alias("cw"),
+        F.sum("wt").over(wall).cast("bigint").alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.any_value(F.col("tw")).alias("total_weight"),
+            F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v"))).alias(
+                "weighted_median"
+            ),
+            F.min(
+                F.when(10 * F.col("cw") >= 9 * F.col("tw"), F.col("v"))
+            ).alias("weighted_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
