@@ -3457,14 +3457,16 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n_a, n_b,
            round((CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
-                 * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+                 * (n_a - (n_a + n_b) / 2.0) / nullif((n_a + n_b) / 2.0, 0.0)
                  + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
-                 * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0), 6)
+                 * (n_b - (n_a + n_b) / 2.0)
+                   / nullif((n_a + n_b) / 2.0, 0.0), 6)
                AS chi2,
            ((CAST(n_a AS DOUBLE) - (n_a + n_b) / 2.0)
-            * (n_a - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)
+            * (n_a - (n_a + n_b) / 2.0) / nullif((n_a + n_b) / 2.0, 0.0)
             + (CAST(n_b AS DOUBLE) - (n_a + n_b) / 2.0)
-            * (n_b - (n_a + n_b) / 2.0) / ((n_a + n_b) / 2.0)) > 3.841
+            * (n_b - (n_a + n_b) / 2.0)
+              / nullif((n_a + n_b) / 2.0, 0.0)) > 3.841
                AS srm_alarm
     FROM counts
     """,
@@ -3499,7 +3501,9 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_b"),
     )
-    exp = (F.col("n_a") + F.col("n_b")) / F.lit(2.0)
+    exp = F.nullif(
+        (F.col("n_a") + F.col("n_b")) / F.lit(2.0), F.lit(0.0)
+    )  # NULL chi2 on an empty relation (tests/test_empty_inputs.py)
     chi2 = (F.col("n_a").cast("double") - exp) * (F.col("n_a") - exp) / exp + (
         F.col("n_b").cast("double") - exp
     ) * (F.col("n_b") - exp) / exp
