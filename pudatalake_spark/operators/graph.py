@@ -459,3 +459,69 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(JACC_TOPK)
         .drop("_ord")
     )
+
+
+REACH_SEED_NATION = 0  # seed: customers of nation 0
+
+
+@register(
+    "q_graph_reach_2hop",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    seed AS (
+      SELECT c_custkey AS ck FROM customer
+      WHERE c_nationkey = {REACH_SEED_NATION}
+    ),
+    hop1 AS (
+      SELECT DISTINCT e.sk FROM edges e JOIN seed s ON e.ck = s.ck
+    ),
+    hop2_ck AS (
+      SELECT DISTINCT e.ck FROM edges e JOIN hop1 h ON e.sk = h.sk
+    ),
+    hop2 AS (
+      SELECT DISTINCT e.sk FROM edges e JOIN hop2_ck c ON e.ck = c.ck
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM seed) AS n_seed_customers,
+           (SELECT CAST(count(*) AS BIGINT) FROM hop1) AS n_suppliers_1hop,
+           (SELECT CAST(count(*) AS BIGINT) FROM hop2_ck) AS n_customers_2hop,
+           (SELECT CAST(count(*) AS BIGINT) FROM hop2) AS n_suppliers_3hop
+    """,
+)
+def q_graph_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-depth reachability over the bipartite purchase graph:
+    starting from nation-0's customers, how many suppliers are one
+    purchase-hop away, how many customers share a supplier with them
+    (2 hops), and how many suppliers those reach (3 hops) - the
+    blast-radius / influence-frontier query (supply-chain exposure,
+    contagion analysis), expressed as a FIXED chain of distinct
+    equi-join expansions exactly like q_graph_pagerank's fixed
+    supersteps.
+
+    Scale shape: each hop is one equi join against the distinct edge
+    list followed by a dedup - shuffle on the join key, frontier
+    only (never paths); depth is fixed so the plan is a finite
+    declarative chain. The four counts are scalar subqueries over
+    the shared frontier CTEs.
+    """
+    t = load(spark, sf_dir)
+    e = _bipartite_edges(t)
+    seed = (
+        t["customer"]
+        .filter(F.col("c_nationkey") == REACH_SEED_NATION)
+        .select(F.col("c_custkey").alias("ck"))
+    )
+    hop1 = e.join(seed, "ck").select("sk").distinct()
+    hop2_ck = e.join(hop1, "sk").select("ck").distinct()
+    hop2 = e.join(hop2_ck, "ck").select("sk").distinct()
+    return (
+        seed.agg(F.count("*").cast("bigint").alias("n_seed_customers"))
+        .crossJoin(
+            hop1.agg(F.count("*").cast("bigint").alias("n_suppliers_1hop"))
+        )
+        .crossJoin(
+            hop2_ck.agg(F.count("*").cast("bigint").alias("n_customers_2hop"))
+        )
+        .crossJoin(
+            hop2.agg(F.count("*").cast("bigint").alias("n_suppliers_3hop"))
+        )
+    )

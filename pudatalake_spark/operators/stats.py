@@ -1077,3 +1077,103 @@ def q_stats_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "dow")
     )
+
+
+POWER_Z_ALPHA = 1.959964  # two-sided 5%
+POWER_Z_BETA = 0.841621   # 80% power
+POWER_MDE_PCT = 0.05      # detect a 5% lift on the mean
+
+
+@register(
+    "q_stats_power_analysis",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(c) AS BIGINT) AS sc,
+             CAST(sum(c * c) AS BIGINT) AS sc2
+      FROM (
+        SELECT user_id,
+               CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                   AS c
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id)
+    )
+    SELECT n_users,
+           CAST(sc AS DOUBLE) / (n_users * 100.0) AS mean_spend,
+           round(sqrt((CAST(sc2 AS DOUBLE) / 10000.0
+                       - (CAST(sc AS DOUBLE) / 100.0)
+                         * (CAST(sc AS DOUBLE) / 100.0) / n_users)
+                      / (n_users - 1)), 4) AS sd_spend,
+           CAST(ceil(2 * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                       * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                     * ((CAST(sc2 AS DOUBLE) / 10000.0
+                         - (CAST(sc AS DOUBLE) / 100.0)
+                           * (CAST(sc AS DOUBLE) / 100.0) / n_users)
+                        / (n_users - 1))
+                     / (({POWER_MDE_PCT} * CAST(sc AS DOUBLE)
+                         / (n_users * 100.0))
+                        * ({POWER_MDE_PCT} * CAST(sc AS DOUBLE)
+                           / (n_users * 100.0)))) AS BIGINT)
+               AS n_per_arm,
+           n_users >= 2 * CAST(ceil(2 * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                       * ({POWER_Z_ALPHA} + {POWER_Z_BETA})
+                     * ((CAST(sc2 AS DOUBLE) / 10000.0
+                         - (CAST(sc AS DOUBLE) / 100.0)
+                           * (CAST(sc AS DOUBLE) / 100.0) / n_users)
+                        / (n_users - 1))
+                     / (({POWER_MDE_PCT} * CAST(sc AS DOUBLE)
+                         / (n_users * 100.0))
+                        * ({POWER_MDE_PCT} * CAST(sc AS DOUBLE)
+                           / (n_users * 100.0)))) AS BIGINT)
+               AS currently_powered
+    FROM s
+    """,
+)
+def q_stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B sample-size calculator from observed data: per-user spend
+    mean and SD feed the closed-form n = 2 (z_a + z_b)^2 s^2 / d^2
+    for a 5% minimum detectable lift at alpha=5% two-sided, 80%
+    power - 'how many users does the next experiment need, and do we
+    already have them?' (completes the experimentation kit:
+    q_events_srm_check -> THIS -> q_events_ab_welch ->
+    q_events_ab_cuped).
+
+    Float protocol: per-user spends aggregate as integer cents; the
+    moment sums are exact int64 (cent^2 ~ 1e13 x 1.5e3 users <<
+    2^63); mean is one identical division (unrounded), SD is
+    irrational (rounded 4dp), and n_per_arm applies ceil to
+    identical doubles - engine-stable except on exact-integer
+    boundaries, which the irrational z-constants make measure-zero.
+
+    Scale shape: ONE two-phase per-user agg, then a 1-row moment
+    agg; the calculator is pure projection arithmetic.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents).alias("c"))
+    )
+    s = per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sc2"),
+    )
+    mean = F.col("sc").cast("double") / (F.col("n_users") * F.lit(100.0))
+    var = (
+        F.col("sc2").cast("double") / F.lit(10000.0)
+        - (F.col("sc").cast("double") / F.lit(100.0))
+        * (F.col("sc").cast("double") / F.lit(100.0))
+        / F.col("n_users")
+    ) / (F.col("n_users") - 1)
+    delta = F.lit(POWER_MDE_PCT) * mean
+    zsum = F.lit(POWER_Z_ALPHA + POWER_Z_BETA)
+    n_arm = F.ceil(2 * zsum * zsum * var / (delta * delta)).cast("bigint")
+    return s.select(
+        "n_users",
+        mean.alias("mean_spend"),
+        F.round(F.sqrt(var), 4).alias("sd_spend"),
+        n_arm.alias("n_per_arm"),
+        (F.col("n_users") >= 2 * n_arm).alias("currently_powered"),
+    )

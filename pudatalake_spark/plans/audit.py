@@ -508,6 +508,73 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct", r"BatchEvalPython"],
         "bloom index: two-phase bit_or signature; broadcast probes",
     ),
+    # --- r6 closing wave (batches 7-11) ---
+    "q_text_collocations": (
+        # Bigrams come from a window LEAD on (doc, pos) - codegen,
+        # never a corpus-wide higher-order function; top-k streams.
+        [r"Window", r"TakeOrderedAndProject", r"partial_count"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "collocations: posexplode + LEAD bigrams (no corpus HOF); top-k streams",
+    ),
+    "q_part_price_elasticity": (
+        # Part dim broadcasts into the fact scan; power sums are one
+        # combinable agg.
+        [r"BroadcastHashJoin", r"partial_sum"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BatchEvalPython"],
+        "elasticity: broadcast fact-dim join; five combinable power sums",
+    ),
+    "q_orders_backlog": (
+        # Completion is a per-order max agg; the sweep is one ordered
+        # cumsum window over the daily rollup.
+        [r"partial_max", r"Window", r"partial_sum"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "backlog: per-order max-agg completion; single ordered cumsum sweep",
+    ),
+    "q_events_velocity_flags": (
+        # The frame must be a RANGE (time-interval) specification -
+        # the whole point of the operator.
+        [r"specifiedwindowframe\(RangeFrame", r"partial_count"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "velocity: RANGE time-interval frame on the user partition",
+    ),
+    "q_supplier_hhi": (
+        # Supplier dim broadcasts; share math on the bounded frame.
+        [r"BroadcastHashJoin", r"partial_sum"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BatchEvalPython"],
+        "HHI: broadcast dim join; integer-cent two-phase agg; bounded share math",
+    ),
+    "q_events_ab_cuped": (
+        # Theta is a 1-row agg broadcast back to the per-user frame.
+        [r"partial_sum", r"BroadcastNestedLoopJoin"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BatchEvalPython"],
+        "CUPED: per-user cent agg; 1-row theta broadcast; 2-row rollup",
+    ),
+    "q_agg_weighted_percentile": (
+        # Distinct-(flag,value) weight agg before the ordered pass;
+        # selector is a conditional min - no Python, no join.
+        [r"partial_sum", r"Window"],
+        [r"Join", r"CartesianProduct", r"BatchEvalPython"],
+        "weighted percentile: distinct-value weight agg + ordered pass, joinless",
+    ),
+    "udf_sql_table": (
+        # The table-function body must inline: plain broadcast join +
+        # agg, no Python eval anywhere.
+        [r"BroadcastHashJoin", r"partial_count"],
+        [r"BatchEvalPython", r"ArrowEvalPython", r"CartesianProduct"],
+        "SQL table fn inlines to the hand-written join+agg plan",
+    ),
+    "q_graph_reach_2hop": (
+        # Each hop is a distinct equi-join expansion; counts are
+        # 1-row stitches.
+        [r"partial_count", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "reachability: fixed chain of distinct equi-join hops; frontier only",
+    ),
+    "q_stats_power_analysis": (
+        [r"partial_sum"],
+        [r"Window", r"CartesianProduct", r"BatchEvalPython"],
+        "power analysis: per-user cent agg -> 1-row moment agg -> projection",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
@@ -522,6 +589,8 @@ UDF_KEYS = {
     "q_text_compression_ratio",  # declared pandas-UDF zlib surface
     "q_sim_mmr",
     "q_multimodal_audio_vad",  # same mapInPandas codec surface (r6)
+    "q_multimodal_image_stats",  # same mapInPandas codec surface (r6 close)
+    "udtf_table_arg",  # Spark 4 TABLE-arg UDTF - Python by definition
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
