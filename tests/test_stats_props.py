@@ -274,3 +274,73 @@ def test_seasonal_decompose_matches_pandas(spark, events_pdf):
             assert row.n_days == int((dows == dw).sum())
             assert row.seasonal == pytest.approx(s_ref, abs=2e-4)
             assert row.seasonal_strength == pytest.approx(strength, abs=1e-6)
+
+
+def test_chi2_matches_bruteforce(spark, events_pdf):
+    d = events_pdf.copy()
+    d["dow"] = d["ts"].dt.dayofweek + 1
+    obs = d.groupby(["event_type", "dow"]).size().unstack(fill_value=0)
+    o = obs.to_numpy(dtype=float)
+    rt = o.sum(axis=1, keepdims=True)
+    ct = o.sum(axis=0, keepdims=True)
+    n = o.sum()
+    e = rt @ ct / n
+    mask = e > 0
+    chi2_ref = (((o - e) ** 2 / np.where(mask, e, 1))[mask]).sum()
+    row = registry.QUERIES["q_stats_chi2"](spark, SF_DIR).collect()[0]
+    assert row.n_obs == int(n)
+    assert row.dof == (o.shape[0] - 1) * (o.shape[1] - 1)
+    assert row.chi2 == pytest.approx(chi2_ref, abs=1e-4)
+    v_ref = np.sqrt(chi2_ref / (n * min(o.shape[0] - 1, o.shape[1] - 1)))
+    assert row.cramers_v == pytest.approx(v_ref, abs=1e-6)
+
+
+def test_power_analysis_matches_formula(spark, events_pdf):
+    p = events_pdf[events_pdf.event_type == "purchase"].copy()
+    p["c"] = (p["value"] * 100).round().astype("int64")
+    spend = p.groupby("user_id")["c"].sum() / 100.0
+    mean, sd = spend.mean(), spend.std(ddof=1)
+    z = 1.959964 + 0.841621
+    n_ref = int(np.ceil(2 * z * z * sd * sd / (0.05 * mean) ** 2))
+    row = registry.QUERIES["q_stats_power_analysis"](spark, SF_DIR).collect()[0]
+    assert row.n_users == len(spend)
+    assert row.mean_spend == pytest.approx(mean, rel=1e-9)
+    assert row.sd_spend == pytest.approx(sd, abs=1e-3)
+    assert row.n_per_arm == n_ref
+    assert row.currently_powered == (len(spend) >= 2 * n_ref)
+
+
+def test_srm_matches_formula(spark, events_pdf):
+    A, B, P = 2654435761, 1013904223, 1_000_000_007
+    users = events_pdf["user_id"].drop_duplicates()
+    n_a = int(((users * A + B) % P % 2 == 0).sum())
+    n_b = len(users) - n_a
+    exp = (n_a + n_b) / 2
+    chi2_ref = (n_a - exp) ** 2 / exp + (n_b - exp) ** 2 / exp
+    row = registry.QUERIES["q_events_srm_check"](spark, SF_DIR).collect()[0]
+    assert (row.n_a, row.n_b) == (n_a, n_b)
+    assert row.chi2 == pytest.approx(chi2_ref, abs=1e-5)
+    assert row.srm_alarm == (chi2_ref > 3.841)
+
+
+def test_cuped_reduces_variance_and_matches(spark, events_pdf):
+    A, B, P = 2654435761, 1013904223, 1_000_000_007
+    p = events_pdf[events_pdf.event_type == "purchase"].copy()
+    p["c"] = (p["value"] * 100).round().astype("int64")
+    p["pre"] = np.where(p["ts"].dt.day < 15, p["c"], 0)
+    p["post"] = np.where(p["ts"].dt.day >= 15, p["c"], 0)
+    u = p.groupby("user_id")[["pre", "post"]].sum()
+    th = np.cov(u["pre"], u["post"], ddof=1)[0, 1] / u["pre"].var(ddof=1)
+    pre_mean = u["pre"].mean() / 100.0
+    y = u["post"] / 100.0
+    y_adj = y - th * (u["pre"] / 100.0 - pre_mean)
+    variant = np.where((u.index * A + B) % P % 2 == 0, "A", "B")
+    rows = {r.variant: r for r in
+            registry.QUERIES["q_events_ab_cuped"](spark, SF_DIR).collect()}
+    for v in ("A", "B"):
+        m = variant == v
+        row = rows[v]
+        assert row.n == int(m.sum())
+        assert row.mean_raw == pytest.approx(y[m].mean(), abs=2e-4)
+        assert row.mean_cuped == pytest.approx(y_adj[m].mean(), abs=2e-4)
+        assert row.var_cuped <= row.var_raw  # the whole point of CUPED
