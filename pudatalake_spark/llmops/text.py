@@ -1857,3 +1857,44 @@ def q_text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(COLLOC_TOPK)
         .drop("_ord")
     )
+
+
+def _lang_confusion_sql(split_expr: str) -> str:
+    """Confusion rollup over the shared language-ID classifier."""
+    return f"""
+    WITH preds AS ({_langid_sql(split_expr)})
+    SELECT true_lang, pred_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(count(*)) OVER (PARTITION BY true_lang) AS BIGINT)
+               AS n_true,
+           CAST(count(*) AS DOUBLE)
+             / sum(count(*)) OVER (PARTITION BY true_lang) AS cell_rate
+    FROM preds
+    GROUP BY true_lang, pred_lang
+    ORDER BY true_lang, pred_lang
+    """
+
+
+@register(
+    "q_text_lang_confusion",
+    oracle=_lang_confusion_sql("unnest(string_split(lower(text), ' '))"),
+)
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: the stopword-vote classifier
+    (q_text_langid) evaluated against the labeled lang column -
+    (true, predicted) counts and per-true-language rates, i.e. the
+    measured accuracy of the heuristic instead of just its output
+    (the q_sim_recall_eval discipline applied to text classification:
+    every heuristic in the curation stack should ship with its
+    measured error surface).
+
+    Scale shape: the classifier is the shared explode -> conditional
+    count agg; the confusion rollup adds one |langs|^2-bounded
+    two-phase agg and a partition-total window on that tiny frame.
+    cell_rate is an exact integer ratio emitted as ONE identical
+    division (never rounded - functions/exact.py).
+    """
+    load(spark, sf_dir)
+    return spark.sql(
+        _lang_confusion_sql("explode(split(lower(text), ' '))")
+    )

@@ -349,3 +349,30 @@ def test_window_approx_distinct_equals_batch_sketch(spark):
     assert got, "no closed windows emitted"
     for w, vals in got.items():
         assert batch[w] == vals
+
+
+def test_foreachbatch_upsert_equals_batch_latest(spark):
+    # The versioned foreachBatch MERGE must land on exactly the batch
+    # latest-row-per-user table, however the source splits into
+    # micro-batches.
+    _sdf = registry.QUERIES["s_foreachbatch_upsert"](spark, SF_DIR)
+    assert_driver_canon_safe(_sdf.schema, "s_foreachbatch_upsert")
+    stream_pdf = _sdf.toPandas()
+    batch_pdf = (
+        table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_id", "event_type"),
+                F.struct("ts", "event_id"),
+            ).alias("s")
+        )
+        .select("user_id", "s.ts", "s.event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users_latest"),
+            F.max("ts").alias("latest_ts"),
+        )
+        .toPandas()
+    )
+    assert_frames_match(stream_pdf, batch_pdf, "s_foreachbatch_upsert≡batch")
