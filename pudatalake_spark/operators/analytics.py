@@ -3513,3 +3513,97 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841).alias("srm_alarm"),
     )
+
+
+@register(
+    "q_events_ratio_metric_delta",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS rev_c,
+             CAST(count(*) FILTER (WHERE event_type = 'click')
+                  AS BIGINT) AS clicks
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rev_c) AS BIGINT) AS sr,
+             CAST(sum(clicks) AS BIGINT) AS sc,
+             sum(CAST(rev_c AS DOUBLE) * rev_c) AS srr,
+             sum(CAST(clicks AS DOUBLE) * clicks) AS scc,
+             sum(CAST(rev_c AS DOUBLE) * clicks) AS src
+      FROM per_user
+    )
+    SELECT n,
+           CAST(sr AS DOUBLE) / (100.0 * sc) AS rev_per_click,
+           round(sqrt(greatest(0.0,
+             ((srr - CAST(sr AS DOUBLE) * sr / n) / (n - 1)) / 10000.0
+               / ((CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
+             + ((scc - CAST(sc AS DOUBLE) * sc / n) / (n - 1))
+               * (CAST(sr AS DOUBLE) / 100.0 / sc)
+               * (CAST(sr AS DOUBLE) / 100.0 / sc)
+               / ((CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
+             - 2 * ((src - CAST(sr AS DOUBLE) * sc / n) / (n - 1)) / 100.0
+               * (CAST(sr AS DOUBLE) / 100.0 / sc)
+               / ((CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
+             ) / n), 6) AS se_delta
+    FROM m
+    """,
+)
+def q_events_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    click): users are the randomization unit but the metric is a
+    ratio of two user-level sums, so naive row-level variance is
+    WRONG - the delta method expands var(R/C) from the user-level
+    variances and covariance (the standard experimentation fix for
+    per-session / per-click metrics; completes the kit: srm -> power
+    -> welch/cuped -> THIS for ratio outcomes).
+
+    Float protocol: revenue in integer cents, clicks integer; the
+    three second-moment sums promote to double (cent-squared sums
+    overflow int64) and only the final irrational sqrt is rounded;
+    the point estimate is ONE identical division, unrounded.
+
+    Scale shape: ONE two-phase per-user agg, then a 1-row moment
+    agg; the delta expansion is projection arithmetic.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        ).alias("rev_c"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("clicks"),
+    )
+    m = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rev_c").cast("bigint").alias("sr"),
+        F.sum("clicks").cast("bigint").alias("sc"),
+        F.sum(F.col("rev_c").cast("double") * F.col("rev_c")).alias("srr"),
+        F.sum(F.col("clicks").cast("double") * F.col("clicks")).alias("scc"),
+        F.sum(F.col("rev_c").cast("double") * F.col("clicks")).alias("src"),
+    )
+    n = F.col("n")
+    sr_d = F.col("sr").cast("double")
+    sc_d = F.col("sc").cast("double")
+    var_r = (F.col("srr") - sr_d * F.col("sr") / n) / (n - 1) / F.lit(10000.0)
+    var_c = (F.col("scc") - sc_d * F.col("sc") / n) / (n - 1)
+    cov_rc = (F.col("src") - sr_d * F.col("sc") / n) / (n - 1) / F.lit(100.0)
+    ratio = sr_d / F.lit(100.0) / F.col("sc")
+    cbar2 = (sc_d / n) * (sc_d / n)
+    se = F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            (var_r / cbar2 + var_c * ratio * ratio / cbar2
+             - 2 * cov_rc * ratio / cbar2) / n,
+        )
+    )
+    return m.select(
+        "n",
+        (sr_d / (F.lit(100.0) * F.col("sc"))).alias("rev_per_click"),
+        F.round(se, 6).alias("se_delta"),
+    )

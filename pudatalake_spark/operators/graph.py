@@ -525,3 +525,74 @@ def q_graph_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             hop2.agg(F.count("*").cast("bigint").alias("n_suppliers_3hop"))
         )
     )
+
+
+@register(
+    "q_graph_assortativity",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    cdeg AS (SELECT ck, CAST(count(*) AS BIGINT) AS dc
+             FROM edges GROUP BY ck),
+    sdeg AS (SELECT sk, CAST(count(*) AS BIGINT) AS ds
+             FROM edges GROUP BY sk),
+    pairs AS (
+      SELECT CAST(c.dc AS DOUBLE) AS x, CAST(s.ds AS DOUBLE) AS y
+      FROM edges e JOIN cdeg c ON e.ck = c.ck JOIN sdeg s ON e.sk = s.sk
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS m,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+             sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM pairs
+    )
+    SELECT m AS n_edges,
+           round((m * sxy - sx * sy)
+                 / nullif(sqrt((m * sxx - sx * sx) * (m * syy - sy * sy)),
+                          0), 6) AS assortativity
+    FROM sums
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the bipartite purchase graph: the
+    Pearson correlation between endpoint degrees ACROSS EDGES (do
+    high-degree customers buy from high-degree suppliers?) - the
+    one-number mixing summary that predicts whether the heavy
+    hitters concentrate load (positive) or spread it (negative),
+    i.e. whether the triangle/pagerank joins above need skew
+    handling.
+
+    Scale shape: two endpoint degree aggs (map-side combinable)
+    joined back onto the edge list - degrees are tiny tables, AQE
+    broadcasts; the correlation is the q_stats_ols_trend power-sum
+    discipline over the edge frame. Degree products are exact
+    integer-valued doubles; only the final irrational ratio rounds.
+    """
+    t = load(spark, sf_dir)
+    e = _bipartite_edges(t)
+    cdeg = e.groupBy("ck").agg(F.count("*").cast("bigint").alias("dc"))
+    sdeg = e.groupBy("sk").agg(F.count("*").cast("bigint").alias("ds"))
+    pairs = (
+        e.join(F.broadcast(cdeg), "ck")
+        .join(F.broadcast(sdeg), "sk")
+        .select(
+            F.col("dc").cast("double").alias("x"),
+            F.col("ds").cast("double").alias("y"),
+        )
+    )
+    sums = pairs.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("m") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("m") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("m") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return sums.select(
+        F.col("m").alias("n_edges"),
+        F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
+    )
