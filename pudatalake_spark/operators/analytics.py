@@ -3538,6 +3538,7 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT n,
            CAST(sr AS DOUBLE) / (100.0 * sc) AS rev_per_click,
+           CASE WHEN n >= 2 AND sc > 0 THEN
            round(sqrt(greatest(0.0,
              ((srr - CAST(sr AS DOUBLE) * sr / n) / (n - 1)) / 10000.0
                / ((CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
@@ -3548,7 +3549,7 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
              - 2 * ((src - CAST(sr AS DOUBLE) * sc / n) / (n - 1)) / 100.0
                * (CAST(sr AS DOUBLE) / 100.0 / sc)
                / ((CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n))
-             ) / n), 6) AS se_delta
+             ) / n), 6) END AS se_delta
     FROM m
     """,
 )
@@ -3602,8 +3603,14 @@ def q_events_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
              - 2 * cov_rc * ratio / cbar2) / n,
         )
     )
+    # Explicit degenerate-input guard: Spark's greatest() SKIPS nulls
+    # while DuckDB's propagates them, so on an empty relation the two
+    # engines disagree unless the n>=2/sc>0 gate is spelled out
+    # (tests/test_empty_inputs.py caught this divergence).
     return m.select(
         "n",
         (sr_d / (F.lit(100.0) * F.col("sc"))).alias("rev_per_click"),
-        F.round(se, 6).alias("se_delta"),
+        F.when(
+            (n >= 2) & (F.col("sc") > 0), F.round(se, 6)
+        ).alias("se_delta"),
     )
