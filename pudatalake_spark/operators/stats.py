@@ -1177,3 +1177,406 @@ def q_stats_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm.alias("n_per_arm"),
         (F.col("n_users") >= 2 * n_arm).alias("currently_powered"),
     )
+
+
+PSI_BANDS = 10
+
+
+@register(
+    "q_stats_psi",
+    oracle=f"""
+    WITH ev AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+      FROM events WHERE event_type = 'purchase'
+    ),
+    rng AS (
+      SELECT min(ed) AS d0, max(ed) AS d1,
+             min(cents) AS c0, max(cents) AS c1
+      FROM ev
+    ),
+    banded AS (
+      SELECT least({PSI_BANDS - 1},
+                   (cents - c0) // greatest(1, (c1 - c0 + 1) // {PSI_BANDS}))
+               AS band,
+             CASE WHEN ed >= (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END AS cur
+      FROM ev, rng
+    ),
+    per_band AS (
+      SELECT band,
+             CAST(count(*) - sum(cur) AS BIGINT) AS n_base,
+             CAST(sum(cur) AS BIGINT) AS n_curr
+      FROM banded GROUP BY band
+    ),
+    tot AS (
+      SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+             CAST(sum(n_curr) AS BIGINT) AS tc
+      FROM per_band
+    ),
+    terms AS (
+      SELECT band, n_base, n_curr,
+             ((n_base + 0.5) / (tb + {PSI_BANDS} * 0.5)
+              - (n_curr + 0.5) / (tc + {PSI_BANDS} * 0.5))
+             * ln(((n_base + 0.5) / (tb + {PSI_BANDS} * 0.5))
+                  / ((n_curr + 0.5) / (tc + {PSI_BANDS} * 0.5))) AS t
+      FROM per_band, tot
+    )
+    SELECT CAST(band AS BIGINT) AS band, n_base, n_curr,
+           round(t, 6) AS psi_term,
+           round(sum(t) OVER (), 6) AS psi_total
+    FROM terms
+    """,
+)
+def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the purchase-value distribution,
+    first half of the observed date range (baseline) vs second half
+    (current) - the standard model-monitoring drift score
+    (PSI < 0.1 stable, 0.1-0.25 shifting, > 0.25 drifted), reported
+    per band plus the total.
+
+    Banding protocol: 10 equi-width bands over INTEGER cents with
+    width (max-min+1) div 10 (floor division on positive integers,
+    identical in both engines), clamped into band 9 - edges derive
+    from a 1-row min/max agg, so banding is pure integer arithmetic
+    with no percentile-interpolation hazard. Counts are smoothed
+    +0.5 per band (denominator + bands/2) so empty-on-one-side bands
+    stay finite; bands empty on BOTH sides are absent rows and
+    contribute 0 by convention. Only the irrational ln terms are
+    rounded (6dp).
+
+    Scale shape: fact scan -> ONE two-phase (band, period) count agg
+    (the 1-row min/max frame broadcasts back; AQE plans both
+    residual joins as broadcasts); the PSI expansion is projection
+    arithmetic + a 10-row window sum. 100 TB: identical - the only
+    wide op is the banded count agg with map-side partials.
+    """
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    ev = e.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("ed"),
+    )
+    rng = ev.agg(
+        F.min("ed").alias("d0"),
+        F.max("ed").alias("d1"),
+        F.min("cents").alias("c0"),
+        F.max("cents").alias("c1"),
+    )
+    # Integer floor division must NOT go through double '/': build the
+    # band with div so both engines run the same integer op.
+    banded = ev.crossJoin(F.broadcast(rng)).select(
+        F.least(
+            F.lit(PSI_BANDS - 1).cast("long"),
+            F.expr(
+                f"(cents - c0) div greatest(CAST(1 AS BIGINT),"
+                f" (c1 - c0 + 1) div {PSI_BANDS})"
+            ),
+        ).alias("band"),
+        F.when(F.expr("ed >= (d0 + d1 + 1) div 2"), 1).otherwise(0).alias("cur"),
+    )
+    per_band = banded.groupBy("band").agg(
+        (F.count("*") - F.sum("cur")).cast("bigint").alias("n_base"),
+        F.sum("cur").cast("bigint").alias("n_curr"),
+    )
+    tot = per_band.agg(
+        F.sum("n_base").cast("bigint").alias("tb"),
+        F.sum("n_curr").cast("bigint").alias("tc"),
+    )
+    half = F.lit(PSI_BANDS * 0.5)
+    j = per_band.crossJoin(F.broadcast(tot))
+    p = (F.col("n_base") + 0.5) / (F.col("tb") + half)
+    q = (F.col("n_curr") + 0.5) / (F.col("tc") + half)
+    t = (p - q) * F.log(p / q)
+    w_all = Window.partitionBy()
+    return j.select(
+        F.col("band").cast("bigint").alias("band"),
+        "n_base",
+        "n_curr",
+        F.round(t, 6).alias("psi_term"),
+        F.round(F.sum(t).over(w_all), 6).alias("psi_total"),
+    )
+
+
+@register(
+    "q_stats_spearman",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    ranked AS (
+      SELECT CAST(2 * rank() OVER (ORDER BY x)
+                  + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+             CAST(2 * rank() OVER (ORDER BY y)
+                  + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+      FROM j
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(rx) AS BIGINT) AS sx,
+             CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx * rx) AS BIGINT) AS sxx,
+             CAST(sum(ry * ry) AS BIGINT) AS syy,
+             CAST(sum(rx * ry) AS BIGINT) AS sxy
+      FROM ranked
+    ),
+    parts AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+             CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS dx,
+             CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS dy
+      FROM s
+    )
+    SELECT n,
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+                THEN round(num / sqrt(dx * dy), 6) END AS rho,
+           CASE WHEN n >= 2 AND dx > 0 AND dy > 0
+                THEN round(num / sqrt(dx * dy) * sqrt(n - 1), 6)
+           END AS z_approx
+    FROM parts
+    """,
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and the
+    ordering customer's account balance - the monotone-association
+    complement of Pearson (q_agg_stddev_corr): rank both variables
+    with tie-averaged ranks, then Pearson on the ranks, plus the
+    large-sample z = rho*sqrt(n-1).
+
+    Exactness protocol: tie-averaged rank = rank() + (ties-1)/2 is a
+    .5-multiple, so DOUBLED ranks (2*rank + ties - 1) are INTEGERS;
+    all five power sums accumulate exactly in int64 (max is
+    sum(rx*ry) <= 4n^3 ~ 1.4e16 at sf0.1, well inside int64), and
+    only the final closed-form rho - identical IEEE double ops on
+    identical integers in both engines - is rounded (6dp). Doubling
+    cancels between numerator and denominator.
+
+    Scale shape: broadcast-joinable dim join, then TWO global
+    range-partitioned sorts (one per variable) for the rank windows
+    - the same cost class as any global order-by - followed by one
+    combinable 1-row power-sum agg. 100 TB: ranks come from the same
+    two sorts (Spark range-partitions them); no pairwise work.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("y"),
+    )
+    rx = (
+        2 * F.rank().over(Window.orderBy("x"))
+        + F.count("*").over(Window.partitionBy("x")) - 1
+    ).cast("bigint")
+    ry = (
+        2 * F.rank().over(Window.orderBy("y"))
+        + F.count("*").over(Window.partitionBy("y")) - 1
+    ).cast("bigint")
+    ranked = j.select(rx.alias("rx"), ry.alias("ry"))
+    s = ranked.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    dx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    dy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    rho = num / F.sqrt(dx * dy)
+    # n>=2 + positive rank variance guard: DuckDB's sqrt RAISES on
+    # negative input (sqrt(n-1) at n=0) where Spark yields NaN, so the
+    # degenerate gate must be explicit in BOTH engines
+    # (tests/test_empty_inputs.py).
+    ok = (F.col("n") >= 2) & (dx > 0) & (dy > 0)
+    return s.select(
+        "n",
+        F.when(ok, F.round(rho, 6)).alias("rho"),
+        F.when(ok, F.round(rho * F.sqrt(F.col("n") - 1), 6)).alias("z_approx"),
+    )
+
+
+@register(
+    "q_stats_anova",
+    oracle="""
+    WITH x AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice, 0) AS BIGINT) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    per_g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS ng,
+             CAST(sum(v) AS BIGINT) AS sg,
+             CAST(sum(v * v) AS BIGINT) AS ssg
+      FROM x GROUP BY seg
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(ng) AS BIGINT) AS n,
+             CAST(sum(sg) AS BIGINT) AS s,
+             CAST(sum(ssg) AS BIGINT) AS ss,
+             sum(CAST(sg AS DOUBLE) * sg / ng) AS sb
+      FROM per_g
+    )
+    SELECT k, n,
+           CAST(k - 1 AS BIGINT) AS df_between,
+           CAST(n - k AS BIGINT) AS df_within,
+           round(((sb - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                 / ((CAST(ss AS DOUBLE) - sb) / (n - k)), 6) AS f_stat,
+           round((sb - CAST(s AS DOUBLE) * s / n)
+                 / (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 6)
+             AS eta_sq
+    FROM tot
+    """,
+)
+def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test: does mean order value differ across the
+    five customer market segments? F = (SSB/(k-1)) / (SSW/(n-k))
+    from the classical decomposition SSB = sum(S_g^2/n_g) - S^2/n,
+    SSW = SS - sum(S_g^2/n_g), plus the eta-squared effect size -
+    the k-group generalization of Welch (q_events_ab_welch) on the
+    relational side.
+
+    Exactness protocol: values are WHOLE-DOLLAR integers
+    (round(o_totalprice, 0)) so v^2 <= 2.5e11 and every per-group and
+    grand power sum accumulates EXACTLY in int64 at any tested SF
+    (3.75e16 at sf0.1) - no order-dependent double summation anywhere;
+    the only doubles are the final closed-form ratios, identical IEEE
+    ops on identical integers in both engines, rounded 6dp.
+
+    Scale shape: broadcast dim join -> ONE two-phase (segment) agg of
+    three combinable integer sums -> 5-row frame -> 1-row total agg ->
+    projection arithmetic. 100 TB: identical; the fact table is
+    touched once.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    x = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice"), 0).cast("long").alias("v"),
+    )
+    per_g = x.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("v").cast("bigint").alias("sg"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("ssg"),
+    )
+    tot = per_g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.sum("ssg").cast("bigint").alias("ss"),
+        F.sum(F.col("sg").cast("double") * F.col("sg") / F.col("ng")).alias("sb"),
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssb = F.col("sb") - sd * F.col("s") / nd
+    ssw = F.col("ss").cast("double") - F.col("sb")
+    sst = F.col("ss").cast("double") - sd * F.col("s") / nd
+    return tot.select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("n") - F.col("k")).cast("bigint").alias("df_within"),
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6)
+          .alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+@register(
+    "q_stats_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS r, isodow(ts) AS c,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY event_type, isodow(ts)
+    ),
+    rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS ro FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS co FROM cells GROUP BY c),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT sum((CAST(o AS DOUBLE) / n)
+                 * ln(CAST(o AS DOUBLE) * n
+                      / (CAST(ro AS DOUBLE) * co))) AS mi
+      FROM cells JOIN rt USING (r) JOIN ct USING (c), tot
+    ),
+    hr AS (
+      SELECT -sum((CAST(ro AS DOUBLE) / n)
+                  * ln(CAST(ro AS DOUBLE) / n)) AS h_row
+      FROM rt, tot
+    ),
+    hc AS (
+      SELECT -sum((CAST(co AS DOUBLE) / n)
+                  * ln(CAST(co AS DOUBLE) / n)) AS h_col
+      FROM ct, tot
+    )
+    SELECT n, round(mi, 6) AS mi,
+           round(h_row, 6) AS h_row, round(h_col, 6) AS h_col,
+           round(mi / sqrt(h_row * h_col), 6) AS nmi
+    FROM mi, hr, hc, tot
+    """,
+)
+def q_stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event type and ISO
+    day-of-week, with marginal entropies and the sqrt-normalized NMI
+    - the information-theoretic companion of q_stats_chi2 on the
+    SAME contingency table (chi2 asks "is there dependence", MI asks
+    "how many bits does dow carry about type").
+
+    Zero cells are absent rows and contribute exactly 0 (the
+    p*ln(p) -> 0 limit), so no smoothing is needed; all counts are
+    int64 and the <= 35 + 5 + 7 ln terms are identical IEEE doubles
+    in both engines, rounded 6dp. dow uses the weekday()+1 = isodow
+    identity pinned by q_events_hour_heatmap.
+
+    Scale shape: fact scan -> ONE two-phase (type, dow) count agg;
+    marginals re-aggregate the 35-row cell frame (broadcast joins by
+    size); every entropy term is projection arithmetic on bounded
+    frames. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    cells = e.select(
+        F.col("event_type").alias("r"),
+        (F.weekday("ts") + 1).alias("c"),
+    ).groupBy("r", "c").agg(F.count("*").cast("bigint").alias("o"))
+    rt = cells.groupBy("r").agg(F.sum("o").cast("bigint").alias("ro"))
+    ct = cells.groupBy("c").agg(F.sum("o").cast("bigint").alias("co"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    od = F.col("o").cast("double")
+    mi = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (od / F.col("n"))
+                * F.log(od * F.col("n") / (F.col("ro").cast("double") * F.col("co")))
+            ).alias("mi")
+        )
+    )
+    hr = rt.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("ro").cast("double") / F.col("n"))
+            * F.log(F.col("ro").cast("double") / F.col("n"))
+        )).alias("h_row")
+    )
+    hc = ct.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("co").cast("double") / F.col("n"))
+            * F.log(F.col("co").cast("double") / F.col("n"))
+        )).alias("h_col")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hr))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            F.round(F.col("mi"), 6).alias("mi"),
+            F.round(F.col("h_row"), 6).alias("h_row"),
+            F.round(F.col("h_col"), 6).alias("h_col"),
+            F.round(F.col("mi") / F.sqrt(F.col("h_row") * F.col("h_col")), 6)
+              .alias("nmi"),
+        )
+    )

@@ -344,3 +344,78 @@ def test_cuped_reduces_variance_and_matches(spark, events_pdf):
         assert row.mean_raw == pytest.approx(y[m].mean(), abs=2e-4)
         assert row.mean_cuped == pytest.approx(y_adj[m].mean(), abs=2e-4)
         assert row.var_cuped <= row.var_raw  # the whole point of CUPED
+
+
+def test_psi_matches_bruteforce(spark, events_pdf):
+    p = events_pdf[events_pdf.event_type == "purchase"].copy()
+    cents = (p["value"] * 100).round().astype("int64").to_numpy()
+    ed = (p["ts"].dt.floor("D") - pd.Timestamp("1970-01-01")).dt.days.to_numpy()
+    mid = (ed.min() + ed.max() + 1) // 2
+    w = max(1, (cents.max() - cents.min() + 1) // 10)
+    band = np.minimum(9, (cents - cents.min()) // w)
+    cur = ed >= mid
+    psi_ref = 0.0
+    tb, tc = int((~cur).sum()), int(cur.sum())
+    for b in np.unique(band):
+        nb = int(((band == b) & ~cur).sum())
+        nc = int(((band == b) & cur).sum())
+        pb = (nb + 0.5) / (tb + 5.0)
+        qb = (nc + 0.5) / (tc + 5.0)
+        psi_ref += (pb - qb) * np.log(pb / qb)
+    rows = registry.QUERIES["q_stats_psi"](spark, SF_DIR).collect()
+    assert sum(r.n_base for r in rows) == tb
+    assert sum(r.n_curr for r in rows) == tc
+    assert rows[0].psi_total == pytest.approx(psi_ref, abs=1e-5)
+
+
+def test_spearman_matches_pandas_rank(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    x = (j["o_totalprice"] * 100).round().astype("int64")
+    y = (j["c_acctbal"] * 100).round().astype("int64")
+    # Different algebra: pandas tie-average ranks + np.corrcoef.
+    rho_ref = np.corrcoef(x.rank(method="average"), y.rank(method="average"))[0, 1]
+    row = registry.QUERIES["q_stats_spearman"](spark, SF_DIR).collect()[0]
+    assert row.n == len(j)
+    assert row.rho == pytest.approx(rho_ref, abs=1e-6)
+    assert row.z_approx == pytest.approx(rho_ref * np.sqrt(len(j) - 1), abs=1e-4)
+
+
+def test_anova_matches_centered_sums(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["v"] = j["o_totalprice"].round(0).astype("int64")
+    # Different algebra: centered sums of squares, not the power-sum
+    # identity the operator and oracle share.
+    groups = [g["v"].to_numpy() for _, g in j.groupby("c_mktsegment")]
+    grand = j["v"].mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(j)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    row = registry.QUERIES["q_stats_anova"](spark, SF_DIR).collect()[0]
+    assert (row.k, row.n) == (k, n)
+    assert (row.df_between, row.df_within) == (k - 1, n - k)
+    assert row.f_stat == pytest.approx(f_ref, abs=1e-4)
+    assert row.eta_sq == pytest.approx(ssb / (ssb + ssw), abs=1e-6)
+
+
+def test_mutual_info_matches_crosstab(spark, events_pdf):
+    dow = events_pdf["ts"].dt.weekday + 1
+    ct = pd.crosstab(events_pdf["event_type"], dow).to_numpy().astype(float)
+    n = ct.sum()
+    pr, pc = ct.sum(axis=1) / n, ct.sum(axis=0) / n
+    pij = ct / n
+    outer = np.outer(pr, pc)
+    mask = pij > 0
+    mi_ref = (pij[mask] * np.log(pij[mask] / outer[mask])).sum()
+    h_row = -(pr * np.log(pr)).sum()
+    h_col = -(pc * np.log(pc)).sum()
+    row = registry.QUERIES["q_stats_mutual_info"](spark, SF_DIR).collect()[0]
+    assert row.n == int(n)
+    assert row.mi == pytest.approx(mi_ref, abs=1e-6)
+    assert row.h_row == pytest.approx(h_row, abs=1e-6)
+    assert row.h_col == pytest.approx(h_col, abs=1e-6)
+    assert row.nmi == pytest.approx(mi_ref / np.sqrt(h_row * h_col), abs=1e-6)
