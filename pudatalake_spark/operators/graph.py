@@ -596,3 +596,110 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m").alias("n_edges"),
         F.round(num / F.nullif(den, F.lit(0.0)), 6).alias("assortativity"),
     )
+
+
+BFS_SEED_CUSTOMER = 1  # BFS root: customer 1 in the purchase graph
+BFS_MAX_DEPTH = 8      # identical depth cap in both engines
+
+
+@register(
+    "q_graph_bfs_levels",
+    oracle=f"""
+    WITH RECURSIVE e0 AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+      SELECT ck + 1 AS a, -(sk + 1) AS b FROM e0
+      UNION
+      SELECT -(sk + 1) AS a, ck + 1 AS b FROM e0
+    ),
+    bfs(node, level) AS (
+      SELECT CAST({BFS_SEED_CUSTOMER} + 1 AS BIGINT), 0
+      UNION
+      SELECT e.b, bfs.level + 1
+      FROM bfs JOIN edges e ON e.a = bfs.node
+      WHERE bfs.level < {BFS_MAX_DEPTH}
+    ),
+    lv AS (SELECT node, min(level) AS level FROM bfs GROUP BY node)
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(count(*) FILTER (WHERE node > 0) AS BIGINT) AS n_customers,
+           CAST(count(*) FILTER (WHERE node < 0) AS BIGINT) AS n_suppliers
+    FROM lv GROUP BY level
+    """,
+)
+def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-path levels from one seed customer over the
+    bipartite customer<->supplier purchase graph, reported as
+    per-level frontier sizes (levels alternate sides: odd levels are
+    suppliers, even levels customers) - the hop-distance kernel
+    missing between q_graph_reach_2hop's FIXED 3-hop chain and
+    q_dedup_groups' components: an UNBOUNDED frontier expansion that
+    stops when the frontier drains, capped at 8 supersteps (the
+    identical depth bound the oracle's recursive CTE carries).
+    Customer and supplier keyspaces overlap AND both contain key 0
+    (where -0 = 0 would collide), so nodes are SIGNED OFFSET ids:
+    +(custkey+1) / -(suppkey+1), pure integer arithmetic.
+
+    Oracle note: the one key whose DuckDB twin is a genuine
+    WITH RECURSIVE - recursive-UNION dedup against all prior
+    (node, level) rows terminates on the level-capped finite state
+    space, and min(level) per node equals first-reach level exactly
+    like the superstep loop's anti-join.
+
+    Scale shape: edge derivation is one distinct projection over the
+    fact join, localCheckpointed once (the pagerank discipline);
+    each superstep is frontier><edges + anti-join vs visited - one
+    shuffle on node id, state = (node, level) only - with a bounded
+    frontier-empty count exit (<= depth checks, the q_dedup_groups
+    precedent). 100 TB: supersteps never touch the fact table again;
+    per-level counts are a <= depth-row agg of the visited set.
+    """
+    t = load(spark, sf_dir)
+    e0 = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_suppkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            (F.col("o_custkey").cast("bigint") + 1).alias("ck"),
+            (-(F.col("l_suppkey").cast("bigint") + 1)).alias("sk"),
+        )
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("ck").alias("a"), F.col("sk").alias("b"))
+        .unionAll(e0.select(F.col("sk").alias("a"), F.col("ck").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    seed = spark.range(1).select(
+        (F.lit(BFS_SEED_CUSTOMER).cast("bigint") + 1).alias("node"),
+        F.lit(0).cast("bigint").alias("level"),
+    )
+    visited = seed
+    frontier = seed.select("node")
+    for lvl in range(1, BFS_MAX_DEPTH + 1):
+        nxt = (
+            edges.join(frontier, edges["a"] == frontier["node"])
+            .select(F.col("b").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(lvl).cast("bigint").alias("level"))
+        )
+        # Bounded driver action (<= BFS_MAX_DEPTH checks) - the
+        # documented CC-loop exception to the no-collect rule.
+        if nxt.count() == 0:
+            break
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt.select("node")
+    return visited.groupBy("level").agg(
+        F.sum(F.when(F.col("node") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.sum(F.when(F.col("node") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+    )

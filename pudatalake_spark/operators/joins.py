@@ -938,3 +938,110 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload=[],
         tolerance=F.expr("INTERVAL 1 HOURS"),
     ).withColumnRenamed("ts_matched", "last_view_ts")
+
+
+GEO_EARTH_R_KM = 6371.0
+
+
+@register(
+    "q_join_geo_nearest",
+    oracle=f"""
+    WITH sites AS (
+      SELECT n_nationkey AS site_id, n_name,
+             CAST((n_nationkey * 7) % 140 - 70 AS DOUBLE) + 0.5 AS slat,
+             CAST((n_nationkey * 37) % 360 - 180 AS DOUBLE) + 0.5 AS slon
+      FROM nation
+    ),
+    cust AS (
+      SELECT c_custkey,
+             CAST((c_custkey * 31 + 17) % 160 - 80 AS DOUBLE) + 0.25 AS clat,
+             CAST((c_custkey * 61 + 29) % 360 - 180 AS DOUBLE) + 0.25 AS clon
+      FROM customer
+    ),
+    dists AS (
+      SELECT c_custkey, site_id, n_name,
+             round(2 * {GEO_EARTH_R_KM} * asin(sqrt(
+               sin(radians(slat - clat) / 2) * sin(radians(slat - clat) / 2)
+               + cos(radians(clat)) * cos(radians(slat))
+                 * sin(radians(slon - clon) / 2)
+                 * sin(radians(slon - clon) / 2))), 6) AS dist_km
+      FROM cust CROSS JOIN sites
+    ),
+    nearest AS (
+      SELECT c_custkey, site_id, n_name, dist_km,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY dist_km, site_id) AS rn
+      FROM dists
+    )
+    SELECT CAST(site_id AS BIGINT) AS site_id, n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(avg(dist_km), 4) AS avg_dist_km
+    FROM nearest WHERE rn = 1
+    GROUP BY site_id, n_name
+    """,
+)
+def q_join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo nearest-site assignment: every customer is assigned to the
+    closest of 25 warehouse sites by exact haversine distance, then
+    rolled up to site demand (count + mean distance) - the
+    facility-assignment / catchment-area query. Coordinates are
+    DERIVED deterministically from the keys (integer-modular spread
+    onto the globe) since the schema carries none; a real deployment
+    swaps in the stored lat/lon columns, the plan is unchanged.
+
+    Determinism protocol: the argmin orders by the 6dp-ROUNDED
+    distance with site_id as tie-break, so a last-ulp libm
+    difference between engines cannot flip the assignment (it would
+    need a true .5 boundary on the 6th decimal of an irrational -
+    measure zero); site coordinates are pairwise distinct by
+    construction (gcd(37,360) spread).
+
+    Scale shape: the site table is a broadcast CROSS join (25 rows -
+    bounded candidate set per customer), argmin is a WindowGroupLimit
+    rank over 25 rows per key, then one two-phase site rollup. At
+    100 TB with a LARGE site table, the cross join becomes a geohash
+    prefix-bucket equi-join (each point probes its cell + 8
+    neighbors) - same downstream argmin/rollup.
+    """
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    # the +0.5 lands OUTSIDE the integer-modular cast, exactly as the
+    # oracle writes it
+    sites = n.select(
+        F.col("n_nationkey").alias("site_id"),
+        "n_name",
+        (((F.col("n_nationkey") * 7) % 140 - 70).cast("double") + 0.5)
+          .alias("slat"),
+        (((F.col("n_nationkey") * 37) % 360 - 180).cast("double") + 0.5)
+          .alias("slon"),
+    )
+    cust = c.select(
+        "c_custkey",
+        (((F.col("c_custkey") * 31 + 17) % 160 - 80).cast("double") + 0.25)
+          .alias("clat"),
+        (((F.col("c_custkey") * 61 + 29) % 360 - 180).cast("double") + 0.25)
+          .alias("clon"),
+    )
+    dlat = F.radians(F.col("slat") - F.col("clat")) / 2
+    dlon = F.radians(F.col("slon") - F.col("clon")) / 2
+    hav = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians("clat")) * F.cos(F.radians("slat"))
+        * F.sin(dlon) * F.sin(dlon)
+    )
+    dists = cust.crossJoin(F.broadcast(sites)).select(
+        "c_custkey",
+        "site_id",
+        "n_name",
+        F.round(2 * GEO_EARTH_R_KM * F.asin(F.sqrt(hav)), 6).alias("dist_km"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("dist_km", "site_id")
+    nearest = dists.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return nearest.groupBy(
+        F.col("site_id").cast("bigint").alias("site_id"), "n_name"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.avg("dist_km"), 4).alias("avg_dist_km"),
+    )

@@ -27,7 +27,7 @@ import glob
 import math
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..loaders import load, table
@@ -735,4 +735,108 @@ def q_lake_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hit").isNotNull().alias("actually_contains"),
         )
         .orderBy("event_type", "probe_user")
+    )
+
+
+ZM_ROWS_PER_FILE = 1000      # synthetic file size for the zone maps
+ZM_LO_CENTS = 20_000_000     # predicate: $200,000.00 ..
+ZM_HI_CENTS = 21_000_000     # .. $210,000.00
+
+
+@register(
+    "q_lake_zonemap_prune",
+    oracle=f"""
+    WITH x AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             o_orderdate, o_orderkey
+      FROM orders
+    ),
+    files AS (
+      SELECT 'date_clustered' AS layout,
+             (row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)
+               // {ZM_ROWS_PER_FILE} AS file_id,
+             cents
+      FROM x
+      UNION ALL
+      SELECT 'value_sorted' AS layout,
+             (row_number() OVER (ORDER BY cents, o_orderkey) - 1)
+               // {ZM_ROWS_PER_FILE} AS file_id,
+             cents
+      FROM x
+    ),
+    zones AS (
+      SELECT layout, file_id,
+             min(cents) AS zmin, max(cents) AS zmax,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM files GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN zmax < {ZM_LO_CENTS}
+                         OR zmin > {ZM_HI_CENTS} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_files_skipped,
+           CAST(sum(CASE WHEN zmax < {ZM_LO_CENTS}
+                         OR zmin > {ZM_HI_CENTS} THEN 0 ELSE n_rows END)
+                AS BIGINT) AS rows_scanned
+    FROM zones GROUP BY layout
+    """,
+)
+def q_lake_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (per-file min/max) skipping simulator: lay orders out
+    into {ZM_ROWS_PER_FILE}-row files under two clusterings -
+    date-clustered (the natural ingest order) and value-sorted - and
+    report how many files a BETWEEN predicate on order value could
+    skip under each, plus the rows actually scanned. The measured
+    counterpart of sink_zorder_cluster: it QUANTIFIES why layout
+    choice matters before paying for a rewrite (the same min/max
+    stats parquet footers carry and Spark's scan pruning consumes).
+
+    Exactness: file assignment is row_number over a TOTAL order
+    (tie-broken by o_orderkey) then integer floor-division, so zones
+    are identical in both engines; skip decisions are pure integer
+    comparisons.
+
+    Scale shape: two range-partitioned sorts (the file-id windows) ->
+    one (layout, file) min/max/count agg -> a 2-row rollup. At 100 TB
+    the sort disappears entirely: zone stats come FREE from parquet
+    footers (one metadata read per file), and this operator's agg
+    runs over the stats table - the plan here exercises the same
+    decision arithmetic end-to-end.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderdate",
+        "o_orderkey",
+    )
+    fid_date = F.expr(
+        f"(row_number() OVER (ORDER BY o_orderdate, o_orderkey) - 1)"
+        f" div {ZM_ROWS_PER_FILE}"
+    )
+    fid_val = F.expr(
+        f"(row_number() OVER (ORDER BY cents, o_orderkey) - 1)"
+        f" div {ZM_ROWS_PER_FILE}"
+    )
+    files = o.select(
+        F.lit("date_clustered").alias("layout"),
+        fid_date.alias("file_id"),
+        "cents",
+    ).unionAll(
+        o.select(
+            F.lit("value_sorted").alias("layout"),
+            fid_val.alias("file_id"),
+            "cents",
+        )
+    )
+    zones = files.groupBy("layout", "file_id").agg(
+        F.min("cents").alias("zmin"),
+        F.max("cents").alias("zmax"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    skipped = (F.col("zmax") < ZM_LO_CENTS) | (F.col("zmin") > ZM_HI_CENTS)
+    return zones.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum(F.when(skipped, 1).otherwise(0)).cast("bigint")
+          .alias("n_files_skipped"),
+        F.sum(F.when(skipped, 0).otherwise(F.col("n_rows"))).cast("bigint")
+          .alias("rows_scanned"),
     )

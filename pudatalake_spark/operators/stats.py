@@ -1580,3 +1580,139 @@ def q_stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
               .alias("nmi"),
         )
     )
+
+
+BOOT_R = 32                   # bootstrap replicates
+BOOT_K1 = 2654435761          # Knuth multiplicative hash
+BOOT_K2 = 40503               # replicate stride
+BOOT_P = 1_000_000_007
+# Poisson(1) inverse-CDF thresholds (cumulative), truncated at w=6.
+_POIS_CDF = (
+    "0.36787944117144233", "0.7357588823428847", "0.919698602928606",
+    "0.9810118431238462", "0.9963401531726563", "0.9994058151824183",
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    """CASE chain mapping uniform u in [0,1) to a Poisson(1) draw."""
+    arms = " ".join(
+        f"WHEN {u} < {c} THEN {w}" for w, c in enumerate(_POIS_CDF)
+    )
+    return f"CASE {arms} ELSE 6 END"
+
+
+@register(
+    "q_stats_bootstrap_ci",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    repl AS (
+      SELECT r.r, user_id, c,
+             {_pois_case_sql(
+                 f"CAST(((user_id * {BOOT_K1} + 7) % {BOOT_P})"
+                 f" * (r.r * {BOOT_K2} + 10007) % {BOOT_P}"
+                 f" AS DOUBLE) / {BOOT_P}")} AS w
+      FROM per_user CROSS JOIN (SELECT unnest(range({BOOT_R})) AS r) r
+    ),
+    means AS (
+      SELECT r, CAST(sum(w) AS BIGINT) AS sw,
+             CAST(sum(w * c) AS BIGINT) AS swx
+      FROM repl GROUP BY r
+    ),
+    ranked AS (
+      SELECT CASE WHEN sw > 0
+                  THEN CAST(swx AS DOUBLE) / (100.0 * sw) END AS m,
+             row_number() OVER (ORDER BY CASE WHEN sw > 0
+                  THEN CAST(swx AS DOUBLE) / (100.0 * sw) END, r) AS rn
+      FROM means
+    ),
+    pt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             sum(c) AS sc
+      FROM per_user
+    )
+    SELECT n_users, CAST({BOOT_R} AS BIGINT) AS r_replicates,
+           CASE WHEN n_users > 0
+                THEN CAST(sc AS DOUBLE) / (100.0 * n_users) END AS point_mean,
+           (SELECT min(CASE WHEN rn = 2 THEN m END) FROM ranked) AS ci_lo,
+           (SELECT min(CASE WHEN rn = {BOOT_R - 1} THEN m END) FROM ranked)
+             AS ci_hi
+    FROM pt
+    """,
+)
+def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for mean per-user
+    purchase spend: each of 32 replicates reweights every user by an
+    independent Poisson(1) draw and the CI is rank-based over the
+    replicate means (2nd-smallest / 2nd-largest ~ a 94% interval at
+    R=32) - THE scale-form of the bootstrap (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012):
+    no resampling shuffle, no data duplication, just a weight column
+    per replicate.
+
+    Determinism protocol: draws come from the integer scramble
+    ((user*K1+7) mod P) * (r*K2+10007) mod P - P prime makes each
+    replicate's multiplier a BIJECTION of the user hash (an additive
+    r-term was probed first and rejected: it shifts every uniform by
+    the same 4e-5, collapsing all replicate means) - mapped through
+    the Poisson(1) inverse CDF as a CASE chain of literal
+    thresholds, identical exact-int64 arithmetic in both engines
+    (max product 1e9 * 1.3e6). Weights are small ints, so every replicate's
+    weighted sum is EXACT int64 and each replicate mean is one IEEE
+    division of identical integers; point estimate and CI bounds are
+    exact rationals, reported UNROUNDED (functions/exact.py rule).
+
+    Scale shape: ONE per-user agg -> broadcast x{BOOT_R} replicate
+    expansion (map-side, no shuffle) -> 32-row two-phase agg -> rank
+    pick. 100 TB: identical; the expansion multiplies rows 32x but
+    only (user_id, cents) width, and the agg combines map-side.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per_user = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(cents).cast("bigint").alias("c"))
+    )
+    reps = spark.range(BOOT_R).select(F.col("id").alias("r"))
+    u = (
+        ((F.col("user_id") * BOOT_K1 + 7) % BOOT_P)
+        * (F.col("r") * BOOT_K2 + 10007) % BOOT_P
+    ).cast("double") / F.lit(float(BOOT_P))
+    w = F.lit(6)
+    for wt, cdf in reversed(list(enumerate(_POIS_CDF))):
+        w = F.when(u < float(cdf), wt).otherwise(w)
+    repl = per_user.crossJoin(F.broadcast(reps)).select(
+        "r", w.alias("w"), F.col("c")
+    )
+    means = repl.groupBy("r").agg(
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("w") * F.col("c")).cast("bigint").alias("swx"),
+    )
+    m = F.when(
+        F.col("sw") > 0, F.col("swx").cast("double") / (100.0 * F.col("sw"))
+    )
+    ranked = means.select(
+        m.alias("m"), F.row_number().over(Window.orderBy(m, "r")).alias("rn")
+    )
+    pick = ranked.agg(
+        F.min(F.when(F.col("rn") == 2, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rn") == BOOT_R - 1, F.col("m"))).alias("ci_hi"),
+    )
+    pt = per_user.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("c").alias("sc"),
+    )
+    return pt.crossJoin(F.broadcast(pick)).select(
+        "n_users",
+        F.lit(BOOT_R).cast("bigint").alias("r_replicates"),
+        F.when(
+            F.col("n_users") > 0,
+            F.col("sc").cast("double") / (100.0 * F.col("n_users")),
+        ).alias("point_mean"),
+        "ci_lo",
+        "ci_hi",
+    )

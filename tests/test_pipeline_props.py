@@ -8,6 +8,10 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
+import pytest
+
 from pyspark.sql import functions as F
 
 from pudatalake_spark import registry
@@ -506,3 +510,75 @@ def test_kmeans_lloyd_matches_numpy(spark):
         assert abs(got[c][1] - expect[c][1]) < 1e-2 * max(
             1.0, expect[c][1]
         ), (c, got[c], expect[c])
+
+
+def test_bfs_levels_matches_python_bfs(spark):
+    """q_graph_bfs_levels vs a dict-based BFS over the same edges."""
+    import collections
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    adj = collections.defaultdict(set)
+    for ck, sk in j[["o_custkey", "l_suppkey"]].drop_duplicates().itertuples(False):
+        adj[int(ck) + 1].add(-(int(sk) + 1))
+        adj[-(int(sk) + 1)].add(int(ck) + 1)
+    level = {2: 0}  # seed customer 1 -> node +2 under the offset ids
+    frontier = [2]
+    for lvl in range(1, 9):
+        nxt = {b for a in frontier for b in adj[a] if b not in level}
+        if not nxt:
+            break
+        for b in nxt:
+            level[b] = lvl
+        frontier = list(nxt)
+    ref = collections.Counter()
+    for node, lvl in level.items():
+        ref[(lvl, node > 0)] += 1
+    rows = registry.QUERIES["q_graph_bfs_levels"](spark, SF_DIR).collect()
+    got = {(r.level, True): r.n_customers for r in rows}
+    got.update({(r.level, False): r.n_suppliers for r in rows})
+    got = {k: v for k, v in got.items() if v}
+    assert got == {k: v for k, v in ref.items() if v}
+
+
+def test_zonemap_prune_matches_pandas(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    o["cents"] = (o["o_totalprice"] * 100).round().astype("int64")
+    ref = {}
+    for layout, keys in [
+        ("date_clustered", ["o_orderdate", "o_orderkey"]),
+        ("value_sorted", ["cents", "o_orderkey"]),
+    ]:
+        s = o.sort_values(keys, kind="mergesort").reset_index(drop=True)
+        s["fid"] = s.index // 1000
+        z = s.groupby("fid")["cents"].agg(["min", "max", "count"])
+        skip = (z["max"] < 20_000_000) | (z["min"] > 21_000_000)
+        ref[layout] = (len(z), int(skip.sum()), int(z.loc[~skip, "count"].sum()))
+    rows = registry.QUERIES["q_lake_zonemap_prune"](spark, SF_DIR).collect()
+    got = {r.layout: (r.n_files, r.n_files_skipped, r.rows_scanned) for r in rows}
+    assert got == ref
+
+
+def test_geo_nearest_matches_numpy_haversine(spark):
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    ck = c["c_custkey"].to_numpy().astype("int64")
+    clat = ((ck * 31 + 17) % 160 - 80).astype("float64") + 0.25
+    clon = ((ck * 61 + 29) % 360 - 180).astype("float64") + 0.25
+    nk = np.arange(25)
+    slat = ((nk * 7) % 140 - 70).astype("float64") + 0.5
+    slon = ((nk * 37) % 360 - 180).astype("float64") + 0.5
+    p1, p2 = np.radians(clat)[:, None], np.radians(slat)[None, :]
+    dphi = np.radians(slat[None, :] - clat[:, None]) / 2
+    dlam = np.radians(slon[None, :] - clon[:, None]) / 2
+    hav = np.sin(dphi) ** 2 + np.cos(p1) * np.cos(p2) * np.sin(dlam) ** 2
+    d = np.round(2 * 6371.0 * np.arcsin(np.sqrt(hav)), 6)
+    nearest = d.argmin(axis=1)  # ties impossible by construction
+    rows = registry.QUERIES["q_join_geo_nearest"](spark, SF_DIR).collect()
+    got_counts = {r.site_id: r.n_customers for r in rows}
+    ref_counts = dict(zip(*np.unique(nearest, return_counts=True)))
+    assert got_counts == {int(k): int(v) for k, v in ref_counts.items()}
+    for r in rows:
+        m = nearest == r.site_id
+        assert r.avg_dist_km == pytest.approx(
+            round(d[m, r.site_id].mean(), 4), abs=2e-4
+        )

@@ -419,3 +419,31 @@ def test_mutual_info_matches_crosstab(spark, events_pdf):
     assert row.h_row == pytest.approx(h_row, abs=1e-6)
     assert row.h_col == pytest.approx(h_col, abs=1e-6)
     assert row.nmi == pytest.approx(mi_ref / np.sqrt(h_row * h_col), abs=1e-6)
+
+
+def test_bootstrap_ci_matches_numpy_replicates(spark, events_pdf):
+    K1, K2, P = 2654435761, 40503, 1_000_000_007
+    CDF = [0.36787944117144233, 0.7357588823428847, 0.919698602928606,
+           0.9810118431238462, 0.9963401531726563, 0.9994058151824183]
+    p = events_pdf[events_pdf.event_type == "purchase"].copy()
+    p["c"] = (p["value"] * 100).round().astype("int64")
+    u = p.groupby("user_id")["c"].sum()
+    uid = u.index.to_numpy().astype("int64")
+    c = u.to_numpy()
+    means = []
+    for r in range(32):
+        h = ((uid * K1 + 7) % P) * (r * K2 + 10007) % P
+        unif = h.astype("float64") / P
+        w = np.searchsorted(CDF, unif, side="right")  # Poisson(1) inverse CDF
+        w = np.minimum(w, 6)
+        means.append((w * c).sum() / (100.0 * w.sum()))
+    means.sort()
+    row = registry.QUERIES["q_stats_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    assert row.n_users == len(uid)
+    assert row.point_mean == pytest.approx(c.sum() / (100.0 * len(uid)), rel=1e-12)
+    assert row.ci_lo == pytest.approx(means[1], rel=1e-12)
+    assert row.ci_hi == pytest.approx(means[30], rel=1e-12)
+    assert row.ci_lo < row.point_mean < row.ci_hi
+    # the replicate means must actually SPREAD (the additive-hash bug
+    # collapsed them to one value)
+    assert means[30] - means[1] > 0
