@@ -3614,3 +3614,93 @@ def q_events_ratio_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n >= 2) & (F.col("sc") > 0), F.round(se, 6)
         ).alias("se_delta"),
     )
+
+
+@register(
+    "q_time_ohlc",
+    oracle="""
+    WITH x AS (
+      SELECT date_trunc('day', ts) AS day, ts, event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    rn AS (
+      SELECT day, cents,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY ts, event_id) AS ra,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM x
+    )
+    SELECT day,
+           CAST(count(*) AS BIGINT) AS n_trades,
+           CAST(max(CASE WHEN ra = 1 THEN cents END) AS DOUBLE) / 100.0
+               AS open,
+           CAST(max(cents) AS DOUBLE) / 100.0 AS high,
+           CAST(min(cents) AS DOUBLE) / 100.0 AS low,
+           CAST(max(CASE WHEN rd = 1 THEN cents END) AS DOUBLE) / 100.0
+               AS close,
+           CAST(sum(cents) AS DOUBLE) / 100.0 AS turnover
+    FROM rn GROUP BY day ORDER BY day
+    """,
+)
+def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC candlestick bars over purchase values: open (first
+    value of the day), high, low, close (last value), trade count,
+    and turnover - the canonical time-series downsampling that
+    every tick-to-bar pipeline runs before charting or signal work
+    (and the order-statistics complement of q_stream_tumbling's
+    sum-only windows).
+
+    Determinism protocol: values are exact int64 cents; first/last
+    are row_number picks over the TOTAL order (ts, event_id) -
+    event_id is unique, so both engines select the same row without
+    any min_by/arg_min tie ambiguity - and every output is an exact
+    integer divided once by 100.0 (exact-rounded IEEE), reported
+    UNROUNDED per functions/exact.py.
+
+    Scale shape: one shuffle on day for the two mirrored
+    row_number windows (same partitioning, ONE Exchange - the
+    second window reuses the sort within the day partition), then a
+    map-side-combining groupBy on the already-partitioned day key.
+    100 TB: day-grain bars parallelize across days; finer bars
+    (minute) widen the key to (day, minute) with the same shape;
+    the window-free alternative (min_by/max_by over a derived
+    ts*K+id key) trades the sort for overflow bookkeeping and is
+    rejected in-code.
+    """
+    e = table(spark, sf_dir, "events")
+    x = e.filter(F.col("event_type") == "purchase").select(
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    wa = Window.partitionBy("day").orderBy("ts", "event_id")
+    wd = Window.partitionBy("day").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = x.select(
+        "day",
+        "cents",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        rn.groupBy("day")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trades"),
+            (
+                F.max(F.when(F.col("ra") == 1, F.col("cents"))).cast("double")
+                / 100.0
+            ).alias("open"),
+            (F.max("cents").cast("double") / 100.0).alias("high"),
+            (F.min("cents").cast("double") / 100.0).alias("low"),
+            (
+                F.max(F.when(F.col("rd") == 1, F.col("cents"))).cast("double")
+                / 100.0
+            ).alias("close"),
+            (F.sum("cents").cast("double") / 100.0).alias("turnover"),
+        )
+        .orderBy("day")
+    )

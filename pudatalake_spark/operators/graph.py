@@ -703,3 +703,87 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_suppliers"),
     )
+
+
+HITS_TOPK = 10  # authorities reported
+
+
+@register(
+    "q_graph_hits",
+    oracle=f"""
+    WITH e0 AS (
+      SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    auth1 AS (
+      SELECT sk, CAST(count(*) AS BIGINT) AS a1 FROM e0 GROUP BY sk
+    ),
+    hub1 AS (
+      SELECT ck, CAST(sum(a1) AS BIGINT) AS h1
+      FROM e0 JOIN auth1 USING (sk) GROUP BY ck
+    ),
+    auth2 AS (
+      SELECT sk, CAST(sum(h1) AS BIGINT) AS a2
+      FROM e0 JOIN hub1 USING (ck) GROUP BY sk
+    ),
+    tot AS (SELECT sum(a2) AS t FROM auth2)
+    SELECT CAST(sk AS BIGINT) AS s_suppkey, a2 AS auth_score,
+           CAST(a2 AS DOUBLE) / t AS auth_share
+    FROM auth2 CROSS JOIN tot
+    ORDER BY a2 DESC, sk
+    LIMIT {HITS_TOPK}
+    """,
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities on the bipartite purchase graph
+    (customers = hubs, suppliers = authorities), two exact
+    supersteps, reporting the top-10 authority suppliers - the
+    mutual-reinforcement centrality that PageRank (random surfer)
+    does not capture: a supplier is authoritative when BOUGHT BY
+    customers who buy from many authoritative suppliers.
+
+    Determinism protocol: hub_0 = 1 for every customer, so
+    auth_1 = indegree, hub_1 = sum of neighbor auth_1, and
+    auth_2 = sum of neighbor hub_1 are ALL exact int64 (no
+    per-superstep L2 normalization, which is a positive scalar and
+    cannot change the ranking within a fixed iteration count);
+    auth_share is ONE division of exact int64s, reported UNROUNDED
+    (functions/exact.py). Ties broken by supplier id.
+
+    Scale shape: edge derivation is one distinct projection of the
+    fact join, localCheckpointed once and reused by all three
+    superstep aggregations (the q_graph_pagerank discipline); each
+    superstep is edges><state + groupBy endpoint - one shuffle,
+    state = (node, int64) only; final top-k is
+    TakeOrderedAndProject. 100 TB: identical shape; unbounded
+    iteration counts switch the state to per-superstep-normalized
+    doubles to bound magnitudes (int64 exactness here is the
+    determinism protocol for the fixed-2-superstep contract, safe
+    through sf >= 1).
+    """
+    t = load(spark, sf_dir)
+    edges = _bipartite_edges(t).localCheckpoint(eager=False)
+    auth1 = edges.groupBy("sk").agg(
+        F.count("*").cast("bigint").alias("a1")
+    )
+    hub1 = (
+        edges.join(auth1, "sk")
+        .groupBy("ck")
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    auth2 = (
+        edges.join(hub1, "ck")
+        .groupBy("sk")
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    tot = auth2.agg(F.sum("a2").alias("t"))
+    return (
+        auth2.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sk").cast("bigint").alias("s_suppkey"),
+            F.col("a2").alias("auth_score"),
+            (F.col("a2").cast("double") / F.col("t")).alias("auth_share"),
+        )
+        .orderBy(F.desc("auth_score"), "s_suppkey")
+        .limit(HITS_TOPK)
+    )

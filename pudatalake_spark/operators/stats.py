@@ -1716,3 +1716,128 @@ def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ci_lo",
         "ci_hi",
     )
+
+
+@register(
+    "q_stats_kendall_tau",
+    oracle="""
+    WITH nm AS (
+      SELECT n_nationkey AS nk,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS x,
+             CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM nation
+      JOIN customer ON c_nationkey = n_nationkey
+      JOIN orders ON o_custkey = c_custkey
+      GROUP BY n_nationkey
+    ),
+    pairs AS (
+      SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      FROM nm a JOIN nm b ON a.nk < b.nk
+    ),
+    cnt AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN (xa - xb) * (ya - yb) > 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+             CAST(sum(CASE WHEN (xa - xb) * (ya - yb) < 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+             CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ties_x,
+             CAST(sum(CASE WHEN ya = yb THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ties_y
+      FROM pairs
+    )
+    SELECT n_pairs, concordant, discordant, ties_x, ties_y,
+           CASE WHEN (n_pairs - ties_x) * (n_pairs - ties_y) > 0
+                THEN (concordant - discordant)
+                     / sqrt(CAST((n_pairs - ties_x)
+                                 * (n_pairs - ties_y) AS DOUBLE))
+           END AS tau_b
+    FROM cnt
+    """,
+)
+def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b rank correlation between nation-level total
+    order revenue and nation-level total customer balance - the
+    concordance-based association measure that complements
+    q_stats_spearman (rank-Pearson) exactly as Kendall complements
+    Spearman in practice: tau counts pairwise order inversions, so
+    it is robust to any monotone transform and has a direct
+    probabilistic reading (P(concordant) - P(discordant)).
+
+    Determinism protocol: both metrics aggregate to EXACT int64
+    cents per nation, every pair comparison is integer sign
+    arithmetic, and the four pair counts are exact ints; tau_b is
+    one sqrt of an exact int product (IEEE sqrt is correctly
+    rounded, hence engine-identical) and one division, reported
+    UNROUNDED per functions/exact.py.
+
+    Scale shape: the fact tables collapse to a |nation|-row frame in
+    ONE two-phase agg (the only fact-table pass); the O(n^2) pair
+    expansion runs on that BOUNDED 25-row frame (300 pairs,
+    broadcast self-join). Exact Kendall on UNBOUNDED n is
+    quadratic-by-definition; at 100 TB either the frame stays
+    dimension-bounded (as here) or the scale path is
+    q_stats_spearman / Knight's O(n log n) merge-count, named here
+    as the declared trade.
+    """
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    rev = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    bal = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    nm = (
+        n.select("n_nationkey")
+        .join(
+            c.select("c_custkey", "c_nationkey", "c_acctbal"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            o.select("o_custkey", "o_totalprice"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("n_nationkey").alias("nk"))
+        .agg(
+            F.sum(rev).cast("bigint").alias("x"),
+            F.sum(bal).cast("bigint").alias("y"),
+        )
+    )
+    a = nm.alias("a")
+    b = nm.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.nk") < F.col("b.nk")
+    ).select(
+        (F.col("a.x") - F.col("b.x")).alias("dx"),
+        (F.col("a.y") - F.col("b.y")).alias("dy"),
+    )
+    cnt = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("concordant"),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_x"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("ties_y"),
+    )
+    den = (F.col("n_pairs") - F.col("ties_x")) * (
+        F.col("n_pairs") - F.col("ties_y")
+    )
+    return cnt.select(
+        "n_pairs",
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.when(
+            den > 0,
+            (F.col("concordant") - F.col("discordant"))
+            / F.sqrt(den.cast("double")),
+        ).alias("tau_b"),
+    )

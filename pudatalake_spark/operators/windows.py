@@ -592,3 +592,102 @@ def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n", (num / den).alias("roll_corr"))
         .orderBy("day")
     )
+
+
+BOLL_W = 14  # trading-style band window (13 preceding + current)
+
+
+@register(
+    "q_win_bollinger",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS yi
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY date_trunc('day', ts)
+    ),
+    win AS (
+      SELECT day, yi,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(yi) OVER w AS BIGINT) AS s1,
+             CAST(sum(yi * yi) OVER w AS BIGINT) AS s2
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {BOLL_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT day, n AS n_win,
+           CAST(yi AS DOUBLE) / 100.0 AS rev,
+           CAST(s1 AS DOUBLE) / n / 100.0 AS mean_w,
+           (CAST(s1 AS DOUBLE) / n
+            + 2.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n) / 100.0
+               AS upper_band,
+           (CAST(s1 AS DOUBLE) / n
+            - 2.0 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n) / 100.0
+               AS lower_band,
+           CASE WHEN n * yi - s1 > 0
+                     AND (n * yi - s1) * (n * yi - s1)
+                         > 4 * (n * s2 - s1 * s1) THEN 1
+                WHEN n * yi - s1 < 0
+                     AND (n * yi - s1) * (n * yi - s1)
+                         > 4 * (n * s2 - s1 * s1) THEN -1
+                ELSE 0 END AS breach
+    FROM win ORDER BY day
+    """,
+)
+def q_win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over daily purchase revenue: 14-day rolling
+    mean +/- 2 population sigma, with a per-day breach flag (+1
+    above the upper band, -1 below the lower) - the volatility
+    envelope that turns q_win_moving_avg into an actionable
+    outlier signal (and the windowed twin of q_events_anomaly's
+    global z-score).
+
+    Float protocol: daily revenue is exact int64 CENTS; the window
+    carries three exact integer power sums (n, s1, s2), so the
+    BREACH DECISION is pure integer arithmetic - (n*yi - s1)^2 >
+    4*(n*s2 - s1^2) is (x - mu)^2 > (2 sigma)^2 scaled by n^2 -
+    immune to libm. Band values need one sqrt (IEEE-exact) and
+    divisions mirrored as the IDENTICAL expression tree in both
+    engines, reported UNROUNDED (functions/exact.py). Integer
+    headroom: n*s2 <= 14 * (max daily cents)^2 stays inside int64
+    through sf 1; beyond that the protocol drops to 1e-2-unit
+    doubles (documented trade, decision unchanged in practice).
+
+    Scale shape: ONE map-side-combining daily rollup (the only
+    fact-table pass), then a single-partition ordered window over
+    the |days|-row frame - bounded exactly like q_win_drawdown; per
+    SERIES partitioning (event_type, region) restores parallelism
+    when the day frame is not bounded.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(cents).cast("bigint").alias("yi"))
+    )
+    w = Window.orderBy("day").rowsBetween(-(BOLL_W - 1), 0)
+    win = daily.select(
+        "day",
+        "yi",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("yi").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("yi") * F.col("yi")).over(w).cast("bigint").alias("s2"),
+    )
+    dev = F.col("n") * F.col("yi") - F.col("s1")
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    mean = F.col("s1").cast("double") / F.col("n")
+    half = 2.0 * F.sqrt(var_n2.cast("double")) / F.col("n")
+    return win.select(
+        "day",
+        F.col("n").alias("n_win"),
+        (F.col("yi").cast("double") / 100.0).alias("rev"),
+        (mean / 100.0).alias("mean_w"),
+        ((mean + half) / 100.0).alias("upper_band"),
+        ((mean - half) / 100.0).alias("lower_band"),
+        F.when((dev > 0) & (dev * dev > 4 * var_n2), 1)
+        .when((dev < 0) & (dev * dev > 4 * var_n2), -1)
+        .otherwise(0)
+        .alias("breach"),
+    ).orderBy("day")

@@ -582,3 +582,91 @@ def test_geo_nearest_matches_numpy_haversine(spark):
         assert r.avg_dist_km == pytest.approx(
             round(d[m, r.site_id].mean(), 4), abs=2e-4
         )
+
+
+def test_hits_matches_numpy_iteration(spark):
+    """q_graph_hits vs two numpy incidence-matrix power steps."""
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    j = o.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    e = j[["o_custkey", "l_suppkey"]].drop_duplicates()
+    cks = sorted(e["o_custkey"].unique())
+    sks = sorted(e["l_suppkey"].unique())
+    ci = {k: i for i, k in enumerate(cks)}
+    si = {k: i for i, k in enumerate(sks)}
+    M = np.zeros((len(cks), len(sks)), dtype=np.int64)
+    for ck, sk in e.itertuples(False):
+        M[ci[ck], si[sk]] = 1
+    hub0 = np.ones(len(cks), dtype=np.int64)
+    auth1 = M.T @ hub0
+    hub1 = M @ auth1
+    auth2 = M.T @ hub1
+    order = sorted(range(len(sks)), key=lambda i: (-auth2[i], sks[i]))[:10]
+    ref = [(int(sks[i]), int(auth2[i])) for i in order]
+    tot = int(auth2.sum())
+    rows = registry.QUERIES["q_graph_hits"](spark, SF_DIR).collect()
+    assert [(r.s_suppkey, r.auth_score) for r in rows] == ref
+    for r in rows:
+        assert r.auth_share == pytest.approx(r.auth_score / tot, abs=1e-12)
+
+
+def test_bollinger_matches_pandas_rolling(spark):
+    """q_win_bollinger vs pandas rolling mean/population-std."""
+    e = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    e = e[e.event_type == "purchase"].copy()
+    e["day"] = pd.to_datetime(e["ts"]).dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    daily = e.groupby("day")["cents"].sum().sort_index()
+    roll = daily.rolling(14, min_periods=1)
+    mean = roll.mean()
+    sd = roll.std(ddof=0).fillna(0.0)
+    rows = registry.QUERIES["q_win_bollinger"](spark, SF_DIR).collect()
+    assert len(rows) == len(daily)
+    for r in rows:
+        d = pd.Timestamp(r.day)
+        assert r.rev == pytest.approx(daily[d] / 100.0, abs=1e-9)
+        assert r.mean_w == pytest.approx(mean[d] / 100.0, rel=1e-9)
+        assert r.upper_band == pytest.approx(
+            (mean[d] + 2 * sd[d]) / 100.0, rel=1e-9
+        )
+        assert r.lower_band == pytest.approx(
+            (mean[d] - 2 * sd[d]) / 100.0, rel=1e-9
+        )
+        want = 0
+        if daily[d] > mean[d] and (daily[d] - mean[d]) ** 2 > 4 * sd[d] ** 2:
+            want = 1
+        elif daily[d] < mean[d] and (daily[d] - mean[d]) ** 2 > 4 * sd[d] ** 2:
+            want = -1
+        assert r.breach == want, str(d)
+
+
+def test_ohlc_matches_pandas_bars(spark):
+    """q_time_ohlc vs pandas first/last/min/max daily bars."""
+    e = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    e = e[e.event_type == "purchase"].copy()
+    e["day"] = pd.to_datetime(e["ts"]).dt.floor("D")
+    e["cents"] = (e["value"] * 100).round().astype("int64")
+    e = e.sort_values(["ts", "event_id"], kind="mergesort")
+    g = e.groupby("day")["cents"]
+    ref = pd.DataFrame(
+        {
+            "n": g.size(),
+            "open": g.first(),
+            "high": g.max(),
+            "low": g.min(),
+            "close": g.last(),
+            "turnover": g.sum(),
+        }
+    )
+    rows = registry.QUERIES["q_time_ohlc"](spark, SF_DIR).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        w = ref.loc[pd.Timestamp(r.day)]
+        assert r.n_trades == w["n"]
+        assert (r.open, r.high, r.low, r.close, r.turnover) == (
+            w["open"] / 100.0,
+            w["high"] / 100.0,
+            w["low"] / 100.0,
+            w["close"] / 100.0,
+            w["turnover"] / 100.0,
+        )

@@ -447,3 +447,34 @@ def test_bootstrap_ci_matches_numpy_replicates(spark, events_pdf):
     # the replicate means must actually SPREAD (the additive-hash bug
     # collapsed them to one value)
     assert means[30] - means[1] > 0
+
+
+def test_kendall_tau_matches_bruteforce(spark):
+    """q_stats_kendall_tau vs an O(n^2) loop over nation sums."""
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["rev"] = (j["o_totalprice"] * 100).round().astype("int64")
+    j["bal"] = (j["c_acctbal"] * 100).round().astype("int64")
+    nm = j.groupby("c_nationkey").agg(x=("rev", "sum"), y=("bal", "sum"))
+    xs, ys = nm["x"].to_numpy(), nm["y"].to_numpy()
+    C = D = tx = ty = 0
+    n = len(nm)
+    for i in range(n):
+        for k in range(i + 1, n):
+            s = (xs[i] - xs[k]) * (ys[i] - ys[k])
+            if s > 0:
+                C += 1
+            elif s < 0:
+                D += 1
+            if xs[i] == xs[k]:
+                tx += 1
+            if ys[i] == ys[k]:
+                ty += 1
+    n0 = n * (n - 1) // 2
+    row = registry.QUERIES["q_stats_kendall_tau"](spark, SF_DIR).collect()[0]
+    assert (row.n_pairs, row.concordant, row.discordant) == (n0, C, D)
+    assert (row.ties_x, row.ties_y) == (tx, ty)
+    assert row.tau_b == pytest.approx(
+        (C - D) / np.sqrt((n0 - tx) * (n0 - ty)), rel=1e-12
+    )
