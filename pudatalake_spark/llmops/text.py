@@ -1898,3 +1898,97 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _lang_confusion_sql("explode(split(lower(text), ' '))")
     )
+
+
+BPE_MERGES = 8  # merge rounds learned
+
+
+@register("q_text_bpe_merges")  # iterative argmax chain -> rows-only + pin
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 8 BPE merges over the documents corpus
+    (Sennrich et al. 2016): start from characters, repeatedly take
+    the highest-frequency adjacent symbol pair (count ties broken
+    lexicographically) and fuse it corpus-wide - tokenizer-vocabulary
+    induction, the step every LLM data pipeline runs BEFORE token
+    counting, packing, or fertility analysis can be defined.
+
+    No SQL oracle by design (each round's pair statistics depend on
+    the previous round's argmax - the q_sim_mmr iterative-argmax
+    precedent); pinned against an independent pure-Python BPE in
+    tests/test_pipeline_props.py.
+
+    Scale shape - the standard two-phase trainer split: phase 1
+    (UNBOUNDED, the only corpus pass) is one JVM explode+groupBy to
+    the (word, freq) VOCABULARY; phase 2 runs the merge loop over
+    that BOUNDED frame in ONE applyInPandas task (HuggingFace/
+    sentencepiece train on exactly this collapsed form - pair counts
+    weight by word freq, never re-touch the corpus). 100 TB:
+    phase 1 is a map-side-combining agg; the vocab frame is
+    O(distinct words), and if even that outgrows one task the loop
+    shards to per-word pair counting with a 1-row argmax broadcast
+    per round (k more tiny shuffles, same result).
+
+    Determinism: merge selection = max(count) then lexicographic
+    min (left, right) - a total order; left-to-right non-overlapping
+    replacement inside each word.
+    """
+    d = table(spark, sf_dir, "documents")
+    wc = (
+        d.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+
+    def learn(pdf: pd.DataFrame) -> pd.DataFrame:
+        vocab = {
+            tuple(w): int(f) for w, f in zip(pdf["w"], pdf["freq"])
+        }
+        out = []
+        for rank in range(1, BPE_MERGES + 1):
+            counts: dict[tuple[str, str], int] = {}
+            for syms, f in vocab.items():
+                for a, b in zip(syms, syms[1:]):
+                    counts[(a, b)] = counts.get((a, b), 0) + f
+            if not counts:
+                break
+            mx = max(counts.values())
+            best = min(p for p in counts if counts[p] == mx)
+            nv = {}
+            for syms, f in vocab.items():
+                merged, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best
+                    ):
+                        merged.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                nv[tuple(merged)] = nv.get(tuple(merged), 0) + f
+            vocab = nv
+            out.append(
+                (rank, best[0], best[1], best[0] + best[1], counts[best])
+            )
+        return pd.DataFrame(
+            out,
+            columns=[
+                "merge_rank", "left_sym", "right_sym", "merged", "pair_count"
+            ],
+        )
+
+    schema = (
+        "merge_rank int, left_sym string, right_sym string, "
+        "merged string, pair_count long"
+    )
+    return (
+        wc.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(learn, schema=schema)
+        .orderBy("merge_rank")
+    )

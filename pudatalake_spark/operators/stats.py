@@ -1841,3 +1841,293 @@ def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt(den.cast("double")),
         ).alias("tau_b"),
     )
+
+
+FDR_Q = 0.10                  # BH false-discovery-rate budget
+FDR_HASH_A = 2654435761       # same affine user split as q_events_ab_welch
+FDR_HASH_B = 1013904223
+FDR_HASH_P = 1_000_000_007
+_INV_SQRT_2PI = "0.3989422804014327"
+# Abramowitz & Stegun 26.2.17 tail polynomial coefficients.
+_AS_B = ("0.319381530", "-0.356563782", "1.781477937",
+         "-1.821255978", "1.330274429")
+
+
+def _norm_sf_sql(z: str) -> str:
+    """Upper-tail P(Z > z) for z >= 0, A&S 26.2.17 (identical
+    expression tree in both engines; exp is the one libm surface,
+    mitigated by 8dp rounding at the output)."""
+    k = f"(1.0 / (1.0 + 0.2316419 * ({z})))"
+    poly = (f"({_AS_B[0]} * {k} + {_AS_B[1]} * {k} * {k}"
+            f" + {_AS_B[2]} * {k} * {k} * {k}"
+            f" + {_AS_B[3]} * {k} * {k} * {k} * {k}"
+            f" + {_AS_B[4]} * {k} * {k} * {k} * {k} * {k})")
+    return f"({_INV_SQRT_2PI} * exp(-(({z}) * ({z})) / 2.0) * {poly})"
+
+
+@register(
+    "q_stats_fdr_bh",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type,
+             CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})
+                        % {FDR_HASH_P}) % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CAST(round(value * 100, 0) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(a) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN a = 1 THEN c END) AS BIGINT) AS s1a,
+             CAST(sum(CASE WHEN a = 0 THEN c END) AS BIGINT) AS s1b,
+             CAST(sum(CASE WHEN a = 1 THEN c * c END) AS BIGINT) AS s2a,
+             CAST(sum(CASE WHEN a = 0 THEN c * c END) AS BIGINT) AS s2b
+      FROM x GROUP BY event_type
+    ),
+    zc AS (
+      SELECT event_type, n_a, n_b,
+             (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b)
+             / sqrt(((s2a - CAST(s1a AS DOUBLE) * s1a / n_a) / (n_a - 1))
+                        / n_a
+                    + ((s2b - CAST(s1b AS DOUBLE) * s1b / n_b) / (n_b - 1))
+                        / n_b) AS z
+      FROM s WHERE n_a >= 2 AND n_b >= 2
+    ),
+    pv AS (
+      SELECT event_type, n_a, n_b, round(z, 6) AS z,
+             round(2.0 * {_norm_sf_sql("abs(z)")}, 8) AS p_value
+      FROM zc
+    ),
+    rk AS (
+      SELECT *,
+             CAST(row_number() OVER (ORDER BY p_value, event_type)
+                  AS BIGINT) AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    )
+    SELECT event_type, n_a, n_b, z, p_value, rank,
+           rank * {FDR_Q} / m AS bh_threshold,
+           CASE WHEN rank <= max(CASE WHEN p_value
+                                           <= rank * {FDR_Q} / m
+                                      THEN rank ELSE 0 END) OVER ()
+                THEN 1 ELSE 0 END AS rejected
+    FROM rk ORDER BY rank
+    """,
+)
+def q_stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR screening across one A/B readout PER
+    EVENT TYPE (the multi-metric experiment dashboard): users
+    hash-split 50/50 exactly as q_events_ab_welch, each metric gets
+    a two-sample z from exact integer power sums, p-values via the
+    Abramowitz-Stegun 26.2.17 normal tail, and BH picks the largest
+    rank i with p_(i) <= i*q/m - the step-up procedure that controls
+    expected false discoveries when SCREENING MANY near-null metrics
+    (Bonferroni's rigid m-split is the rejected alternative: it
+    ignores the observed p distribution).
+
+    Determinism protocol: all six per-metric sufficient statistics
+    are exact int64 cent sums; z is pure IEEE +-*/sqrt on them
+    (engine-identical). The one libm-soft surface is exp() inside
+    the tail polynomial (JVM Math.exp and libstdc++ std::exp are
+    both <=1 ulp but not both correctly rounded), mitigated by
+    8dp-rounding p BEFORE ranking/thresholding in BOTH engines -
+    identical mitigation as q_join_geo_nearest's 6dp haversine. The
+    under-null z's keep p far from every i*q/m boundary.
+
+    Scale shape: ONE map-side-combining agg over the fact table
+    produces a |metrics|-row frame; ranking, thresholds, and the
+    step-up max run as windows over that bounded frame. 100 TB:
+    byte-identical plan; thousands of metrics still fit one
+    executor's window partition.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    a = F.when(
+        ((F.col("user_id") * FDR_HASH_A + FDR_HASH_B) % FDR_HASH_P) % 2 == 0,
+        1,
+    ).otherwise(0)
+    x = e.select("event_type", a.alias("a"), cents.alias("c"))
+    s = x.groupBy("event_type").agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        (F.count("*") - F.sum("a")).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("a") == 1, F.col("c"))).cast("bigint").alias("s1a"),
+        F.sum(F.when(F.col("a") == 0, F.col("c"))).cast("bigint").alias("s1b"),
+        F.sum(F.when(F.col("a") == 1, F.col("c") * F.col("c")))
+        .cast("bigint")
+        .alias("s2a"),
+        F.sum(F.when(F.col("a") == 0, F.col("c") * F.col("c")))
+        .cast("bigint")
+        .alias("s2b"),
+    )
+    va = (
+        F.col("s2a") - F.col("s1a").cast("double") * F.col("s1a") / F.col("n_a")
+    ) / (F.col("n_a") - 1)
+    vb = (
+        F.col("s2b") - F.col("s1b").cast("double") * F.col("s1b") / F.col("n_b")
+    ) / (F.col("n_b") - 1)
+    z = (
+        F.col("s1a").cast("double") / F.col("n_a")
+        - F.col("s1b").cast("double") / F.col("n_b")
+    ) / F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    zc = s.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2)).select(
+        "event_type", "n_a", "n_b", z.alias("z")
+    )
+    pv = zc.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(F.col("z"), 6).alias("z"),
+        F.round(
+            2.0 * F.expr(_norm_sf_sql("abs(z)")), 8
+        ).alias("p_value"),
+    )
+    rk = pv.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy("p_value", "event_type"))
+        .cast("bigint")
+        .alias("rank"),
+        F.count("*")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("m"),
+    )
+    thr = F.col("rank") * FDR_Q / F.col("m")
+    step_up = F.max(
+        F.when(F.col("p_value") <= thr, F.col("rank")).otherwise(0)
+    ).over(Window.partitionBy())
+    return rk.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "z",
+        "p_value",
+        "rank",
+        thr.alias("bh_threshold"),
+        F.when(F.col("rank") <= step_up, 1).otherwise(0).alias("rejected"),
+    ).orderBy("rank")
+
+
+TOST_MARGIN_FRAC = 0.05       # equivalence margin: 5% of pooled mean
+TOST_Z_ALPHA = 1.644854       # one-sided 5%
+
+
+@register(
+    "q_stats_tost",
+    oracle=f"""
+    WITH spend AS (
+      SELECT user_id, round(sum(value), 4) AS x,
+             CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})
+                        % {FDR_HASH_P}) % 2 = 0 THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(sum(a) AS BIGINT) AS n_a,
+             CAST(count(*) - sum(a) AS BIGINT) AS n_b,
+             round(sum(CASE WHEN a = 1 THEN x END), 4) AS sxa,
+             round(sum(CASE WHEN a = 0 THEN x END), 4) AS sxb,
+             round(sum(CASE WHEN a = 1 THEN x * x END), 4) AS sxxa,
+             round(sum(CASE WHEN a = 0 THEN x * x END), 4) AS sxxb
+      FROM spend
+    ),
+    d AS (
+      SELECT n_a, n_b,
+             sxa / n_a - sxb / n_b AS diff,
+             {TOST_MARGIN_FRAC} * ((sxa + sxb) / (n_a + n_b)) AS delta,
+             sqrt(((sxxa - sxa * sxa / n_a) / (n_a - 1)) / n_a
+                  + ((sxxb - sxb * sxb / n_b) / (n_b - 1)) / n_b) AS se
+      FROM s
+    )
+    SELECT n_a, n_b, round(diff, 6) AS diff, round(delta, 6) AS delta,
+           round(se, 6) AS se,
+           round((diff + delta) / se, 6) AS t_lower,
+           round((delta - diff) / se, 6) AS t_upper,
+           CASE WHEN (diff + delta) / se > {TOST_Z_ALPHA}
+                     AND (delta - diff) / se > {TOST_Z_ALPHA}
+                THEN 1 ELSE 0 END AS equivalent
+    FROM d
+    """,
+)
+def q_stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided tests) on the
+    q_events_ab_welch design: instead of asking "did the metric
+    move?" it asks the OPPOSITE launch question - "can we claim the
+    variants are the same to within a 5%-of-mean margin?" -
+    rejecting non-equivalence only when BOTH one-sided statistics
+    clear z_alpha. A non-significant Welch t is NOT evidence of
+    equivalence (absence-of-evidence fallacy); TOST is the correct
+    instrument, and the margin is declared up front.
+
+    Determinism: same protocol as q_events_ab_welch - six
+    4dp-rounded sufficient statistics, then identical IEEE
+    arithmetic (one sqrt, exact-rounded) in both engines; the
+    equivalence DECISION compares the unrounded t's to a literal
+    z_alpha, displayed values rounded 6dp.
+
+    Scale shape: one per-user agg (the only fact pass) -> one 6-number
+    row -> projection arithmetic. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    spend = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 4).alias("x"))
+        .withColumn(
+            "a",
+            F.when(
+                ((F.col("user_id") * FDR_HASH_A + FDR_HASH_B) % FDR_HASH_P)
+                % 2
+                == 0,
+                1,
+            ).otherwise(0),
+        )
+    )
+    isa = F.col("a") == 1
+    s = spend.agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        (F.count("*") - F.sum("a")).cast("bigint").alias("n_b"),
+        F.round(F.sum(F.when(isa, F.col("x"))), 4).alias("sxa"),
+        F.round(F.sum(F.when(~isa, F.col("x"))), 4).alias("sxb"),
+        F.round(F.sum(F.when(isa, F.col("x") * F.col("x"))), 4).alias("sxxa"),
+        F.round(F.sum(F.when(~isa, F.col("x") * F.col("x"))), 4).alias(
+            "sxxb"
+        ),
+    )
+    diff = F.col("sxa") / F.col("n_a") - F.col("sxb") / F.col("n_b")
+    delta = TOST_MARGIN_FRAC * (
+        (F.col("sxa") + F.col("sxb")) / (F.col("n_a") + F.col("n_b"))
+    )
+    se = F.sqrt(
+        ((F.col("sxxa") - F.col("sxa") * F.col("sxa") / F.col("n_a"))
+         / (F.col("n_a") - 1)) / F.col("n_a")
+        + ((F.col("sxxb") - F.col("sxb") * F.col("sxb") / F.col("n_b"))
+           / (F.col("n_b") - 1)) / F.col("n_b")
+    )
+    d = s.select(
+        "n_a",
+        "n_b",
+        diff.alias("diff"),
+        delta.alias("delta"),
+        se.alias("se"),
+    )
+    return d.select(
+        "n_a",
+        "n_b",
+        F.round("diff", 6).alias("diff"),
+        F.round("delta", 6).alias("delta"),
+        F.round("se", 6).alias("se"),
+        F.round((F.col("diff") + F.col("delta")) / F.col("se"), 6).alias(
+            "t_lower"
+        ),
+        F.round((F.col("delta") - F.col("diff")) / F.col("se"), 6).alias(
+            "t_upper"
+        ),
+        F.when(
+            ((F.col("diff") + F.col("delta")) / F.col("se") > TOST_Z_ALPHA)
+            & ((F.col("delta") - F.col("diff")) / F.col("se") > TOST_Z_ALPHA),
+            1,
+        )
+        .otherwise(0)
+        .alias("equivalent"),
+    )

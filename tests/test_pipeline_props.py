@@ -670,3 +670,82 @@ def test_ohlc_matches_pandas_bars(spark):
             w["close"] / 100.0,
             w["turnover"] / 100.0,
         )
+
+
+def test_kcore_matches_python_peeling(spark):
+    """q_graph_kcore vs a dict-based peel at the same p05 K."""
+    import collections
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey", "l_quantity"]
+    ]
+    li = li[li.l_quantity >= 35]
+    adj = collections.defaultdict(set)
+    for _, grp in li.groupby("l_orderkey")["l_partkey"]:
+        ps = sorted(set(grp))
+        for i, u in enumerate(ps):
+            for v in ps[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    degs = sorted(len(s) for s in adj.values())
+    k = degs[int(0.05 * (len(degs) - 1))]
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive
+                if sum(v in alive for v in adj[u]) < k}
+        if not drop:
+            break
+        alive -= drop
+    deg = {u: sum(v in alive for v in adj[u]) for u in alive}
+    row = registry.QUERIES["q_graph_kcore"](spark, SF_DIR).collect()[0]
+    assert row.k == k
+    assert row.n_core_nodes == len(alive)
+    assert alive, "p05 K must leave a non-empty core at the test SF"
+    assert row.n_core_edges == sum(deg.values()) // 2
+    assert row.min_core_degree == min(deg.values())
+    assert row.min_core_degree >= k
+    assert row.avg_core_degree == pytest.approx(
+        sum(deg.values()) / len(alive), rel=1e-12
+    )
+
+
+def test_bpe_merges_matches_python_reference(spark):
+    """q_text_bpe_merges vs an independent pure-Python BPE trainer
+    (re-splitting and re-counting the corpus from pandas)."""
+    import collections
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    wc = collections.Counter()
+    for t in d["text"]:
+        for w in str(t).lower().split(" "):
+            if w:
+                wc[w] += 1
+    vocab = {tuple(w): f for w, f in wc.items()}
+    ref = []
+    for rank in range(1, 9):
+        pc = collections.Counter()
+        for syms, f in vocab.items():
+            for pair in zip(syms, syms[1:]):
+                pc[pair] += f
+        if not pc:
+            break
+        mx = max(pc.values())
+        best = min(p for p in pc if pc[p] == mx)
+        nv = collections.Counter()
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nv[tuple(out)] += f
+        vocab = nv
+        ref.append((rank, best[0], best[1], best[0] + best[1], pc[best]))
+    rows = registry.QUERIES["q_text_bpe_merges"](spark, SF_DIR).collect()
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.merged, r.pair_count)
+        for r in sorted(rows, key=lambda r: r.merge_rank)
+    ]
+    assert got == ref
+    assert len(got) == 8

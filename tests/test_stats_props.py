@@ -478,3 +478,58 @@ def test_kendall_tau_matches_bruteforce(spark):
     assert row.tau_b == pytest.approx(
         (C - D) / np.sqrt((n0 - tx) * (n0 - ty)), rel=1e-12
     )
+
+
+def test_fdr_bh_matches_erfc_reference(spark, events_pdf):
+    """q_stats_fdr_bh vs exact math.erfc p-values (the registry uses
+    the A&S 26.2.17 polynomial, |err| <= 7.5e-8 — an independent
+    formula) plus a standalone BH step-up."""
+    import math
+    df = events_pdf.copy()
+    df["c"] = (df["value"] * 100).round().astype("int64")
+    df["a"] = ((df["user_id"] * 2654435761 + 1013904223)
+               % 1_000_000_007) % 2 == 0
+    stats = {}
+    for t, g in df.groupby("event_type"):
+        xa = g.loc[g.a, "c"].to_numpy(dtype=np.float64)
+        xb = g.loc[~g.a, "c"].to_numpy(dtype=np.float64)
+        se = np.sqrt(xa.var(ddof=1) / len(xa) + xb.var(ddof=1) / len(xb))
+        z = (xa.mean() - xb.mean()) / se
+        p = math.erfc(abs(z) / math.sqrt(2))  # two-sided
+        stats[t] = (len(xa), len(xb), z, p)
+    order = sorted(stats, key=lambda t: (stats[t][3], t))
+    m = len(order)
+    istar = max(
+        (i + 1 for i, t in enumerate(order)
+         if stats[t][3] <= (i + 1) * 0.10 / m),
+        default=0,
+    )
+    rows = registry.QUERIES["q_stats_fdr_bh"](spark, SF_DIR).collect()
+    assert [r.event_type for r in rows] == order
+    for r in rows:
+        na, nb, z, p = stats[r.event_type]
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.z == pytest.approx(z, abs=1e-6)
+        assert r.p_value == pytest.approx(p, abs=2e-7)  # A&S bound + 8dp
+        assert r.rejected == (1 if r.rank <= istar else 0)
+
+
+def test_tost_matches_bruteforce(spark, events_pdf):
+    """q_stats_tost vs a direct numpy TOST on per-user spend."""
+    df = events_pdf[events_pdf.event_type == "purchase"]
+    spend = df.groupby("user_id")["value"].sum().round(4)
+    a = ((spend.index.to_numpy() * 2654435761 + 1013904223)
+         % 1_000_000_007) % 2 == 0
+    xa, xb = spend[a].to_numpy(), spend[~a].to_numpy()
+    diff = xa.mean() - xb.mean()
+    delta = 0.05 * spend.to_numpy().mean()
+    se = np.sqrt(xa.var(ddof=1) / len(xa) + xb.var(ddof=1) / len(xb))
+    row = registry.QUERIES["q_stats_tost"](spark, SF_DIR).collect()[0]
+    assert (row.n_a, row.n_b) == (len(xa), len(xb))
+    assert row.diff == pytest.approx(diff, abs=1e-5)
+    assert row.delta == pytest.approx(delta, abs=1e-5)
+    assert row.t_lower == pytest.approx((diff + delta) / se, abs=1e-3)
+    assert row.t_upper == pytest.approx((delta - diff) / se, abs=1e-3)
+    want = int((diff + delta) / se > 1.644854
+               and (delta - diff) / se > 1.644854)
+    assert row.equivalent == want
