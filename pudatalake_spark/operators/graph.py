@@ -894,3 +894,137 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("min_core_degree"),
         F.avg(F.col("d").cast("double")).alias("avg_core_degree"),
     )
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges),
+    cnat AS (SELECT c_custkey AS ck, c_nationkey AS nk FROM customer),
+    snat AS (SELECT s_suppkey AS sk, s_nationkey AS nk FROM supplier),
+    cdeg AS (SELECT ck, CAST(count(*) AS BIGINT) AS deg
+             FROM edges GROUP BY ck),
+    sdeg AS (SELECT sk, CAST(count(*) AS BIGINT) AS deg
+             FROM edges GROUP BY sk),
+    dsum AS (
+      SELECT nk, CAST(sum(deg) AS BIGINT) AS deg_sum FROM (
+        SELECT c.nk, d.deg FROM cdeg d JOIN cnat c ON d.ck = c.ck
+        UNION ALL
+        SELECT s.nk, d.deg FROM sdeg d JOIN snat s ON d.sk = s.sk
+      ) GROUP BY nk
+    ),
+    intra AS (
+      SELECT c.nk, CAST(count(*) AS BIGINT) AS m_intra
+      FROM edges e JOIN cnat c ON e.ck = c.ck
+                   JOIN snat s ON e.sk = s.sk
+      WHERE c.nk = s.nk GROUP BY c.nk
+    ),
+    comm AS (
+      SELECT d.nk, COALESCE(i.m_intra, 0) AS m_intra, d.deg_sum
+      FROM dsum d LEFT JOIN intra i ON d.nk = i.nk
+    ),
+    g AS (
+      SELECT CAST(sum(m_intra) AS BIGINT) AS mc_sum,
+             CAST(sum(deg_sum * deg_sum) AS BIGINT) AS d2_sum
+      FROM comm
+    )
+    SELECT n.n_name AS community,
+           CAST(c.m_intra AS BIGINT) AS m_intra,
+           c.deg_sum,
+           CAST(c.m_intra AS DOUBLE) / m.m
+             - (CAST(c.deg_sum AS DOUBLE) / (2 * m.m))
+               * (CAST(c.deg_sum AS DOUBLE) / (2 * m.m)) AS q_term,
+           CAST(4 * m.m * g.mc_sum - g.d2_sum AS DOUBLE)
+             / (4 * m.m * m.m) AS modularity
+    FROM comm c CROSS JOIN m CROSS JOIN g
+    JOIN nation n ON c.nk = n.n_nationkey
+    ORDER BY community
+    """,
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the NATION partition over the bipartite
+    customer-supplier purchase graph: Q = sum_c [ m_c/m -
+    (D_c/2m)^2 ] - how much denser within-nation trading is than a
+    degree-preserving random rewiring predicts, the objective every
+    community-detection pass (q_graph_label_prop) climbs. Reported
+    per community (intra-edge count, degree mass, q_term) with the
+    global Q broadcast onto each row.
+
+    Exactness: every input is an int64 count, and Q collapses to a
+    SINGLE integer ratio: (4*m*sum_c(m_c) - sum_c(D_c^2)) / (4*m^2)
+    - exact int64 numerator/denominator (headroom: D_c^2 needs
+    D_c < 3e9, i.e. ~1000x this graph's degree mass; beyond that the
+    sums drop to doubles, documented trade), ONE IEEE division, so
+    both engines agree bit-for-bit UNROUNDED. Per-community q_term
+    uses the identical two-division expression tree in both engines.
+
+    Scale shape: the edge list is built once (the q_graph_degree
+    shuffle); degrees are two-phase aggs; the nation maps ride as
+    broadcast joins onto the edge and degree frames; the community
+    frame is 25 rows - every division runs on it. At 100 TB nothing
+    changes: one edge-list pass, two-phase aggs, tiny-dim
+    broadcasts.
+    """
+    t = load(spark, sf_dir)
+    e = _bipartite_edges(t)
+    cnat = t["customer"].select(
+        F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
+    )
+    snat = t["supplier"].select(
+        F.col("s_suppkey").alias("sk"), F.col("s_nationkey").alias("nk")
+    )
+    m = e.agg(F.count("*").cast("bigint").alias("m"))
+    cdeg = e.groupBy("ck").agg(F.count("*").cast("bigint").alias("deg"))
+    sdeg = e.groupBy("sk").agg(F.count("*").cast("bigint").alias("deg"))
+    dsum = (
+        cdeg.join(F.broadcast(cnat), "ck")
+        .select("nk", "deg")
+        .unionAll(sdeg.join(F.broadcast(snat), "sk").select("nk", "deg"))
+        .groupBy("nk")
+        .agg(F.sum("deg").cast("bigint").alias("deg_sum"))
+    )
+    intra = (
+        e.join(F.broadcast(cnat), "ck")
+        .join(
+            F.broadcast(snat.withColumnRenamed("nk", "snk")), "sk"
+        )
+        .filter(F.col("nk") == F.col("snk"))
+        .groupBy("nk")
+        .agg(F.count("*").cast("bigint").alias("m_intra"))
+    )
+    comm = dsum.join(intra, "nk", "left").select(
+        "nk",
+        F.coalesce("m_intra", F.lit(0)).cast("bigint").alias("m_intra"),
+        "deg_sum",
+    )
+    g = comm.agg(
+        F.sum("m_intra").cast("bigint").alias("mc_sum"),
+        F.sum(F.col("deg_sum") * F.col("deg_sum"))
+        .cast("bigint")
+        .alias("d2_sum"),
+    )
+    nat = t["nation"].select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("community")
+    )
+    b = F.col("deg_sum").cast("double") / (2 * F.col("m"))
+    return (
+        comm.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(g))
+        .join(F.broadcast(nat), "nk")
+        .select(
+            "community",
+            "m_intra",
+            "deg_sum",
+            (
+                F.col("m_intra").cast("double") / F.col("m") - b * b
+            ).alias("q_term"),
+            (
+                (
+                    4 * F.col("m") * F.col("mc_sum") - F.col("d2_sum")
+                ).cast("double")
+                / (4 * F.col("m") * F.col("m"))
+            ).alias("modularity"),
+        )
+        .orderBy("community")
+    )

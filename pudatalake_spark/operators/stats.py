@@ -1665,7 +1665,7 @@ def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     division of identical integers; point estimate and CI bounds are
     exact rationals, reported UNROUNDED (functions/exact.py rule).
 
-    Scale shape: ONE per-user agg -> broadcast x{BOOT_R} replicate
+    Scale shape: ONE per-user agg -> broadcast x32 (BOOT_R) replicate
     expansion (map-side, no shuffle) -> 32-row two-phase agg -> rank
     pick. 100 TB: identical; the expansion multiplies rows 32x but
     only (user_id, cents) width, and the agg combines map-side.
@@ -2131,3 +2131,224 @@ def q_stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("equivalent"),
     )
+
+
+# Model-evaluation family: a per-user "score vs outcome" frame shared
+# by the calibration and lift operators. Score = the user's click
+# share in integer MILLIS ((1000*clicks) div events - exact floor
+# division, no doubles), outcome = whether purchases carry the
+# majority signal (2*purchases > clicks+views; a mean-zero contrast,
+# so the positive rate stays near 50% at EVERY SF - a threshold on
+# raw counts would drift with events-per-user as SF grows).
+_EVAL_FRAME_SQL = """
+    SELECT user_id,
+           (1000 * sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END))
+             // count(*) AS s_milli,
+           CASE WHEN 2 * sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  > sum(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0 END)
+                THEN 1 ELSE 0 END AS pos
+    FROM events
+    GROUP BY user_id
+"""
+
+
+def _eval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, s_milli, pos): ONE two-phase conditional agg over
+    the fact table; every later stage runs on the per-user frame."""
+    e = table(spark, sf_dir, "events")
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_cv = F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+    return e.groupBy("user_id").agg(
+        F.expr(
+            "1000 * sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+            " div count(*)"
+        ).alias("s_milli"),
+        F.when(2 * F.sum(is_purch) > F.sum(is_cv), 1)
+        .otherwise(0)
+        .alias("pos"),
+    )
+
+
+@register(
+    "q_stats_calibration",
+    oracle=f"""
+    WITH u AS ({_EVAL_FRAME_SQL}),
+    b AS (
+      SELECT CAST(CASE WHEN s_milli // 100 > 9 THEN 9
+                       ELSE s_milli // 100 END AS BIGINT) AS bin,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(pos) AS BIGINT) AS n_pos,
+             CAST(sum(s_milli) AS BIGINT) AS s_sum
+      FROM u GROUP BY 1
+    ),
+    g AS (
+      SELECT CAST(sum(n_users) AS BIGINT) AS n_total,
+             CAST(sum(abs(s_sum - 1000 * n_pos)) AS BIGINT) AS gap_sum
+      FROM b
+    )
+    SELECT bin, n_users, n_pos,
+           CAST(s_sum AS DOUBLE) / (1000.0 * n_users) AS conf,
+           CAST(n_pos AS DOUBLE) / n_users AS acc,
+           CAST(gap_sum AS DOUBLE) / (1000.0 * n_total) AS ece
+    FROM b CROSS JOIN g
+    ORDER BY bin
+    """,
+)
+def q_stats_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table + expected calibration error (ECE) for the
+    click-share score against the purchase-majority outcome: bin the
+    [0,1] score into 10 fixed-width bins, compare mean predicted
+    score (conf) to the observed positive rate (acc) per bin - the
+    standard model-monitoring readout for "are the scores honest
+    probabilities" (Guo et al. 2017 formulation of ECE).
+
+    Exactness: the score is integer millis, so every bin statistic
+    is an int64 sum, and ECE collapses algebraically to a SINGLE
+    integer ratio: sum_b (n_b/N)*|conf_b - acc_b| =
+    sum_b |s_sum_b - 1000*n_pos_b| / (1000*N) - the weighted gap's
+    numerator is EXACT int64, so conf/acc/ece are each ONE IEEE
+    division of identical integers in both engines, reported
+    UNROUNDED (functions/exact.py rule). On this synthetic corpus the
+    click-share score is miscalibrated by construction (conf ~0.2 vs
+    acc ~0.5) - the operator MEASURES the gap; fixtures need not
+    contain a well-calibrated model.
+
+    Scale shape: ONE two-phase conditional agg fact->user, ONE
+    two-phase agg user->10 bins (map-side combine on the bin key),
+    1-row global broadcast back onto the bins. 100 TB: identical -
+    the only shuffles are by user_id then by the 10-value bin key;
+    the bin frame is constant-size regardless of SF.
+    """
+    u = _eval_frame(spark, sf_dir)
+    b = (
+        u.groupBy(
+            F.least(F.col("s_milli") / F.lit(100), F.lit(9))
+            .cast("bigint")
+            .alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum("s_milli").cast("bigint").alias("s_sum"),
+        )
+    )
+    g = b.agg(
+        F.sum("n_users").cast("bigint").alias("n_total"),
+        F.sum(F.abs(F.col("s_sum") - 1000 * F.col("n_pos")))
+        .cast("bigint")
+        .alias("gap_sum"),
+    )
+    return (
+        b.crossJoin(F.broadcast(g))
+        .select(
+            "bin",
+            "n_users",
+            "n_pos",
+            (F.col("s_sum").cast("double") / (1000.0 * F.col("n_users"))).alias(
+                "conf"
+            ),
+            (F.col("n_pos").cast("double") / F.col("n_users")).alias("acc"),
+            (F.col("gap_sum").cast("double") / (1000.0 * F.col("n_total"))).alias(
+                "ece"
+            ),
+        )
+        .orderBy("bin")
+    )
+
+
+LIFT_DECILES = 10
+
+
+@register(
+    "q_stats_lift_gains",
+    oracle=f"""
+    WITH u AS ({_EVAL_FRAME_SQL}),
+    r AS (
+      SELECT pos, ntile({LIFT_DECILES}) OVER (
+               ORDER BY s_milli DESC, user_id) AS decile
+      FROM u
+    ),
+    d AS (
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM r GROUP BY 1
+    ),
+    c AS (
+      SELECT decile, n_users, n_pos,
+             CAST(sum(n_users) OVER w AS BIGINT) AS cum_n,
+             CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+             CAST(sum(n_users) OVER () AS BIGINT) AS n_total,
+             CAST(sum(n_pos) OVER () AS BIGINT) AS pos_total
+      FROM d
+      WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    )
+    SELECT decile, n_users, n_pos,
+           CAST(cum_pos AS DOUBLE) / pos_total AS gains,
+           CAST(cum_pos * n_total AS DOUBLE) / (cum_n * pos_total) AS lift
+    FROM c ORDER BY decile
+    """,
+)
+def q_stats_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift table by score decile: rank users
+    by the click-share score (descending, user_id tie-break for a
+    deterministic total order), cut into 10 rank-deciles, and report
+    what fraction of all positives the top-k deciles capture (gains)
+    and how that compares to random targeting (lift) - the campaign
+    targeting / ranking-model readout that complements
+    q_stats_calibration's probability-honesty readout.
+
+    Exactness: decile counts are int64; gains = cum_pos/pos_total
+    and lift = (cum_pos*n_total)/(cum_n*pos_total) are each ONE IEEE
+    division of exact int64 products (products bounded by N^2 -
+    ~2.3e12 even at sf100), reported UNROUNDED. ntile over the
+    deterministic total order assigns identical groups in both
+    engines (both split remainders onto the earliest tiles). On this
+    near-random fixture lift hovers around 1.0 by construction - the
+    operator measures, fixtures need not contain a working model.
+
+    Scale shape: fact->user agg, then ntile over a global sort of
+    the per-user frame - the one rank pass (range-partitioned sort
+    at cluster scale; the 100 TB variant cuts deciles at
+    approx-percentile score boundaries instead, trading exact equal
+    counts for a sort-free two-phase agg - same downstream algebra).
+    The decile frame is 10 rows; cumulative windows run on it.
+    """
+    u = _eval_frame(spark, sf_dir)
+    r = u.select(
+        "pos",
+        F.ntile(LIFT_DECILES)
+        .over(Window.orderBy(F.desc("s_milli"), F.col("user_id")))
+        .alias("decile"),
+    )
+    d = r.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    wc = (
+        Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wg = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = d.select(
+        "decile",
+        "n_users",
+        "n_pos",
+        F.sum("n_users").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(wc).cast("bigint").alias("cum_pos"),
+        F.sum("n_users").over(wg).cast("bigint").alias("n_total"),
+        F.sum("n_pos").over(wg).cast("bigint").alias("pos_total"),
+    )
+    return c.select(
+        "decile",
+        "n_users",
+        "n_pos",
+        (F.col("cum_pos").cast("double") / F.col("pos_total")).alias("gains"),
+        (
+            (F.col("cum_pos") * F.col("n_total")).cast("double")
+            / (F.col("cum_n") * F.col("pos_total"))
+        ).alias("lift"),
+    ).orderBy("decile")

@@ -691,3 +691,107 @@ def q_win_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("breach"),
     ).orderBy("day")
+
+
+RSI_W = 14  # Cutler's RSI lookback (14 day-over-day moves)
+
+
+@register(
+    "q_win_rsi",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS yi
+      FROM events GROUP BY 1, 2
+    ),
+    diffs AS (
+      SELECT event_type, day,
+             yi - lag(yi) OVER (PARTITION BY event_type ORDER BY day)
+                 AS d
+      FROM daily
+    ),
+    moves AS (SELECT * FROM diffs WHERE d IS NOT NULL),
+    win AS (
+      SELECT event_type, day,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(CASE WHEN d > 0 THEN d ELSE 0 END) OVER w
+                  AS BIGINT) AS gain,
+             CAST(sum(CASE WHEN d < 0 THEN -d ELSE 0 END) OVER w
+                  AS BIGINT) AS loss
+      FROM moves
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN {RSI_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, day, gain AS gain_cents, loss AS loss_cents,
+           CAST(100 * gain AS DOUBLE) / (gain + loss) AS rsi
+    FROM win WHERE n = {RSI_W} AND gain + loss > 0
+    ORDER BY event_type, day
+    """,
+)
+def q_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Strength Index (Cutler's simple-moving-average
+    variant, 14 moves) per event-type daily revenue series: the
+    bounded [0,100] momentum oscillator (RSI = 100*avgGain /
+    (avgGain+avgLoss) over the last 14 day-over-day moves) that
+    complements q_win_bollinger's volatility envelope with a
+    direction signal. Cutler's SMA form is chosen over Wilder's
+    recursive EWMA deliberately: the recursion makes every value
+    depend on the whole history (not window-expressible, and
+    start-point dependent); the SMA form is windowed, exact, and
+    the industry-standard fix for exactly that property.
+
+    Float protocol: moves are exact int64 CENT diffs via lag; gain
+    and loss are integer conditional window sums, so RSI is ONE
+    IEEE division of exact integers - reported UNROUNDED
+    (functions/exact.py rule). Rows with an incomplete lookback
+    (first 14 moves of each series) or a degenerate flat window
+    (gain+loss = 0, where RSI is undefined) are excluded rather
+    than null-padded, keeping the output all-defined.
+
+    Scale shape: ONE map-side-combining (type, day) rollup is the
+    only fact pass; lag + the 14-row frame run per-series
+    partitioned (5 series here, thousands at scale - parallelism is
+    the partition count), all on the bounded daily frame.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(cents).cast("bigint").alias("yi"))
+    ws = Window.partitionBy("event_type").orderBy("day")
+    moves = daily.select(
+        "event_type",
+        "day",
+        (F.col("yi") - F.lag("yi").over(ws)).alias("d"),
+    ).filter(F.col("d").isNotNull())
+    w = ws.rowsBetween(-(RSI_W - 1), 0)
+    win = moves.select(
+        "event_type",
+        "day",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("d") > 0, F.col("d")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("gain"),
+        F.sum(F.when(F.col("d") < 0, -F.col("d")).otherwise(0))
+        .over(w)
+        .cast("bigint")
+        .alias("loss"),
+    )
+    return (
+        win.filter(
+            (F.col("n") == RSI_W) & (F.col("gain") + F.col("loss") > 0)
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("gain").alias("gain_cents"),
+            F.col("loss").alias("loss_cents"),
+            (
+                (100 * F.col("gain")).cast("double")
+                / (F.col("gain") + F.col("loss"))
+            ).alias("rsi"),
+        )
+        .orderBy("event_type", "day")
+    )

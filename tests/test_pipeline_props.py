@@ -749,3 +749,55 @@ def test_bpe_merges_matches_python_reference(spark):
     ]
     assert got == ref
     assert len(got) == 8
+
+
+def test_modularity_matches_python_reference(spark):
+    """q_graph_modularity vs an independent dict-based Q over the
+    same bipartite edge set and nation partition."""
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    s = pd.read_parquet(f"{SF_DIR}/supplier.parquet")[
+        ["s_suppkey", "s_nationkey"]
+    ]
+    n = pd.read_parquet(f"{SF_DIR}/nation.parquet")[
+        ["n_nationkey", "n_name"]
+    ]
+    edges = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ]
+        .drop_duplicates()
+    )
+    cn = dict(zip(c.c_custkey, c.c_nationkey))
+    sn = dict(zip(s.s_suppkey, s.s_nationkey))
+    m = len(edges)
+    m_c, d_c = {}, {}
+    for ck, sk in edges.itertuples(index=False):
+        a, b = cn[ck], sn[sk]
+        d_c[a] = d_c.get(a, 0) + 1
+        d_c[b] = d_c.get(b, 0) + 1
+        if a == b:
+            m_c[a] = m_c.get(a, 0) + 1
+    q_ref = sum(
+        m_c.get(nk, 0) / m - (d_c[nk] / (2 * m)) ** 2 for nk in d_c
+    )
+    names = dict(zip(n.n_nationkey, n.n_name))
+    rows = registry.QUERIES["q_graph_modularity"](spark, SF_DIR).collect()
+    assert len(rows) == len(d_c)
+    by_name = {r.community: r for r in rows}
+    for nk, dsum in d_c.items():
+        r = by_name[names[nk]]
+        assert r.deg_sum == dsum
+        assert r.m_intra == m_c.get(nk, 0)
+        assert r.q_term == pytest.approx(
+            m_c.get(nk, 0) / m - (dsum / (2 * m)) ** 2, abs=1e-12
+        )
+    for r in rows:
+        assert r.modularity == pytest.approx(q_ref, abs=1e-10)

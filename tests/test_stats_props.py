@@ -533,3 +533,94 @@ def test_tost_matches_bruteforce(spark, events_pdf):
     want = int((diff + delta) / se > 1.644854
                and (delta - diff) / se > 1.644854)
     assert row.equivalent == want
+
+
+def _eval_users(events_pdf):
+    g = events_pdf.groupby("user_id")["event_type"]
+    n = g.size()
+    clicks = g.apply(lambda s: (s == "click").sum())
+    purch = g.apply(lambda s: (s == "purchase").sum())
+    cv = g.apply(lambda s: s.isin(["click", "view"]).sum())
+    s_milli = (1000 * clicks) // n
+    pos = (2 * purch > cv).astype(int)
+    return pd.DataFrame(
+        {"s_milli": s_milli, "pos": pos}
+    ).reset_index()
+
+
+def test_calibration_matches_bruteforce(spark, events_pdf):
+    u = _eval_users(events_pdf)
+    u["bin"] = np.minimum(u.s_milli // 100, 9)
+    rows = {
+        r.bin: r
+        for r in registry.QUERIES["q_stats_calibration"](
+            spark, SF_DIR
+        ).collect()
+    }
+    gap_sum = 0
+    for b, grp in u.groupby("bin"):
+        r = rows[b]
+        assert r.n_users == len(grp) and r.n_pos == grp.pos.sum()
+        assert r.conf == pytest.approx(
+            grp.s_milli.mean() / 1000, abs=1e-12
+        )
+        assert r.acc == pytest.approx(grp.pos.mean(), abs=1e-12)
+        gap_sum += abs(grp.s_milli.sum() - 1000 * grp.pos.sum())
+    ece_ref = gap_sum / (1000 * len(u))
+    for r in rows.values():
+        assert r.ece == pytest.approx(ece_ref, abs=1e-12)
+    assert set(rows) == set(u.bin.unique())
+
+
+def test_lift_gains_matches_bruteforce(spark, events_pdf):
+    u = _eval_users(events_pdf).sort_values(
+        ["s_milli", "user_id"], ascending=[False, True]
+    ).reset_index(drop=True)
+    # ntile semantics: remainder spread over the EARLIEST tiles.
+    n, k = len(u), 10
+    base, rem = divmod(n, k)
+    sizes = [base + (1 if i < rem else 0) for i in range(k)]
+    u["decile"] = np.repeat(np.arange(1, k + 1), sizes)
+    total_pos = u.pos.sum()
+    rows = registry.QUERIES["q_stats_lift_gains"](spark, SF_DIR).collect()
+    cum_n = cum_pos = 0
+    for r in rows:
+        grp = u[u.decile == r.decile]
+        cum_n += len(grp)
+        cum_pos += grp.pos.sum()
+        assert r.n_users == len(grp) and r.n_pos == grp.pos.sum()
+        assert r.gains == pytest.approx(cum_pos / total_pos, abs=1e-12)
+        assert r.lift == pytest.approx(
+            (cum_pos * n) / (cum_n * total_pos), abs=1e-12
+        )
+
+
+def test_rsi_matches_bruteforce(spark, events_pdf):
+    cents = (events_pdf.value * 100).round(0).astype("int64")
+    d = (
+        events_pdf.assign(c=cents)
+        .groupby(["event_type", "day"])["c"]
+        .sum()
+        .reset_index()
+        .sort_values(["event_type", "day"])
+    )
+    ref = {}
+    for et, grp in d.groupby("event_type"):
+        diffs = grp.c.diff().dropna().astype("int64").to_numpy()
+        days = grp.day.to_numpy()[1:]
+        for i in range(13, len(diffs)):
+            w = diffs[i - 13 : i + 1]
+            gain = int(w[w > 0].sum())
+            loss = int(-w[w < 0].sum())
+            if gain + loss > 0:
+                ref[(et, pd.Timestamp(days[i]))] = (
+                    gain,
+                    loss,
+                    100 * gain / (gain + loss),
+                )
+    rows = registry.QUERIES["q_win_rsi"](spark, SF_DIR).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        gain, loss, rsi = ref[(r.event_type, pd.Timestamp(r.day))]
+        assert (r.gain_cents, r.loss_cents) == (gain, loss)
+        assert r.rsi == pytest.approx(rsi, abs=1e-12)
