@@ -782,3 +782,116 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= WSAMPLE_K)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+KANON_THRESHOLDS = (2, 5, 10)  # the audit's k ladder
+KANON_BAL_UNIT = 100000        # acctbal bucket width: 1000.00 in cents
+
+
+@register(
+    "q_privacy_kanon",
+    oracle=f"""
+    WITH q AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg,
+             CAST(floor(CAST(round(c_acctbal * 100, 0) AS BIGINT)
+                        / {KANON_BAL_UNIT}.0) AS BIGINT) AS bal_bucket,
+             c_custkey
+      FROM customer
+    ),
+    cls AS (
+      SELECT nk, seg, bal_bucket, CAST(count(*) AS BIGINT) AS sz
+      FROM q GROUP BY 1, 2, 3
+    ),
+    tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_classes,
+             CAST(sum(sz) AS BIGINT) AS n_records,
+             CAST(min(sz) AS BIGINT) AS min_class
+      FROM cls
+    ),
+    k AS (SELECT unnest([{", ".join(str(k) for k in KANON_THRESHOLDS)}]) AS k)
+    SELECT CAST(k.k AS BIGINT) AS k, t.n_classes, t.n_records,
+           t.min_class,
+           CAST(sum(CASE WHEN c.sz < k.k THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_classes_small,
+           CAST(sum(CASE WHEN c.sz < k.k THEN c.sz ELSE 0 END)
+                AS BIGINT) AS n_records_risk,
+           CAST(sum(CASE WHEN c.sz < k.k THEN c.sz ELSE 0 END)
+                AS DOUBLE) / t.n_records AS risk_share
+    FROM cls c CROSS JOIN k CROSS JOIN tot t
+    GROUP BY k.k, t.n_classes, t.n_records, t.min_class
+    ORDER BY k
+    """,
+)
+def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymity audit of the customer table under the
+    quasi-identifier triple (nation, market segment, account-balance
+    1000-unit bucket): for each k in the {2, 5, 10} ladder, how many
+    equivalence classes fall below k and what share of RECORDS they
+    expose - the re-identification risk readout a privacy review
+    runs BEFORE a dataset ships into a training corpus (Sweeney's
+    k-anonymity; the release gate is usually "no class below k").
+
+    The balance bucket floors cents/100000 through DOUBLE floor in
+    BOTH engines deliberately: integer division truncates toward
+    zero in Spark but floors in DuckDB, so negative balances would
+    disagree - the shared-double-floor tree sidesteps the dialect
+    trap (bucket boundaries are exact-multiple cents, where the
+    division is IEEE-exact).
+
+    Exactness: class sizes and all audit counts are int64;
+    risk_share is ONE integer division, unrounded.
+
+    Scale shape: ONE two-phase agg to the class frame (map-side
+    combine on the QI key), a 1-row total + 3-row k ladder broadcast
+    onto it, and a 3-group re-agg - the class frame is the only
+    shuffle, and the audit never materializes per-record output (no
+    privacy-relevant data leaves the aggregate). 100 TB: identical;
+    skewed QI classes are just heavy groups in a combining agg.
+    """
+    c = table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("bigint")
+    q = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(cents / float(KANON_BAL_UNIT)).cast("bigint").alias(
+            "bal_bucket"
+        ),
+    )
+    cls = q.groupBy("nk", "seg", "bal_bucket").agg(
+        F.count("*").cast("bigint").alias("sz")
+    )
+    tot = cls.agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.sum("sz").cast("bigint").alias("n_records"),
+        F.min("sz").cast("bigint").alias("min_class"),
+    )
+    k = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(x) for x in KANON_THRESHOLDS])
+        ).alias("k")
+    )
+    return (
+        cls.crossJoin(F.broadcast(k))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("k", "n_classes", "n_records", "min_class")
+        .agg(
+            F.sum(F.when(F.col("sz") < F.col("k"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_classes_small"),
+            F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_records_risk"),
+        )
+        .select(
+            F.col("k").cast("bigint").alias("k"),
+            "n_classes",
+            "n_records",
+            "min_class",
+            "n_classes_small",
+            "n_records_risk",
+            (
+                F.col("n_records_risk").cast("double") / F.col("n_records")
+            ).alias("risk_share"),
+        )
+        .orderBy("k")
+    )

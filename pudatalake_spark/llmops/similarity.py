@@ -1322,3 +1322,171 @@ def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+PQ_SUBS = 8      # subspaces (64 dims -> 8 x 8)
+PQ_SUBDIM = 8
+PQ_K = 16        # centroids per subspace (codebook = vectors 0..15)
+PQ_QUERIES = 10
+PQ_TOPK = 3
+
+# Shared sub-distance fragment: squared L2 between two 8-dim lists,
+# summed IN INDEX ORDER in both engines (Spark F.aggregate and DuckDB
+# list_sum both fold left-to-right), then snapped to exact integer
+# MICRO-units so every later sum is order-independent int64.
+_DUCK_D2_MICRO = (
+    "CAST(round(list_sum(list_transform(list_zip({a}, {b}),"
+    " x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1000000, 0) AS BIGINT)"
+)
+
+
+def _d2_micro(a, b):
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 * 1000000, 0).cast("bigint")
+
+
+@register(
+    "q_sim_pq_adc",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, s.s,
+             list_slice(v, s.s * {PQ_SUBDIM} + 1,
+                        s.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+      FROM e CROSS JOIN (SELECT unnest(range({PQ_SUBS})) AS s) s
+    ),
+    cb AS (SELECT s, vec_id AS code, sv AS cv FROM subs
+           WHERE vec_id < {PQ_K}),
+    assign0 AS (
+      SELECT t.vec_id, t.s, c.code,
+             {_DUCK_D2_MICRO.format(a="t.sv", b="c.cv")} AS d2m
+      FROM subs t JOIN cb c ON t.s = c.s
+    ),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d2m, code) AS rn
+        FROM assign0) WHERE rn = 1
+    ),
+    qlut AS (
+      SELECT t.vec_id AS query_id, t.s, c.code,
+             {_DUCK_D2_MICRO.format(a="t.sv", b="c.cv")} AS d2m
+      FROM subs t JOIN cb c ON t.s = c.s
+      WHERE t.vec_id < {PQ_QUERIES}
+    ),
+    adc AS (
+      SELECT l.query_id, x.vec_id AS cand_id,
+             CAST(sum(l.d2m) AS BIGINT) AS micro
+      FROM codes x JOIN qlut l ON x.s = l.s AND x.code = l.code
+      WHERE x.vec_id <> l.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, cand_id,
+           CAST(micro AS DOUBLE) / 1000000 AS adc_dist
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY micro, cand_id) AS rn
+          FROM adc)
+    WHERE rn <= {PQ_TOPK}
+    ORDER BY query_id, adc_dist, cand_id
+    """,
+)
+def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jegou et al. 2011, the FAISS IVF-PQ building block): split each
+    64-dim vector into 8 subspaces of 8 dims, encode every corpus
+    vector as 8 one-byte codes (nearest codebook centroid per
+    subspace), then answer queries WITHOUT touching raw corpus
+    vectors - each query precomputes an 8x16 lookup table of
+    sub-distances to every centroid, and a candidate's distance is
+    just 8 LUT adds. Codebook = subvectors of vectors 0..15 (the
+    fixed-seed convention q_sim_ann_ivf sets for its coarse
+    quantizer; production learns it with per-subspace k-means -
+    q_sim_kmeans_lloyd is that trainer).
+
+    Determinism protocol: every sub-distance is snapped to exact
+    int64 MICRO-units after an index-ordered 8-element fold
+    (identical IEEE tree in both engines), so code assignment
+    (argmin + code tie-break) and the ADC sum (integer addition,
+    order-independent) are engine-exact; the reported distance is
+    ONE trailing division. Pinned against an independent numpy PQ in
+    tests (including recall@k vs exact neighbors).
+
+    100 TB posture - the reason PQ exists: the corpus is stored as
+    N x 8 BYTES (64x smaller than float32), the per-query LUT is
+    128 entries broadcast to every partition, and the scan is a
+    map-only integer-add pass with NO shuffle of vectors; encode is
+    one map pass against the broadcast codebook. Recall/compression
+    trade via (subspaces, K) exactly as FAISS-PQ.
+    """
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", _vd("embedding").alias("v")
+    )
+    subs = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("s"),
+                        F.slice(
+                            F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM
+                        ).alias("sv"),
+                    )
+                    for s in range(PQ_SUBS)
+                ]
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+    cb = subs.filter(F.col("vec_id") < PQ_K).select(
+        F.col("s").alias("cs"), F.col("vec_id").alias("code"),
+        F.col("sv").alias("cv"),
+    )
+    assign0 = subs.join(
+        F.broadcast(cb), F.col("s") == F.col("cs")
+    ).select(
+        "vec_id", "s", "code", _d2_micro(F.col("sv"), F.col("cv")).alias("d2m")
+    )
+    wa = Window.partitionBy("vec_id", "s").orderBy("d2m", "code")
+    codes = (
+        assign0.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "code")
+    )
+    qlut = (
+        subs.filter(F.col("vec_id") < PQ_QUERIES)
+        .join(F.broadcast(cb), F.col("s") == F.col("cs"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("s").alias("ls"),
+            F.col("code").alias("lcode"),
+            _d2_micro(F.col("sv"), F.col("cv")).alias("d2m"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(qlut),
+            (F.col("s") == F.col("ls"))
+            & (F.col("code") == F.col("lcode"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("cand_id"))
+        .agg(F.sum("d2m").cast("bigint").alias("micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("micro", "cand_id")
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("micro").cast("double") / 1000000).alias("adc_dist"),
+        )
+        .orderBy("query_id", "adc_dist", "cand_id")
+    )

@@ -840,3 +840,77 @@ def q_lake_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(skipped, 0).otherwise(F.col("n_rows"))).cast("bigint")
           .alias("rows_scanned"),
     )
+
+
+IVM_CUTOFF = "1997-06-01"  # orders on/after this date form the delta
+
+
+@register(
+    "q_lake_incremental_agg",
+    oracle=f"""
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders
+    GROUP BY o_custkey
+    ORDER BY custkey
+    """,
+)
+def q_lake_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-aggregate maintenance: the per-
+    customer order rollup is kept as a stored partial-aggregate
+    table (count, sum) built from history BEFORE the cutoff; when a
+    delta batch (orders on/after the cutoff) arrives, the view is
+    refreshed by aggregating ONLY the delta and merging partials -
+    union + re-aggregate, the algebra every IVM engine
+    (Materialize, Delta MVs, Druid rollup segments) relies on for
+    COMMUTATIVE-MONOID aggregates (count/sum/min/max; avg as
+    sum+count; NOT median). The oracle recomputes the rollup from
+    the FULL table, so the hash match PROVES merge(base, delta) ==
+    recompute(all) - the correctness obligation of the maintenance
+    path itself.
+
+    Exactness: both partials carry int64 (count, cent-sum) pairs;
+    the merge is integer addition - no float surface at all.
+
+    Scale shape: the refresh cost is ONE two-phase agg over the
+    DELTA partition only (partition-pruned scan; the date predicate
+    reaches the reader) plus a merge shuffled by the view key - at
+    100 TB the base table is never rescanned, which is the entire
+    point; the simulated base agg here stands in for reading the
+    stored view's partials.
+    """
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("d"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    cutoff = F.lit(IVM_CUTOFF).cast("date")
+    base = (
+        o.filter(F.col("d") < cutoff)
+        .groupBy("custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+    delta = (
+        o.filter(F.col("d") >= cutoff)
+        .groupBy("custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+        )
+    )
+    return (
+        base.unionAll(delta)
+        .groupBy("custkey")
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.sum("total_cents").cast("bigint").alias("total_cents"),
+        )
+        .orderBy("custkey")
+    )

@@ -2352,3 +2352,118 @@ def q_stats_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("cum_n") * F.col("pos_total"))
         ).alias("lift"),
     ).orderBy("decile")
+
+
+WINSOR_LO = 10  # clamp below the p10 order statistic (percent)
+WINSOR_HI = 90  # and above the p90 order statistic (percent)
+
+
+@register(
+    "q_stats_winsorized",
+    oracle=f"""
+    WITH v AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             o_orderkey AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    r AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents, k)
+                 AS rn,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+      FROM v
+    ),
+    b AS (
+      SELECT seg, max(n) AS n,
+             CAST(max(CASE WHEN rn = ({WINSOR_LO} * n + 99) // 100
+                      THEN cents END) AS BIGINT) AS lo,
+             CAST(max(CASE WHEN rn = ({WINSOR_HI} * n + 99) // 100
+                      THEN cents END) AS BIGINT) AS hi
+      FROM r GROUP BY seg
+    )
+    SELECT r.seg, b.n, b.lo AS lo_cents, b.hi AS hi_cents,
+           CAST(sum(CASE WHEN r.cents < b.lo THEN b.lo
+                         WHEN r.cents > b.hi THEN b.hi
+                         ELSE r.cents END) AS DOUBLE)
+             / (100.0 * b.n) AS winsorized_mean,
+           CAST(sum(r.cents) AS DOUBLE) / (100.0 * b.n) AS raw_mean
+    FROM r JOIN b ON r.seg = b.seg
+    GROUP BY r.seg, b.n, b.lo, b.hi
+    ORDER BY r.seg
+    """,
+)
+def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of order value per market segment: clamp
+    every value into [p10, p90] ORDER STATISTICS before averaging -
+    the robust location estimate that tames heavy tails without
+    discarding rows (the trimmed-mean sibling that keeps n
+    constant), reported beside the raw mean so the tail influence
+    is visible.
+
+    Determinism: the pXX boundary is the value at 1-indexed rank
+    ceil(p*n) of the (cents, orderkey) total order - pure integer
+    rank arithmetic computed IDENTICALLY in both engines (no
+    percentile_disc, whose tie/index conventions differ across
+    dialects). Clamped sums are exact int64; each mean is ONE IEEE
+    division, reported UNROUNDED (functions/exact.py rule).
+
+    Scale shape: one shuffle to rank within segment (range-
+    partitioned sort at scale), a segment-keyed bounds agg
+    broadcast back, then a two-phase clamped-sum agg. The 100 TB
+    variant swaps the exact rank for approx_percentile boundaries
+    (sort-free, same downstream algebra - the q_stats_lift_gains
+    trade, documented not implemented here because the exact rank
+    IS this operator's contract).
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    v = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ws = Window.partitionBy("seg")
+    r = v.select(
+        "seg",
+        "cents",
+        F.row_number().over(ws.orderBy("cents", "k")).alias("rn"),
+        F.count("*").over(ws).cast("bigint").alias("n"),
+    )
+    lo_rank = F.expr(f"({WINSOR_LO} * n + 99) div 100")
+    hi_rank = F.expr(f"({WINSOR_HI} * n + 99) div 100")
+    b = r.groupBy("seg").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(F.col("rn") == lo_rank, F.col("cents")))
+        .cast("bigint")
+        .alias("lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("cents")))
+        .cast("bigint")
+        .alias("hi"),
+    )
+    clamped = (
+        F.when(F.col("cents") < F.col("lo"), F.col("lo"))
+        .when(F.col("cents") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("cents"))
+    )
+    return (
+        r.drop("n", "rn")
+        .join(F.broadcast(b), "seg")
+        .groupBy("seg", "n", F.col("lo"), F.col("hi"))
+        .agg(
+            F.sum(clamped).cast("double").alias("wsum"),
+            F.sum("cents").cast("double").alias("rsum"),
+        )
+        .select(
+            "seg",
+            "n",
+            F.col("lo").alias("lo_cents"),
+            F.col("hi").alias("hi_cents"),
+            (F.col("wsum") / (100.0 * F.col("n"))).alias("winsorized_mean"),
+            (F.col("rsum") / (100.0 * F.col("n"))).alias("raw_mean"),
+        )
+        .orderBy("seg")
+    )

@@ -801,3 +801,59 @@ def test_modularity_matches_python_reference(spark):
         )
     for r in rows:
         assert r.modularity == pytest.approx(q_ref, abs=1e-10)
+
+
+def test_pq_adc_matches_numpy_and_recall(spark):
+    """q_sim_pq_adc vs an independent numpy PQ (same codebook
+    convention), plus a recall@3 floor against exact L2 neighbors."""
+    e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    V = np.stack(
+        e.embedding.map(lambda a: np.asarray(a, dtype=np.float64))
+    )
+    ids = e.vec_id.to_numpy()
+    subs = V.reshape(len(V), 8, 8)
+    cb = subs[:16]  # (16, 8, 8): codebook = vectors 0..15
+    # encode: per (vec, subspace) argmin over 16 centroids, in
+    # micro-snapped distances with code tie-break (ties -> lowest
+    # code wins because argmin returns the first minimum).
+    d2m = np.round(
+        ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(-1) * 1e6
+    ).astype("int64")  # (N, 16, 8)
+    codes = d2m.argmin(axis=1)  # (N, 8)
+    ref_rows = {}
+    for qi in range(10):
+        qlut = d2m[qi]  # (16, 8) distances from query qi's subvectors
+        micro = np.array(
+            [
+                sum(int(qlut[codes[x, s], s]) for s in range(8))
+                for x in range(len(V))
+            ]
+        )
+        order = sorted(
+            (int(micro[x]), int(ids[x]))
+            for x in range(len(V))
+            if ids[x] != qi
+        )[:3]
+        ref_rows[qi] = order
+    rows = registry.QUERIES["q_sim_pq_adc"](spark, SF_DIR).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append(
+            (round(r.adc_dist * 1e6), r.cand_id)
+        )
+    assert set(got) == set(ref_rows)
+    hit = total = 0
+    for qi, ref in ref_rows.items():
+        assert sorted(got[qi]) == [(m, c) for m, c in ref]
+        # recall@3 of ADC vs exact L2 top-3
+        ex = np.argsort(((V - V[qi]) ** 2).sum(-1))
+        exact3 = [int(ids[x]) for x in ex if ids[x] != qi][:3]
+        hit += len({c for _, c in ref} & set(exact3))
+        total += 3
+    # PQ with a 16-entry untrained codebook is coarse; measured
+    # recall@3 = 0.20 at sf0.001 (floor set below it so a testdata
+    # regeneration doesn't flap the gate). Production raises recall
+    # with k-means-trained codebooks and more centroids.
+    assert hit / total >= 0.15, f"PQ recall@3 = {hit/total}"

@@ -624,3 +624,60 @@ def test_rsi_matches_bruteforce(spark, events_pdf):
         gain, loss, rsi = ref[(r.event_type, pd.Timestamp(r.day))]
         assert (r.gain_cents, r.loss_cents) == (gain, loss)
         assert r.rsi == pytest.approx(rsi, abs=1e-12)
+
+
+def test_winsorized_matches_bruteforce(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["cents"] = (j.o_totalprice * 100).round(0).astype("int64")
+    rows = {
+        r.seg: r
+        for r in registry.QUERIES["q_stats_winsorized"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for seg, grp in j.groupby("c_mktsegment"):
+        srt = grp.sort_values(["cents", "o_orderkey"]).cents.to_numpy()
+        n = len(srt)
+        lo = srt[(10 * n + 99) // 100 - 1]
+        hi = srt[(90 * n + 99) // 100 - 1]
+        r = rows[seg]
+        assert (r.n, r.lo_cents, r.hi_cents) == (n, lo, hi)
+        assert r.winsorized_mean == pytest.approx(
+            np.clip(srt, lo, hi).sum() / (100 * n), abs=1e-9
+        )
+        assert r.raw_mean == pytest.approx(
+            srt.sum() / (100 * n), abs=1e-9
+        )
+        # winsorizing pulls the estimate toward the median side
+        assert r.lo_cents <= r.hi_cents
+
+
+def test_kanon_matches_bruteforce(spark):
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    cents = (c.c_acctbal * 100).round(0).astype("int64")
+    bucket = np.floor(cents / 100000.0).astype("int64")
+    cls = (
+        pd.DataFrame(
+            {
+                "nk": c.c_nationkey,
+                "seg": c.c_mktsegment,
+                "b": bucket,
+            }
+        )
+        .groupby(["nk", "seg", "b"])
+        .size()
+    )
+    rows = registry.QUERIES["q_privacy_kanon"](spark, SF_DIR).collect()
+    assert [r.k for r in rows] == [2, 5, 10]
+    for r in rows:
+        small = cls[cls < r.k]
+        assert r.n_classes == len(cls)
+        assert r.n_records == cls.sum()
+        assert r.min_class == cls.min()
+        assert r.n_classes_small == len(small)
+        assert r.n_records_risk == small.sum()
+        assert r.risk_share == pytest.approx(
+            small.sum() / cls.sum(), abs=1e-12
+        )
