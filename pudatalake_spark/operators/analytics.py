@@ -3704,3 +3704,237 @@ def q_time_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+RESAMPLE_MIN_CENTS = 25000  # the sparse high-value slice (>= 250.00)
+
+
+@register(
+    "q_time_resample_interp",
+    oracle=f"""
+    WITH known AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events
+      WHERE CAST(round(value * 100, 0) AS BIGINT) >= {RESAMPLE_MIN_CENTS}
+      GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, min(ed) AS d0, max(ed) AS d1
+      FROM known GROUP BY event_type
+    ),
+    grid AS (
+      SELECT s.event_type, g.ed
+      FROM span s CROSS JOIN LATERAL
+        (SELECT unnest(range(s.d0, s.d1 + 1)) AS ed) g
+    ),
+    joined AS (
+      SELECT g.event_type, g.ed, k.cents
+      FROM grid g LEFT JOIN known k
+        ON g.event_type = k.event_type AND g.ed = k.ed
+    ),
+    anchored AS (
+      SELECT event_type, ed, cents,
+             last_value(CASE WHEN cents IS NOT NULL THEN ed END
+                        IGNORE NULLS) OVER wp AS pd,
+             last_value(cents IGNORE NULLS) OVER wp AS pv,
+             first_value(CASE WHEN cents IS NOT NULL THEN ed END
+                         IGNORE NULLS) OVER wn AS nd,
+             first_value(cents IGNORE NULLS) OVER wn AS nv
+      FROM joined
+      WINDOW wp AS (PARTITION BY event_type ORDER BY ed
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY ed
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, ed AS epoch_day,
+           CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS interpolated,
+           CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                ELSE CAST(pv AS DOUBLE)
+                     + CAST((nv - pv) * (ed - pd) AS DOUBLE) / (nd - pd)
+           END AS cents_resampled
+    FROM anchored ORDER BY event_type, epoch_day
+    """,
+)
+def q_time_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each event type's sparse high-value daily revenue
+    series onto its full [min, max] calendar grid with LINEAR
+    interpolation across gap days - the other half of the
+    hypertable resampling story: q_events_gap_fill materializes
+    zeros (counts), this materializes the line segment between the
+    neighboring observations (levels/balances, where zero would be
+    a lie). Every row carries an `interpolated` flag so consumers
+    can tell measured from imputed.
+
+    Exactness: known points are exact int64 cent sums on integer
+    epoch days; each interpolated value is pv + (nv-pv)*(ed-pd) /
+    (nd-pd) with an int64 numerator product and ONE IEEE division,
+    the identical tree in both engines, unrounded. Span endpoints
+    are known points by construction, so pd/pv/nd/nv are never NULL
+    where interpolation fires.
+
+    Scale shape: one filtered fact pass to the sparse (type, day)
+    frame (the value predicate prunes at the scan), a per-type
+    min/max agg whose sequence() explode builds the grid
+    DISTRIBUTED (no driver loop), a left join back, and two
+    per-type ordered window passes (last/first IGNORE NULLS) - the
+    standard distributed forward/backward-fill idiom. 100 TB:
+    per-series partitioning carries it; state is two anchors per
+    row, never the series.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    known = (
+        e.filter(cents >= RESAMPLE_MIN_CENTS)
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("ed"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    span = known.groupBy("event_type").agg(
+        F.min("ed").alias("d0"), F.max("ed").alias("d1")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("ed"),
+    )
+    joined = grid.join(known, ["event_type", "ed"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("ed")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("ed")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    known_ed = F.when(F.col("cents").isNotNull(), F.col("ed"))
+    anchored = joined.select(
+        "event_type",
+        "ed",
+        "cents",
+        F.last(known_ed, ignorenulls=True).over(wp).alias("pd"),
+        F.last("cents", ignorenulls=True).over(wp).alias("pv"),
+        F.first(known_ed, ignorenulls=True).over(wn).alias("nd"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nv"),
+    )
+    interp = F.col("pv").cast("double") + (
+        (F.col("nv") - F.col("pv")) * (F.col("ed") - F.col("pd"))
+    ).cast("double") / (F.col("nd") - F.col("pd"))
+    return anchored.select(
+        "event_type",
+        F.col("ed").alias("epoch_day"),
+        F.when(F.col("cents").isNull(), 1).otherwise(0).alias(
+            "interpolated"
+        ),
+        F.when(
+            F.col("cents").isNotNull(), F.col("cents").cast("double")
+        )
+        .otherwise(interp)
+        .alias("cents_resampled"),
+    ).orderBy("event_type", "epoch_day")
+
+
+HW_ALPHA = 0.3   # level smoothing
+HW_BETA = 0.1    # trend smoothing
+HW_GAMMA = 0.2   # seasonal smoothing
+HW_PERIOD = 7    # weekly season
+HW_HORIZON = 7   # forecast days
+
+
+@register("q_events_holt_winters")  # recursive smoother -> rows-only + pin
+def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters forecast (level + trend + weekly
+    seasonal, alpha=0.3 beta=0.1 gamma=0.2) of daily event counts
+    per event type, 7 days ahead - the classical triple-exponential
+    smoother that upgrades q_events_forecast_seasonal's seasonal-
+    naive baseline with damped level/trend tracking (Holt 1957,
+    Winters 1960; what Hyndman's fpp calls HW-additive).
+
+    No SQL oracle BY DESIGN: all three recursions feed each other
+    at every step, so each state is a degree-t polynomial in the
+    smoothing constants over the WHOLE history - the q_stats_cusum
+    precedent squared (that one is a single one-sided recursion;
+    this is three coupled ones, far outside window algebra). Pinned
+    against an independent pure-Python recursion in
+    tests/test_stats_props.py.
+
+    Init convention (pinned in the test): L0 = mean(week 1),
+    B0 = (mean(week 2) - mean(week 1)) / 7, S_i = y_i - mean(week 1)
+    for i in 0..6; the recursion starts at t=7 and the h-step
+    forecast is L_T + h*B_T + S at the matching phase of the LAST
+    updated season.
+
+    Scale split (the BPE/kmeans trainer pattern): the UNBOUNDED work
+    - fact -> (type, day) counts - is ONE JVM two-phase agg; the
+    recursion runs in applyInPandas per SERIES over its bounded
+    daily frame (|days| rows; numpy-vectorized per step over the
+    series would not help - the loop is over days, not rows, and
+    days are bounded). 100 TB: thousands of series = partition
+    parallelism; each task holds one bounded series.
+    """
+    import pandas as pd  # local: only the smoother needs it
+
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        ),
+    ).agg(F.count("*").cast("bigint").alias("y"))
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ed")
+        et = pdf["event_type"].iloc[0]
+        y = pdf["y"].to_numpy(dtype=float)
+        m = HW_PERIOD
+        if len(y) < 2 * m:
+            return pd.DataFrame(
+                columns=["event_type", "h", "forecast", "level", "trend"]
+            )
+        w1 = y[:m].mean()
+        w2 = y[m : 2 * m].mean()
+        level, trend = w1, (w2 - w1) / m
+        seas = [y[i] - w1 for i in range(m)]
+        for t in range(m, len(y)):
+            s_prev = seas[t - m]
+            l_new = HW_ALPHA * (y[t] - s_prev) + (1 - HW_ALPHA) * (
+                level + trend
+            )
+            trend = HW_BETA * (l_new - level) + (1 - HW_BETA) * trend
+            seas.append(
+                HW_GAMMA * (y[t] - l_new) + (1 - HW_GAMMA) * s_prev
+            )
+            level = l_new
+        out = []
+        for h in range(1, HW_HORIZON + 1):
+            # matching phase of the most recently updated season
+            s = seas[len(y) - m + (h - 1) % m]
+            out.append(
+                (
+                    et,
+                    h,
+                    round(level + h * trend + s, 6),
+                    round(level, 6),
+                    round(trend, 6),
+                )
+            )
+        return pd.DataFrame(
+            out, columns=["event_type", "h", "forecast", "level", "trend"]
+        )
+
+    schema = (
+        "event_type string, h int, forecast double, "
+        "level double, trend double"
+    )
+    return (
+        daily.groupBy("event_type")
+        .applyInPandas(smooth, schema=schema)
+        .orderBy("event_type", "h")
+    )

@@ -2467,3 +2467,200 @@ def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+@register(
+    "q_stats_jsd",
+    oracle="""
+    WITH lab AS (
+      SELECT event_type,
+             CASE WHEN dayofweek(CAST(ts AS DATE)) IN (0, 6)
+                  THEN 1 ELSE 0 END AS we
+      FROM events
+    ),
+    per_type AS (
+      SELECT event_type,
+             CAST(count(*) - sum(we) AS BIGINT) AS n_wd,
+             CAST(sum(we) AS BIGINT) AS n_we
+      FROM lab GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(n_wd) AS BIGINT) AS twd,
+             CAST(sum(n_we) AS BIGINT) AS twe,
+             CAST(count(*) AS BIGINT) AS k
+      FROM per_type
+    ),
+    terms AS (
+      SELECT event_type, n_wd, n_we,
+             0.5 * ((n_wd + 0.5) / (twd + k * 0.5))
+                 * ln(((n_wd + 0.5) / (twd + k * 0.5))
+                      / (0.5 * ((n_wd + 0.5) / (twd + k * 0.5))
+                         + 0.5 * ((n_we + 0.5) / (twe + k * 0.5))))
+             + 0.5 * ((n_we + 0.5) / (twe + k * 0.5))
+                 * ln(((n_we + 0.5) / (twe + k * 0.5))
+                      / (0.5 * ((n_wd + 0.5) / (twd + k * 0.5))
+                         + 0.5 * ((n_we + 0.5) / (twe + k * 0.5)))) AS t
+      FROM per_type, tot
+    )
+    SELECT event_type, n_wd, n_we,
+           round(t, 6) AS jsd_term,
+           round(sum(t) OVER (), 6) AS jsd_total
+    FROM terms ORDER BY event_type
+    """,
+)
+def q_stats_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the WEEKDAY and WEEKEND
+    event-type mixes: the symmetric, bounded (<= ln 2 nats) sibling
+    of KL that drift monitors prefer when neither side is the
+    canonical baseline - completes the divergence ladder next to
+    q_stats_psi (symmetrized-KL on a binned numeric) and
+    q_stats_mutual_info (joint-vs-product). Reported per type plus
+    the total, in NATS.
+
+    Protocol mirrors q_stats_psi: integer (type, period) counts in
+    ONE two-phase agg, +0.5 smoothing per cell (denominator +
+    k/2 keeps both distributions normalized), the mixture M =
+    (P+Q)/2 expanded inline so both engines evaluate the identical
+    expression tree, and ONLY the irrational ln terms rounded (6dp;
+    the 5-row window total likewise). Weekend = Sunday/Saturday via
+    dayofweek, mapped to the same 0/6 codes in both dialects.
+
+    Scale shape: one fact scan -> (type, period) counts with
+    map-side combine -> 1-row totals broadcast -> 5-row projection
+    arithmetic. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek:
+    # 0=Sunday..6=Saturday. Normalize to DuckDB's codes.
+    dow = F.dayofweek(F.to_date("ts")) - 1
+    lab = e.select(
+        "event_type",
+        F.when(dow.isin(0, 6), 1).otherwise(0).alias("we"),
+    )
+    per_type = lab.groupBy("event_type").agg(
+        (F.count("*") - F.sum("we")).cast("bigint").alias("n_wd"),
+        F.sum("we").cast("bigint").alias("n_we"),
+    )
+    tot = per_type.agg(
+        F.sum("n_wd").cast("bigint").alias("twd"),
+        F.sum("n_we").cast("bigint").alias("twe"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    j = per_type.crossJoin(F.broadcast(tot))
+    p = (F.col("n_wd") + 0.5) / (F.col("twd") + F.col("k") * 0.5)
+    q = (F.col("n_we") + 0.5) / (F.col("twe") + F.col("k") * 0.5)
+    m = 0.5 * p + 0.5 * q
+    t = 0.5 * p * F.log(p / m) + 0.5 * q * F.log(q / m)
+    w_all = Window.partitionBy()
+    return j.select(
+        "event_type",
+        "n_wd",
+        "n_we",
+        F.round(t, 6).alias("jsd_term"),
+        F.round(F.sum(t).over(w_all), 6).alias("jsd_total"),
+    ).orderBy("event_type")
+
+
+XCORR_MAX_LAG = 3  # lags -3..+3 days
+
+
+@register(
+    "q_stats_xcorr",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(-{XCORR_MAX_LAG}, {XCORR_MAX_LAG + 1}))
+                 AS lag),
+    pairs AS (
+      SELECT l.lag, a.x, b.y
+      FROM daily a CROSS JOIN lags l
+      JOIN daily b ON b.ed = a.ed + l.lag
+    ),
+    s AS (
+      SELECT lag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM pairs GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS xcorr
+    FROM s ORDER BY lag
+    """,
+)
+def q_stats_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily CLICK and daily
+    PURCHASE count series at lags -3..+3 days (xcorr(L) = Pearson
+    corr of clicks on day d vs purchases on day d+L): the "does one
+    series lead the other, and by how much" diagnostic behind
+    marketing-response and demand-sensing models - the cross-series
+    sibling of q_stats_autocorr, whose argmax over L is the
+    estimated response delay.
+
+    Exactness: both series are integer counts; per-lag alignment is
+    an integer epoch-day equi-join (no window, so missing days
+    simply drop the pair - the standard pairwise-complete
+    convention); all five power sums are exact int64, and the corr
+    is the identical two-sqrt expression tree in both engines,
+    reported UNROUNDED (functions/exact.py rule).
+
+    Scale shape: ONE fact scan to the daily frame (map-side
+    combinable conditional agg), then a 7-lag x |days| self-join on
+    the bounded frame and a 7-group power-sum agg. 100 TB:
+    identical - everything after the first agg is bounded by the
+    calendar, and per-series partitioning (region, type) widens the
+    key without changing shape.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        )
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    lags = spark.range(-XCORR_MAX_LAG, XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    a = daily.select(F.col("ed").alias("aed"), "x")
+    b = daily.select(F.col("ed").alias("bed"), "y")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("bed") == F.col("aed") + F.col("lag"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    dx = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    dy = F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    )
+    return s.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n",
+        (num / (dx * dy)).alias("xcorr"),
+    ).orderBy("lag")

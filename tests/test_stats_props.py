@@ -681,3 +681,107 @@ def test_kanon_matches_bruteforce(spark):
         assert r.risk_share == pytest.approx(
             small.sum() / cls.sum(), abs=1e-12
         )
+
+
+def test_jsd_matches_bruteforce(spark, events_pdf):
+    we = events_pdf.ts.dt.dayofweek.isin([5, 6])  # pandas: Mon=0
+    ct = pd.crosstab(events_pdf.event_type, we)
+    wd = ct.get(False, pd.Series(0, index=ct.index)).astype(float)
+    wk = ct.get(True, pd.Series(0, index=ct.index)).astype(float)
+    k = len(ct)
+    p = (wd + 0.5) / (wd.sum() + k * 0.5)
+    q = (wk + 0.5) / (wk.sum() + k * 0.5)
+    m = (p + q) / 2
+    terms = 0.5 * p * np.log(p / m) + 0.5 * q * np.log(q / m)
+    rows = registry.QUERIES["q_stats_jsd"](spark, SF_DIR).collect()
+    assert len(rows) == k
+    for r in rows:
+        assert r.n_wd == wd[r.event_type] and r.n_we == wk[r.event_type]
+        assert r.jsd_term == pytest.approx(
+            terms[r.event_type], abs=2e-6
+        )
+        assert r.jsd_total == pytest.approx(terms.sum(), abs=2e-6)
+    # JSD in nats is bounded by ln 2
+    assert 0 <= rows[0].jsd_total <= np.log(2)
+
+
+def test_xcorr_matches_numpy(spark, events_pdf):
+    daily = (
+        events_pdf.assign(
+            ed=(events_pdf.ts.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+        )
+        .pivot_table(
+            index="ed", columns="event_type", values="event_id",
+            aggfunc="count", fill_value=0,
+        )
+    )
+    x = daily["click"]
+    y = daily["purchase"]
+    rows = registry.QUERIES["q_stats_xcorr"](spark, SF_DIR).collect()
+    assert [r.lag for r in rows] == list(range(-3, 4))
+    for r in rows:
+        a, b = x.align(y.copy().set_axis(y.index - r.lag), join="inner")
+        assert r.n == len(a)
+        assert r.xcorr == pytest.approx(
+            np.corrcoef(a.to_numpy(float), b.to_numpy(float))[0, 1],
+            abs=1e-9,
+        )
+
+
+def test_holt_winters_matches_python_recursion(spark, events_pdf):
+    daily = (
+        events_pdf.assign(
+            ed=(events_pdf.ts.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+        )
+        .groupby(["event_type", "ed"])
+        .size()
+        .reset_index(name="y")
+    )
+    rows = registry.QUERIES["q_events_holt_winters"](spark, SF_DIR).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.event_type, {})[r.h] = r
+    for et, grp in daily.groupby("event_type"):
+        y = grp.sort_values("ed").y.to_numpy(float)
+        m = 7
+        w1, w2 = y[:m].mean(), y[m : 2 * m].mean()
+        level, trend = w1, (w2 - w1) / m
+        seas = [y[i] - w1 for i in range(m)]
+        for t in range(m, len(y)):
+            sp = seas[t - m]
+            ln = 0.3 * (y[t] - sp) + 0.7 * (level + trend)
+            trend = 0.1 * (ln - level) + 0.9 * trend
+            seas.append(0.2 * (y[t] - ln) + 0.8 * sp)
+            level = ln
+        for h in range(1, 8):
+            ref = level + h * trend + seas[len(y) - m + (h - 1) % m]
+            r = got[et][h]
+            assert r.forecast == pytest.approx(ref, abs=2e-6)
+            assert r.level == pytest.approx(level, abs=2e-6)
+            assert r.trend == pytest.approx(trend, abs=2e-6)
+
+
+def test_resample_interp_matches_pandas(spark, events_pdf):
+    cents = (events_pdf.value * 100).round(0).astype("int64")
+    sel = events_pdf.assign(c=cents)
+    sel = sel[sel.c >= 25000]
+    sel["ed"] = (
+        sel.ts.dt.normalize() - pd.Timestamp("1970-01-01")
+    ).dt.days
+    rows = registry.QUERIES["q_time_resample_interp"](
+        spark, SF_DIR
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.event_type, {})[r.epoch_day] = r
+    for et, grp in sel.groupby("event_type"):
+        known = grp.groupby("ed").c.sum()
+        full = known.reindex(
+            range(known.index.min(), known.index.max() + 1)
+        )
+        interp = full.interpolate(method="index")
+        assert set(got[et]) == set(full.index)
+        for ed, v in interp.items():
+            r = got[et][ed]
+            assert r.interpolated == int(pd.isna(full[ed]))
+            assert r.cents_resampled == pytest.approx(v, abs=1e-6)
