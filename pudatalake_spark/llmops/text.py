@@ -1992,3 +1992,160 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(learn, schema=schema)
         .orderBy("merge_rank")
     )
+
+
+RAKE_MAXLEN = 3   # discard candidate phrases longer than this
+RAKE_TOPK = 10
+
+#: RAKE delimiter lexicon: the union of the language-ID marker
+#: stopwords (the corpus is multilingual; each language's markers
+#: delimit its own docs' phrases).
+_RAKE_STOPS = sorted({w for ws in _LANG_MARKERS.values() for w in ws})
+
+
+@register(
+    "q_text_keyphrase_rake",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w, CAST(pos AS BIGINT) AS pos,
+             CASE WHEN w IN ({", ".join(f"'{w}'" for w in _RAKE_STOPS)})
+                  THEN 1 ELSE 0 END AS stop
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS w,
+               unnest(range(1, len(list_filter(string_split(lower(text), ' '),
+                                               t -> t <> '')) + 1)) AS pos
+        FROM documents)
+    ),
+    seg AS (
+      SELECT doc_id, w, pos,
+             CAST(sum(stop) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS pid
+      FROM words
+    ),
+    inst_words AS (
+      SELECT doc_id, pid, w, pos FROM seg
+      WHERE w NOT IN ({", ".join(f"'{w}'" for w in _RAKE_STOPS)})
+    ),
+    inst AS (
+      SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS len,
+             string_agg(w, ' ' ORDER BY pos) AS phrase
+      FROM inst_words GROUP BY doc_id, pid
+      HAVING count(*) <= {RAKE_MAXLEN}
+    ),
+    kept AS (
+      SELECT iw.doc_id, iw.pid, iw.w, i.len, i.phrase
+      FROM inst_words iw JOIN inst i
+        ON iw.doc_id = i.doc_id AND iw.pid = i.pid
+    ),
+    wstat AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq,
+             CAST(sum(len) AS BIGINT) AS deg
+      FROM kept GROUP BY w
+    ),
+    scored AS (
+      SELECT k.doc_id, k.pid, k.phrase,
+             round(sum(CAST(s.deg AS DOUBLE) / s.freq), 6) AS score
+      FROM kept k JOIN wstat s ON k.w = s.w
+      GROUP BY k.doc_id, k.pid, k.phrase
+    )
+    SELECT phrase, CAST(count(*) AS BIGINT) AS n_occur,
+           max(score) AS score
+    FROM scored GROUP BY phrase
+    ORDER BY score DESC, phrase LIMIT {RAKE_TOPK}
+    """,
+)
+def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are maximal stopword-delimited runs (cap 3
+    words; the delimiter lexicon is the language-ID marker union, so
+    each language's own stopwords segment its docs), each word is
+    scored deg/freq over candidate occurrences (deg = summed length
+    of containing phrases - favors words that travel in long
+    phrases), and a phrase scores the sum of its word scores -
+    corpus-level keyphrases WITHOUT tf-idf's per-doc frame, the
+    classic unsupervised complement to q_text_tfidf. Top-10 with
+    occurrence counts.
+
+    Determinism: segmentation is a per-doc running stopword count
+    (integer window); deg/freq are exact int64 so each word score
+    is ONE IEEE division; only the <=3-term phrase-score sum is
+    rounded (6dp - group-sum order is the one nondeterminism, the
+    PSI rule); top-k boundary ties break on the phrase string.
+
+    Scale shape: ONE tokenize pass -> per-doc window for segment
+    ids (doc-partitioned, bounded) -> two-phase word-stat agg ->
+    broadcast word scores back onto instances -> phrase agg + a
+    TakeOrderedAndProject top-k. No all-pairs anything; the
+    vocabulary and phrase tables are the only shuffles. 100 TB:
+    identical - this is a pure map/agg pipeline over tokens.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("pos0", "w"),
+    ).select(
+        "doc_id",
+        F.col("w"),
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.when(F.col("w").isin(_RAKE_STOPS), 1).otherwise(0).alias("stop"),
+    )
+    wp = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg = toks.select(
+        "doc_id",
+        "w",
+        "pos",
+        "stop",
+        F.sum("stop").over(wp).cast("bigint").alias("pid"),
+    )
+    inst_words = seg.filter(F.col("stop") == 0).select(
+        "doc_id", "pid", "w", "pos"
+    )
+    inst = (
+        inst_words.groupBy("doc_id", "pid")
+        .agg(
+            F.count("*").cast("bigint").alias("len"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+        .filter(F.col("len") <= RAKE_MAXLEN)
+    )
+    kept = inst_words.join(inst, ["doc_id", "pid"]).select(
+        "doc_id", "pid", "w", "len", "phrase"
+    )
+    wstat = kept.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("len").cast("bigint").alias("deg"),
+    )
+    scored = (
+        kept.join(F.broadcast(wstat), "w")
+        .groupBy("doc_id", "pid", "phrase")
+        .agg(
+            F.round(
+                F.sum(F.col("deg").cast("double") / F.col("freq")), 6
+            ).alias("score")
+        )
+    )
+    return (
+        scored.groupBy("phrase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_occur"),
+            F.max("score").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(RAKE_TOPK)
+        .select("phrase", "n_occur", "score")
+    )

@@ -3938,3 +3938,179 @@ def q_events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(smooth, schema=schema)
         .orderBy("event_type", "h")
     )
+
+
+MARKOV_CONV = "purchase"  # absorbing conversion state
+
+
+@register("q_events_markov_attribution")  # matrix solve -> rows-only + pin
+def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain (removal-effect) attribution over user journeys
+    (Anderl et al. 2014, the data-driven alternative to
+    q_events_multitouch_attribution's positional rules): each
+    user's event-type sequence up to the FIRST purchase is a path
+    START -> channels -> {CONV, NULL}; channel value = the drop in
+    overall START->CONV absorption probability when the channel is
+    removed (its transitions rerouted to NULL), normalized into
+    attribution shares.
+
+    No SQL oracle BY DESIGN: absorption probabilities solve the
+    linear system p = Pp with absorbing boundary (equivalently
+    (I-Q)p = R), and per-channel removal re-solves it - matrix
+    inversion has no relational form (the q_events_holt_winters
+    boundedness argument). The transition-count stage IS relational
+    and exact; the bounded (<=6-state) solve runs in ONE
+    applyInPandas task and is pinned in tests/test_stats_props.py
+    against an independent power-iteration fixed point.
+
+    Scale split: the UNBOUNDED work - ordering each user's events,
+    cutting at first conversion, counting (src, dst) transitions -
+    is one window pass + one two-phase agg; what reaches Python is
+    the STATE-PAIR count matrix (tiny at any corpus size: channels
+    x channels), the same trainer split as q_text_bpe_merges. 100
+    TB: identical; the matrix never grows with data.
+    """
+    import pandas as pd  # local: only the solver needs it
+
+    from ..streaming.batch_windows import SESSION_GAP_US
+
+    e = table(spark, sf_dir, "events")
+    # Journey = one 30-min-gap SESSION (the engine-wide sessionize
+    # convention), cut at its first purchase; sessions that end
+    # without converting feed the NULL absorber, so base_cvr is a
+    # real probability rather than the ~1.0 every-user-eventually-
+    # buys degenerate (probed: per-USER journeys give base_cvr
+    # exactly 1.0 at every SF on this fixture).
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(wu)
+            > SESSION_GAP_US // 1_000_000,
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    ).select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.sum("brk")
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("sid"),
+    )
+    wj = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    wjall = Window.partitionBy("user_id", "sid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    seq = sess.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(wj).alias("rn"),
+        F.min(
+            F.when(F.col("event_type") == MARKOV_CONV, F.col("ts"))
+        )
+        .over(wjall)
+        .alias("conv_ts"),
+        "ts",
+    ).filter(
+        F.col("conv_ts").isNull() | (F.col("ts") <= F.col("conv_ts"))
+    )
+    w2 = Window.partitionBy("user_id", "sid").orderBy("rn")
+    trans = seq.select(
+        F.coalesce(F.lag("event_type").over(w2), F.lit("START")).alias(
+            "src"
+        ),
+        F.col("event_type").alias("dst"),
+    )
+    # journey end without conversion -> NULL absorber, one edge from
+    # the last pre-conversion state of each non-converting session
+    last_state = seq.groupBy("user_id", "sid").agg(
+        F.max_by("event_type", "rn").alias("src"),
+        F.max(
+            F.when(F.col("event_type") == MARKOV_CONV, 1).otherwise(0)
+        ).alias("converted"),
+    )
+    ends = last_state.filter(F.col("converted") == 0).select(
+        "src", F.lit("NULL").alias("dst")
+    )
+    edges = trans.unionAll(ends)
+    counts = edges.groupBy("src", "dst").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # absorbing renames: the conversion EVENT TYPE is the CONV
+        # absorber; everything else is transient.
+        pdf = pdf.copy()
+        pdf.loc[pdf.dst == MARKOV_CONV, "dst"] = "CONV"
+        trans_states = sorted(
+            (set(pdf.src) | set(pdf.dst)) - {"CONV", "NULL"}
+        )
+        idx = {s: i for i, s in enumerate(trans_states)}
+
+        def absorb(drop=None):
+            n = len(trans_states)
+            Q = np.zeros((n, n))
+            R = np.zeros(n)
+            for s in trans_states:
+                rows = pdf[pdf.src == s]
+                tot = rows.n.sum()
+                if tot == 0:
+                    continue
+                for _, r in rows.iterrows():
+                    p = r.n / tot
+                    if r.dst == drop or r.dst == "NULL":
+                        continue  # removed channel/NULL -> absorbed at 0
+                    elif r.dst == "CONV":
+                        R[idx[s]] += p
+                    elif r.dst in idx:
+                        Q[idx[s], idx[r.dst]] += p
+                if drop is not None and s == drop:
+                    Q[idx[s], :] = 0.0
+                    R[idx[s]] = 0.0
+            p = np.linalg.solve(np.eye(n) - Q, R)
+            return p[idx["START"]] if "START" in idx else 0.0
+
+        base = absorb()
+        channels = [
+            s for s in trans_states if s not in ("START",)
+        ]
+        effects = {}
+        for c in channels:
+            effects[c] = max(0.0, base - absorb(drop=c))
+        z = sum(effects.values())
+        out = [
+            (
+                c,
+                round(base, 6),
+                round(effects[c], 6),
+                round(effects[c] / z, 6) if z > 0 else 0.0,
+            )
+            for c in sorted(channels)
+        ]
+        return pd.DataFrame(
+            out,
+            columns=[
+                "channel", "base_cvr", "removal_effect", "attribution"
+            ],
+        )
+
+    schema = (
+        "channel string, base_cvr double, removal_effect double, "
+        "attribution double"
+    )
+    return (
+        counts.withColumn("g", F.lit(0))
+        .groupBy("g")
+        .applyInPandas(solve, schema=schema)
+        .orderBy("channel")
+    )

@@ -914,3 +914,152 @@ def q_lake_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "q_quality_expectations",
+    oracle="""
+    WITH checks AS (
+      SELECT 'orders' AS tbl, 'orderkey_unique' AS rule,
+             CAST(count(*) AS BIGINT) AS n_checked,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+                 AS n_violations
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'totalprice_positive', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END)
+                  AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'orderdate_in_range', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+                                AND DATE '1998-12-31'
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'orderstatus_in_set', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', 'orderkey_fk_resolves',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+      UNION ALL
+      SELECT 'lineitem', 'quantity_in_range', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN l_quantity BETWEEN 1 AND 50
+                           THEN 0 ELSE 1 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', 'user_id_not_null', CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM events
+    )
+    SELECT tbl, rule, n_checked, n_violations,
+           CAST(n_violations AS DOUBLE) / n_checked AS violation_rate,
+           CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
+    FROM checks ORDER BY tbl, rule
+    """,
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectation suite (the Great
+    Expectations / dbt-test shape) over the lake tables: uniqueness
+    (orders.o_orderkey), range (o_totalprice > 0, o_orderdate in the
+    TPC-H window, l_quantity in [1,50]), set membership
+    (o_orderstatus), referential integrity (every l_orderkey
+    resolves), and not-null (events.user_id) - one summary row per
+    rule with checked/violation counts, the violation rate and a
+    pass flag, i.e. the audit artifact a pipeline gate consumes
+    before promoting a batch.
+
+    Exactness: every check is an int64 count; violation_rate is ONE
+    integer division, unrounded.
+
+    Scale shape: each single-table rule is ONE map-side-combining
+    conditional agg over its scan (column-pruned to the checked
+    columns); uniqueness rides count distinct (two-phase, exact);
+    the FK rule is a LEFT ANTI join shuffled on the key (AQE
+    broadcasts when the dim fits; at 100 TB both sides bucket on
+    orderkey and the probe is shuffle-free). The 7-row result
+    unions bounded aggregates - no fact-table row survives the
+    checks.
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    e = table(spark, sf_dir, "events")
+
+    def _chk(df, tbl, rule, good):
+        # CASE WHEN good THEN 0 ELSE 1, mirroring the oracle exactly:
+        # a NULL comparison falls to ELSE and COUNTS as a violation
+        # (an unassessable row must fail a gate, not sneak past it).
+        return df.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(rule).alias("rule"),
+            F.count("*").cast("bigint").alias("n_checked"),
+            F.sum(F.when(good, 0).otherwise(1)).cast("bigint").alias(
+                "n_violations"
+            ),
+        ).select("tbl", "rule", "n_checked", "n_violations")
+
+    uniq = o.agg(
+        F.lit("orders").alias("tbl"),
+        F.lit("orderkey_unique").alias("rule"),
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey")))
+        .cast("bigint")
+        .alias("n_violations"),
+    ).select("tbl", "rule", "n_checked", "n_violations")
+    fk_total = li.agg(F.count("*").cast("bigint").alias("n_checked"))
+    fk_bad = (
+        li.select("l_orderkey")
+        .join(
+            o.select("o_orderkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+    )
+    fk = fk_total.crossJoin(fk_bad).select(
+        F.lit("lineitem").alias("tbl"),
+        F.lit("orderkey_fk_resolves").alias("rule"),
+        "n_checked",
+        "n_violations",
+    )
+    checks = (
+        uniq.unionAll(
+            _chk(o, "orders", "totalprice_positive",
+                 F.col("o_totalprice") > 0)
+        )
+        .unionAll(
+            _chk(
+                o, "orders", "orderdate_in_range",
+                F.col("o_orderdate").between("1992-01-01", "1998-12-31"),
+            )
+        )
+        .unionAll(
+            _chk(o, "orders", "orderstatus_in_set",
+                 F.col("o_orderstatus").isin("F", "O", "P"))
+        )
+        .unionAll(fk)
+        .unionAll(
+            _chk(li, "lineitem", "quantity_in_range",
+                 F.col("l_quantity").between(1, 50))
+        )
+        .unionAll(
+            _chk(e, "events", "user_id_not_null",
+                 F.col("user_id").isNotNull())
+        )
+    )
+    return checks.select(
+        "tbl",
+        "rule",
+        "n_checked",
+        "n_violations",
+        (
+            F.col("n_violations").cast("double") / F.col("n_checked")
+        ).alias("violation_rate"),
+        F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("passed"),
+    ).orderBy("tbl", "rule")

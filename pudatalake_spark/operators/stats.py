@@ -2664,3 +2664,110 @@ def q_stats_xcorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (num / (dx * dy)).alias("xcorr"),
     ).orderBy("lag")
+
+
+HILL_MIN_K = 10  # tail sample floor; k = max(this, n div 100)
+
+
+@register(
+    "q_stats_hill_tail",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             o_orderkey AS k
+      FROM orders
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents DESC, k) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM v
+    ),
+    kk AS (
+      SELECT n, greatest({HILL_MIN_K}, n // 100) AS kk FROM r LIMIT 1
+    ),
+    thr AS (
+      SELECT r.cents AS thr_cents
+      FROM r JOIN kk ON r.rn = kk.kk + 1
+    ),
+    terms AS (
+      SELECT ln(CAST(r.cents AS DOUBLE) / t.thr_cents) AS lt
+      FROM r CROSS JOIN kk CROSS JOIN thr t
+      WHERE r.rn <= kk.kk
+    )
+    SELECT k.n, CAST(k.kk AS BIGINT) AS k, t.thr_cents,
+           round(CAST(k.kk AS DOUBLE) / sum(lt), 6) AS hill_alpha,
+           round(sum(lt) / k.kk, 6) AS mean_excess_log
+    FROM terms CROSS JOIN kk k CROSS JOIN thr t
+    GROUP BY k.n, k.kk, t.thr_cents
+    """,
+)
+def q_stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the Pareto tail index over order values:
+    alpha_hat = k / sum_{i<=k} ln(x_(i) / x_(k+1)) on the top-k
+    order statistics (k = max(10, n div 100)) - THE
+    extreme-value-theory answer to "how heavy is this tail", the
+    quantity that decides whether revenue concentration
+    (q_agg_gini), top-k caches, and skew-join salting budgets are
+    stable or sample-dominated (alpha <= 2: variance infinite;
+    alpha <= 1: mean infinite).
+
+    Determinism: the tail sample is picked by integer rank over the
+    (cents DESC, orderkey) total order (no percentile interpolation);
+    each log term is ln of ONE exact-integer ratio with the
+    identical tree in both engines; the k-term sum is the single
+    group-sum-order surface, mitigated by the 6dp round (PSI rule).
+
+    Scale shape: rank via ONE ordered window (a top-(k+1)
+    TakeOrdered at cluster scale - the threshold is an order
+    statistic, never a full sort), the 1-row threshold broadcast
+    back, and a k-row log agg. 100 TB: k grows as n/100 but the
+    estimator only ever touches the top slice; a fixed-k variant
+    bounds it outright.
+    """
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("o_orderkey").alias("k"),
+    )
+    r = v.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), "k"))
+        .alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    kk = r.limit(1).select(
+        "n", F.greatest(F.lit(HILL_MIN_K), F.expr("n div 100")).alias("kk")
+    )
+    thr = r.join(F.broadcast(kk), F.col("rn") == F.col("kk") + 1).select(
+        F.col("cents").alias("thr_cents")
+    )
+    terms = (
+        r.crossJoin(F.broadcast(kk.select("kk")))
+        .filter(F.col("rn") <= F.col("kk"))
+        .crossJoin(F.broadcast(thr))
+        .select(
+            F.log(
+                F.col("cents").cast("double") / F.col("thr_cents")
+            ).alias("lt")
+        )
+    )
+    g = terms.crossJoin(F.broadcast(kk)).crossJoin(F.broadcast(thr))
+    return g.groupBy("n", "kk", "thr_cents").agg(
+        F.round(
+            F.col("kk").cast("double") / F.sum("lt"), 6
+        ).alias("hill_alpha"),
+        F.round(F.sum("lt") / F.col("kk"), 6).alias("mean_excess_log"),
+    ).select(
+        "n",
+        F.col("kk").cast("bigint").alias("k"),
+        "thr_cents",
+        "hill_alpha",
+        "mean_excess_log",
+    )

@@ -857,3 +857,80 @@ def test_pq_adc_matches_numpy_and_recall(spark):
     # regeneration doesn't flap the gate). Production raises recall
     # with k-means-trained codebooks and more centroids.
     assert hit / total >= 0.15, f"PQ recall@3 = {hit/total}"
+
+
+def test_rake_matches_python_reference(spark):
+    """q_text_keyphrase_rake vs an independent pure-Python RAKE."""
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    stops = {
+        "the", "and", "of", "to", "is", "el", "la", "de", "que", "los",
+        "der", "die", "und", "das", "ist", "le", "les", "des", "est",
+    }
+    insts = []  # (phrase_words tuple)
+    for t in d.text:
+        words = [w for w in str(t).lower().split(" ") if w]
+        cur = []
+        for w in words:
+            if w in stops:
+                if cur:
+                    insts.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(w)
+        if cur:
+            insts.append(tuple(cur))
+    insts = [p for p in insts if len(p) <= 3]
+    freq, deg = {}, {}
+    for p in insts:
+        for w in p:
+            freq[w] = freq.get(w, 0) + 1
+            deg[w] = deg.get(w, 0) + len(p)
+    scored = {}
+    occur = {}
+    for p in insts:
+        ph = " ".join(p)
+        occur[ph] = occur.get(ph, 0) + 1
+        scored[ph] = round(sum(deg[w] / freq[w] for w in p), 6)
+    top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = registry.QUERIES["q_text_keyphrase_rake"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == len(top)
+    for r, (ph, sc) in zip(rows, top):
+        assert r.phrase == ph
+        assert r.n_occur == occur[ph]
+        assert r.score == pytest.approx(sc, abs=2e-6)
+
+
+def test_quality_expectations_matches_pandas(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    e = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    rows = {
+        (r.tbl, r.rule): r
+        for r in registry.QUERIES["q_quality_expectations"](
+            spark, SF_DIR
+        ).collect()
+    }
+    exp = {
+        ("orders", "orderkey_unique"):
+            (len(o), len(o) - o.o_orderkey.nunique()),
+        ("orders", "totalprice_positive"):
+            (len(o), int((~(o.o_totalprice > 0)).sum())),
+        ("orders", "orderdate_in_range"):
+            (len(o), int((~o.o_orderdate.astype(str).between(
+                "1992-01-01", "1998-12-31")).sum())),
+        ("orders", "orderstatus_in_set"):
+            (len(o), int((~o.o_orderstatus.isin(["F", "O", "P"])).sum())),
+        ("lineitem", "orderkey_fk_resolves"):
+            (len(li), int((~li.l_orderkey.isin(o.o_orderkey)).sum())),
+        ("lineitem", "quantity_in_range"):
+            (len(li), int((~li.l_quantity.between(1, 50)).sum())),
+        ("events", "user_id_not_null"):
+            (len(e), int(e.user_id.isna().sum())),
+    }
+    assert set(rows) == set(exp)
+    for key, (n, bad) in exp.items():
+        r = rows[key]
+        assert (r.n_checked, r.n_violations) == (n, bad)
+        assert r.passed == int(bad == 0)

@@ -785,3 +785,87 @@ def test_resample_interp_matches_pandas(spark, events_pdf):
             r = got[et][ed]
             assert r.interpolated == int(pd.isna(full[ed]))
             assert r.cents_resampled == pytest.approx(v, abs=1e-6)
+
+
+def test_hill_tail_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = (o.o_totalprice * 100).round(0).astype("int64")
+    srt = (
+        pd.DataFrame({"c": cents, "k": o.o_orderkey})
+        .sort_values(["c", "k"], ascending=[False, True])
+        .c.to_numpy()
+    )
+    n = len(srt)
+    k = max(10, n // 100)
+    thr = srt[k]  # rank k+1, 0-indexed
+    lt = np.log(srt[:k].astype(float) / thr)
+    row = registry.QUERIES["q_stats_hill_tail"](spark, SF_DIR).collect()[0]
+    assert (row.n, row.k, row.thr_cents) == (n, k, thr)
+    assert row.hill_alpha == pytest.approx(k / lt.sum(), abs=2e-6)
+    assert row.mean_excess_log == pytest.approx(lt.mean(), abs=2e-6)
+
+
+def test_markov_attribution_matches_power_iteration(spark, events_pdf):
+    rows = registry.QUERIES["q_events_markov_attribution"](
+        spark, SF_DIR
+    ).collect()
+    # Rebuild journeys independently: 30-min-gap sessions, cut at
+    # first purchase, transitions + START and NULL edges.
+    df = events_pdf.sort_values(["user_id", "ts", "event_id"])
+    counts = {}
+    for _, g in df.groupby("user_id"):
+        gap = g.ts.diff().dt.total_seconds() > 1800
+        sid = gap.cumsum()
+        for _, sess in g.groupby(sid):
+            prev = "START"
+            converted = False
+            for et in sess.event_type:
+                counts[(prev, et)] = counts.get((prev, et), 0) + 1
+                prev = et
+                if et == "purchase":
+                    converted = True
+                    break
+            if not converted:
+                counts[(prev, "NULL")] = counts.get((prev, "NULL"), 0) + 1
+
+    def absorb(drop=None):
+        # power iteration on P(absorb CONV | state)
+        states = {s for s, _ in counts} | {
+            d for _, d in counts if d not in ("purchase", "NULL")
+        }
+        p = {s: 0.0 for s in states}
+        for _ in range(200):
+            nxt = {}
+            for s in states:
+                tot = sum(n for (a, _), n in counts.items() if a == s)
+                if tot == 0:
+                    nxt[s] = 0.0
+                    continue
+                acc = 0.0
+                for (a, d), n in counts.items():
+                    if a != s or d == drop or d == "NULL":
+                        continue
+                    if d == "purchase":
+                        acc += n / tot
+                    else:
+                        acc += n / tot * p[d]
+                nxt[s] = 0.0 if s == drop else acc
+            p = nxt
+        return p["START"]
+
+    base = absorb()
+    channels = sorted(
+        {d for _, d in counts if d not in ("purchase", "NULL", "START")}
+    )
+    effects = {c: max(0.0, base - absorb(c)) for c in channels}
+    z = sum(effects.values())
+    got = {r.channel: r for r in rows}
+    assert sorted(got) == channels
+    for c in channels:
+        assert got[c].base_cvr == pytest.approx(base, abs=2e-6)
+        assert got[c].removal_effect == pytest.approx(
+            effects[c], abs=2e-6
+        )
+        assert got[c].attribution == pytest.approx(
+            effects[c] / z if z else 0.0, abs=2e-6
+        )
