@@ -959,7 +959,8 @@ def q_lake_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT tbl, rule, n_checked, n_violations,
-           CAST(n_violations AS DOUBLE) / n_checked AS violation_rate,
+           CAST(n_violations AS DOUBLE) / nullif(n_checked, 0)
+               AS violation_rate,
            CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS passed
     FROM checks ORDER BY tbl, rule
     """,
@@ -1059,7 +1060,93 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_checked",
         "n_violations",
         (
-            F.col("n_violations").cast("double") / F.col("n_checked")
+            F.col("n_violations").cast("double")
+            / F.nullif(F.col("n_checked"), F.lit(0))
         ).alias("violation_rate"),
         F.when(F.col("n_violations") == 0, 1).otherwise(0).alias("passed"),
     ).orderBy("tbl", "rule")
+
+
+WAP_CUTOFF = "1997-06-01"  # batch = orders on/after this date
+
+
+@register("q_lake_wap_publish")  # filesystem writes -> rows-only
+def q_lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish (the Iceberg/Netflix WAP pattern, the
+    branch-and-merge release flow lakehouses use instead of
+    in-place writes): a new order batch lands in a STAGING
+    location, the q_quality_expectations-style audit runs AGAINST
+    STAGING ONLY (uniqueness in-batch, positive totals, FK into the
+    published customer dim), and the batch is atomically published
+    - here a directory swap standing in for Iceberg's
+    branch-fast-forward - ONLY if every rule passes. Output: one
+    row per audit rule plus a `published` decision row, i.e. the
+    release record an orchestrator consumes.
+
+    Rows-only BY DESIGN (filesystem effects; the audit algebra
+    itself is oracled under q_quality_expectations). Idempotent:
+    staging and published locations are overwritten per run.
+
+    Scale shape: staging write is the batch's own partition
+    (append-scale, not table-scale); every audit rule is a
+    column-pruned agg or anti-join over STAGING only - the
+    published table is touched ONLY by the FK broadcast probe. The
+    publish itself is a metadata move (directory rename / snapshot
+    commit), never a rewrite. 100 TB: the audit cost tracks batch
+    size, which is the entire point of WAP.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    batch = o.filter(F.col("o_orderdate") >= F.lit(WAP_CUTOFF).cast("date"))
+    staging = _scratch("lake", "wap_staging")
+    published = _scratch("lake", "wap_published")
+    batch.write.mode("overwrite").parquet(staging)
+    staged = spark.read.schema(o.schema).parquet(staging)
+
+    uniq = staged.agg(
+        F.lit("orderkey_unique_in_batch").alias("rule"),
+        F.count("*").cast("bigint").alias("n_checked"),
+        (F.count("*") - F.count_distinct(F.col("o_orderkey")))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    pos = staged.agg(
+        F.lit("totalprice_positive").alias("rule"),
+        F.count("*").cast("bigint").alias("n_checked"),
+        F.sum(F.when(F.col("o_totalprice") > 0, 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    fk_n = staged.agg(F.count("*").cast("bigint").alias("n_checked"))
+    fk_bad = (
+        staged.select("o_custkey")
+        .join(
+            F.broadcast(c.select("c_custkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .agg(F.count("*").cast("bigint").alias("n_violations"))
+    )
+    fk = fk_n.crossJoin(fk_bad).select(
+        F.lit("custkey_fk_resolves").alias("rule"),
+        "n_checked",
+        "n_violations",
+    )
+    audit = uniq.unionAll(pos).unionAll(fk)
+    rows = audit.collect()  # bounded: 3 audit rows, the WAP decision
+    ok = all(r.n_violations == 0 for r in rows)
+    if ok:
+        staged.write.mode("overwrite").parquet(published)
+    decision = spark.createDataFrame(
+        [(r.rule, r.n_checked, r.n_violations, int(ok)) for r in rows]
+        + [
+            (
+                "published",
+                rows[0].n_checked,
+                sum(r.n_violations for r in rows),
+                int(ok),
+            )
+        ],
+        "rule string, n_checked long, n_violations long, published int",
+    )
+    return decision.orderBy("rule")

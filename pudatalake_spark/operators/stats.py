@@ -2771,3 +2771,251 @@ def q_stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hill_alpha",
         "mean_excess_log",
     )
+
+
+@register(
+    "q_stats_runs_test",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    med AS (
+      SELECT cents AS m FROM (
+        SELECT cents, row_number() OVER (ORDER BY cents, ed) AS rn,
+               count(*) OVER () AS n
+        FROM daily) WHERE rn = (n + 1) // 2
+    ),
+    signs AS (
+      SELECT ed, CASE WHEN cents > m THEN 1 ELSE 0 END AS s
+      FROM daily CROSS JOIN med WHERE cents <> m
+    ),
+    runs AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS n1,
+             CAST(count(*) - sum(s) AS BIGINT) AS n2,
+             CAST(1 + sum(CASE WHEN s <> prev THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM (SELECT s, lag(s) OVER (ORDER BY ed) AS prev FROM signs)
+    )
+    SELECT n, n1, n2, r,
+           1.0 + 2.0 * n1 * n2 / n AS expected_r,
+           round((r - (1.0 + 2.0 * n1 * n2 / n))
+                 / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z
+    FROM runs
+    """,
+)
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of the daily purchase
+    revenue series: split days into above/below the exact MEDIAN
+    (rank (n+1) div 2 order statistic; days AT the median are
+    excluded, the standard convention), count runs of consecutive
+    same-side days, and z-score the count against its exact null
+    moments - too FEW runs means trending/clustering, too many
+    means oscillation; the nonparametric "is this series even
+    random" gate that precedes any autocorrelation modeling
+    (q_stats_autocorr quantifies WHAT the dependence is; this tests
+    WHETHER dependence exists at all).
+
+    Exactness: the median is a rank-picked integer (no
+    interpolation); n/n1/n2/r are exact int64 (runs counted by one
+    lag compare over the bounded daily frame); expected_r is
+    integer arithmetic + ONE division (unrounded); only the
+    z-score's sqrt expression is rounded (6dp).
+
+    Scale shape: one fact pass to the daily frame; everything after
+    is a bounded-frame window + 1-row agg. Per-series partitioning
+    generalizes it.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("ed")
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    wr = Window.orderBy("cents", "ed")
+    wn = Window.partitionBy()
+    med = (
+        daily.select(
+            "cents",
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select(F.col("cents").alias("m"))
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("cents") != F.col("m"))
+        .select(
+            "ed", F.when(F.col("cents") > F.col("m"), 1).otherwise(0).alias("s")
+        )
+    )
+    lagd = signs.select(
+        "s", F.lag("s").over(Window.orderBy("ed")).alias("prev")
+    )
+    runs = lagd.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("s")).cast("bigint").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(F.col("s") != F.col("prev"), 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    n, n1, n2, r = F.col("n"), F.col("n1"), F.col("n2"), F.col("r")
+    exp_r = 1.0 + 2.0 * n1 * n2 / n
+    var = (
+        2.0
+        * n1
+        * n2
+        * (2.0 * n1 * n2 - n)
+        / (n.cast("double") * n * (n - 1))
+    )
+    return runs.select(
+        "n",
+        "n1",
+        "n2",
+        "r",
+        exp_r.alias("expected_r"),
+        F.round((r - exp_r) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+@register(
+    "q_stats_brown_forsythe",
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice, 0) AS BIGINT) AS cents,
+             o_orderkey AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    med AS (
+      SELECT seg, cents AS m FROM (
+        SELECT seg, cents,
+               row_number() OVER (PARTITION BY seg ORDER BY cents, k)
+                   AS rn,
+               count(*) OVER (PARTITION BY seg) AS n
+        FROM v) WHERE rn = (n + 1) // 2
+    ),
+    z AS (
+      SELECT v.seg, abs(v.cents - med.m) AS z
+      FROM v JOIN med ON v.seg = med.seg
+    ),
+    g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(z) AS BIGINT) AS s1,
+             CAST(sum(z * z) AS BIGINT) AS s2
+      FROM z GROUP BY seg
+    ),
+    t AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(s1) AS BIGINT) AS ts1,
+             CAST(sum(s2) AS BIGINT) AS ts2,
+             sum(CAST(s1 AS DOUBLE) * s1 / n) AS ssg
+      FROM g
+    )
+    SELECT k, nn AS n,
+           round((ssg - CAST(ts1 AS DOUBLE) * ts1 / nn) / (k - 1)
+                 / ((ts2 - ssg) / (nn - k)), 6) AS f_stat,
+           round((ssg - CAST(ts1 AS DOUBLE) * ts1 / nn)
+                 / (ts2 - CAST(ts1 AS DOUBLE) * ts1 / nn), 6)
+               AS eta_sq
+    FROM t
+    """,
+)
+def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe test for variance homogeneity across the five
+    market segments: one-way ANOVA run on z_ij = |x_ij - median_i|
+    (absolute deviations from each GROUP MEDIAN) - the robust
+    Levene variant, and the precondition check q_stats_anova's
+    equal-variance assumption silently leans on (spread equality,
+    not mean equality, is what's on trial here).
+
+    Exactness: values are WHOLE-DOLLAR integers (the q_stats_anova
+    unit - cent-squared sums overflow int64 at sf0.1; measured and
+    fixed this round) and the group median is the rank-(n+1) div 2
+    order statistic (integer, no interpolation - the
+    q_stats_winsorized rank protocol), so every z is an EXACT int64
+    and the whole F decomposition runs on integer power sums
+    (n, S1, S2 per group; dollar-squared sums hold through sf1,
+    beyond that the sums drop to doubles like ANOVA documents);
+    sum(S1^2/n) is the one pre-division sum (5 terms, identical
+    per-term tree) and the final F / eta^2 are rounded 6dp (the
+    ANOVA rule).
+
+    Scale shape: one shuffle to rank within segment (the median
+    pick), medians broadcast back, ONE two-phase power-sum agg on
+    the deviations, 1-row arithmetic. 100 TB: identical; the
+    100 TB median swaps rank for approx_percentile (documented
+    trade, same downstream algebra).
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    v = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("o_orderkey").alias("k"),
+    )
+    ws = Window.partitionBy("seg")
+    med = (
+        v.select(
+            "seg",
+            "cents",
+            F.row_number().over(ws.orderBy("cents", "k")).alias("rn"),
+            F.count("*").over(ws).alias("n"),
+        )
+        .filter(F.col("rn") == F.expr("(n + 1) div 2"))
+        .select("seg", F.col("cents").alias("m"))
+    )
+    z = v.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("cents") - F.col("m")).alias("z")
+    )
+    g = z.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("s1"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("s2"),
+    )
+    t = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("s1").cast("bigint").alias("ts1"),
+        F.sum("s2").cast("bigint").alias("ts2"),
+        F.sum(F.col("s1").cast("double") * F.col("s1") / F.col("n")).alias(
+            "ssg"
+        ),
+    )
+    ssb = F.col("ssg") - F.col("ts1").cast("double") * F.col("ts1") / F.col(
+        "nn"
+    )
+    ssw = F.col("ts2") - F.col("ssg")
+    sst = F.col("ts2") - F.col("ts1").cast("double") * F.col("ts1") / F.col(
+        "nn"
+    )
+    return t.select(
+        "k",
+        F.col("nn").alias("n"),
+        F.round(
+            ssb / (F.col("k") - 1) / (ssw / (F.col("nn") - F.col("k"))), 6
+        ).alias("f_stat"),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )

@@ -795,3 +795,100 @@ def q_win_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+PEAK_HALF_W = 3  # strict local max over +/- 3 days
+
+
+@register(
+    "q_win_peak_detect",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    nb AS (
+      SELECT event_type, ed, cents,
+             CAST(count(*) OVER wp AS BIGINT) AS n_prev,
+             CAST(count(*) OVER wn AS BIGINT) AS n_next,
+             CAST(coalesce(max(cents) OVER wp, -1) AS BIGINT) AS mx_prev,
+             CAST(coalesce(max(cents) OVER wn, -1) AS BIGINT) AS mx_next
+      FROM daily
+      WINDOW wp AS (PARTITION BY event_type ORDER BY ed
+                    ROWS BETWEEN {PEAK_HALF_W} PRECEDING
+                    AND 1 PRECEDING),
+             wn AS (PARTITION BY event_type ORDER BY ed
+                    ROWS BETWEEN 1 FOLLOWING
+                    AND {PEAK_HALF_W} FOLLOWING)
+    )
+    SELECT event_type, ed AS epoch_day, cents,
+           cents - greatest(mx_prev, mx_next) AS prominence_cents
+    FROM nb
+    WHERE n_prev = {PEAK_HALF_W} AND n_next = {PEAK_HALF_W}
+      AND cents > mx_prev AND cents > mx_next
+    ORDER BY event_type, epoch_day
+    """,
+)
+def q_win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict local-maximum peak detection on each event type's
+    daily revenue series: a day is a peak when it strictly exceeds
+    EVERY day within +/-3 rows of the series (interior days only -
+    edge days with a truncated neighborhood can't certify), reported
+    with its prominence over the tallest neighbor - the
+    signal-processing primitive (scipy.signal.find_peaks' core
+    test) behind campaign-spike mining and alert deduplication,
+    complementing q_events_anomaly's global z-score with a LOCAL
+    shape criterion.
+
+    Exactness: everything is int64 cents - neighborhood maxima via
+    two integer window frames, the peak predicate and prominence
+    are pure integer compares/subtraction. No float surface at all.
+
+    Scale shape: ONE map-side-combining daily rollup (the only fact
+    pass), then per-series bounded ROWS frames - same posture as
+    q_win_rsi; thousands of series = partition parallelism.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        ),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    ws = Window.partitionBy("event_type").orderBy("ed")
+    wp = ws.rowsBetween(-PEAK_HALF_W, -1)
+    wn = ws.rowsBetween(1, PEAK_HALF_W)
+    nb = daily.select(
+        "event_type",
+        "ed",
+        "cents",
+        F.count("*").over(wp).cast("bigint").alias("n_prev"),
+        F.count("*").over(wn).cast("bigint").alias("n_next"),
+        F.coalesce(F.max("cents").over(wp), F.lit(-1))
+        .cast("bigint")
+        .alias("mx_prev"),
+        F.coalesce(F.max("cents").over(wn), F.lit(-1))
+        .cast("bigint")
+        .alias("mx_next"),
+    )
+    return (
+        nb.filter(
+            (F.col("n_prev") == PEAK_HALF_W)
+            & (F.col("n_next") == PEAK_HALF_W)
+            & (F.col("cents") > F.col("mx_prev"))
+            & (F.col("cents") > F.col("mx_next"))
+        )
+        .select(
+            "event_type",
+            F.col("ed").alias("epoch_day"),
+            "cents",
+            (
+                F.col("cents") - F.greatest("mx_prev", "mx_next")
+            ).alias("prominence_cents"),
+        )
+        .orderBy("event_type", "epoch_day")
+    )

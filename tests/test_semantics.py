@@ -285,3 +285,25 @@ def test_anomaly_chunked_equals_plain_on_sparse_stream(spark):
     chunked = anomaly_chunked(e).collect()
     assert len(plain) > 0  # the fixture actually produces anomalies
     assert [tuple(r) for r in chunked] == [tuple(r) for r in plain]
+
+
+def test_wap_publish_gates_on_audit(spark, tmp_path):
+    """q_lake_wap_publish: the clean fixture batch publishes (all
+    rules green, published=1 on every row), and the published copy
+    equals staging row-for-row."""
+    import pudatalake_spark.sources.ingest as ingest
+    from pudatalake_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = registry.QUERIES["q_lake_wap_publish"](spark, SF_DIR).collect()
+    assert {r.rule for r in rows} == {
+        "orderkey_unique_in_batch",
+        "totalprice_positive",
+        "custkey_fk_resolves",
+        "published",
+    }
+    assert all(r.published == 1 for r in rows)
+    assert all(r.n_violations == 0 for r in rows)
+    staged = spark.read.parquet(ingest._scratch("lake", "wap_staging"))
+    pub = spark.read.parquet(ingest._scratch("lake", "wap_published"))
+    assert staged.count() == pub.count() == rows[0].n_checked

@@ -869,3 +869,78 @@ def test_markov_attribution_matches_power_iteration(spark, events_pdf):
         assert got[c].attribution == pytest.approx(
             effects[c] / z if z else 0.0, abs=2e-6
         )
+
+
+def test_runs_test_matches_bruteforce(spark, events_pdf):
+    d = (
+        events_pdf[events_pdf.event_type == "purchase"]
+        .assign(c=lambda x: (x.value * 100).round(0).astype("int64"))
+        .groupby("day")["c"]
+        .sum()
+        .sort_index()
+    )
+    ed = (d.index - pd.Timestamp("1970-01-01")).days
+    srt = sorted(zip(d.to_numpy(), ed))
+    m = srt[(len(srt) + 1) // 2 - 1][0]
+    s = [1 if v > m else 0 for v in d.to_numpy() if v != m]
+    n, n1 = len(s), sum(s)
+    n2 = n - n1
+    r = 1 + sum(a != b for a, b in zip(s, s[1:]))
+    row = registry.QUERIES["q_stats_runs_test"](spark, SF_DIR).collect()[0]
+    assert (row.n, row.n1, row.n2, row.r) == (n, n1, n2, r)
+    exp = 1 + 2 * n1 * n2 / n
+    var = 2 * n1 * n2 * (2 * n1 * n2 - n) / (n**2 * (n - 1))
+    assert row.expected_r == pytest.approx(exp, abs=1e-9)
+    assert row.z == pytest.approx((r - exp) / np.sqrt(var), abs=2e-6)
+
+
+def test_brown_forsythe_matches_scipy_free(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    # whole-dollar units (cent-squared sums overflow int64 at sf0.1)
+    j["cents"] = j.o_totalprice.round(0).astype("int64")
+    groups = []
+    for seg, grp in j.groupby("c_mktsegment"):
+        srt = grp.sort_values(["cents", "o_orderkey"]).cents.to_numpy()
+        med = srt[(len(srt) + 1) // 2 - 1]
+        groups.append(np.abs(srt - med).astype(float))
+    k = len(groups)
+    nn = sum(len(g) for g in groups)
+    gm = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_ref = (ssb / (k - 1)) / (ssw / (nn - k))
+    row = registry.QUERIES["q_stats_brown_forsythe"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert (row.k, row.n) == (k, nn)
+    assert row.f_stat == pytest.approx(f_ref, abs=2e-6)
+    assert row.eta_sq == pytest.approx(ssb / (ssb + ssw), abs=2e-6)
+
+
+def test_peak_detect_matches_bruteforce(spark, events_pdf):
+    d = (
+        events_pdf.assign(
+            c=lambda x: (x.value * 100).round(0).astype("int64"),
+            ed=lambda x: (
+                x.ts.dt.normalize() - pd.Timestamp("1970-01-01")
+            ).dt.days,
+        )
+        .groupby(["event_type", "ed"])["c"]
+        .sum()
+    )
+    ref = {}
+    for et in d.index.get_level_values(0).unique():
+        s = d[et].sort_index()
+        v = s.to_numpy()
+        eds = s.index.to_numpy()
+        for i in range(3, len(v) - 3):
+            nb = np.concatenate([v[i - 3 : i], v[i + 1 : i + 4]])
+            if (v[i] > nb).all():
+                ref[(et, eds[i])] = (v[i], v[i] - nb.max())
+    rows = registry.QUERIES["q_win_peak_detect"](spark, SF_DIR).collect()
+    assert len(rows) == len(ref)
+    for r in rows:
+        cents, prom = ref[(r.event_type, r.epoch_day)]
+        assert (r.cents, r.prominence_cents) == (cents, prom)
