@@ -575,6 +575,36 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"Window", r"CartesianProduct", r"BatchEvalPython"],
         "power analysis: per-user cent agg -> 1-row moment agg -> projection",
     ),
+    # --- r6 continuation wave (model-eval / PQ / signal ops) ---
+    "q_stats_calibration": (
+        # fact->user and user->bin are both two-phase hash aggs; the
+        # 1-row (n_total, gap_sum) frame rides back as a broadcast.
+        [r"partial_sum", r"BroadcastNestedLoopJoin"],
+        [r"Window", r"CartesianProduct", r"BatchEvalPython"],
+        "calibration: two-phase aggs + 1-row broadcast, no window/Python",
+    ),
+    "q_sim_pq_adc": (
+        # codebook and query LUT are BROADCAST onto the subvector /
+        # code streams; per-(vec,s) argmin and per-query top-k both
+        # prune inside the shuffle via WindowGroupLimit.
+        [r"BroadcastHashJoin", r"WindowGroupLimit"],
+        [r"CartesianProduct", r"BatchEvalPython", r"SortMergeJoin"],
+        "PQ-ADC: broadcast codebook/LUT probes, in-shuffle top-k, JVM-side",
+    ),
+    "q_win_peak_detect": (
+        # ONE fact scan -> daily rollup -> per-series window; the
+        # peak predicate is projection arithmetic after the frames.
+        [r"partial_sum", r"Window"],
+        [r"CartesianProduct", r"BatchEvalPython", r"BroadcastHashJoin"],
+        "peak detect: single rollup + per-series window, pure integer",
+    ),
+    "q_text_keyphrase_rake": (
+        # word stats broadcast back onto instances; the final top-k
+        # is the streaming TakeOrderedAndProject, never a full sort.
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "RAKE: broadcast word-stat probes + streaming top-k, JVM-side",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
