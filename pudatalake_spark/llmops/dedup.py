@@ -26,7 +26,7 @@ those pairs (verified at build time), so JACCARD_TAU = 0.5.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..loaders import cached, spread, table
@@ -846,4 +846,69 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("doc_id"),
         F.col("lbl").alias("cluster_id"),
         (F.col("u") == F.col("lbl")).alias("is_canonical"),
+    )
+
+
+@register(
+    "q_dedup_cross_corpus",
+    oracle=f"""
+    WITH {_PAIR_ORACLE_CTES},
+    cross_pairs AS (
+      SELECT CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END AS ref_doc,
+             CASE WHEN d1 % 2 = 0 THEN d2 ELSE d1 END AS batch_doc,
+             jaccard
+      FROM pr WHERE (d1 % 2) <> (d2 % 2)
+    )
+    SELECT batch_doc, ref_doc, jaccard
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY batch_doc
+            ORDER BY jaccard DESC, ref_doc) AS rn
+          FROM cross_pairs)
+    WHERE rn = 1
+    ORDER BY batch_doc
+    """,
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination: flag every NEW-BATCH document
+    (odd doc_id, standing in for a fresh crawl) whose 5-gram
+    Jaccard >= 0.5 against any REFERENCE document (even doc_id, the
+    already-ingested training set), reporting the best-matching
+    reference - the one-directional dedup every ingest pipeline
+    runs BEFORE q_dedup_* ever sees the merged corpus (in-corpus
+    dedup deduplicates the union; this prevents the union from
+    re-absorbing what the training set already contains). Removal =
+    anti-join the batch against this list; the survivors are the
+    publishable delta.
+
+    Rides near_jaccard_pairs' df-capped EXACT inverted index (same
+    plan, same hot-dictionary exactness argument) and keeps only
+    opposite-parity pairs; the argmax reference per batch doc
+    breaks jaccard ties on the smaller ref id. At 100 TB the exact
+    pass is replaced by the minhash-banded semi-join (signature
+    table of the REFERENCE corpus is precomputed once and only the
+    batch is signed per ingest - q_dedup_near_minhash's banding with
+    a build/probe split); this operator is the exact-by-contract
+    member, like q_dedup_near_jaccard for the in-corpus family.
+    """
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    pairs = near_jaccard_pairs(d, JACCARD_TAU)
+    cross = pairs.filter(
+        (F.col("doc1") % 2) != (F.col("doc2") % 2)
+    ).select(
+        F.when(F.col("doc1") % 2 == 0, F.col("doc1"))
+        .otherwise(F.col("doc2"))
+        .alias("ref_doc"),
+        F.when(F.col("doc1") % 2 == 0, F.col("doc2"))
+        .otherwise(F.col("doc1"))
+        .alias("batch_doc"),
+        "jaccard",
+    )
+    w = Window.partitionBy("batch_doc").orderBy(
+        F.desc("jaccard"), "ref_doc"
+    )
+    return (
+        cross.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("batch_doc", "ref_doc", "jaccard")
+        .orderBy("batch_doc")
     )

@@ -895,3 +895,95 @@ def q_privacy_kanon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+DP_EPS = "1.0"            # epsilon (privacy budget), sensitivity 1
+DP_LCG_A = 1103515245     # the classic LCG step supplying the
+DP_LCG_C = 12345          # deterministic inverse-CDF uniform
+DP_LCG_M = 2147483648
+
+
+@register(
+    "q_privacy_dp_noise",
+    oracle=f"""
+    WITH raw AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ),
+    seeded AS (
+      SELECT event_type, n,
+             row_number() OVER (ORDER BY event_type) AS id
+      FROM raw
+    ),
+    u AS (
+      SELECT event_type, n,
+             ((id * {DP_LCG_A} + {DP_LCG_C}) % {DP_LCG_M} + 0.5)
+               / {DP_LCG_M} - 0.5 AS c
+      FROM seeded
+    )
+    SELECT event_type, n AS raw_count,
+           round(-(1.0 / {DP_EPS})
+                 * (CASE WHEN c >= 0 THEN 1.0 ELSE -1.0 END)
+                 * ln(1.0 - 2.0 * abs(c)), 6) AS noise,
+           CAST(greatest(0, round(n - (1.0 / {DP_EPS})
+                 * (CASE WHEN c >= 0 THEN 1.0 ELSE -1.0 END)
+                 * ln(1.0 - 2.0 * abs(c)), 0)) AS BIGINT)
+               AS released_count
+    FROM u ORDER BY event_type
+    """,
+)
+def q_privacy_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release of event-type counts
+    via the Laplace mechanism (Dwork 2006): each count gets
+    Laplace(sensitivity/epsilon) noise (eps = 1, sensitivity 1 for
+    event-level counting queries) drawn through the inverse CDF
+    -b*sign(u-.5)*ln(1-2|u-.5|), then clamps to a non-negative
+    integer for release - the other half of the privacy family
+    (q_privacy_kanon AUDITS identifiability; this MECHANISM bounds
+    it by construction).
+
+    The uniform comes from a seeded integer LCG over the category's
+    deterministic rank - reproducible on purpose, so both engines
+    (and reruns) release identical values; a production release
+    swaps in a CSPRNG draw per release epoch, changing NOTHING
+    about the mechanism's algebra, which is what this operator
+    pins. Only the irrational ln is rounded (6dp); the released
+    integer is exact.
+
+    Scale shape: ONE two-phase count agg; the noise is projection
+    arithmetic over the |categories|-row frame. 100 TB: identical -
+    DP release cost never scales with data, only with the category
+    frame (contributor-bounded variants add one per-user dedup agg
+    upstream).
+    """
+    e = table(spark, sf_dir, "events")
+    raw = e.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    seeded = raw.select(
+        "event_type",
+        "n",
+        F.row_number()
+        .over(Window.orderBy("event_type"))
+        .cast("bigint")
+        .alias("id"),
+    )
+    c = (
+        (
+            (F.col("id") * DP_LCG_A + DP_LCG_C) % DP_LCG_M + 0.5
+        )
+        / DP_LCG_M
+        - 0.5
+    )
+    sign = F.when(c >= 0, 1.0).otherwise(-1.0)
+    noise = -(1.0 / float(DP_EPS)) * sign * F.log(
+        1.0 - 2.0 * F.abs(c)
+    )
+    return seeded.select(
+        "event_type",
+        F.col("n").alias("raw_count"),
+        F.round(noise, 6).alias("noise"),
+        F.greatest(F.lit(0), F.round(F.col("n") + noise, 0))
+        .cast("bigint")
+        .alias("released_count"),
+    ).orderBy("event_type")

@@ -892,3 +892,84 @@ def q_win_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "epoch_day")
     )
+
+
+@register(
+    "q_win_cep_vshape",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, ed, cents,
+             lag(cents, 2) OVER w AS m2, lag(cents, 1) OVER w AS m1,
+             lead(cents, 1) OVER w AS p1, lead(cents, 2) OVER w AS p2
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY ed)
+    )
+    SELECT event_type, ed AS trough_day, cents AS trough_cents,
+           m2 - cents AS drop_cents, p2 - cents AS recovery_cents
+    FROM lagged
+    WHERE m2 > m1 AND m1 > cents AND cents < p1 AND p1 < p2
+    ORDER BY event_type, trough_day
+    """,
+)
+def q_win_cep_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event V-shape detection on each event type's daily
+    revenue series:
+    emit every trough day whose series fell STRICTLY for the two
+    preceding days and rose strictly for the two following (the
+    MATCH_RECOGNIZE `A{2} B C{2}` / Flink-CEP pattern shape,
+    compiled to declarative lag/lead chains instead of an NFA -
+    fixed-length patterns need no state machine, which is exactly
+    why engines rewrite them this way), with the peak-to-trough
+    drop and the two-day recovery as the match measures.
+
+    Exactness: pure int64 throughout - four lag/lead columns and
+    strict integer compares; rows at series edges (any NULL
+    neighbor) fail the strict predicate and are correctly excluded.
+    No float surface.
+
+    Scale shape: one fact rollup, ONE ordered window pass carrying
+    four bounded offsets - per-series partitioning (event_type,
+    region) is the parallel form, same as q_win_rsi. Variable-length
+    patterns (A+ B+) compile to the q_win_streak run-id idiom
+    instead; this operator pins the fixed-length compilation.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        ),
+    ).agg(F.sum(cents).cast("bigint").alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("ed")
+    lagged = daily.select(
+        "event_type",
+        "ed",
+        "cents",
+        F.lag("cents", 2).over(w).alias("m2"),
+        F.lag("cents", 1).over(w).alias("m1"),
+        F.lead("cents", 1).over(w).alias("p1"),
+        F.lead("cents", 2).over(w).alias("p2"),
+    )
+    return (
+        lagged.filter(
+            (F.col("m2") > F.col("m1"))
+            & (F.col("m1") > F.col("cents"))
+            & (F.col("cents") < F.col("p1"))
+            & (F.col("p1") < F.col("p2"))
+        )
+        .select(
+            "event_type",
+            F.col("ed").alias("trough_day"),
+            F.col("cents").alias("trough_cents"),
+            (F.col("m2") - F.col("cents")).alias("drop_cents"),
+            (F.col("p2") - F.col("cents")).alias("recovery_cents"),
+        )
+        .orderBy("event_type", "trough_day")
+    )

