@@ -1198,3 +1198,150 @@ def q_agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_agg_theil",
+    oracle="""
+    WITH x AS (
+      SELECT n.n_name AS nation, c.c_custkey,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT nation, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents) AS BIGINT) AS x_g
+      FROM x GROUP BY nation
+    ),
+    t AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(sum(x_g) AS BIGINT) AS xx
+      FROM g
+    ),
+    tw AS (
+      SELECT x.nation,
+             sum((CAST(x.cents AS DOUBLE) / g.x_g)
+                 * ln(g.n_g * (CAST(x.cents AS DOUBLE) / g.x_g)))
+                 AS t_within
+      FROM x JOIN g ON x.nation = g.nation
+      GROUP BY x.nation
+    ),
+    tt AS (
+      SELECT sum((CAST(x.cents AS DOUBLE) / t.xx)
+                 * ln(t.n * (CAST(x.cents AS DOUBLE) / t.xx)))
+                 AS t_total
+      FROM x CROSS JOIN t
+    ),
+    tb AS (
+      SELECT sum((CAST(g.x_g AS DOUBLE) / t.xx)
+                 * ln((CAST(g.x_g AS DOUBLE) / t.xx)
+                      / (CAST(g.n_g AS DOUBLE) / t.n))) AS t_between
+      FROM g CROSS JOIN t
+    )
+    SELECT g.nation, g.n_g AS n_customers,
+           CAST(g.x_g AS DOUBLE) / t.xx AS revenue_share,
+           round(tw.t_within, 6) AS t_within,
+           round(tb.t_between, 6) AS t_between,
+           round(tt.t_total, 6) AS t_total
+    FROM g JOIN tw ON g.nation = tw.nation
+    CROSS JOIN t CROSS JOIN tb CROSS JOIN tt
+    ORDER BY g.nation
+    """,
+)
+def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of customer revenue with the
+    within/between-nation decomposition: T_total = T_between +
+    sum_g share_g * T_within_g - the additive-decomposable
+    inequality measure (Gini, q_agg_gini, famously is NOT), i.e.
+    the only standard answer to "how much revenue concentration
+    lives INSIDE markets vs BETWEEN them". Per-nation rows carry
+    n, revenue share and T_within; T_between / T_total broadcast.
+
+    Float protocol: per-customer cents and all group sums are exact
+    int64; every share is ONE integer division and each ln term is
+    the identical tree in both engines; the ln-term SUMS (per
+    group, 25-group, global) are the group-sum-order surface,
+    rounded 6dp (PSI rule). The decomposition identity is pinned in
+    tests (t_between + sum share*t_within == t_total to 1e-6).
+
+    Scale shape: one fact->customer two-phase agg (the only big
+    shuffle), 25-row group frame, 1-row totals broadcast back onto
+    the customer frame for the two ln-sum passes - both map-side
+    combinable. 100 TB: identical.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    x = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                n.select(
+                    F.col("n_nationkey").alias("c_nationkey"),
+                    F.col("n_name").alias("nation"),
+                )
+            ),
+            "c_nationkey",
+        )
+        .groupBy("nation", "c_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    g = x.groupBy("nation").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("x_g"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("x_g").cast("bigint").alias("xx"),
+    )
+    share_w = F.col("cents").cast("double") / F.col("x_g")
+    tw = (
+        x.join(F.broadcast(g), "nation")
+        .groupBy("nation")
+        .agg(
+            F.sum(share_w * F.log(F.col("n_g") * share_w)).alias(
+                "t_within"
+            )
+        )
+    )
+    share_t = F.col("cents").cast("double") / F.col("xx")
+    tt = (
+        x.crossJoin(F.broadcast(t))
+        .agg(
+            F.sum(share_t * F.log(F.col("n") * share_t)).alias("t_total")
+        )
+    )
+    share_g = F.col("x_g").cast("double") / F.col("xx")
+    pop_g = F.col("n_g").cast("double") / F.col("n")
+    tb = (
+        g.crossJoin(F.broadcast(t))
+        .agg(F.sum(share_g * F.log(share_g / pop_g)).alias("t_between"))
+    )
+    return (
+        g.join(tw, "nation")
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "nation",
+            F.col("n_g").alias("n_customers"),
+            (F.col("x_g").cast("double") / F.col("xx")).alias(
+                "revenue_share"
+            ),
+            F.round("t_within", 6).alias("t_within"),
+            F.round("t_between", 6).alias("t_between"),
+            F.round("t_total", 6).alias("t_total"),
+        )
+        .orderBy("nation")
+    )

@@ -4114,3 +4114,94 @@ def q_events_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(solve, schema=schema)
         .orderBy("channel")
     )
+
+
+@register(
+    "q_events_burstiness",
+    oracle="""
+    WITH ordered AS (
+      SELECT event_type,
+             epoch_ms(ts) // 100 - lag(epoch_ms(ts) // 100) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS gap
+      FROM events
+    ),
+    gaps AS (
+      SELECT event_type, CAST(gap AS BIGINT) AS gap
+      FROM ordered WHERE gap IS NOT NULL
+    ),
+    s AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap) AS BIGINT) AS s1,
+             CAST(sum(gap * gap) AS BIGINT) AS s2
+      FROM gaps GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(s1 AS DOUBLE) / (10.0 * n) AS mean_gap_s,
+           (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n)
+             / (CAST(s1 AS DOUBLE) / n) AS cv,
+           (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n
+              - CAST(s1 AS DOUBLE) / n)
+             / (sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n
+                + CAST(s1 AS DOUBLE) / n) AS burstiness
+    FROM s ORDER BY event_type
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival burstiness per event type: the Goh-Barabasi
+    burstiness index B = (sigma - mu)/(sigma + mu) over the
+    inter-event gaps of each type's time-ordered stream (B = -1
+    perfectly periodic, 0 Poisson, -> 1 heavy-tailed bursts), with
+    the coefficient of variation - the one-number answer to "is
+    this stream Poisson or bursty", which decides queueing margins,
+    rate-limit budgets, and whether q_events_velocity_flags'
+    trailing windows can ever fire.
+
+    Exactness: gaps are integer DECISECONDS via lag on the (ts,
+    event_id) total order - each timestamp is truncated epoch_ms
+    div 100 BEFORE differencing, the identical integer op in both
+    engines (whole-second truncation-order disagreed on sub-second
+    timestamps, and raw milliseconds overflowed n*S2 - both caught
+    by the oracle on first contact; 0.1 s resolution holds n*S2
+    inside int64 at every SF); (n, S1, S2) are exact int64 power
+    sums; sigma is the
+    population form sqrt(n*S2 - S1^2)/n and mu = S1/n, composed as
+    the IDENTICAL tree in both engines, unrounded.
+
+    Scale shape: one per-series ordered window pass for the lag
+    (the q_win_rsi posture), one two-phase power-sum agg; per-user
+    or per-(user, type) burstiness is the same plan with a wider
+    partition key.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ms = F.expr("unix_millis(ts) div 100")
+    gaps = (
+        e.select(
+            "event_type",
+            (ms - F.lag(ms).over(w)).alias("gap"),
+        )
+        .filter(F.col("gap").isNotNull())
+        .select("event_type", F.col("gap").cast("bigint").alias("gap"))
+    )
+    s = gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("s2"),
+    )
+    mu_s = F.col("s1").cast("double") / (10.0 * F.col("n"))
+    mu = F.col("s1").cast("double") / F.col("n")
+    sig = (
+        F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+        )
+        / F.col("n")
+    )
+    return s.select(
+        "event_type",
+        "n",
+        mu_s.alias("mean_gap_s"),
+        (sig / mu).alias("cv"),
+        ((sig - mu) / (sig + mu)).alias("burstiness"),
+    ).orderBy("event_type")

@@ -1150,3 +1150,81 @@ def q_lake_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule string, n_checked long, n_violations long, published int",
     )
     return decision.orderBy("rule")
+
+
+CLONE_CUTOFF = "1997-06-01"  # v1 = orders before; v2 appends the rest
+
+
+@register("q_lake_clone_shallow")  # filesystem manifests -> rows-only
+def q_lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-copy SHALLOW CLONE with snapshot isolation (the Delta
+    CLONE / Iceberg snapshot-ref semantics): v1 of an orders table
+    is written once; a clone is created by copying ONLY the
+    manifest (the file list - no data files move, asserted by
+    construction: the clone directory contains a manifest and zero
+    parquet); the SOURCE then appends a v2 batch and commits a new
+    manifest. The proof obligations a lakehouse clone must meet -
+    (a) the clone still reads exactly v1, (b) the source reads
+    v1+v2, (c) data files are SHARED not duplicated - are each
+    checked and reported as one row.
+
+    Rows-only BY DESIGN (filesystem manifests are the operator).
+    Idempotent per run (all three locations overwritten).
+
+    Scale shape: clone cost is O(manifest), NEVER O(data) - the
+    entire point; reads resolve the manifest to a file list and
+    hand Spark an explicit parquet path set, which is how
+    manifest-based tables turn time travel into plain pruned scans
+    (same mechanism as q_lake_manifest / q_snapshot).
+    """
+    import json as _json
+
+    base_dir = _scratch("lake", "clone_src")
+    clone_dir = _scratch("lake", "clone_ref")
+    o = table(spark, sf_dir, "orders")
+    cutoff = F.lit(CLONE_CUTOFF).cast("date")
+    v1 = o.filter(F.col("o_orderdate") < cutoff)
+    v2 = o.filter(F.col("o_orderdate") >= cutoff)
+
+    d1 = os.path.join(base_dir, "data_v1")
+    v1.write.mode("overwrite").parquet(d1)
+    files_v1 = sorted(glob.glob(os.path.join(d1, "*.parquet")))
+    with open(os.path.join(base_dir, "manifest.json"), "w") as f:
+        _json.dump({"version": 1, "files": files_v1}, f)
+
+    # SHALLOW clone: copy the manifest text, not one data byte.
+    os.makedirs(clone_dir, exist_ok=True)
+    with open(os.path.join(clone_dir, "manifest.json"), "w") as f:
+        _json.dump({"version": 1, "files": files_v1}, f)
+
+    # Source moves on: append v2 files, commit manifest version 2.
+    d2 = os.path.join(base_dir, "data_v2")
+    v2.write.mode("overwrite").parquet(d2)
+    files_v2 = files_v1 + sorted(glob.glob(os.path.join(d2, "*.parquet")))
+    with open(os.path.join(base_dir, "manifest.json"), "w") as f:
+        _json.dump({"version": 2, "files": files_v2}, f)
+
+    def _read(manifest_dir):
+        with open(os.path.join(manifest_dir, "manifest.json")) as f:
+            m = _json.load(f)
+        return m["version"], spark.read.schema(o.schema).parquet(
+            *m["files"]
+        )
+
+    src_ver, src_df = _read(base_dir)
+    cl_ver, cl_df = _read(clone_dir)
+    n_clone_parquet = len(glob.glob(os.path.join(clone_dir, "*.parquet")))
+    checks = [
+        ("clone_reads_v1", cl_df.count(), v1.count()),
+        ("source_reads_v1_plus_v2", src_df.count(), o.count()),
+        ("clone_copied_zero_data_files", n_clone_parquet, 0),
+    ]
+    return spark.createDataFrame(
+        [
+            (rule, int(got), int(want), int(got == want))
+            for rule, got, want in checks
+        ]
+        + [("source_manifest_version", src_ver, 2, int(src_ver == 2)),
+           ("clone_manifest_version", cl_ver, 1, int(cl_ver == 1))],
+        "check string, observed long, expected long, ok int",
+    ).orderBy("check")

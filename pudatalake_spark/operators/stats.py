@@ -3019,3 +3019,138 @@ def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("f_stat"),
         F.round(ssb / sst, 6).alias("eta_sq"),
     )
+
+
+BAYES_Z95 = "1.959963984540054"  # 97.5% normal quantile (literal)
+
+
+@register(
+    "q_stats_bayes_ab",
+    oracle=f"""
+    WITH u AS (
+      SELECT CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})
+                        % {FDR_HASH_P}) % 2 = 0 THEN 'A' ELSE 'B' END
+                 AS variant,
+             CASE WHEN 2 * sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)
+                    > sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS s
+      FROM events GROUP BY user_id
+    ),
+    v AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS s
+      FROM u GROUP BY variant
+    ),
+    post AS (
+      SELECT variant, n, s,
+             (s + 1.0) / (n + 2.0) AS pm,
+             ((s + 1.0) * (n - s + 1.0))
+               / ((n + 2.0) * (n + 2.0) * (n + 3.0)) AS pv
+      FROM v
+    ),
+    d AS (
+      SELECT (SELECT pm FROM post WHERE variant = 'B')
+               - (SELECT pm FROM post WHERE variant = 'A') AS dm,
+             (SELECT pv FROM post WHERE variant = 'B')
+               + (SELECT pv FROM post WHERE variant = 'A') AS dv
+    )
+    SELECT p.variant, p.n, p.s, p.pm AS post_mean,
+           p.pm - {BAYES_Z95} * sqrt(p.pv) AS ci_lo,
+           p.pm + {BAYES_Z95} * sqrt(p.pv) AS ci_hi,
+           round(CASE WHEN d.dm / sqrt(d.dv) >= 0
+                 THEN 1.0 - {_norm_sf_sql("(d.dm / sqrt(d.dv))")}
+                 ELSE {_norm_sf_sql("(-(d.dm / sqrt(d.dv)))")}
+                 END, 8) AS p_b_beats_a
+    FROM post p CROSS JOIN d
+    ORDER BY p.variant
+    """,
+)
+def q_stats_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bayesian A/B readout under a Beta(1,1) prior: per-variant
+    Beta posterior mean and 95% credible interval for the
+    purchase-majority outcome rate, plus P(B > A) via the
+    normal approximation of the posterior difference - the
+    decision-theoretic companion to q_stats_ab_welch's frequentist
+    t (a stakeholder asks "what's the probability B is better",
+    which ONLY the posterior answers; the exact Beta integral needs
+    incomplete-beta, the normal approx is the standard large-n
+    shortcut and both variants here have n >> 30).
+
+    Exactness: s and n are int64; posterior mean/variance are
+    closed-form ratios evaluated as the IDENTICAL tree in both
+    engines (unrounded); the CI needs one sqrt (IEEE-exact);
+    P(B>A) goes through the one exp/ln-free A&S 26.2.17 tail shared
+    with q_stats_fdr_bh (exp is the single libm surface, 8dp-round
+    mitigated there and here).
+
+    Scale shape: ONE per-user conditional agg -> 2-row variant agg
+    -> projection arithmetic on the 2-row frame + a 1-row
+    difference broadcast. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_cv = F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+    u = e.groupBy("user_id").agg(
+        F.when(2 * F.sum(is_purch) > F.sum(is_cv), 1)
+        .otherwise(0)
+        .alias("s")
+    ).select(
+        F.when(
+            F.expr(
+                f"((user_id * {FDR_HASH_A} + {FDR_HASH_B})"
+                f" % {FDR_HASH_P}) % 2 = 0"
+            ),
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        "s",
+    )
+    v = u.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+    )
+    post = v.select(
+        "variant",
+        "n",
+        "s",
+        ((F.col("s") + 1.0) / (F.col("n") + 2.0)).alias("pm"),
+        (
+            ((F.col("s") + 1.0) * (F.col("n") - F.col("s") + 1.0))
+            / (
+                (F.col("n") + 2.0)
+                * (F.col("n") + 2.0)
+                * (F.col("n") + 3.0)
+            )
+        ).alias("pv"),
+    )
+    a = post.filter(F.col("variant") == "A").select(
+        F.col("pm").alias("pma"), F.col("pv").alias("pva")
+    )
+    b = post.filter(F.col("variant") == "B").select(
+        F.col("pm").alias("pmb"), F.col("pv").alias("pvb")
+    )
+    d = a.crossJoin(b).select(
+        (F.col("pmb") - F.col("pma")).alias("dm"),
+        (F.col("pvb") + F.col("pva")).alias("dv"),
+    )
+    z = F.expr("dm / sqrt(dv)")
+    p_b = F.when(
+        z >= 0, 1.0 - F.expr(_norm_sf_sql("(dm / sqrt(dv))"))
+    ).otherwise(F.expr(_norm_sf_sql("(-(dm / sqrt(dv)))")))
+    z95 = float(BAYES_Z95)
+    return (
+        post.crossJoin(F.broadcast(d))
+        .select(
+            "variant",
+            "n",
+            "s",
+            F.col("pm").alias("post_mean"),
+            (F.col("pm") - z95 * F.sqrt(F.col("pv"))).alias("ci_lo"),
+            (F.col("pm") + z95 * F.sqrt(F.col("pv"))).alias("ci_hi"),
+            F.round(p_b, 8).alias("p_b_beats_a"),
+        )
+        .orderBy("variant")
+    )

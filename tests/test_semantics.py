@@ -342,3 +342,12 @@ def test_cross_corpus_is_cross_parity_subset(spark):
         assert pairs[key] == h.jaccard
         assert h.batch_doc not in seen_batch  # one best match per doc
         seen_batch.add(h.batch_doc)
+
+
+def test_clone_shallow_isolation(spark):
+    from pudatalake_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = registry.QUERIES["q_lake_clone_shallow"](spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r.ok == 1 for r in rows)

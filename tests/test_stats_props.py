@@ -989,3 +989,86 @@ def test_dp_noise_matches_inverse_cdf(spark, events_pdf):
         assert r.released_count == max(0, round(n + noise))
     # the mechanism must actually perturb (not an identity release)
     assert any(r.released_count != r.raw_count for r in rows)
+
+
+def test_bayes_ab_matches_closed_form(spark, events_pdf):
+    A, B, P = 2654435761, 1013904223, 1_000_000_007
+    g = events_pdf.groupby("user_id").event_type
+    purch = g.apply(lambda s: (s == "purchase").sum())
+    cv = g.apply(lambda s: s.isin(["click", "view"]).sum())
+    succ = (2 * purch > cv).astype(int)
+    variant = pd.Series(
+        ["A" if ((u * A + B) % P) % 2 == 0 else "B" for u in succ.index],
+        index=succ.index,
+    )
+    rows = {r.variant: r for r in
+            registry.QUERIES["q_stats_bayes_ab"](spark, SF_DIR).collect()}
+    post = {}
+    for v in ["A", "B"]:
+        s = succ[variant == v]
+        n, k = len(s), s.sum()
+        pm = (k + 1) / (n + 2)
+        pv = (k + 1) * (n - k + 1) / ((n + 2) ** 2 * (n + 3))
+        post[v] = (n, k, pm, pv)
+        r = rows[v]
+        assert (r.n, r.s) == (n, k)
+        assert r.post_mean == pytest.approx(pm, abs=1e-12)
+        assert r.ci_lo == pytest.approx(
+            pm - 1.959963984540054 * np.sqrt(pv), abs=1e-9
+        )
+    dm = post["B"][2] - post["A"][2]
+    dv = post["B"][3] + post["A"][3]
+    from math import erf, sqrt
+    p_ref = 0.5 * (1 + erf((dm / sqrt(dv)) / sqrt(2)))
+    # A&S 26.2.17 is accurate to ~7.5e-8; rounded 8dp in the engine
+    assert rows["A"].p_b_beats_a == pytest.approx(p_ref, abs=1e-6)
+
+
+def test_burstiness_matches_numpy(spark, events_pdf):
+    df = events_pdf.sort_values(["event_type", "ts", "event_id"])
+    # unit-proof: normalize to ms first, then truncate to deciseconds
+    ds = df.ts.astype("datetime64[ms]").astype("int64") // 100
+    rows = {r.event_type: r for r in
+            registry.QUERIES["q_events_burstiness"](spark, SF_DIR).collect()}
+    for et, g in df.assign(ds=ds).groupby("event_type"):
+        gaps = g.ds.diff().dropna().to_numpy(dtype="int64")
+        mu = gaps.mean()
+        sig = np.sqrt(((gaps - mu) ** 2).mean())
+        r = rows[et]
+        assert r.n == len(gaps)
+        assert r.mean_gap_s == pytest.approx(mu / 10, rel=1e-9)
+        assert r.cv == pytest.approx(sig / mu, rel=1e-6)
+        assert r.burstiness == pytest.approx(
+            (sig - mu) / (sig + mu), abs=1e-9
+        )
+
+
+def test_theil_decomposition_identity(spark):
+    rows = registry.QUERIES["q_agg_theil"](spark, SF_DIR).collect()
+    # brute force from parquet
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    n = pd.read_parquet(f"{SF_DIR}/nation.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey").merge(
+        n, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    j["cents"] = (j.o_totalprice * 100).round(0).astype("int64")
+    x = j.groupby(["n_name", "c_custkey"]).cents.sum()
+    X, N = x.sum(), len(x)
+    sh = x / X
+    t_total = float((sh * np.log(N * sh)).sum())
+    by_name = {r.nation: r for r in rows}
+    acc = 0.0
+    for nation, xg in x.groupby(level=0):
+        Xg, ng = xg.sum(), len(xg)
+        shg = xg / Xg
+        tw = float((shg * np.log(ng * shg)).sum())
+        r = by_name[nation]
+        assert r.n_customers == ng
+        assert r.revenue_share == pytest.approx(Xg / X, abs=1e-12)
+        assert r.t_within == pytest.approx(tw, abs=2e-6)
+        acc += (Xg / X) * tw
+    r0 = rows[0]
+    assert r0.t_total == pytest.approx(t_total, abs=2e-6)
+    # additive decomposition: T = T_between + sum share*T_within
+    assert r0.t_between + acc == pytest.approx(t_total, abs=1e-5)
