@@ -1028,3 +1028,188 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+@register(
+    "q_graph_louvain_round",
+    oracle=f"""
+    WITH edges0 AS ({_EDGES_SQL}),
+    cnat AS (SELECT 'C' || CAST(c_custkey AS VARCHAR) AS node,
+                    c_nationkey AS comm FROM customer),
+    snat AS (SELECT 'S' || CAST(s_suppkey AS VARCHAR) AS node,
+                    s_nationkey AS comm FROM supplier),
+    lab AS (SELECT * FROM cnat UNION ALL SELECT * FROM snat),
+    ed AS (
+      SELECT 'C' || CAST(ck AS VARCHAR) AS u,
+             'S' || CAST(sk AS VARCHAR) AS v FROM edges0
+      UNION ALL
+      SELECT 'S' || CAST(sk AS VARCHAR), 'C' || CAST(ck AS VARCHAR)
+      FROM edges0
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM ed),
+    deg AS (SELECT u, CAST(count(*) AS BIGINT) AS k FROM ed GROUP BY u),
+    tot AS (
+      SELECT l.comm, CAST(sum(d.k) AS BIGINT) AS sigma
+      FROM deg d JOIN lab l ON d.u = l.node GROUP BY l.comm
+    ),
+    kuc AS (
+      SELECT e.u, lv.comm, CAST(count(*) AS BIGINT) AS k_uc
+      FROM ed e JOIN lab lv ON e.v = lv.node
+      GROUP BY e.u, lv.comm
+    ),
+    cand AS (
+      SELECT k.u, k.comm, k.k_uc, d.k, lu.comm AS own, t.sigma, m.two_m
+      FROM kuc k
+      JOIN deg d ON k.u = d.u
+      JOIN lab lu ON k.u = lu.node
+      JOIN tot t ON k.comm = t.comm
+      CROSS JOIN m
+    ),
+    scored AS (
+      SELECT u, comm, own,
+             round(k_uc - CAST(k AS DOUBLE)
+                   * (sigma - CASE WHEN comm = own THEN k ELSE 0 END)
+                   / two_m, 9) AS gain
+      FROM cand
+    ),
+    winner AS (
+      SELECT u, own, comm AS new_comm FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY u ORDER BY gain DESC, comm) AS rn
+        FROM scored) WHERE rn = 1
+    )
+    SELECT n.n_name AS community,
+           CAST(sum(CASE WHEN w.own = n.n_nationkey
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_before,
+           CAST(sum(CASE WHEN w.new_comm = n.n_nationkey
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+           CAST(sum(CASE WHEN w.own = n.n_nationkey
+                         AND w.new_comm <> w.own
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_left
+    FROM winner w JOIN nation n
+      ON n.n_nationkey IN (w.own, w.new_comm)
+    GROUP BY n.n_name ORDER BY community
+    """,
+)
+def q_graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SYNCHRONOUS Louvain local-move round (Blondel 2008, the
+    modularity-climbing step) from the nation seeding: every node
+    evaluates, for each NEIGHBOR community c, the modularity gain
+    score k_{u,c} - k_u * (Sigma_tot(c) - [c = own] k_u) / 2m and
+    adopts the argmax (gain DESC, community-id tie-break) - the
+    greedy move that q_graph_modularity's Q is the objective FOR
+    and q_graph_label_prop approximates without degree weighting.
+    Synchronous (all nodes decide against the OLD labels) by
+    design: sequential Louvain is order-dependent and
+    unreproducible distributed; the synchronous variant is the
+    standard Spark/Giraph adaptation. Output: per community,
+    membership before/after and departures.
+
+    Exactness: k_uc / k / Sigma / 2m are exact int64 from two-phase
+    aggs; the gain is ONE division composed identically in both
+    engines and rounded 9dp BEFORE the argmax (the q_sim_ann_ivf
+    rounded-argmax protocol) so the winner is engine-stable.
+
+    Scale shape: edge list x labels = two broadcast-able dim joins;
+    kuc is one (u, comm) two-phase agg; candidates join per-node
+    constants (deg, own) and the 25-row totals - one shuffle keyed
+    on u; argmax prunes in-shuffle via WindowGroupLimit. Further
+    rounds = re-seed labels from `winner` and repeat (the CC-loop
+    pattern); 100 TB: identical shapes per round.
+    """
+    t = load(spark, sf_dir)
+    bip = _bipartite_edges(t)
+    c = F.concat(F.lit("C"), F.col("ck").cast("string"))
+    s = F.concat(F.lit("S"), F.col("sk").cast("string"))
+    ed = bip.select(c.alias("u"), s.alias("v")).unionAll(
+        bip.select(s.alias("u"), c.alias("v"))
+    )
+    lab = (
+        t["customer"]
+        .select(
+            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
+                "node"
+            ),
+            F.col("c_nationkey").alias("comm"),
+        )
+        .unionAll(
+            t["supplier"].select(
+                F.concat(
+                    F.lit("S"), F.col("s_suppkey").cast("string")
+                ).alias("node"),
+                F.col("s_nationkey").alias("comm"),
+            )
+        )
+    )
+    m = ed.agg(F.count("*").cast("bigint").alias("two_m"))
+    deg = ed.groupBy("u").agg(F.count("*").cast("bigint").alias("k"))
+    tot = (
+        deg.join(F.broadcast(lab), F.col("u") == F.col("node"))
+        .groupBy("comm")
+        .agg(F.sum("k").cast("bigint").alias("sigma"))
+    )
+    kuc = (
+        ed.join(
+            F.broadcast(lab.withColumnRenamed("node", "vn")),
+            F.col("v") == F.col("vn"),
+        )
+        .groupBy("u", "comm")
+        .agg(F.count("*").cast("bigint").alias("k_uc"))
+    )
+    own = lab.select(
+        F.col("node").alias("ou"), F.col("comm").alias("own")
+    )
+    cand = (
+        kuc.join(deg, "u")
+        .join(F.broadcast(own), F.col("u") == F.col("ou"))
+        .join(F.broadcast(tot.withColumnRenamed("comm", "tc")),
+              F.col("comm") == F.col("tc"))
+        .crossJoin(F.broadcast(m))
+    )
+    gain = F.round(
+        F.col("k_uc")
+        - F.col("k").cast("double")
+        * (
+            F.col("sigma")
+            - F.when(F.col("comm") == F.col("own"), F.col("k")).otherwise(0)
+        )
+        / F.col("two_m"),
+        9,
+    )
+    w = Window.partitionBy("u").orderBy(F.desc("gain"), "comm")
+    winner = (
+        cand.select("u", "comm", "own", gain.alias("gain"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("u", "own", F.col("comm").alias("new_comm"))
+    )
+    nat = t["nation"].select(
+        F.col("n_nationkey").alias("nk"), F.col("n_name").alias("community")
+    )
+    return (
+        winner.join(
+            F.broadcast(nat),
+            F.col("nk").isin(F.col("own"), F.col("new_comm")),
+        )
+        .groupBy("community")
+        .agg(
+            F.sum(F.when(F.col("own") == F.col("nk"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_before"),
+            F.sum(
+                F.when(F.col("new_comm") == F.col("nk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_after"),
+            F.sum(
+                F.when(
+                    (F.col("own") == F.col("nk"))
+                    & (F.col("new_comm") != F.col("own")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_left"),
+        )
+        .orderBy("community")
+    )

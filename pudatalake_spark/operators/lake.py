@@ -1228,3 +1228,187 @@ def q_lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
            ("clone_manifest_version", cl_ver, 1, int(cl_ver == 1))],
         "check string, observed long, expected long, ok int",
     ).orderBy("check")
+
+
+@register(
+    "q_lake_analyze_stats",
+    oracle="""
+    WITH s AS (
+      SELECT 'o_custkey' AS col,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(o_custkey) AS BIGINT) AS n_nonnull,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS ndv,
+             CAST(min(o_custkey) AS VARCHAR) AS min_v,
+             CAST(max(o_custkey) AS VARCHAR) AS max_v,
+             8.0 AS avg_width
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+             CAST(count(o_orderdate) AS BIGINT),
+             CAST(count(DISTINCT o_orderdate) AS BIGINT),
+             CAST(min(o_orderdate) AS VARCHAR),
+             CAST(max(o_orderdate) AS VARCHAR), 4.0
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+             CAST(count(o_orderstatus) AS BIGINT),
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR),
+             (SELECT avg(length(o_orderstatus)) FROM orders)
+      FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+             CAST(count(o_totalprice) AS BIGINT),
+             CAST(count(DISTINCT o_totalprice) AS BIGINT),
+             CAST(CAST(round(min(o_totalprice) * 100, 0) AS BIGINT)
+                  AS VARCHAR),
+             CAST(CAST(round(max(o_totalprice) * 100, 0) AS BIGINT)
+                  AS VARCHAR), 8.0
+      FROM orders
+    )
+    SELECT col, n_rows, n_nonnull, ndv, min_v, max_v,
+           round(avg_width, 4) AS avg_width,
+           CAST(n_rows AS DOUBLE) / ndv AS rows_per_value
+    FROM s ORDER BY col
+    """,
+)
+def q_lake_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE-style column statistics for the cost-based
+    optimizer: per column - row count, non-null count, exact NDV,
+    min/max (the zone-map bounds), average width, and the derived
+    rows-per-distinct-value selectivity a CBO turns into join
+    cardinality estimates. This is the statistics-collection pass
+    every lakehouse schedules after large writes (Spark's ANALYZE
+    TABLE ... COMPUTE STATISTICS FOR COLUMNS, Delta's auto-stats);
+    exposing it AS an operator makes the stats themselves testable.
+
+    Exactness: counts/NDV are exact int64 (the production variant
+    swaps NDV to HLL - q_agg_approx_distinct is that member);
+    numeric min/max are surfaced as exact cents; the only doubles
+    are avg string width (4dp round) and the final one-division
+    selectivity (unrounded). Column stats stringify through CAST AS
+    VARCHAR identically in both engines.
+
+    Scale shape: each column's stats are ONE map-side-combining agg
+    over a single-column pruned scan - 4 parallel scans here, one
+    combined multi-agg pass in production (documented trade: column
+    pruning vs one-pass); NDV is the only shuffle-heavy term and is
+    the one that goes approximate at 100 TB.
+    """
+    o = table(spark, sf_dir, "orders")
+
+    def stat(col, minmax_cents=False, width=None):
+        mn, mx = F.min(col), F.max(col)
+        if minmax_cents:
+            mn = F.round(mn * 100, 0).cast("bigint")
+            mx = F.round(mx * 100, 0).cast("bigint")
+        w = (
+            F.lit(float(width))
+            if width is not None
+            else F.avg(F.length(col))
+        )
+        return o.agg(
+            F.lit(col).alias("col"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(col).cast("bigint").alias("n_nonnull"),
+            F.count_distinct(F.col(col)).cast("bigint").alias("ndv"),
+            mn.cast("string").alias("min_v"),
+            mx.cast("string").alias("max_v"),
+            w.alias("avg_width"),
+        ).select(
+            "col", "n_rows", "n_nonnull", "ndv", "min_v", "max_v",
+            "avg_width",
+        )
+
+    stats = (
+        stat("o_custkey", width=8)
+        .unionAll(stat("o_orderdate", width=4))
+        .unionAll(stat("o_orderstatus"))
+        .unionAll(stat("o_totalprice", minmax_cents=True, width=8))
+    )
+    return stats.select(
+        "col",
+        "n_rows",
+        "n_nonnull",
+        "ndv",
+        "min_v",
+        "max_v",
+        F.round("avg_width", 4).alias("avg_width"),
+        (F.col("n_rows").cast("double") / F.col("ndv")).alias(
+            "rows_per_value"
+        ),
+    ).orderBy("col")
+
+
+MASK_SALT = "mask-v1"  # rotate to re-key the pseudonym space
+
+
+@register(
+    "q_lake_column_mask",
+    oracle=f"""
+    WITH masked AS (
+      SELECT sha256(concat('{MASK_SALT}', c_name)) AS name_token,
+             c_custkey // 100 AS key_bucket,
+             c_mktsegment,
+             CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer
+    )
+    SELECT c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT name_token) AS BIGINT) AS ndv_tokens,
+           CAST(count(DISTINCT key_bucket) AS BIGINT) AS ndv_key_bucket,
+           CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents
+    FROM masked GROUP BY c_mktsegment ORDER BY seg
+    """,
+)
+def q_lake_column_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level masking for governed sharing (the row/column
+    security layer every lakehouse puts between raw PII and analyst
+    schemas): c_name becomes a SALTED-SHA256 pseudonym (stable
+    joins survive, identity does not - rotating the salt re-keys
+    the whole pseudonym space), c_custkey is GENERALIZED to a
+    100-wide bucket (utility: cohorting stays, the key is gone -
+    the k-anonymity generalization primitive q_privacy_kanon
+    audits), and the numeric/aggregable columns pass through
+    untouched. The output is the governance proof an
+    auditor asks for: per segment, the masked view still yields
+    exact aggregates (counts, balance totals) while the pseudonym
+    NDV equals the customer count (no collision lost identity
+    resolution) and the key NDV collapses to the bucket space.
+
+    Determinism: sha256 and substr are bit-identical across
+    engines; all aggregates are exact int64. (The redaction-
+    pattern sibling on free text is q_text_pii_redact; this member
+    is the COLUMN-policy form a catalog enforces.)
+
+    Scale shape: masking is a map-only projection (no shuffle, no
+    Python - sha256 is a JVM codegen'd expression); the audit agg
+    is one two-phase pass. 100 TB: identical; policy application
+    cost is the scan itself.
+    """
+    c = table(spark, sf_dir, "customer")
+    masked = c.select(
+        F.sha2(F.concat(F.lit(MASK_SALT), F.col("c_name")), 256).alias(
+            "name_token"
+        ),
+        F.expr("c_custkey div 100").alias("key_bucket"),
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias(
+            "bal_cents"
+        ),
+    )
+    return (
+        masked.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            F.count_distinct(F.col("name_token"))
+            .cast("bigint")
+            .alias("ndv_tokens"),
+            F.count_distinct(F.col("key_bucket"))
+            .cast("bigint")
+            .alias("ndv_key_bucket"),
+            F.sum("bal_cents").cast("bigint").alias("total_bal_cents"),
+        )
+        .orderBy("seg")
+    )

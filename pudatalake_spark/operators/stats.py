@@ -3154,3 +3154,86 @@ def q_stats_bayes_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+CR_SPLIT_DAY = 15  # sample 1 = days < 15; sample 2 = days >= 15
+
+
+@register(
+    "q_stats_capture_recapture",
+    oracle=f"""
+    WITH seen AS (
+      SELECT user_id,
+             max(CASE WHEN dayofmonth(CAST(ts AS DATE)) < {CR_SPLIT_DAY}
+                      THEN 1 ELSE 0 END) AS s1,
+             max(CASE WHEN dayofmonth(CAST(ts AS DATE)) >= {CR_SPLIT_DAY}
+                      THEN 1 ELSE 0 END) AS s2
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(sum(s1) AS BIGINT) AS n1,
+             CAST(sum(s2) AS BIGINT) AS n2,
+             CAST(sum(s1 * s2) AS BIGINT) AS m2,
+             CAST(count(*) AS BIGINT) AS n_observed
+      FROM seen
+    )
+    SELECT n1, n2, m2, n_observed,
+           (CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / (m2 + 1)) - 1.0
+               AS chapman_estimate,
+           CAST((n1 + 1) * (n2 + 1) AS DOUBLE) * (n1 - m2) * (n2 - m2)
+             / (CAST((m2 + 1) AS DOUBLE) * (m2 + 1) * (m2 + 2))
+               AS chapman_variance
+    FROM m
+    """,
+)
+def q_stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture (Chapman) estimate of the TOTAL purchasing
+    population from two overlapping observation windows (first vs
+    second half of the month): N_hat = (n1+1)(n2+1)/(m+1) - 1 with
+    its closed-form variance - the mark-recapture estimator
+    ecologists use for animal counts and analysts reuse to size an
+    audience whose members are only ever PARTIALLY observed (how
+    many buyers exist, not how many we saw; n_observed is the lower
+    bound the naive count reports).
+
+    Exactness: n1/n2/m are int64 via one per-user two-flag agg;
+    the estimate and variance are closed-form integer-product
+    ratios with the identical tree in both engines, UNROUNDED
+    (products bounded by N^2*... ~ 1e13 at sf1 - safe; dayofmonth
+    maps identically in both dialects).
+
+    Scale shape: fact scan -> per-user max-flag agg (map-side
+    combinable) -> 1-row arithmetic. 100 TB: identical; k-sample
+    variants widen the flag vector, same plan.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    dom = F.dayofmonth(F.to_date("ts"))
+    seen = e.groupBy("user_id").agg(
+        F.max(F.when(dom < CR_SPLIT_DAY, 1).otherwise(0)).alias("s1"),
+        F.max(F.when(dom >= CR_SPLIT_DAY, 1).otherwise(0)).alias("s2"),
+    )
+    m = seen.agg(
+        F.sum("s1").cast("bigint").alias("n1"),
+        F.sum("s2").cast("bigint").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("bigint").alias("m2"),
+        F.count("*").cast("bigint").alias("n_observed"),
+    )
+    n1, n2, m2 = F.col("n1"), F.col("n2"), F.col("m2")
+    est = ((n1 + 1) * (n2 + 1)).cast("double") / (m2 + 1) - 1.0
+    var = (
+        ((n1 + 1) * (n2 + 1)).cast("double")
+        * (n1 - m2)
+        * (n2 - m2)
+        / ((m2 + 1).cast("double") * (m2 + 1) * (m2 + 2))
+    )
+    return m.select(
+        "n1",
+        "n2",
+        "m2",
+        "n_observed",
+        est.alias("chapman_estimate"),
+        var.alias("chapman_variance"),
+    )

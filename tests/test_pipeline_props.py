@@ -934,3 +934,69 @@ def test_quality_expectations_matches_pandas(spark):
         r = rows[key]
         assert (r.n_checked, r.n_violations) == (n, bad)
         assert r.passed == int(bad == 0)
+
+
+def test_louvain_round_matches_python(spark):
+    """q_graph_louvain_round vs an independent dict-based synchronous
+    local-move pass over the same graph and seeding."""
+    import collections
+
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    cst = pd.read_parquet(f"{SF_DIR}/customer.parquet")[
+        ["c_custkey", "c_nationkey"]
+    ]
+    sup = pd.read_parquet(f"{SF_DIR}/supplier.parquet")[
+        ["s_suppkey", "s_nationkey"]
+    ]
+    nat = pd.read_parquet(f"{SF_DIR}/nation.parquet")[
+        ["n_nationkey", "n_name"]
+    ]
+    pairs = (
+        o.merge(li, left_on="o_orderkey", right_on="l_orderkey")[
+            ["o_custkey", "l_suppkey"]
+        ].drop_duplicates()
+    )
+    adj = collections.defaultdict(list)
+    for ck, sk in pairs.itertuples(index=False):
+        adj[f"C{ck}"].append(f"S{sk}")
+        adj[f"S{sk}"].append(f"C{ck}")
+    comm = {f"C{r.c_custkey}": r.c_nationkey for r in cst.itertuples()}
+    comm |= {f"S{r.s_suppkey}": r.s_nationkey for r in sup.itertuples()}
+    deg = {u: len(vs) for u, vs in adj.items()}
+    two_m = sum(deg.values())
+    sigma = collections.Counter()
+    for u, k in deg.items():
+        sigma[comm[u]] += k
+    new_comm = {}
+    for u, vs in adj.items():
+        kuc = collections.Counter(comm[v] for v in vs)
+        best = None
+        for c_id, k_uc in kuc.items():
+            adj_sigma = sigma[c_id] - (deg[u] if c_id == comm[u] else 0)
+            gain = round(k_uc - deg[u] * adj_sigma / two_m, 9)
+            key = (-gain, c_id)
+            if best is None or key < best[0]:
+                best = (key, c_id)
+        new_comm[u] = best[1]
+    before = collections.Counter(comm.values())
+    after = collections.Counter(new_comm.values())
+    left = collections.Counter(
+        comm[u] for u in comm if new_comm[u] != comm[u]
+    )
+    names = dict(zip(nat.n_nationkey, nat.n_name))
+    rows = {r.community: r for r in registry.QUERIES[
+        "q_graph_louvain_round"](spark, SF_DIR).collect()}
+    assert sum(r.n_left for r in rows.values()) > 0  # a real move pass
+    for nk, name in names.items():
+        if name not in rows:
+            assert before[nk] == 0 and after[nk] == 0
+            continue
+        r = rows[name]
+        assert r.n_before == before[nk]
+        assert r.n_after == after[nk]
+        assert r.n_left == left[nk]

@@ -1072,3 +1072,20 @@ def test_theil_decomposition_identity(spark):
     assert r0.t_total == pytest.approx(t_total, abs=2e-6)
     # additive decomposition: T = T_between + sum share*T_within
     assert r0.t_between + acc == pytest.approx(t_total, abs=1e-5)
+
+
+def test_capture_recapture_matches_formula(spark, events_pdf):
+    p = events_pdf[events_pdf.event_type == "purchase"]
+    s1 = set(p.loc[p.ts.dt.day < 15, "user_id"])
+    s2 = set(p.loc[p.ts.dt.day >= 15, "user_id"])
+    n1, n2, m = len(s1), len(s2), len(s1 & s2)
+    row = registry.QUERIES["q_stats_capture_recapture"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert (row.n1, row.n2, row.m2) == (n1, n2, m)
+    assert row.n_observed == len(s1 | s2)
+    assert row.chapman_estimate == pytest.approx(
+        (n1 + 1) * (n2 + 1) / (m + 1) - 1, abs=1e-9
+    )
+    # the estimate must dominate the naive lower bound
+    assert row.chapman_estimate >= row.n_observed - 1
