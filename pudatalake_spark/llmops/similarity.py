@@ -1490,3 +1490,104 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "adc_dist", "cand_id")
     )
+
+
+@register(
+    "q_sim_embedding_drift",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, vec_id % 2 AS snap,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      -- parallel unnest (DuckDB 1.0 has no WITH ORDINALITY)
+      SELECT snap, unnest(range(0, len(v))) AS dim, unnest(v) AS x
+      FROM e
+    ),
+    cent AS (
+      SELECT CAST(dim AS BIGINT) AS dim,
+             round(avg(CASE WHEN snap = 0 THEN x END), 6) AS c_old,
+             round(avg(CASE WHEN snap = 1 THEN x END), 6) AS c_new
+      FROM dims GROUP BY dim
+    ),
+    g AS (
+      SELECT sum(c_old * c_new) AS dot,
+             sqrt(sum(c_old * c_old)) AS na,
+             sqrt(sum(c_new * c_new)) AS nb,
+             sqrt(sum((c_new - c_old) * (c_new - c_old))) AS l2
+      FROM cent
+    )
+    SELECT c.dim, c.c_old, c.c_new,
+           round(abs(c.c_new - c.c_old), 6) AS abs_shift,
+           round(g.dot / (g.na * g.nb), 6) AS centroid_cosine,
+           round(g.l2, 6) AS centroid_l2
+    FROM cent c CROSS JOIN g
+    ORDER BY c.dim
+    """,
+)
+def q_sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: split the corpus into an OLD
+    and NEW snapshot (vec_id parity standing in for two model/data
+    epochs), compute each snapshot's centroid per dimension, and
+    report the per-dim shift plus the two global drift numbers -
+    centroid cosine (direction drift) and centroid L2 (magnitude
+    drift) - the cheap first-line alarm every vector-store
+    re-embedding pipeline checks BEFORE recall degrades
+    (q_stats_psi for scalar features; this is its vector-space
+    sibling, and per-dim rows localize WHICH dimensions moved).
+
+    Determinism: the q_sim_centroid protocol - per-(snapshot, dim)
+    averages via posexplode two-phase agg, rounded 6dp, then all
+    global sums run over the 64 ROUNDED per-dim values (the only
+    order surface, under the same 6dp output round).
+
+    Scale shape: one posexplode pass -> (dim) conditional avg agg
+    (64-row result; map-side combinable) -> 1-row global broadcast
+    back onto the dim frame. 100 TB: identical - drift cost is one
+    scan regardless of corpus size, and per-label drift just widens
+    the group key.
+    """
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        (F.col("vec_id") % 2).alias("snap"),
+        _vd("embedding").alias("v"),
+    )
+    dims = e.select(
+        "snap", F.posexplode("v").alias("pos0", "x")
+    ).select("snap", F.col("pos0").cast("bigint").alias("dim"), "x")
+    cent = dims.groupBy("dim").agg(
+        F.round(
+            F.avg(F.when(F.col("snap") == 0, F.col("x"))), 6
+        ).alias("c_old"),
+        F.round(
+            F.avg(F.when(F.col("snap") == 1, F.col("x"))), 6
+        ).alias("c_new"),
+    )
+    g = cent.agg(
+        F.sum(F.col("c_old") * F.col("c_new")).alias("dot"),
+        F.sqrt(F.sum(F.col("c_old") * F.col("c_old"))).alias("na"),
+        F.sqrt(F.sum(F.col("c_new") * F.col("c_new"))).alias("nb"),
+        F.sqrt(
+            F.sum(
+                (F.col("c_new") - F.col("c_old"))
+                * (F.col("c_new") - F.col("c_old"))
+            )
+        ).alias("l2"),
+    )
+    return (
+        cent.crossJoin(F.broadcast(g))
+        .select(
+            "dim",
+            "c_old",
+            "c_new",
+            F.round(F.abs(F.col("c_new") - F.col("c_old")), 6).alias(
+                "abs_shift"
+            ),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "centroid_cosine"
+            ),
+            F.round("l2", 6).alias("centroid_l2"),
+        )
+        .orderBy("dim")
+    )

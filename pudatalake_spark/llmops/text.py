@@ -2149,3 +2149,285 @@ def q_text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(RAKE_TOPK)
         .select("phrase", "n_occur", "score")
     )
+
+
+BM25_K1 = "1.2"
+BM25_B = "0.75"
+BM25_QUERY = ("spark", "join", "stream")  # fixed content-term query
+BM25_TOPK = 10
+
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM words GROUP BY doc_id),
+    corp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM words
+      WHERE w IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT t.doc_id,
+             ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+             * (t.tf * ({BM25_K1} + 1.0))
+             / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                + {BM25_B} * (CAST(l.dl * c.n_docs AS DOUBLE)
+                              / c.total_len))) AS s
+      FROM tf t
+      JOIN df d ON t.w = d.w
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN corp c
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+             round(sum(s), 6) AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_terms_hit, bm25 FROM agg
+    ORDER BY bm25 DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (k1=1.2, b=0.75, Lucene's +1 idf form)
+    for a fixed 3-term query over the corpus: term-frequency
+    saturation plus document-length normalization - the lexical
+    scoring standard every hybrid RAG stack runs NEXT TO dense
+    cosine retrieval (q_sim_cosine_topk), and what q_text_tfidf's
+    raw tf*idf lacks (unbounded tf reward, no length prior). Top-10
+    docs with per-doc matched-term counts.
+
+    Exactness: tf / df / dl / N are exact int64 from two-phase
+    aggs; dl/avgdl is composed as dl*N/total_len (int64 product,
+    ONE division); idf's ln is the only libm term and the <=3-term
+    per-doc score sum the only order surface - both under the 6dp
+    round (PSI rule); top-k ties break on doc_id.
+
+    Scale shape: ONE tokenize pass feeds both the dl frame and the
+    query-filtered tf frame (the WHERE prunes to query terms BEFORE
+    the tf agg - the inverted-index access path); df and corpus
+    stats are tiny broadcasts; final is a TakeOrderedAndProject.
+    100 TB: identical - this IS the batch side of an inverted
+    index build + probe.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("w"),
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    corp = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    tf = (
+        words.filter(F.col("w").isin(*BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    k1, b = float(BM25_K1), float(BM25_B)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm_len = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "total_len"
+    )
+    s = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * norm_len))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select("doc_id", s.alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_terms_hit"),
+            F.round(F.sum("s"), 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+RRF_K = 60  # the standard reciprocal-rank-fusion constant
+
+
+@register(
+    "q_sim_rank_fusion",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM words GROUP BY doc_id),
+    corp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM words
+      WHERE w IN ({", ".join(f"'{t}'" for t in BM25_QUERY)})
+      GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    bm25 AS (
+      SELECT t.doc_id, round(sum(
+               ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * (CAST(l.dl * c.n_docs AS DOUBLE)
+                                / c.total_len)))), 6) AS s
+      FROM tf t JOIN df d ON t.w = d.w
+      JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN corp c
+      GROUP BY t.doc_id
+    ),
+    tfidf AS (
+      SELECT t.doc_id,
+             round(sum(t.tf * ln(CAST(c.n_docs AS DOUBLE) / d.df)), 6)
+                 AS s
+      FROM tf t JOIN df d ON t.w = d.w CROSS JOIN corp c
+      GROUP BY t.doc_id
+    ),
+    ra AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)
+               AS r FROM bm25),
+    rb AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id)
+               AS r FROM tfidf),
+    fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             CAST(a.r AS BIGINT) AS rank_bm25,
+             CAST(b.r AS BIGINT) AS rank_tfidf,
+             round(COALESCE(1.0 / ({RRF_K} + a.r), 0.0)
+                   + COALESCE(1.0 / ({RRF_K} + b.r), 0.0), 9) AS rrf
+      FROM ra a FULL OUTER JOIN rb b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_tfidf, rrf FROM fused
+    ORDER BY rrf DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack 2009, k=60) of two retrieval
+    rankings for the same 3-term query - BM25 (saturating,
+    length-normalized) and plain tf*idf (the sum q_text_tfidf
+    popularized) - into one fused top-10: RRF(d) = sum_r
+    1/(60 + rank_r(d)), the scoreless combiner every hybrid-search
+    stack (lexical + dense) uses BECAUSE it needs no score
+    calibration between systems; fusing two lexical rankings here
+    keeps the oracle exact, and the dense-side ranking
+    (q_sim_cosine_topk) plugs into the identical shape.
+
+    Determinism: both component scores are 6dp-rounded before
+    ranking (engine-stable order, doc_id tie-break); ranks are
+    int64; the fused score is a sum of two exact reciprocals,
+    9dp-rounded; final ties break on doc_id.
+
+    Scale shape: the shared inverted-index probe (tf frame) feeds
+    both scorers; each ranking is one ordered window over the
+    MATCHED docs only (query-pruned, never the corpus); the fusion
+    is a full outer join of two rank lists - at scale each system
+    returns its top-k' and RRF fuses k'-sized lists, shuffling
+    nothing larger.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("w"),
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    corp = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    tf = (
+        words.filter(F.col("w").isin(*BM25_QUERY))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    df = tf.groupBy("w").agg(F.count("*").cast("bigint").alias("df"))
+    k1, b = float(BM25_K1), float(BM25_B)
+    base = tf.join(F.broadcast(df), "w").crossJoin(F.broadcast(corp))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm_len = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "total_len"
+    )
+    bm25 = (
+        base.join(dl, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    idf
+                    * (F.col("tf") * (k1 + 1.0))
+                    / (F.col("tf") + k1 * (1.0 - b + b * norm_len))
+                ),
+                6,
+            ).alias("s")
+        )
+    )
+    tfidf = base.groupBy("doc_id").agg(
+        F.round(
+            F.sum(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+            ),
+            6,
+        ).alias("s")
+    )
+    ra = bm25.select(
+        F.col("doc_id").alias("da"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), "doc_id"))
+        .cast("bigint")
+        .alias("rank_bm25"),
+    )
+    rb = tfidf.select(
+        F.col("doc_id").alias("db"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("s"), "doc_id"))
+        .cast("bigint")
+        .alias("rank_tfidf"),
+    )
+    fused = ra.join(rb, F.col("da") == F.col("db"), "full_outer").select(
+        F.coalesce("da", "db").alias("doc_id"),
+        "rank_bm25",
+        "rank_tfidf",
+        F.round(
+            F.coalesce(1.0 / (RRF_K + F.col("rank_bm25")), F.lit(0.0))
+            + F.coalesce(1.0 / (RRF_K + F.col("rank_tfidf")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(BM25_TOPK)

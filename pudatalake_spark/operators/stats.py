@@ -3237,3 +3237,133 @@ def q_stats_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
         est.alias("chapman_estimate"),
         var.alias("chapman_variance"),
     )
+
+
+SIMPSON_STRATA = 3  # user-cohort strata (user_id % 3)
+
+
+@register(
+    "q_stats_simpson_check",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id,
+             CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})
+                        % {FDR_HASH_P}) % 2 = 0 THEN 'A' ELSE 'B' END
+                 AS variant,
+             user_id % {SIMPSON_STRATA} AS stratum,
+             CASE WHEN 2 * sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)
+                    > sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS s
+      FROM events GROUP BY user_id
+    ),
+    cell AS (
+      SELECT stratum, variant, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS k
+      FROM u GROUP BY stratum, variant
+    ),
+    strat AS (
+      SELECT CAST(stratum AS BIGINT) AS stratum,
+             max(CASE WHEN variant = 'A' THEN n END) AS n_a,
+             max(CASE WHEN variant = 'A' THEN k END) AS k_a,
+             max(CASE WHEN variant = 'B' THEN n END) AS n_b,
+             max(CASE WHEN variant = 'B' THEN k END) AS k_b
+      FROM cell GROUP BY stratum
+    ),
+    pooled AS (
+      SELECT CAST(sum(k_b) AS DOUBLE) / sum(n_b)
+               - CAST(sum(k_a) AS DOUBLE) / sum(n_a) AS pooled_diff
+      FROM strat
+    )
+    SELECT s.stratum,
+           CAST(s.n_a AS BIGINT) AS n_a, CAST(s.n_b AS BIGINT) AS n_b,
+           CAST(s.k_a AS DOUBLE) / s.n_a AS p_a,
+           CAST(s.k_b AS DOUBLE) / s.n_b AS p_b,
+           CAST(s.k_b AS DOUBLE) / s.n_b
+             - CAST(s.k_a AS DOUBLE) / s.n_a AS diff,
+           p.pooled_diff,
+           CASE WHEN (CAST(s.k_b AS DOUBLE) / s.n_b
+                      - CAST(s.k_a AS DOUBLE) / s.n_a) * p.pooled_diff
+                     < 0 THEN 1 ELSE 0 END AS flipped
+    FROM strat s CROSS JOIN pooled p
+    ORDER BY s.stratum
+    """,
+)
+def q_stats_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit of the A/B comparison: the pooled
+    B-minus-A conversion difference next to the SAME difference
+    inside each user-cohort stratum, with a `flipped` flag where
+    the stratum-level sign reverses the pooled sign - the
+    aggregation trap (pooled and stratified conclusions
+    disagreeing when strata sizes are imbalanced) every
+    experimentation platform screens for before trusting a pooled
+    readout (q_events_srm_check guards assignment; this guards
+    INTERPRETATION). On this hash-balanced fixture no flip is
+    expected - the detector's null behavior is itself the pin.
+
+    Exactness: all counts int64 via one per-user agg + a 6-cell
+    pivot; every rate is ONE integer division; the flip test is a
+    sign product of two such differences - identical IEEE tree in
+    both engines, unrounded.
+
+    Scale shape: fact -> user agg (the only big shuffle) -> 6-cell
+    conditional pivot -> 1-row pooled broadcast. 100 TB: identical;
+    real deployments widen `stratum` to the confounder of record
+    (country, platform), same plan.
+    """
+    e = table(spark, sf_dir, "events")
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_cv = F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+    u = e.groupBy("user_id").agg(
+        F.when(2 * F.sum(is_purch) > F.sum(is_cv), 1)
+        .otherwise(0)
+        .alias("s")
+    ).select(
+        F.when(
+            F.expr(
+                f"((user_id * {FDR_HASH_A} + {FDR_HASH_B})"
+                f" % {FDR_HASH_P}) % 2 = 0"
+            ),
+            F.lit("A"),
+        )
+        .otherwise(F.lit("B"))
+        .alias("variant"),
+        (F.col("user_id") % SIMPSON_STRATA).alias("stratum"),
+        "s",
+    )
+    cell = u.groupBy("stratum", "variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("k"),
+    )
+    strat = cell.groupBy(F.col("stratum").cast("bigint").alias("stratum")).agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("k"))).alias("k_a"),
+        F.max(F.when(F.col("variant") == "B", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("k"))).alias("k_b"),
+    )
+    pooled = strat.agg(
+        (
+            F.sum("k_b").cast("double") / F.sum("n_b")
+            - F.sum("k_a").cast("double") / F.sum("n_a")
+        ).alias("pooled_diff")
+    )
+    p_a = F.col("k_a").cast("double") / F.col("n_a")
+    p_b = F.col("k_b").cast("double") / F.col("n_b")
+    diff = p_b - p_a
+    return (
+        strat.crossJoin(F.broadcast(pooled))
+        .select(
+            "stratum",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            p_a.alias("p_a"),
+            p_b.alias("p_b"),
+            diff.alias("diff"),
+            "pooled_diff",
+            F.when(diff * F.col("pooled_diff") < 0, 1)
+            .otherwise(0)
+            .alias("flipped"),
+        )
+        .orderBy("stratum")
+    )

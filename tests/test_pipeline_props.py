@@ -1000,3 +1000,83 @@ def test_louvain_round_matches_python(spark):
         assert r.n_before == before[nk]
         assert r.n_after == after[nk]
         assert r.n_left == left[nk]
+
+
+def test_bm25_matches_python_reference(spark):
+    """q_text_bm25 vs an independent pure-Python BM25."""
+    import math
+
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    query = ("spark", "join", "stream")
+    docs = {
+        r.doc_id: [w for w in str(r.text).lower().split(" ") if w]
+        for r in d.itertuples()
+    }
+    n_docs = len(docs)
+    avgdl = sum(len(ws) for ws in docs.values()) / n_docs
+    df = {
+        t: sum(1 for ws in docs.values() if t in ws) for t in query
+    }
+    scores = {}
+    hits = {}
+    for did, ws in docs.items():
+        s = 0.0
+        h = 0
+        for t in query:
+            tf = ws.count(t)
+            if tf == 0:
+                continue
+            h += 1
+            idf = math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1)
+            s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len(ws) / avgdl))
+        if h:
+            scores[did] = round(s, 6)
+            hits[did] = h
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = registry.QUERIES["q_text_bm25"](spark, SF_DIR).collect()
+    assert [(r.doc_id, r.bm25) for r in rows] == [
+        (d_, pytest.approx(s, abs=2e-6)) for d_, s in top
+    ]
+    for r in rows:
+        assert r.n_terms_hit == hits[r.doc_id]
+
+
+def test_rank_fusion_is_consistent_with_components(spark):
+    """RRF output must equal 1/(60+ra) + 1/(60+rb) for ranks that are
+    consistent with the component orderings."""
+    rows = registry.QUERIES["q_sim_rank_fusion"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        expect = 0.0
+        if r.rank_bm25 is not None:
+            expect += 1 / (60 + r.rank_bm25)
+        if r.rank_tfidf is not None:
+            expect += 1 / (60 + r.rank_tfidf)
+        assert r.rrf == pytest.approx(expect, abs=1e-9)
+    # descending fused order with doc_id tie-break
+    key = [(-r.rrf, r.doc_id) for r in rows]
+    assert key == sorted(key)
+
+
+def test_embedding_drift_matches_numpy(spark):
+    e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    V = np.stack(e.embedding.map(lambda a: np.asarray(a, np.float64)))
+    snap = (e.vec_id % 2).to_numpy()
+    c_old = np.round(V[snap == 0].mean(axis=0), 6)
+    c_new = np.round(V[snap == 1].mean(axis=0), 6)
+    cos = c_old @ c_new / (
+        np.linalg.norm(c_old) * np.linalg.norm(c_new)
+    )
+    l2 = np.linalg.norm(c_new - c_old)
+    rows = registry.QUERIES["q_sim_embedding_drift"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 64
+    for r in rows:
+        assert r.c_old == pytest.approx(c_old[r.dim], abs=2e-6)
+        assert r.c_new == pytest.approx(c_new[r.dim], abs=2e-6)
+        assert r.abs_shift == pytest.approx(
+            abs(c_new[r.dim] - c_old[r.dim]), abs=2e-6
+        )
+        assert r.centroid_cosine == pytest.approx(cos, abs=2e-6)
+        assert r.centroid_l2 == pytest.approx(l2, abs=2e-6)

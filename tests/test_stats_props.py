@@ -1089,3 +1089,33 @@ def test_capture_recapture_matches_formula(spark, events_pdf):
     )
     # the estimate must dominate the naive lower bound
     assert row.chapman_estimate >= row.n_observed - 1
+
+
+def test_simpson_check_matches_pandas(spark, events_pdf):
+    A, B, P = 2654435761, 1013904223, 1_000_000_007
+    g = events_pdf.groupby("user_id").event_type
+    purch = g.apply(lambda s: (s == "purchase").sum())
+    cv = g.apply(lambda s: s.isin(["click", "view"]).sum())
+    succ = (2 * purch > cv).astype(int)
+    u = pd.DataFrame({
+        "s": succ,
+        "variant": ["A" if ((i * A + B) % P) % 2 == 0 else "B"
+                    for i in succ.index],
+        "stratum": [i % 3 for i in succ.index],
+    })
+    cells = u.groupby(["stratum", "variant"]).s.agg(["count", "sum"])
+    ka = u[u.variant == "A"].s.sum(); na = (u.variant == "A").sum()
+    kb = u[u.variant == "B"].s.sum(); nb = (u.variant == "B").sum()
+    pooled = kb / nb - ka / na
+    rows = registry.QUERIES["q_stats_simpson_check"](
+        spark, SF_DIR
+    ).collect()
+    assert [r.stratum for r in rows] == [0, 1, 2]
+    for r in rows:
+        ca = cells.loc[(r.stratum, "A")]
+        cb = cells.loc[(r.stratum, "B")]
+        assert (r.n_a, r.n_b) == (ca["count"], cb["count"])
+        diff = cb["sum"] / cb["count"] - ca["sum"] / ca["count"]
+        assert r.diff == pytest.approx(diff, abs=1e-12)
+        assert r.pooled_diff == pytest.approx(pooled, abs=1e-12)
+        assert r.flipped == int(diff * pooled < 0)
