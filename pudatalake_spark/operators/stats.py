@@ -3367,3 +3367,389 @@ def q_stats_simpson_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@register(
+    "q_stats_partial_corr",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_totalprice AS x, c.c_acctbal AS y,
+             CAST(c.c_nationkey AS DOUBLE) AS z
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    r AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             round(corr(x, y), 4) AS rxy,
+             round(corr(x, z), 4) AS rxz,
+             round(corr(y, z), 4) AS ryz
+      FROM j
+    )
+    SELECT n, rxy AS r_xy, rxz AS r_xz, ryz AS r_yz,
+           round((rxy - rxz * ryz)
+                 / (sqrt(1.0 - rxz * rxz) * sqrt(1.0 - ryz * ryz)), 6)
+               AS r_xy_given_z
+    FROM r
+    """,
+)
+def q_stats_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation of order value and account
+    balance CONTROLLING for nation: r_xy.z = (r_xy - r_xz r_yz) /
+    sqrt((1-r_xz^2)(1-r_yz^2)) - the confounder-removal step that
+    tells apart "value correlates with balance" from "both follow
+    nation", i.e. the smallest piece of causal hygiene between
+    q_stats_spearman's raw association and q_stats_did's designed
+    estimate. All three pairwise r's reported beside the adjusted
+    one.
+
+    Float protocol: the pairwise r's come from each engine's native
+    corr() (per the q_agg_stddev_corr precedent) ROUNDED 4dp - the
+    integer-power-sum formulation was tried first and n*S_xy
+    overflows int64 already at sf0.01 (cents) / sf0.1 (dollars);
+    the partial is then composed from the IDENTICAL 4dp inputs by
+    the identical tree in both engines, rounded 6dp. Composition
+    error from the 4dp inputs is ~3e-4 on the statistic - noise
+    relative to its sampling error at any SF.
+
+    Scale shape: ONE map-side-combining corr agg over the
+    broadcast-dim join - no window, no second pass; higher-order
+    partials recurse on the same matrix (q_agg_corr_matrix is the
+    k-variable sibling). 100 TB: identical.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    j = o.join(
+        F.broadcast(c.select("c_custkey", "c_acctbal", "c_nationkey")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("o_totalprice").alias("x"),
+        F.col("c_acctbal").alias("y"),
+        F.col("c_nationkey").cast("double").alias("z"),
+    )
+    r = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.corr("x", "y"), 4).alias("rxy"),
+        F.round(F.corr("x", "z"), 4).alias("rxz"),
+        F.round(F.corr("y", "z"), 4).alias("ryz"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    return r.select(
+        "n",
+        rxy.alias("r_xy"),
+        rxz.alias("r_xz"),
+        ryz.alias("r_yz"),
+        F.round(
+            (rxy - rxz * ryz)
+            / (F.sqrt(1.0 - rxz * rxz) * F.sqrt(1.0 - ryz * ryz)),
+            6,
+        ).alias("r_xy_given_z"),
+    )
+
+
+NEYMAN_BUDGET = 1000  # total sample size to allocate
+
+
+@register(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n_h,
+             CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)) AS BIGINT)
+                 AS s1,
+             CAST(sum(CAST(round(o_totalprice, 0) AS BIGINT)
+                      * CAST(round(o_totalprice, 0) AS BIGINT))
+                  AS BIGINT) AS s2
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    ),
+    w AS (
+      SELECT seg, n_h,
+             n_h * sqrt((CAST(s2 AS DOUBLE) * n_h - CAST(s1 AS DOUBLE)
+                         * s1)) / n_h AS weight
+      FROM s
+    ),
+    t AS (SELECT sum(weight) AS z FROM w)
+    SELECT w.seg, w.n_h,
+           round(w.weight / t.z, 6) AS alloc_share,
+           CAST(least(w.n_h,
+                greatest(1, CAST(round({NEYMAN_BUDGET} * w.weight / t.z, 0)
+                               AS BIGINT))) AS BIGINT) AS n_alloc
+    FROM w CROSS JOIN t ORDER BY w.seg
+    """,
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: split a
+    1000-row sampling budget across market segments proportional to
+    N_h * sigma_h (stratum size x stratum spread) - the
+    survey-design answer to "where should my sample go", which
+    beats q_sample_stratified's proportional allocation exactly
+    when strata variances differ (high-variance strata earn more
+    of the budget; the variance of the resulting estimator is the
+    minimum achievable at this budget). Allocations are clamped to
+    [1, N_h] per stratum.
+
+    Exactness: whole-dollar integer power sums per stratum (the
+    q_stats_brown_forsythe unit - dollar-squared sums hold int64
+    through sf1); N_h*sigma_h is composed as the identical
+    sqrt(S2*n - S1^2)/n tree (one sqrt), the 5-term weight sum is
+    the one order surface behind the 6dp round, and the integer
+    allocation is round-then-clamp in both engines.
+
+    Scale shape: ONE two-phase power-sum agg to the 5-row stratum
+    frame, 1-row total broadcast, projection arithmetic. 100 TB:
+    identical - the allocator never touches rows; executing the
+    draw afterwards is q_sample_stratified's rank-pick with these
+    quotas.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    dollars = F.round(F.col("o_totalprice"), 0).cast("bigint")
+    s = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_h"),
+            F.sum(dollars).cast("bigint").alias("s1"),
+            F.sum(dollars * dollars).cast("bigint").alias("s2"),
+        )
+    )
+    weight = (
+        F.col("n_h")
+        * F.sqrt(
+            F.col("s2").cast("double") * F.col("n_h")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        / F.col("n_h")
+    )
+    w = s.select("seg", "n_h", weight.alias("weight"))
+    t = w.agg(F.sum("weight").alias("z"))
+    return (
+        w.crossJoin(F.broadcast(t))
+        .select(
+            "seg",
+            "n_h",
+            F.round(F.col("weight") / F.col("z"), 6).alias("alloc_share"),
+            F.least(
+                F.col("n_h"),
+                F.greatest(
+                    F.lit(1).cast("bigint"),
+                    F.round(
+                        NEYMAN_BUDGET * F.col("weight") / F.col("z"), 0
+                    ).cast("bigint"),
+                ),
+            )
+            .cast("bigint")
+            .alias("n_alloc"),
+        )
+        .orderBy("seg")
+    )
+
+
+PERIODOGRAM_K = 7  # harmonics 1..7 (weekly structure shows at N/7)
+_PI = "3.141592653589793"
+
+
+@register(
+    "q_stats_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY ed) - 1 AS BIGINT) AS t,
+             y, CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    harm AS (
+      SELECT k.k, i.t, i.y, i.n
+      FROM idx i CROSS JOIN
+        (SELECT unnest(range(1, {PERIODOGRAM_K + 1})) AS k) k
+    ),
+    ft AS (
+      SELECT CAST(k AS BIGINT) AS k, max(n) AS n,
+             sum(y * cos(2 * {_PI} * k * t / n)) AS re,
+             sum(y * sin(2 * {_PI} * k * t / n)) AS im
+      FROM harm GROUP BY k
+    ),
+    pw AS (
+      SELECT k, n, re * re + im * im AS p FROM ft
+    ),
+    tot AS (SELECT sum(p) AS z FROM pw)
+    SELECT pw.k, pw.n AS n_days,
+           round(pw.p, 4) AS power,
+           round(pw.p / t.z, 6) AS power_share
+    FROM pw CROSS JOIN tot t ORDER BY pw.k
+    """,
+)
+def q_stats_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-Fourier periodogram of the daily purchase-count
+    series at harmonics k = 1..7: P_k = |sum_t y_t e^{{-2pi i k
+    t/N}}|^2 with each harmonic's share of the detected spectral
+    mass - the frequency-domain seasonality detector (the argmax k
+    names the dominant cycle as N/k days) that complements
+    q_stats_seasonal_decompose's fixed weekly assumption and
+    q_stats_autocorr's lag view: the periodogram FINDS the period
+    instead of assuming it.
+
+    Float protocol: t and N are integer rank/count; cos/sin are the
+    libm surface (the ln/exp precedent extended - both engines
+    evaluate the identical 2*pi*k*t/N argument from exact integers,
+    and the <=N-term weighted sums sit behind a 4dp power round,
+    amplitude ~1e2, libm ulp noise ~1e-13); power_share is one
+    division of already-rounded-protocol values, 6dp.
+
+    Scale shape: one fact rollup, a 7x|days| harmonic expansion of
+    the BOUNDED daily frame (map-side), a 7-group two-phase agg -
+    the classic "DFT as GROUP BY" formulation. At 100 TB the same
+    shape serves per-series spectra with (series, k) keys; full
+    FFTs only pay off past ~1e4 points per series, far beyond any
+    calendar frame.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        )
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    wn = Window.partitionBy()
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("ed")) - 1)
+        .cast("bigint")
+        .alias("t"),
+        "y",
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    ks = spark.range(1, PERIODOGRAM_K + 1).select(
+        F.col("id").cast("bigint").alias("k")
+    )
+    pi = float(_PI)
+    arg = 2 * pi * F.col("k") * F.col("t") / F.col("n")
+    ft = (
+        idx.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.max("n").alias("n"),
+            F.sum(F.col("y") * F.cos(arg)).alias("re"),
+            F.sum(F.col("y") * F.sin(arg)).alias("im"),
+        )
+    )
+    pw = ft.select(
+        "k",
+        "n",
+        (F.col("re") * F.col("re") + F.col("im") * F.col("im")).alias("p"),
+    )
+    tot = pw.agg(F.sum("p").alias("z"))
+    return (
+        pw.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.col("n").alias("n_days"),
+            F.round("p", 4).alias("power"),
+            F.round(F.col("p") / F.col("z"), 6).alias("power_share"),
+        )
+        .orderBy("k")
+    )
+
+
+OR_Z95 = "1.959963984540054"  # Woolf CI quantile (literal)
+
+
+@register(
+    "q_stats_odds_ratio",
+    oracle=f"""
+    WITH u AS (
+      SELECT CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})
+                        % {FDR_HASH_P}) % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN 2 * sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)
+                    > sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS s
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(sum(a * s) AS BIGINT) AS c11,
+             CAST(sum(a * (1 - s)) AS BIGINT) AS c10,
+             CAST(sum((1 - a) * s) AS BIGINT) AS c01,
+             CAST(sum((1 - a) * (1 - s)) AS BIGINT) AS c00
+      FROM u
+    )
+    SELECT c11, c10, c01, c00,
+           CAST(c11 * c00 AS DOUBLE) / (c10 * c01) AS odds_ratio,
+           round(ln(CAST(c11 * c00 AS DOUBLE) / (c10 * c01))
+                 - {OR_Z95} * sqrt(1.0/c11 + 1.0/c10
+                                   + 1.0/c01 + 1.0/c00), 6)
+               AS log_or_ci_lo,
+           round(ln(CAST(c11 * c00 AS DOUBLE) / (c10 * c01))
+                 + {OR_Z95} * sqrt(1.0/c11 + 1.0/c10
+                                   + 1.0/c01 + 1.0/c00), 6)
+               AS log_or_ci_hi
+    FROM cells
+    """,
+)
+def q_stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2x2 odds ratio with the Woolf log-OR 95% CI for the A/B
+    variant vs the purchase-majority outcome: OR = (c11 c00)/(c10
+    c01), CI = ln OR +/- 1.96 sqrt(sum of 1/cell) - the EFFECT-SIZE
+    companion to q_stats_chi2's significance (epidemiology's
+    default summary; a CI excluding 0 on the log scale is the
+    decision). Cells, OR (unrounded) and the log-scale CI bounds.
+
+    Exactness: the four cells are int64 from one conditional agg;
+    OR is ONE division of exact integer products (bounded by N^2);
+    the CI needs ln (the libm surface, 6dp-rounded per the PSI
+    rule) and one sqrt of a 4-term reciprocal sum - identical tree
+    in both engines.
+
+    Scale shape: fact -> per-user agg -> 1-row cell agg ->
+    projection arithmetic. 100 TB: identical; stratified
+    (Mantel-Haenszel) variants widen the cell key by the stratum.
+    """
+    e = table(spark, sf_dir, "events")
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_cv = F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+    u = e.groupBy("user_id").agg(
+        F.when(2 * F.sum(is_purch) > F.sum(is_cv), 1)
+        .otherwise(0)
+        .alias("s")
+    ).select(
+        F.expr(
+            f"CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})"
+            f" % {FDR_HASH_P}) % 2 = 0 THEN 1 ELSE 0 END"
+        ).alias("a"),
+        "s",
+    )
+    cells = u.agg(
+        F.sum(F.col("a") * F.col("s")).cast("bigint").alias("c11"),
+        F.sum(F.col("a") * (1 - F.col("s"))).cast("bigint").alias("c10"),
+        F.sum((1 - F.col("a")) * F.col("s")).cast("bigint").alias("c01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("s")))
+        .cast("bigint")
+        .alias("c00"),
+    )
+    orr = (F.col("c11") * F.col("c00")).cast("double") / (
+        F.col("c10") * F.col("c01")
+    )
+    se = F.sqrt(
+        1.0 / F.col("c11")
+        + 1.0 / F.col("c10")
+        + 1.0 / F.col("c01")
+        + 1.0 / F.col("c00")
+    )
+    z = float(OR_Z95)
+    return cells.select(
+        "c11",
+        "c10",
+        "c01",
+        "c00",
+        orr.alias("odds_ratio"),
+        F.round(F.log(orr) - z * se, 6).alias("log_or_ci_lo"),
+        F.round(F.log(orr) + z * se, 6).alias("log_or_ci_hi"),
+    )

@@ -1119,3 +1119,91 @@ def test_simpson_check_matches_pandas(spark, events_pdf):
         assert r.diff == pytest.approx(diff, abs=1e-12)
         assert r.pooled_diff == pytest.approx(pooled, abs=1e-12)
         assert r.flipped == int(diff * pooled < 0)
+
+
+def test_partial_corr_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    x = j.o_totalprice.to_numpy(float)
+    y = j.c_acctbal.to_numpy(float)
+    z = j.c_nationkey.to_numpy(float)
+    rxy = round(np.corrcoef(x, y)[0, 1], 4)
+    rxz = round(np.corrcoef(x, z)[0, 1], 4)
+    ryz = round(np.corrcoef(y, z)[0, 1], 4)
+    ref = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    row = registry.QUERIES["q_stats_partial_corr"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert row.n == len(j)
+    assert row.r_xy == pytest.approx(rxy, abs=1e-4)
+    assert row.r_xy_given_z == pytest.approx(ref, abs=3e-4)
+
+
+def test_neyman_matches_formula(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["d"] = j.o_totalprice.round(0).astype("int64")
+    weights = {}
+    for seg, g in j.groupby("c_mktsegment"):
+        v = g.d.to_numpy(float)
+        n = len(v)
+        sig = np.sqrt(((v - v.mean()) ** 2).mean())  # population sd
+        weights[seg] = (n, n * sig)
+    z = sum(w for _, w in weights.values())
+    rows = {r.seg: r for r in
+            registry.QUERIES["q_sample_neyman"](spark, SF_DIR).collect()}
+    total_alloc = 0
+    for seg, (n, w) in weights.items():
+        r = rows[seg]
+        assert r.n_h == n
+        assert r.alloc_share == pytest.approx(w / z, abs=2e-6)
+        assert r.n_alloc == min(n, max(1, round(1000 * w / z)))
+        total_alloc += r.n_alloc
+    assert abs(total_alloc - 1000) <= len(weights)  # rounding slack
+
+
+def test_periodogram_matches_numpy_fft(spark, events_pdf):
+    daily = (
+        events_pdf[events_pdf.event_type == "purchase"]
+        .groupby("day")
+        .size()
+        .sort_index()
+        .to_numpy(float)
+    )
+    spec = np.fft.fft(daily)
+    rows = registry.QUERIES["q_stats_periodogram"](spark, SF_DIR).collect()
+    assert [r.k for r in rows] == list(range(1, 8))
+    powers = [abs(spec[k]) ** 2 for k in range(1, 8)]
+    for r, p in zip(rows, powers):
+        assert r.n_days == len(daily)
+        assert r.power == pytest.approx(p, rel=1e-6, abs=1e-3)
+        assert r.power_share == pytest.approx(p / sum(powers), abs=1e-5)
+
+
+def test_odds_ratio_matches_formula(spark, events_pdf):
+    A, B, P = 2654435761, 1013904223, 1_000_000_007
+    g = events_pdf.groupby("user_id").event_type
+    purch = g.apply(lambda s: (s == "purchase").sum())
+    cv = g.apply(lambda s: s.isin(["click", "view"]).sum())
+    succ = (2 * purch > cv).astype(int)
+    a = pd.Series(
+        [1 if ((u * A + B) % P) % 2 == 0 else 0 for u in succ.index],
+        index=succ.index,
+    )
+    c11 = int(((a == 1) & (succ == 1)).sum())
+    c10 = int(((a == 1) & (succ == 0)).sum())
+    c01 = int(((a == 0) & (succ == 1)).sum())
+    c00 = int(((a == 0) & (succ == 0)).sum())
+    row = registry.QUERIES["q_stats_odds_ratio"](spark, SF_DIR).collect()[0]
+    assert (row.c11, row.c10, row.c01, row.c00) == (c11, c10, c01, c00)
+    orr = (c11 * c00) / (c10 * c01)
+    se = np.sqrt(1 / c11 + 1 / c10 + 1 / c01 + 1 / c00)
+    assert row.odds_ratio == pytest.approx(orr, abs=1e-12)
+    assert row.log_or_ci_lo == pytest.approx(
+        np.log(orr) - 1.959963984540054 * se, abs=2e-6
+    )
+    assert row.log_or_ci_hi == pytest.approx(
+        np.log(orr) + 1.959963984540054 * se, abs=2e-6
+    )
