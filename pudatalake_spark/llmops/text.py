@@ -2431,3 +2431,127 @@ def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(BM25_TOPK)
+
+
+@register(
+    "q_text_heaps_law",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM words GROUP BY doc_id),
+    first_seen AS (
+      SELECT w, CAST(min(doc_id) AS BIGINT) AS fd FROM words GROUP BY w
+    ),
+    new_per_doc AS (
+      SELECT fd AS doc_id, CAST(count(*) AS BIGINT) AS nv
+      FROM first_seen GROUP BY fd
+    ),
+    curve AS (
+      SELECT d.doc_id,
+             CAST(sum(d.dl) OVER w AS BIGINT) AS cum_tokens,
+             CAST(sum(COALESCE(n.nv, 0)) OVER w AS BIGINT) AS vocab
+      FROM dl d LEFT JOIN new_per_doc n ON d.doc_id = n.doc_id
+      WINDOW w AS (ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    ols AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             sum(ln(CAST(cum_tokens AS DOUBLE))) AS sx,
+             sum(ln(CAST(vocab AS DOUBLE))) AS sy,
+             sum(ln(CAST(cum_tokens AS DOUBLE))
+                 * ln(CAST(vocab AS DOUBLE))) AS sxy,
+             sum(ln(CAST(cum_tokens AS DOUBLE))
+                 * ln(CAST(cum_tokens AS DOUBLE))) AS sxx,
+             max(cum_tokens) AS total_tokens,
+             max(vocab) AS total_vocab
+      FROM curve
+    )
+    SELECT n AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           CAST(total_vocab AS BIGINT) AS total_vocab,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+           round(exp((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      * sx) / n), 4) AS k
+    FROM ols
+    """,
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(T) = K * T^beta of vocabulary growth over
+    the corpus read in doc_id order: the sublinear vocab-vs-tokens
+    exponent (typically 0.4-0.6 for natural text) that predicts how
+    a TOKENIZER VOCABULARY or index dictionary will grow with the
+    next 10x of data - the forward-looking complement to
+    q_text_zipf's static frequency fit (the two laws are duals) and
+    q_text_vocab's point count. Fit by log-log OLS over the per-doc
+    cumulative (tokens, vocab) curve.
+
+    Determinism: the growth curve is EXACT int64 - new words per
+    doc via a min-doc-id first-occurrence agg, both cumulatives as
+    integer window sums; the OLS runs on ln of those exact integers
+    (libm surface + |docs|-term sums, behind the 6dp/4dp rounds -
+    the q_stats_ols_trend rule).
+
+    Scale shape: one tokenize pass feeds the per-doc lengths AND
+    the first-occurrence agg (two-phase on word); the curve is one
+    ordered window over the per-DOC frame (range-partitioned sort
+    at scale); the fit is a 1-row power-sum agg. 100 TB: identical
+    - checkpoints thin to every k-th doc, same algebra.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("w"),
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    first_seen = words.groupBy("w").agg(
+        F.min("doc_id").cast("bigint").alias("fd")
+    )
+    new_per_doc = first_seen.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").cast("bigint").alias("nv")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        dl.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("dl").over(w).cast("bigint").alias("cum_tokens"),
+            F.sum(F.coalesce("nv", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("vocab"),
+        )
+    )
+    lx = F.log(F.col("cum_tokens").cast("double"))
+    ly = F.log(F.col("vocab").cast("double"))
+    ols = curve.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+        F.max("cum_tokens").alias("total_tokens"),
+        F.max("vocab").alias("total_vocab"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return ols.select(
+        F.col("n").alias("n_docs"),
+        F.col("total_tokens").cast("bigint").alias("total_tokens"),
+        F.col("total_vocab").cast("bigint").alias("total_vocab"),
+        F.round(slope, 6).alias("beta"),
+        F.round(
+            F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 4
+        ).alias("k"),
+    )

@@ -3753,3 +3753,347 @@ def q_stats_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(orr) - z * se, 6).alias("log_or_ci_lo"),
         F.round(F.log(orr) + z * se, 6).alias("log_or_ci_hi"),
     )
+
+
+@register(
+    "q_stats_mantel_haenszel",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id % {SIMPSON_STRATA} AS stratum,
+             CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})
+                        % {FDR_HASH_P}) % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN 2 * sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)
+                    > sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS s
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(stratum AS BIGINT) AS stratum,
+             CAST(sum(a * s) AS BIGINT) AS c11,
+             CAST(sum(a * (1 - s)) AS BIGINT) AS c10,
+             CAST(sum((1 - a) * s) AS BIGINT) AS c01,
+             CAST(sum((1 - a) * (1 - s)) AS BIGINT) AS c00
+      FROM u GROUP BY stratum
+    ),
+    mh AS (
+      SELECT sum(CAST(c11 * c00 AS DOUBLE) / (c11 + c10 + c01 + c00))
+                 AS num,
+             sum(CAST(c10 * c01 AS DOUBLE) / (c11 + c10 + c01 + c00))
+                 AS den
+      FROM cells
+    )
+    SELECT c.stratum, c.c11, c.c10, c.c01, c.c00,
+           CAST(c.c11 * c.c00 AS DOUBLE) / (c.c10 * c.c01)
+               AS stratum_or,
+           round(m.num / m.den, 6) AS mh_pooled_or
+    FROM cells c CROSS JOIN mh m ORDER BY c.stratum
+    """,
+)
+def q_stats_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mantel-Haenszel pooled odds ratio across the user-cohort
+    strata: OR_MH = sum_s(c11 c00/n_s) / sum_s(c10 c01/n_s) - the
+    CORRECT way to pool q_stats_odds_ratio's 2x2 effect across
+    q_stats_simpson_check's strata (a raw pooled OR inherits
+    exactly the confounding Simpson's audit flags; MH weights each
+    stratum's cross-products by its size and is the epidemiology
+    standard). Per-stratum cells and ORs beside the pooled MH.
+
+    Exactness: cells int64; each stratum OR is ONE exact-product
+    division (unrounded); the MH numerator/denominator are 3-term
+    sums of exact-product ratios - the one order surface, behind
+    the 6dp round.
+
+    Scale shape: fact -> user agg -> (stratum) cell agg -> 1-row MH
+    broadcast. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_cv = F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+    u = e.groupBy("user_id").agg(
+        F.when(2 * F.sum(is_purch) > F.sum(is_cv), 1)
+        .otherwise(0)
+        .alias("s")
+    ).select(
+        (F.col("user_id") % SIMPSON_STRATA).cast("bigint").alias(
+            "stratum"
+        ),
+        F.expr(
+            f"CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})"
+            f" % {FDR_HASH_P}) % 2 = 0 THEN 1 ELSE 0 END"
+        ).alias("a"),
+        "s",
+    )
+    cells = u.groupBy("stratum").agg(
+        F.sum(F.col("a") * F.col("s")).cast("bigint").alias("c11"),
+        F.sum(F.col("a") * (1 - F.col("s"))).cast("bigint").alias("c10"),
+        F.sum((1 - F.col("a")) * F.col("s")).cast("bigint").alias("c01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("s")))
+        .cast("bigint")
+        .alias("c00"),
+    )
+    n_s = F.col("c11") + F.col("c10") + F.col("c01") + F.col("c00")
+    mh = cells.agg(
+        F.sum((F.col("c11") * F.col("c00")).cast("double") / n_s).alias(
+            "num"
+        ),
+        F.sum((F.col("c10") * F.col("c01")).cast("double") / n_s).alias(
+            "den"
+        ),
+    )
+    return (
+        cells.crossJoin(F.broadcast(mh))
+        .select(
+            "stratum",
+            "c11",
+            "c10",
+            "c01",
+            "c00",
+            (
+                (F.col("c11") * F.col("c00")).cast("double")
+                / (F.col("c10") * F.col("c01"))
+            ).alias("stratum_or"),
+            F.round(F.col("num") / F.col("den"), 6).alias("mh_pooled_or"),
+        )
+        .orderBy("stratum")
+    )
+
+
+LB_LAGS = 3
+LB_CHI2_95_DF3 = "7.814727903251179"  # literal critical value
+
+
+@register(
+    "q_stats_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s
+      FROM daily GROUP BY event_type
+    ),
+    u AS (
+      SELECT d.event_type, d.ed, t.n,
+             CAST(t.n * d.y - t.s AS BIGINT) AS u
+      FROM daily d JOIN tot t ON d.event_type = t.event_type
+    ),
+    lagged AS (
+      SELECT event_type, n, u,
+             lag(u, 1) OVER w AS u1,
+             lag(u, 2) OVER w AS u2,
+             lag(u, 3) OVER w AS u3
+      FROM u WINDOW w AS (PARTITION BY event_type ORDER BY ed)
+    ),
+    sums AS (
+      SELECT event_type, max(n) AS n,
+             CAST(sum(u * u) AS BIGINT) AS d0,
+             CAST(sum(u * u1) AS BIGINT) AS c1,
+             CAST(sum(u * u2) AS BIGINT) AS c2,
+             CAST(sum(u * u3) AS BIGINT) AS c3
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           round(CAST(c1 AS DOUBLE) / d0, 6) AS r1,
+           round(CAST(c2 AS DOUBLE) / d0, 6) AS r2,
+           round(CAST(c3 AS DOUBLE) / d0, 6) AS r3,
+           round(n * (n + 2.0)
+                 * ((CAST(c1 AS DOUBLE) / d0) * (CAST(c1 AS DOUBLE) / d0)
+                      / (n - 1)
+                    + (CAST(c2 AS DOUBLE) / d0) * (CAST(c2 AS DOUBLE) / d0)
+                      / (n - 2)
+                    + (CAST(c3 AS DOUBLE) / d0) * (CAST(c3 AS DOUBLE) / d0)
+                      / (n - 3)), 6) AS q_stat,
+           CASE WHEN n * (n + 2.0)
+                 * ((CAST(c1 AS DOUBLE) / d0) * (CAST(c1 AS DOUBLE) / d0)
+                      / (n - 1)
+                    + (CAST(c2 AS DOUBLE) / d0) * (CAST(c2 AS DOUBLE) / d0)
+                      / (n - 2)
+                    + (CAST(c3 AS DOUBLE) / d0) * (CAST(c3 AS DOUBLE) / d0)
+                      / (n - 3)) > {LB_CHI2_95_DF3}
+                THEN 1 ELSE 0 END AS reject_white_noise
+    FROM sums ORDER BY event_type
+    """,
+)
+def q_stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (lags 1-3) per event type's daily
+    count series: Q = n(n+2) sum_k r_k^2/(n-k) against the literal
+    chi-squared df=3 95% critical value - the JOINT "is there ANY
+    autocorrelation" test that q_stats_autocorr's per-lag readout
+    and q_stats_runs_test's sign-only test both feed into (the
+    standard residual-whiteness gate after fitting
+    q_stats_ols_trend / q_events_holt_winters).
+
+    Exactness: the centered series is scaled by n so u_t = n*y_t -
+    S is EXACT int64 (the brown-forsythe common-denominator trick);
+    every autocovariance and the denominator are exact int64
+    products, so each r_k is ONE division; Q composes r_k^2 terms
+    through the identical tree (3-term sum, 6dp round) and the
+    reject flag compares the unrounded Q to a literal - no
+    chi-squared CDF evaluation needed.
+
+    Scale shape: one fact rollup; totals broadcast back; one
+    per-series lag window over the bounded daily frame; power-sum
+    agg. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        ),
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    tot = daily.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s"),
+    )
+    u = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "ed",
+        "n",
+        (F.col("n") * F.col("y") - F.col("s")).cast("bigint").alias("u"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ed")
+    lagged = u.select(
+        "event_type",
+        "n",
+        "u",
+        F.lag("u", 1).over(w).alias("u1"),
+        F.lag("u", 2).over(w).alias("u2"),
+        F.lag("u", 3).over(w).alias("u3"),
+    )
+    sums = lagged.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("d0"),
+        F.sum(F.col("u") * F.col("u1")).cast("bigint").alias("c1"),
+        F.sum(F.col("u") * F.col("u2")).cast("bigint").alias("c2"),
+        F.sum(F.col("u") * F.col("u3")).cast("bigint").alias("c3"),
+    )
+    n = F.col("n")
+    r = [
+        F.col(f"c{k}").cast("double") / F.col("d0") for k in (1, 2, 3)
+    ]
+    q = n * (n + 2.0) * (
+        r[0] * r[0] / (n - 1) + r[1] * r[1] / (n - 2) + r[2] * r[2] / (n - 3)
+    )
+    return sums.select(
+        "event_type",
+        n.cast("bigint").alias("n_days"),
+        F.round(r[0], 6).alias("r1"),
+        F.round(r[1], 6).alias("r2"),
+        F.round(r[2], 6).alias("r3"),
+        F.round(q, 6).alias("q_stat"),
+        F.when(q > float(LB_CHI2_95_DF3), 1).otherwise(0).alias(
+            "reject_white_noise"
+        ),
+    ).orderBy("event_type")
+
+
+@register(
+    "q_stats_weibull_fit",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id,
+             CAST(min(epoch_ms(ts)) // 100 AS BIGINT) AS t0,
+             CAST(min(CASE WHEN event_type = 'purchase'
+                      THEN epoch_ms(ts) END) // 100 AS BIGINT) AS tp
+      FROM events GROUP BY user_id
+    ),
+    t AS (
+      SELECT user_id, tp - t0 AS dt FROM conv
+      WHERE tp IS NOT NULL AND tp > t0
+    ),
+    ranked AS (
+      SELECT CAST(dt AS BIGINT) AS dt,
+             CAST(row_number() OVER (ORDER BY dt, user_id) AS BIGINT)
+                 AS i,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM t
+    ),
+    pts AS (
+      SELECT ln(CAST(dt AS DOUBLE) / 10.0) AS x,
+             ln(-ln(1.0 - (i - 0.38) / (n + 0.25))) AS y,
+             n
+      FROM ranked
+    ),
+    ols AS (
+      SELECT max(n) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_converters,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS shape_k,
+           round(exp(-((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                        * sx) / n)
+                     / ((n * sxy - sx * sy) / (n * sxx - sx * sx))), 4)
+               AS scale_lambda_s
+    FROM ols
+    """,
+)
+def q_stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull time-to-convert fit by median-rank regression
+    (Benard's approximation): per user, the delay from first event
+    to FIRST PURCHASE; sorted delays get plotting positions F_i =
+    (i-.38)/(n+.25) and ln(-ln(1-F)) regresses on ln t - shape k
+    (k<1 says conversion hazard DECAYS: convert early or never;
+    k>1 says it accumulates) and scale lambda (the 63.2% quantile
+    in seconds) - the PARAMETRIC summary q_events_survival_km's
+    nonparametric curve can't extrapolate from, and the standard
+    reliability-engineering fit run exactly this way (least-squares
+    on Weibull paper).
+
+    Exactness: delays are integer DECISECONDS (the
+    q_events_burstiness protocol); ranks/n integer; x/y are ln
+    trees of exact inputs (libm + |converters|-term OLS sums behind
+    the 6dp/4dp output rounds, the q_stats_ols_trend rule).
+
+    Scale shape: one per-user two-conditional-min agg, one global
+    rank window over CONVERTERS only (TakeOrdered-scale; the
+    sf-invariant user frame), 1-row power-sum fit. 100 TB: rank
+    swaps to approx plotting positions by equi-depth bin, same
+    algebra.
+    """
+    e = table(spark, sf_dir, "events")
+    ds = F.expr("unix_millis(ts) div 100")
+    conv = e.groupBy("user_id").agg(
+        F.min(ds).cast("bigint").alias("t0"),
+        F.min(F.when(F.col("event_type") == "purchase", ds))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    t = conv.filter(
+        F.col("tp").isNotNull() & (F.col("tp") > F.col("t0"))
+    ).select("user_id", (F.col("tp") - F.col("t0")).alias("dt"))
+    ranked = t.select(
+        F.col("dt").cast("bigint").alias("dt"),
+        F.row_number()
+        .over(Window.orderBy("dt", "user_id"))
+        .cast("bigint")
+        .alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    x = F.log(F.col("dt").cast("double") / 10.0)
+    y = F.log(-F.log(1.0 - (F.col("i") - 0.38) / (F.col("n") + 0.25)))
+    ols = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (n * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / n
+    return ols.select(
+        n.cast("bigint").alias("n_converters"),
+        F.round(slope, 6).alias("shape_k"),
+        F.round(F.exp(-intercept / slope), 4).alias("scale_lambda_s"),
+    )

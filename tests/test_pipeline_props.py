@@ -1080,3 +1080,25 @@ def test_embedding_drift_matches_numpy(spark):
         )
         assert r.centroid_cosine == pytest.approx(cos, abs=2e-6)
         assert r.centroid_l2 == pytest.approx(l2, abs=2e-6)
+
+
+def test_heaps_law_matches_python(spark):
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet").sort_values(
+        "doc_id"
+    )
+    seen = set()
+    cum_t = 0
+    xs, ys = [], []
+    for r in d.itertuples():
+        ws = [w for w in str(r.text).lower().split(" ") if w]
+        cum_t += len(ws)
+        seen.update(ws)
+        xs.append(np.log(cum_t))
+        ys.append(np.log(len(seen)))
+    beta_ref, b = np.polyfit(xs, ys, 1)
+    row = registry.QUERIES["q_text_heaps_law"](spark, SF_DIR).collect()[0]
+    assert row.n_docs == len(d)
+    assert row.total_vocab == len(seen)
+    assert row.beta == pytest.approx(beta_ref, abs=2e-6)
+    assert row.k == pytest.approx(np.exp(b), rel=1e-3)
+    assert 0 < row.beta < 1  # Heaps exponent is sublinear

@@ -1207,3 +1207,73 @@ def test_odds_ratio_matches_formula(spark, events_pdf):
     assert row.log_or_ci_hi == pytest.approx(
         np.log(orr) + 1.959963984540054 * se, abs=2e-6
     )
+
+
+def test_mantel_haenszel_matches_formula(spark, events_pdf):
+    A, B, P = 2654435761, 1013904223, 1_000_000_007
+    g = events_pdf.groupby("user_id").event_type
+    purch = g.apply(lambda s: (s == "purchase").sum())
+    cv = g.apply(lambda s: s.isin(["click", "view"]).sum())
+    succ = (2 * purch > cv).astype(int)
+    num = den = 0.0
+    cells_ref = {}
+    for st in (0, 1, 2):
+        idx = [u for u in succ.index if u % 3 == st]
+        a = {u: ((u * A + B) % P) % 2 == 0 for u in idx}
+        c11 = sum(1 for u in idx if a[u] and succ[u])
+        c10 = sum(1 for u in idx if a[u] and not succ[u])
+        c01 = sum(1 for u in idx if not a[u] and succ[u])
+        c00 = sum(1 for u in idx if not a[u] and not succ[u])
+        n = c11 + c10 + c01 + c00
+        cells_ref[st] = (c11, c10, c01, c00)
+        num += c11 * c00 / n
+        den += c10 * c01 / n
+    rows = registry.QUERIES["q_stats_mantel_haenszel"](
+        spark, SF_DIR
+    ).collect()
+    for r in rows:
+        assert (r.c11, r.c10, r.c01, r.c00) == cells_ref[r.stratum]
+        assert r.mh_pooled_or == pytest.approx(num / den, abs=2e-6)
+
+
+def test_ljung_box_matches_numpy(spark, events_pdf):
+    daily = (
+        events_pdf.groupby(["event_type", "day"]).size().reset_index(name="y")
+    )
+    rows = {r.event_type: r for r in
+            registry.QUERIES["q_stats_ljung_box"](spark, SF_DIR).collect()}
+    for et, g in daily.groupby("event_type"):
+        y = g.sort_values("day").y.to_numpy(float)
+        n = len(y)
+        u = y - y.mean()
+        d0 = (u * u).sum()
+        q = 0.0
+        for k in (1, 2, 3):
+            rk = (u[k:] * u[:-k]).sum() / d0
+            q += rk * rk / (n - k)
+            assert getattr(rows[et], f"r{k}") == pytest.approx(
+                rk, abs=2e-6
+            )
+        q *= n * (n + 2)
+        assert rows[et].q_stat == pytest.approx(q, abs=2e-5)
+        assert rows[et].reject_white_noise == int(q > 7.814727903251179)
+
+
+def test_weibull_fit_matches_numpy(spark, events_pdf):
+    ds = events_pdf.ts.astype("datetime64[ms]").astype("int64") // 100
+    df = events_pdf.assign(ds=ds)
+    t0 = df.groupby("user_id").ds.min()
+    tp = df[df.event_type == "purchase"].groupby("user_id").ds.min()
+    dt = (tp - t0.loc[tp.index]).pipe(lambda s: s[s > 0])
+    srt = np.sort(dt.to_numpy(float))
+    n = len(srt)
+    i = np.arange(1, n + 1)
+    x = np.log(srt / 10.0)
+    y = np.log(-np.log(1 - (i - 0.38) / (n + 0.25)))
+    k_ref, b_ref = np.polyfit(x, y, 1)
+    row = registry.QUERIES["q_stats_weibull_fit"](spark, SF_DIR).collect()[0]
+    assert row.n_converters == n
+    assert row.shape_k == pytest.approx(k_ref, abs=2e-6)
+    assert row.scale_lambda_s == pytest.approx(
+        np.exp(-b_ref / k_ref), rel=1e-4
+    )
