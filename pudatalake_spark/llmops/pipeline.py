@@ -987,3 +987,88 @@ def q_privacy_dp_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("released_count"),
     ).orderBy("event_type")
+
+
+HT_MOD = 97  # deterministic 1-in-~3 inclusion hash modulus
+HT_THRESH = 32
+
+
+@register(
+    "q_sample_horvitz_thompson",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN ((o_orderkey * 2654435761 + 1013904223)
+                        % 1000000007) % {HT_MOD} < {HT_THRESH}
+                  THEN 1 ELSE 0 END AS inc
+      FROM orders
+    ),
+    truth AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pop,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM base
+    ),
+    samp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sample,
+             sum(cents / (CAST({HT_THRESH} AS DOUBLE) / {HT_MOD}))
+                 AS ht_cents
+      FROM base WHERE inc = 1
+    )
+    SELECT t.n_pop, s.n_sample, t.total_cents,
+           round(s.ht_cents / 100.0, 2) AS ht_estimate,
+           round((s.ht_cents - t.total_cents) / t.total_cents, 6)
+               AS rel_error
+    FROM truth t CROSS JOIN samp s
+    """,
+)
+def q_sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimator of total order revenue from a
+    hash-Bernoulli sample: every sampled row is weighted by
+    1/pi (pi = 32/97, the deterministic inclusion probability of
+    the affine-hash draw), and the weighted sum estimates the
+    population total - THE design-unbiased estimator that makes
+    q_sample_hash's samples quotable (a sample without its
+    inverse-probability weights is just a smaller dataset), with
+    the realized relative error against the exact total as the
+    built-in honesty check. Unequal-probability designs
+    (q_sample_weighted's PPS) drop into the same sum with per-row
+    pi.
+
+    Exactness: inclusion is exact integer hash arithmetic; the
+    population truth is an exact int64 cent sum; the HT sum divides
+    each int64 cent value by the LITERAL pi (identical tree,
+    sample-sized sum behind the 2dp/6dp output rounds).
+
+    Scale shape: ONE scan computes membership in-plan (no
+    materialized sample needed), two conditional aggs. 100 TB:
+    identical - this is the counted-scan shape, and pi rides the
+    weight column of any stored sample.
+    """
+    o = table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    inc = F.expr(
+        f"CASE WHEN ((o_orderkey * 2654435761 + 1013904223)"
+        f" % 1000000007) % {HT_MOD} < {HT_THRESH} THEN 1 ELSE 0 END"
+    )
+    base = o.select(cents.alias("cents"), inc.alias("inc"))
+    truth = base.agg(
+        F.count("*").cast("bigint").alias("n_pop"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    pi = float(HT_THRESH) / HT_MOD
+    samp = base.filter(F.col("inc") == 1).agg(
+        F.count("*").cast("bigint").alias("n_sample"),
+        F.sum(F.col("cents") / pi).alias("ht_cents"),
+    )
+    return truth.crossJoin(samp).select(
+        "n_pop",
+        "n_sample",
+        "total_cents",
+        F.round(F.col("ht_cents") / 100.0, 2).alias("ht_estimate"),
+        F.round(
+            (F.col("ht_cents") - F.col("total_cents"))
+            / F.col("total_cents"),
+            6,
+        ).alias("rel_error"),
+    )

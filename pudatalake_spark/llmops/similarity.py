@@ -1591,3 +1591,152 @@ def q_sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+NDCG_K = 5
+
+
+@register(
+    "q_sim_ndcg",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT query_id, cand_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, cand_id) AS pos
+      FROM ({{cos}})
+    ),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    rel AS (
+      SELECT r.query_id, r.pos,
+             CASE WHEN lc.label = lq.label THEN 1 ELSE 0 END AS rel
+      FROM ranked r
+      JOIN lab lc ON r.cand_id = lc.vec_id
+      JOIN lab lq ON r.query_id = lq.vec_id
+      WHERE r.pos <= {NDCG_K}
+    ),
+    dcg AS (
+      SELECT query_id,
+             sum(rel / log2(pos + 1.0)) AS dcg,
+             CAST(sum(rel) AS BIGINT) AS n_rel
+      FROM rel GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id,
+             sum(rel / log2(ipos + 1.0)) AS idcg
+      FROM (SELECT query_id, rel,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rel DESC, pos) AS ipos
+            FROM rel)
+      GROUP BY query_id
+    ),
+    per_q AS (
+      SELECT d.query_id, d.n_rel,
+             round(d.dcg, 6) AS dcg,
+             round(CASE WHEN i.idcg > 0 THEN d.dcg / i.idcg
+                        ELSE 0.0 END, 6) AS ndcg
+      FROM dcg d JOIN ideal i ON d.query_id = i.query_id
+    ),
+    mean AS (SELECT round(avg(ndcg), 6) AS mean_ndcg FROM per_q)
+    SELECT p.query_id, p.n_rel, p.dcg, p.ndcg, m.mean_ndcg
+    FROM per_q p CROSS JOIN mean m ORDER BY p.query_id
+    """.format(cos=_ORACLES["q_sim_cosine_topk"]),
+)
+def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the cosine retrieval against label relevance: each
+    of the 10 queries' top-5 cosine neighbors is graded rel=1 when
+    its label matches the query's; DCG discounts by log2(pos+1) and
+    normalizes by the ideal ordering - the POSITION-AWARE ranking
+    metric that completes the eval family (q_sim_recall_eval says
+    whether the right items are IN the list; nDCG says whether they
+    are at the TOP, which is what a RAG context window actually
+    consumes). Per-query rows plus the mean.
+
+    Determinism: the ranking inherits q_sim_cosine_topk's
+    rounded-cosine order; relevance is an integer label equality;
+    log2 is the libm surface behind the 6dp round; the ideal
+    reordering sorts the SAME integer rel values (pos tie-break),
+    so both engines build identical permutations.
+
+    Scale shape: the ranking is the existing broadcast-queries scan;
+    grading is two broadcast label joins; DCG/IDCG are 5-row-per-
+    query window/agg arithmetic. 100 TB: the eval rides whatever
+    ranking it grades - its own cost is the label join.
+    """
+    e = _with_norm(
+        spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", _vd("embedding").alias("v")
+        )
+    )
+    lab = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", "label"
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("cand_id"),
+            F.round(
+                _cos_pre(F.col("qv"), F.col("qn"), F.col("v"), F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), "cand_id"
+    )
+    ranked = (
+        scored.withColumn("pos", F.row_number().over(wq))
+        .filter(F.col("pos") <= NDCG_K)
+    )
+    rel = (
+        ranked.join(
+            F.broadcast(lab.withColumnRenamed("vec_id", "cid")),
+            F.col("cand_id") == F.col("cid"),
+        )
+        .withColumnRenamed("label", "cl")
+        .join(
+            F.broadcast(
+                lab.withColumnRenamed("vec_id", "qid").withColumnRenamed(
+                    "label", "ql"
+                )
+            ),
+            F.col("query_id") == F.col("qid"),
+        )
+        .select(
+            "query_id",
+            "pos",
+            F.when(F.col("cl") == F.col("ql"), 1).otherwise(0).alias("rel"),
+        )
+    )
+    dcg = rel.groupBy("query_id").agg(
+        F.sum(F.col("rel") / F.log2(F.col("pos") + 1.0)).alias("dcg"),
+        F.sum("rel").cast("bigint").alias("n_rel"),
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.desc("rel"), "pos")
+    ideal = (
+        rel.withColumn("ipos", F.row_number().over(wi))
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.col("rel") / F.log2(F.col("ipos") + 1.0)).alias("idcg")
+        )
+    )
+    per_q = dcg.join(ideal, "query_id").select(
+        "query_id",
+        "n_rel",
+        F.round("dcg", 6).alias("dcg"),
+        F.round(
+            F.when(
+                F.col("idcg") > 0, F.col("dcg") / F.col("idcg")
+            ).otherwise(0.0),
+            6,
+        ).alias("ndcg"),
+    )
+    mean = per_q.agg(F.round(F.avg("ndcg"), 6).alias("mean_ndcg"))
+    return (
+        per_q.crossJoin(F.broadcast(mean)).orderBy("query_id")
+    )

@@ -2555,3 +2555,62 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp((F.col("sy") - slope * F.col("sx")) / F.col("n")), 4
         ).alias("k"),
     )
+
+
+def _kappa_sql(split_expr: str) -> str:
+    """Cohen's kappa over the shared language-ID classifier."""
+    return f"""
+    WITH preds AS ({_langid_sql(split_expr)}),
+    cells AS (
+      SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM preds GROUP BY true_lang, pred_lang
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(sum(CASE WHEN true_lang = pred_lang THEN n
+                           ELSE 0 END) AS BIGINT) AS agree
+      FROM cells
+    ),
+    r AS (SELECT true_lang AS lang, CAST(sum(n) AS BIGINT) AS rt
+          FROM cells GROUP BY true_lang),
+    c AS (SELECT pred_lang AS lang, CAST(sum(n) AS BIGINT) AS ct
+          FROM cells GROUP BY pred_lang),
+    pe AS (
+      SELECT CAST(sum(r.rt * c.ct) AS BIGINT) AS pe2
+      FROM r JOIN c ON r.lang = c.lang
+    )
+    SELECT t.nn AS n_docs, t.agree,
+           CAST(t.agree AS DOUBLE) / t.nn AS p_observed,
+           CAST(p.pe2 AS DOUBLE) / (t.nn * t.nn) AS p_expected,
+           (CAST(t.agree AS DOUBLE) / t.nn
+            - CAST(p.pe2 AS DOUBLE) / (t.nn * t.nn))
+             / (1.0 - CAST(p.pe2 AS DOUBLE) / (t.nn * t.nn)) AS kappa
+    FROM tot t CROSS JOIN pe p
+    """
+
+
+@register(
+    "q_stats_cohens_kappa",
+    oracle=_kappa_sql("unnest(string_split(lower(text), ' '))"),
+)
+def q_stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the language-ID heuristic and the
+    labeled lang column: chance-corrected agreement (po - pe)/(1 -
+    pe) - the one-number upgrade over raw accuracy when classes are
+    imbalanced (a majority-class guesser scores high accuracy but
+    kappa ~ 0), and the standard agreement statistic for comparing
+    any two labelers (model vs model, model vs human) in a
+    curation stack. Builds on q_text_lang_confusion's matrix:
+    that operator shows WHERE disagreement lives, kappa says HOW
+    MUCH exceeds chance.
+
+    Exactness: cell counts / marginals / the pe cross-product sum
+    are exact int64 (pe2 <= N^2 - safe through sf100); po, pe and
+    kappa are compositions of TWO integer divisions in the
+    identical tree, UNROUNDED.
+
+    Scale shape: the shared classifier agg -> |langs|^2 cell frame
+    -> marginal aggs on the bounded frame -> 1-row arithmetic.
+    100 TB: identical.
+    """
+    return spark.sql(_kappa_sql("explode(split(lower(text), ' '))"))

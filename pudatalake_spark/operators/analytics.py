@@ -4205,3 +4205,94 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sig / mu).alias("cv"),
         ((sig - mu) / (sig + mu)).alias("burstiness"),
     ).orderBy("event_type")
+
+
+@register(
+    "q_events_freq_severity",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS n_p,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(CASE WHEN n_p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_buyers,
+             CAST(sum(n_p) AS BIGINT) AS n_purchases,
+             CAST(sum(cents) AS BIGINT) AS total_cents
+      FROM u
+    )
+    SELECT n_users, n_buyers, n_purchases,
+           CAST(n_buyers AS DOUBLE) / n_users AS p_buyer,
+           CAST(n_purchases AS DOUBLE) / n_buyers AS freq_per_buyer,
+           CAST(total_cents AS DOUBLE) / (100.0 * n_purchases)
+               AS severity_per_purchase,
+           (CAST(n_buyers AS DOUBLE) / n_users)
+             * (CAST(n_purchases AS DOUBLE) / n_buyers)
+             * (CAST(total_cents AS DOUBLE) / (100.0 * n_purchases))
+               AS arpu_decomposed,
+           CAST(total_cents AS DOUBLE) / (100.0 * n_users) AS arpu_direct
+    FROM agg
+    """,
+)
+def q_events_freq_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-part (frequency x severity) revenue decomposition - the
+    actuarial identity ARPU = P(buyer) x purchases-per-buyer x
+    value-per-purchase, computed term by term WITH the direct ARPU
+    beside it so the decomposition is verifiable in the output
+    (the product is algebraically identical; both engines compose
+    the same division trees). This is how revenue-growth accounting
+    attributes a change: did penetration, frequency, or basket
+    size move? (q_events_growth_accounting slices WHO, this slices
+    WHY-per-user.)
+
+    Exactness: all four base quantities are int64 from ONE per-user
+    conditional agg + ONE 1-row rollup; every reported term is a
+    composition of exact-integer divisions, unrounded.
+
+    Scale shape: fact -> user agg (map-side combinable) -> 1-row
+    arithmetic. 100 TB: identical; per-segment decompositions widen
+    the rollup key.
+    """
+    e = table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    u = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_p"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", cents).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("cents"),
+    )
+    agg = u.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("n_p") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_buyers"),
+        F.sum("n_p").cast("bigint").alias("n_purchases"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+    )
+    p_buyer = F.col("n_buyers").cast("double") / F.col("n_users")
+    freq = F.col("n_purchases").cast("double") / F.col("n_buyers")
+    sev = F.col("total_cents").cast("double") / (
+        100.0 * F.col("n_purchases")
+    )
+    return agg.select(
+        "n_users",
+        "n_buyers",
+        "n_purchases",
+        p_buyer.alias("p_buyer"),
+        freq.alias("freq_per_buyer"),
+        sev.alias("severity_per_purchase"),
+        (p_buyer * freq * sev).alias("arpu_decomposed"),
+        (
+            F.col("total_cents").cast("double") / (100.0 * F.col("n_users"))
+        ).alias("arpu_direct"),
+    )

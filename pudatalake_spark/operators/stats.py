@@ -1738,9 +1738,12 @@ def q_stats_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     cnt AS (
       SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-             CAST(sum(CASE WHEN (xa - xb) * (ya - yb) > 0
+             -- sign-compare, NOT a dx*dy product: cent-sum deltas
+             -- reach ~1e12 and their product overflows int64 at
+             -- sf0.1 (caught by the full-inventory bench)
+             CAST(sum(CASE WHEN sign(xa - xb) * sign(ya - yb) = 1
                            THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
-             CAST(sum(CASE WHEN (xa - xb) * (ya - yb) < 0
+             CAST(sum(CASE WHEN sign(xa - xb) * sign(ya - yb) = -1
                            THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
              CAST(sum(CASE WHEN xa = xb THEN 1 ELSE 0 END)
                   AS BIGINT) AS ties_x,
@@ -1813,10 +1816,16 @@ def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = pairs.agg(
         F.count("*").cast("bigint").alias("n_pairs"),
-        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))
+        # sign-compare, NOT dx*dy: the cent-sum product overflows
+        # int64 at sf0.1 (caught by the full-inventory bench)
+        F.sum(
+            F.when(F.signum("dx") * F.signum("dy") == 1, 1).otherwise(0)
+        )
         .cast("bigint")
         .alias("concordant"),
-        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))
+        F.sum(
+            F.when(F.signum("dx") * F.signum("dy") == -1, 1).otherwise(0)
+        )
         .cast("bigint")
         .alias("discordant"),
         F.sum(F.when(F.col("dx") == 0, 1).otherwise(0))

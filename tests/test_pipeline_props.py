@@ -1102,3 +1102,34 @@ def test_heaps_law_matches_python(spark):
     assert row.beta == pytest.approx(beta_ref, abs=2e-6)
     assert row.k == pytest.approx(np.exp(b), rel=1e-3)
     assert 0 < row.beta < 1  # Heaps exponent is sublinear
+
+
+def test_ndcg_matches_numpy(spark):
+    e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    V = np.stack(e.embedding.map(lambda a: np.asarray(a, np.float64)))
+    ids = e.vec_id.to_numpy()
+    labels = dict(zip(e.vec_id, e.label))
+    norms = np.linalg.norm(V, axis=1)
+    rows = {r.query_id: r for r in
+            registry.QUERIES["q_sim_ndcg"](spark, SF_DIR).collect()}
+    ndcgs = []
+    for qi in range(10):
+        cos = np.round(V @ V[qi] / (norms * norms[qi]), 6)
+        order = sorted(
+            ((-cos[i], int(ids[i])) for i in range(len(V))
+             if ids[i] != qi)
+        )[:5]
+        rel = [int(labels[c] == labels[qi]) for _, c in order]
+        dcg = sum(r / np.log2(p + 2) for p, r in enumerate(rel))
+        ideal = sorted(rel, reverse=True)
+        idcg = sum(r / np.log2(p + 2) for p, r in enumerate(ideal))
+        nd = dcg / idcg if idcg > 0 else 0.0
+        ndcgs.append(round(nd, 6))
+        r = rows[qi]
+        assert r.n_rel == sum(rel)
+        assert r.dcg == pytest.approx(dcg, abs=2e-6)
+        assert r.ndcg == pytest.approx(nd, abs=2e-6)
+    for r in rows.values():
+        assert r.mean_ndcg == pytest.approx(np.mean(ndcgs), abs=2e-6)

@@ -1277,3 +1277,69 @@ def test_weibull_fit_matches_numpy(spark, events_pdf):
     assert row.scale_lambda_s == pytest.approx(
         np.exp(-b_ref / k_ref), rel=1e-4
     )
+
+
+def test_cohens_kappa_consistent_with_confusion(spark):
+    """kappa recomputed from q_text_lang_confusion's own matrix must
+    equal q_stats_cohens_kappa (shared classifier, independent
+    rollups)."""
+    conf = registry.QUERIES["q_text_lang_confusion"](
+        spark, SF_DIR
+    ).collect()
+    n = sum(r.n for r in conf)
+    agree = sum(r.n for r in conf if r.true_lang == r.pred_lang)
+    rows_m = {}
+    cols_m = {}
+    for r in conf:
+        rows_m[r.true_lang] = rows_m.get(r.true_lang, 0) + r.n
+        cols_m[r.pred_lang] = cols_m.get(r.pred_lang, 0) + r.n
+    pe = sum(rows_m.get(l, 0) * cols_m.get(l, 0)
+             for l in set(rows_m) | set(cols_m)) / n**2
+    po = agree / n
+    row = registry.QUERIES["q_stats_cohens_kappa"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert row.n_docs == n and row.agree == agree
+    assert row.p_observed == pytest.approx(po, abs=1e-12)
+    assert row.p_expected == pytest.approx(pe, abs=1e-12)
+    assert row.kappa == pytest.approx((po - pe) / (1 - pe), abs=1e-12)
+
+
+def test_horvitz_thompson_unbiasedness_shape(spark):
+    row = registry.QUERIES["q_sample_horvitz_thompson"](
+        spark, SF_DIR
+    ).collect()[0]
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = (o.o_totalprice * 100).round(0).astype("int64")
+    inc = (((o.o_orderkey * 2654435761 + 1013904223) % 1000000007)
+           % 97 < 32)
+    assert row.n_pop == len(o)
+    assert row.n_sample == int(inc.sum())
+    assert row.total_cents == cents.sum()
+    ht = (cents[inc] / (32 / 97)).sum()
+    assert row.ht_estimate == pytest.approx(ht / 100, abs=0.02)
+    assert row.rel_error == pytest.approx(
+        (ht - cents.sum()) / cents.sum(), abs=2e-6
+    )
+    # a ~33% hash sample should estimate the total within ~5%
+    assert abs(row.rel_error) < 0.05
+
+
+def test_freq_severity_identity(spark, events_pdf):
+    row = registry.QUERIES["q_events_freq_severity"](
+        spark, SF_DIR
+    ).collect()[0]
+    p = events_pdf[events_pdf.event_type == "purchase"]
+    cents = (p.value * 100).round(0).astype("int64")
+    n_users = events_pdf.user_id.nunique()
+    n_buyers = p.user_id.nunique()
+    assert (row.n_users, row.n_buyers, row.n_purchases) == (
+        n_users, n_buyers, len(p),
+    )
+    assert row.arpu_direct == pytest.approx(
+        cents.sum() / (100 * n_users), abs=1e-9
+    )
+    # the decomposition is an exact identity
+    assert row.arpu_decomposed == pytest.approx(
+        row.arpu_direct, rel=1e-12
+    )
