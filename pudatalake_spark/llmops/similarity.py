@@ -1740,3 +1740,161 @@ def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_q.crossJoin(F.broadcast(mean)).orderBy("query_id")
     )
+
+
+@register(
+    "q_sim_cluster_nmi",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e
+          WHERE vec_id < {IVF_CENTROIDS}),
+    aff AS (
+      SELECT e.vec_id, e.label, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY round({_duck_cos("e.v", "c.cv")}, 6) DESC,
+                        c.cid) AS ar
+      FROM e JOIN c ON true
+    ),
+    assign AS (SELECT vec_id, label, cid FROM aff WHERE ar = 1),
+    cell AS (
+      SELECT cid, CAST(label AS BIGINT) AS label,
+             CAST(count(*) AS BIGINT) AS n
+      FROM assign GROUP BY cid, label
+    ),
+    nc AS (SELECT cid, CAST(sum(n) AS BIGINT) AS n_c FROM cell
+           GROUP BY cid),
+    nl AS (SELECT label, CAST(sum(n) AS BIGINT) AS n_l FROM cell
+           GROUP BY label),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cell),
+    mi AS (
+      SELECT sum((CAST(x.n AS DOUBLE) / t.nn)
+                 * ln((CAST(x.n AS DOUBLE) * t.nn)
+                      / (CAST(c.n_c AS DOUBLE) * l.n_l))) AS i
+      FROM cell x JOIN nc c ON x.cid = c.cid
+      JOIN nl l ON x.label = l.label CROSS JOIN tot t
+    ),
+    hc AS (SELECT -sum((CAST(n_c AS DOUBLE) / nn)
+                       * ln(CAST(n_c AS DOUBLE) / nn)) AS h
+           FROM nc CROSS JOIN tot),
+    hl AS (SELECT -sum((CAST(n_l AS DOUBLE) / nn)
+                       * ln(CAST(n_l AS DOUBLE) / nn)) AS h
+           FROM nl CROSS JOIN tot)
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nc) AS n_cells,
+           (SELECT CAST(count(*) AS BIGINT) FROM nl) AS n_labels,
+           round(mi.i, 6) AS mutual_info,
+           round(hc.h, 6) AS h_cells,
+           round(hl.h, 6) AS h_labels,
+           round(mi.i / sqrt(hc.h * hl.h), 6) AS nmi
+    FROM mi CROSS JOIN hc CROSS JOIN hl
+    """,
+)
+def q_sim_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between the IVF cell
+    assignment (q_sim_ann_ivf's deterministic coarse quantizer) and
+    the ground-truth labels: NMI = I(C;L)/sqrt(H(C)H(L)) - the
+    standard external clustering-quality score (0 = cells ignore
+    labels, 1 = cells ARE the labels), completing the eval family
+    (q_sim_silhouette is the internal geometric score; NMI is the
+    label-agreement score, and it is what you tune n_centroids
+    against).
+
+    Exactness: the assignment inherits the IVF rounded-argmax
+    protocol; all contingency counts/marginals are exact int64; MI
+    and the entropies are bounded-frame ln sums behind the 6dp
+    round (PSI rule); NMI is one division of rounded-protocol
+    values.
+
+    Scale shape: assignment is the broadcast-centroid map pass;
+    contingency is a |cells| x |labels| two-phase agg; everything
+    after runs on the bounded frame. 100 TB: identical.
+    """
+    e = _with_norm(
+        spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+            "vec_id", _vd("embedding").alias("v"), "label"
+        )
+    )
+    cents = e.filter(F.col("vec_id") < IVF_CENTROIDS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(
+        F.col("rcos").desc(), F.col("cid")
+    )
+    assign = (
+        e.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            "cid",
+            F.round(
+                _cos_pre(F.col("v"), F.col("nrm"), F.col("cv"), F.col("cn")),
+                6,
+            ).alias("rcos"),
+        )
+        .withColumn("ar", F.row_number().over(wa))
+        .filter(F.col("ar") == 1)
+    )
+    cell = assign.groupBy(
+        "cid", F.col("label").cast("bigint").alias("label")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    nc = cell.groupBy("cid").agg(F.sum("n").cast("bigint").alias("n_c"))
+    nl = cell.groupBy("label").agg(
+        F.sum("n").cast("bigint").alias("n_l")
+    )
+    tot = cell.agg(F.sum("n").cast("bigint").alias("nn"))
+    mi = (
+        cell.join(F.broadcast(nc), "cid")
+        .join(F.broadcast(nl), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n").cast("double") / F.col("nn"))
+                * F.log(
+                    (F.col("n").cast("double") * F.col("nn"))
+                    / (F.col("n_c").cast("double") * F.col("n_l"))
+                )
+            ).alias("i")
+        )
+    )
+    hc = (
+        nc.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                (F.col("n_c").cast("double") / F.col("nn"))
+                * F.log(F.col("n_c").cast("double") / F.col("nn"))
+            )).alias("h")
+        )
+    )
+    hl = (
+        nl.crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                (F.col("n_l").cast("double") / F.col("nn"))
+                * F.log(F.col("n_l").cast("double") / F.col("nn"))
+            )).alias("h")
+        )
+    )
+    n_cells = nc.agg(F.count("*").cast("bigint").alias("n_cells"))
+    n_labels = nl.agg(F.count("*").cast("bigint").alias("n_labels"))
+    return (
+        n_cells.crossJoin(n_labels)
+        .crossJoin(mi)
+        .crossJoin(hc.withColumnRenamed("h", "hch"))
+        .crossJoin(hl.withColumnRenamed("h", "hlh"))
+        .select(
+            "n_cells",
+            "n_labels",
+            F.round("i", 6).alias("mutual_info"),
+            F.round("hch", 6).alias("h_cells"),
+            F.round("hlh", 6).alias("h_labels"),
+            F.round(
+                F.col("i") / F.sqrt(F.col("hch") * F.col("hlh")), 6
+            ).alias("nmi"),
+        )
+    )

@@ -4296,3 +4296,158 @@ def q_events_freq_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_cents").cast("double") / (100.0 * F.col("n_users"))
         ).alias("arpu_direct"),
     )
+
+
+KPI_SPLIT_DAY = 15  # period 1 = days < 15, period 2 = days >= 15
+
+
+@register(
+    "q_events_kpi_tree",
+    oracle=f"""
+    WITH base AS (
+      SELECT CASE WHEN dayofmonth(CAST(ts AS DATE)) < {KPI_SPLIT_DAY}
+                  THEN 1 ELSE 2 END AS period,
+             user_id, event_type,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events
+    ),
+    p AS (
+      SELECT period,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS v,
+             CAST(count(DISTINCT CASE WHEN event_type = 'purchase'
+                                 THEN user_id END) AS BIGINT) AS b,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1
+                           ELSE 0 END) AS BIGINT) AS np,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                           ELSE 0 END) AS BIGINT) AS r
+      FROM base GROUP BY period
+    ),
+    w AS (
+      SELECT max(CASE WHEN period = 1 THEN v END) AS v1,
+             max(CASE WHEN period = 2 THEN v END) AS v2,
+             max(CASE WHEN period = 1 THEN b END) AS b1,
+             max(CASE WHEN period = 2 THEN b END) AS b2,
+             max(CASE WHEN period = 1 THEN np END) AS p1,
+             max(CASE WHEN period = 2 THEN np END) AS p2,
+             max(CASE WHEN period = 1 THEN r END) AS r1,
+             max(CASE WHEN period = 2 THEN r END) AS r2
+      FROM p
+    ),
+    f AS (
+      SELECT 'active_users' AS factor, CAST(v1 AS DOUBLE) AS x1,
+             CAST(v2 AS DOUBLE) AS x2, w.* FROM w
+      UNION ALL
+      SELECT 'buyer_rate', CAST(b1 AS DOUBLE) / v1,
+             CAST(b2 AS DOUBLE) / v2, w.* FROM w
+      UNION ALL
+      SELECT 'purchases_per_buyer', CAST(p1 AS DOUBLE) / b1,
+             CAST(p2 AS DOUBLE) / b2, w.* FROM w
+      UNION ALL
+      SELECT 'value_per_purchase', CAST(r1 AS DOUBLE) / p1,
+             CAST(r2 AS DOUBLE) / p2, w.* FROM w
+    )
+    SELECT factor,
+           round(x1, 6) AS period1, round(x2, 6) AS period2,
+           round(ln(x2 / x1), 6) AS delta_ln,
+           round(ln(x2 / x1)
+                 / ln(CAST(r2 AS DOUBLE) / r1), 6) AS contribution,
+           round(ln(CAST(r2 AS DOUBLE) / r1), 6) AS delta_ln_revenue
+    FROM f ORDER BY factor
+    """,
+)
+def q_events_kpi_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI-tree (metric tree) decomposition of the period-over-period
+    revenue change: R = V x (B/V) x (P/B) x (R/P), so delta ln R =
+    sum of the factor delta-lns EXACTLY - each factor row carries
+    its period values, log change, and share of the total revenue
+    log change - the additive driver attribution ("did penetration,
+    frequency or basket move the number?") that every growth team
+    runs on the q_events_freq_severity identity; the log form is
+    what makes contributions sum to 100% with no interaction
+    residue.
+
+    Exactness: all eight base quantities are int64 (distinct
+    counts, conditional sums) from ONE two-period agg; factor
+    values are exact integer divisions; only ln terms are rounded
+    (6dp). The additivity (sum of delta_ln = delta_ln_revenue) is
+    the pinned test property.
+
+    Scale shape: one fact pass -> 2-row period frame -> 1-row
+    pivot -> 4-factor projection arithmetic. 100 TB: identical
+    (distinct counts go HLL at scale - q_agg_approx_distinct is
+    the declared swap).
+    """
+    e = table(spark, sf_dir, "events")
+    period = F.when(
+        F.dayofmonth(F.to_date("ts")) < KPI_SPLIT_DAY, 1
+    ).otherwise(2)
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    base = e.select(
+        period.alias("period"),
+        "user_id",
+        "event_type",
+        cents.alias("cents"),
+    )
+    p = base.groupBy("period").agg(
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("v"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents"))
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r"),
+    )
+    w = p.agg(
+        *[
+            F.max(F.when(F.col("period") == per, F.col(c))).alias(
+                f"{c}{per}"
+            )
+            for c in ("v", "b", "np", "r")
+            for per in (1, 2)
+        ]
+    )
+    # ONE aggregation; the 4 factor rows come from exploding a
+    # literal frame against the single 1-row pivot (a unionAll of
+    # four selects would re-run the fact aggregation four times).
+    names = F.array(
+        F.lit("active_users"),
+        F.lit("buyer_rate"),
+        F.lit("purchases_per_buyer"),
+        F.lit("value_per_purchase"),
+    )
+    fac = w.select(F.explode(names).alias("factor"), "*")
+    x1 = (
+        F.when(F.col("factor") == "active_users",
+               F.col("v1").cast("double"))
+        .when(F.col("factor") == "buyer_rate",
+              F.col("b1").cast("double") / F.col("v1"))
+        .when(F.col("factor") == "purchases_per_buyer",
+              F.col("np1").cast("double") / F.col("b1"))
+        .otherwise(F.col("r1").cast("double") / F.col("np1"))
+    )
+    x2 = (
+        F.when(F.col("factor") == "active_users",
+               F.col("v2").cast("double"))
+        .when(F.col("factor") == "buyer_rate",
+              F.col("b2").cast("double") / F.col("v2"))
+        .when(F.col("factor") == "purchases_per_buyer",
+              F.col("np2").cast("double") / F.col("b2"))
+        .otherwise(F.col("r2").cast("double") / F.col("np2"))
+    )
+    d_rev = F.log(F.col("r2").cast("double") / F.col("r1"))
+    return fac.select(
+        "factor",
+        F.round(x1, 6).alias("period1"),
+        F.round(x2, 6).alias("period2"),
+        F.round(F.log(x2 / x1), 6).alias("delta_ln"),
+        F.round(F.log(x2 / x1) / d_rev, 6).alias("contribution"),
+        F.round(d_rev, 6).alias("delta_ln_revenue"),
+    ).orderBy("factor")

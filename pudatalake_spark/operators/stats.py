@@ -4106,3 +4106,280 @@ def q_stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("shape_k"),
         F.round(F.exp(-intercept / slope), 4).alias("scale_lambda_s"),
     )
+
+
+@register(
+    "q_stats_entropy_rate",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    pairs AS (
+      SELECT prev AS src, event_type AS dst,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, event_type
+    ),
+    m AS (
+      SELECT src, CAST(sum(n) AS BIGINT) AS n_src FROM pairs
+      GROUP BY src
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM pairs),
+    terms AS (
+      SELECT p.src, p.dst, p.n, m.n_src, t.nn,
+             -(CAST(p.n AS DOUBLE) / t.nn)
+               * ln(CAST(p.n AS DOUBLE) / m.n_src) AS h
+      FROM pairs p JOIN m ON p.src = m.src CROSS JOIN tot t
+    ),
+    rate AS (SELECT round(sum(h), 6) AS entropy_rate FROM terms),
+    h0 AS (
+      SELECT round(-sum((CAST(n_src AS DOUBLE) / nn)
+                        * ln(CAST(n_src AS DOUBLE) / nn)), 6) AS h_marginal
+      FROM m CROSS JOIN tot
+    )
+    SELECT r.entropy_rate, h.h_marginal,
+           round(r.entropy_rate / h.h_marginal, 6) AS predictability_gain
+    FROM rate r CROSS JOIN h0 h
+    """,
+)
+def q_stats_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order entropy rate of the per-user event stream:
+    H(X_t | X_{t-1}) = -sum_{s,t} p(s,t) ln p(t|s), next to the
+    marginal entropy H(X) and their ratio - the information-theoretic
+    "how predictable is the next action given the last one" (ratio
+    1 = the chain adds nothing over the base rates; << 1 = strong
+    sequential structure), the summary number behind
+    q_events_transition's full matrix and the justification for any
+    Markov model on this data (q_events_markov_*).
+
+    Exactness: transition and marginal counts are exact int64 from
+    one lag window + two-phase aggs; each term is integer ratios
+    through ln (the libm surface), summed over the bounded
+    |types|^2 frame behind the 6dp round (PSI rule).
+
+    Scale shape: one per-user ordered window pass (the burstiness
+    posture) -> 25-cell two-phase agg -> bounded-frame arithmetic.
+    100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev")
+    ).filter(F.col("prev").isNotNull())
+    pairs = seq.groupBy(
+        F.col("prev").alias("src"), F.col("event_type").alias("dst")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    m = pairs.groupBy("src").agg(
+        F.sum("n").cast("bigint").alias("n_src")
+    )
+    tot = pairs.agg(F.sum("n").cast("bigint").alias("nn"))
+    terms = (
+        pairs.join(F.broadcast(m), "src")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (
+                -(F.col("n").cast("double") / F.col("nn"))
+                * F.log(F.col("n").cast("double") / F.col("n_src"))
+            ).alias("h")
+        )
+    )
+    rate = terms.agg(F.round(F.sum("h"), 6).alias("entropy_rate"))
+    h0 = (
+        m.crossJoin(F.broadcast(tot))
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("n_src").cast("double") / F.col("nn"))
+                    * F.log(F.col("n_src").cast("double") / F.col("nn"))
+                ),
+                6,
+            ).alias("h_marginal")
+        )
+    )
+    return rate.crossJoin(h0).select(
+        "entropy_rate",
+        "h_marginal",
+        F.round(
+            F.col("entropy_rate") / F.col("h_marginal"), 6
+        ).alias("predictability_gain"),
+    )
+
+
+HURST_WINDOWS = (5, 10, 15)
+
+
+@register(
+    "q_stats_hurst",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY ed) - 1 AS BIGINT) AS t, y
+      FROM daily
+    ),
+    chunked AS (
+      SELECT w.w, t // w.w AS chunk, t, y
+      FROM idx CROSS JOIN (SELECT unnest([{", ".join(str(w) for w in HURST_WINDOWS)}]) AS w) w
+      WHERE t < (SELECT count(*) FROM idx) // w.w * w.w
+    ),
+    stats AS (
+      SELECT w, chunk, CAST(sum(y) AS BIGINT) AS s1,
+             CAST(sum(y * y) AS BIGINT) AS s2
+      FROM chunked GROUP BY w, chunk
+    ),
+    running AS (
+      SELECT c.w, c.chunk, s.s1, s.s2,
+             sum(c.w * c.y - s.s1) OVER (
+               PARTITION BY c.w, c.chunk ORDER BY c.t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cu
+      FROM chunked c JOIN stats s ON c.w = s.w AND c.chunk = s.chunk
+    ),
+    cum AS (
+      SELECT w, chunk,
+             CAST(max(cu) - min(cu) AS BIGINT) AS range_u,
+             CAST(max(s1) AS BIGINT) AS s1,
+             CAST(max(s2) AS BIGINT) AS s2
+      FROM running GROUP BY w, chunk
+    ),
+    rs AS (
+      SELECT CAST(w AS BIGINT) AS w,
+             avg(CAST(range_u AS DOUBLE)
+                 / sqrt(CAST(w * s2 - s1 * s1 AS DOUBLE))) AS mean_rs,
+             CAST(count(*) AS BIGINT) AS n_chunks
+      FROM cum WHERE w * s2 - s1 * s1 > 0
+      GROUP BY w
+    ),
+    fit AS (
+      SELECT count(*) AS k, sum(ln(CAST(w AS DOUBLE))) AS sx,
+             sum(ln(mean_rs)) AS sy,
+             sum(ln(CAST(w AS DOUBLE)) * ln(mean_rs)) AS sxy,
+             sum(ln(CAST(w AS DOUBLE)) * ln(CAST(w AS DOUBLE))) AS sxx
+      FROM rs
+    )
+    SELECT r.w, r.n_chunks, round(r.mean_rs, 6) AS mean_rs,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS hurst_h
+    FROM rs r CROSS JOIN fit f ORDER BY r.w
+    """,
+)
+def q_stats_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of daily purchase revenue by rescaled-range
+    (R/S) analysis: chunk the series at window sizes 5/10/15 days,
+    compute each chunk's cumulative-deviation range over its
+    standard deviation, and fit ln E[R/S] ~ H ln w - the
+    long-memory diagnostic (H = 0.5 random walk, > 0.5 persistent
+    trends, < 0.5 mean-reverting) behind q_stats_runs_test's
+    binary verdict and q_stats_autocorr's short-lag view; H is
+    what decides whether q_win_moving_avg windows can be trusted
+    to converge. Per-window mean R/S rows with the fitted H.
+
+    Exactness: with u_t = w*y_t - S_chunk (exact int64,
+    common-denominator centering), the chunk's R/S collapses to
+    range(cumsum u) / sqrt(w*S2 - S1^2) - INTEGER numerator over
+    one sqrt of an exact integer, so each chunk ratio is one IEEE
+    division (w*S2 headroom holds through sf1; beyond, dollars);
+    the per-w mean (<= 6 chunks) and the 3-point ln fit sit behind
+    the 6dp rounds.
+
+    Scale shape: one fact rollup, a 3x expansion of the bounded
+    daily frame, per-(w, chunk) window cumsums, bounded aggs.
+    100 TB: identical; per-series H widens the partition key.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        )
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+          .cast("bigint").alias("y"))
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("ed")) - 1)
+        .cast("bigint")
+        .alias("t"),
+        "y",
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("nn"),
+    )
+    ws = spark.createDataFrame(
+        [(w,) for w in HURST_WINDOWS], "w long"
+    )
+    chunked = (
+        idx.crossJoin(F.broadcast(ws))
+        .filter(F.col("t") < F.expr("nn div w * w"))
+        .select("w", F.expr("t div w").alias("chunk"), "t", "y")
+    )
+    stats = chunked.groupBy("w", "chunk").agg(
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    win = (
+        Window.partitionBy("w", "chunk")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        chunked.join(stats, ["w", "chunk"])
+        .select(
+            "w",
+            "chunk",
+            "t",
+            "s1",
+            "s2",
+            F.sum(F.col("w") * F.col("y") - F.col("s1"))
+            .over(win)
+            .alias("cu"),
+        )
+        .groupBy("w", "chunk")
+        .agg(
+            (F.max("cu") - F.min("cu")).cast("bigint").alias("range_u"),
+            F.max("s1").alias("s1"),
+            F.max("s2").alias("s2"),
+        )
+    )
+    rs = (
+        cum.filter(
+            F.col("w") * F.col("s2") - F.col("s1") * F.col("s1") > 0
+        )
+        .groupBy(F.col("w").cast("bigint").alias("w"))
+        .agg(
+            F.avg(
+                F.col("range_u").cast("double")
+                / F.sqrt(
+                    (
+                        F.col("w") * F.col("s2")
+                        - F.col("s1") * F.col("s1")
+                    ).cast("double")
+                )
+            ).alias("mean_rs"),
+            F.count("*").cast("bigint").alias("n_chunks"),
+        )
+    )
+    lx = F.log(F.col("w").cast("double"))
+    ly = F.log(F.col("mean_rs"))
+    fit = rs.agg(
+        F.count("*").alias("k"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    h = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return (
+        rs.crossJoin(F.broadcast(fit))
+        .select(
+            "w",
+            "n_chunks",
+            F.round("mean_rs", 6).alias("mean_rs"),
+            F.round(h, 6).alias("hurst_h"),
+        )
+        .orderBy("w")
+    )

@@ -1133,3 +1133,37 @@ def test_ndcg_matches_numpy(spark):
         assert r.ndcg == pytest.approx(nd, abs=2e-6)
     for r in rows.values():
         assert r.mean_ndcg == pytest.approx(np.mean(ndcgs), abs=2e-6)
+
+
+def test_cluster_nmi_matches_sklearn_free(spark):
+    e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    V = np.stack(e.embedding.map(lambda a: np.asarray(a, np.float64)))
+    ids = e.vec_id.to_numpy()
+    labels = e.label.to_numpy()
+    norms = np.linalg.norm(V, axis=1)
+    C = V[:8]
+    cn = norms[:8]
+    # rounded-cosine argmax with centroid-id tie-break
+    cells = []
+    for i in range(len(V)):
+        cos = np.round(V[i] @ C.T / (norms[i] * cn), 6)
+        best = max(range(8), key=lambda c: (cos[c], -c))
+        cells.append(int(ids[best]))
+    import collections
+    joint = collections.Counter(zip(cells, labels))
+    nc = collections.Counter(cells)
+    nl = collections.Counter(labels)
+    nn = len(V)
+    mi = sum(
+        (n / nn) * np.log(n * nn / (nc[c] * nl[l]))
+        for (c, l), n in joint.items()
+    )
+    hc = -sum((n / nn) * np.log(n / nn) for n in nc.values())
+    hl = -sum((n / nn) * np.log(n / nn) for n in nl.values())
+    row = registry.QUERIES["q_sim_cluster_nmi"](spark, SF_DIR).collect()[0]
+    assert row.n_cells == len(nc) and row.n_labels == len(nl)
+    assert row.mutual_info == pytest.approx(mi, abs=2e-6)
+    assert row.nmi == pytest.approx(mi / np.sqrt(hc * hl), abs=2e-6)
+    assert 0 <= row.nmi <= 1

@@ -1343,3 +1343,74 @@ def test_freq_severity_identity(spark, events_pdf):
     assert row.arpu_decomposed == pytest.approx(
         row.arpu_direct, rel=1e-12
     )
+
+
+def test_entropy_rate_matches_bruteforce(spark, events_pdf):
+    df = events_pdf.sort_values(["user_id", "ts", "event_id"])
+    counts = {}
+    for _, g in df.groupby("user_id"):
+        ets = g.event_type.to_list()
+        for a, b in zip(ets, ets[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    nn = sum(counts.values())
+    src = {}
+    for (a, _), n in counts.items():
+        src[a] = src.get(a, 0) + n
+    h_rate = -sum(
+        (n / nn) * np.log(n / src[a]) for (a, _), n in counts.items()
+    )
+    h_marg = -sum((n / nn) * np.log(n / nn) for n in src.values())
+    row = registry.QUERIES["q_stats_entropy_rate"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert row.entropy_rate == pytest.approx(h_rate, abs=2e-6)
+    assert row.h_marginal == pytest.approx(h_marg, abs=2e-6)
+    # conditioning can only reduce entropy
+    assert row.entropy_rate <= row.h_marginal + 1e-9
+
+
+def test_kpi_tree_additivity(spark, events_pdf):
+    rows = registry.QUERIES["q_events_kpi_tree"](spark, SF_DIR).collect()
+    assert len(rows) == 4
+    total = sum(r.delta_ln for r in rows)
+    assert total == pytest.approx(rows[0].delta_ln_revenue, abs=5e-6)
+    assert sum(r.contribution for r in rows) == pytest.approx(
+        1.0, abs=5e-5
+    )
+    # cross-check one factor against pandas
+    p1 = events_pdf[events_pdf.ts.dt.day < 15]
+    p2 = events_pdf[events_pdf.ts.dt.day >= 15]
+    au = {r.factor: r for r in rows}["active_users"]
+    assert au.period1 == p1.user_id.nunique()
+    assert au.period2 == p2.user_id.nunique()
+
+
+def test_hurst_matches_python(spark, events_pdf):
+    d = (
+        events_pdf[events_pdf.event_type == "purchase"]
+        .assign(c=lambda x: (x.value * 100).round(0).astype("int64"))
+        .groupby("day")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    xs, ys = [], []
+    rows = {r.w: r for r in
+            registry.QUERIES["q_stats_hurst"](spark, SF_DIR).collect()}
+    for w in (5, 10, 15):
+        ratios = []
+        for i in range(len(d) // w):
+            y = d[i * w : (i + 1) * w].astype(float)
+            u = np.cumsum(w * y - y.sum())
+            rng = u.max() - u.min()
+            den = np.sqrt(float(w * (y**2).sum() - y.sum() ** 2))
+            if den > 0:
+                ratios.append(rng / den)
+        m = np.mean(ratios)
+        xs.append(np.log(w)); ys.append(np.log(m))
+        r = rows[w]
+        assert r.n_chunks == len(ratios)
+        assert r.mean_rs == pytest.approx(m, abs=2e-6)
+    h_ref = np.polyfit(xs, ys, 1)[0]
+    for r in rows.values():
+        assert r.hurst_h == pytest.approx(h_ref, abs=2e-6)
