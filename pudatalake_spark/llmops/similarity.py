@@ -1898,3 +1898,138 @@ def q_sim_cluster_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+MRL_DIMS = (16, 32)  # truncation ladder vs the full 64
+MRL_K = 5
+
+
+def _trunc_rank_sql(dim: int) -> str:
+    """Top-5-per-query cosine ranking on the first `dim` dims."""
+    return f"""
+      SELECT query_id, cand_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(
+                   list_dot_product(list_slice(q.v, 1, {dim}),
+                                    list_slice(c.v, 1, {dim}))
+                   / (sqrt(list_dot_product(list_slice(q.v, 1, {dim}),
+                                            list_slice(q.v, 1, {dim})))
+                      * sqrt(list_dot_product(list_slice(c.v, 1, {dim}),
+                                              list_slice(c.v, 1, {dim})))),
+                   6) DESC, c.vec_id) AS rn
+        FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      ) WHERE rn <= {MRL_K}
+    """
+
+
+@register(
+    "q_sim_dim_truncation",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    full64 AS ({_trunc_rank_sql(64)}),
+    d16 AS ({_trunc_rank_sql(16)}),
+    d32 AS ({_trunc_rank_sql(32)}),
+    m AS (
+      SELECT 16 AS dim, count(*) AS hits
+      FROM d16 JOIN full64 USING (query_id, cand_id)
+      UNION ALL
+      SELECT 32, count(*)
+      FROM d32 JOIN full64 USING (query_id, cand_id)
+    ),
+    nq AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries
+           FROM full64)
+    SELECT CAST(m.dim AS BIGINT) AS dim, nq.n_queries,
+           CAST(m.hits AS BIGINT) AS hits,
+           CAST(m.hits AS DOUBLE) / ({MRL_K} * nq.n_queries)
+               AS recall_at_{MRL_K}
+    FROM m CROSS JOIN nq ORDER BY dim
+    """,
+)
+def q_sim_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation evaluation: cosine
+    top-5 retrieval using only the FIRST 16 / 32 dimensions, scored
+    by recall against the full-64 ranking - the measurement behind
+    the MRL serving pattern (store full vectors once, answer most
+    queries from a prefix at 2-4x less compute/memory, rerank the
+    shortlist with full dims). These embeddings are not
+    MRL-trained, so the measured recall IS the point: it quantifies
+    what naive truncation costs, which is exactly the check run
+    before enabling prefix serving on any embedding set.
+
+    Determinism: each ranking uses the rounded-cosine
+    (6dp, cand-id tie-break) protocol on list_slice prefixes -
+    identical trees in both engines; hits/recall are exact
+    int ratios.
+
+    Scale shape: both rankings are the broadcast-10-queries scan
+    shape (prefix slicing is free per row); the overlap join is two
+    50-row lists. 100 TB: the prefix scan reads 4x fewer vector
+    bytes - the entire economics being measured.
+    """
+    base = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", _vd("embedding").alias("v")
+    )
+
+    def rank_at(dim):
+        e = base.select(
+            "vec_id", F.slice("v", 1, dim).alias("pv")
+        ).withColumn(
+            "nrm", F.sqrt(_dot(F.col("pv"), F.col("pv")))
+        )
+        q = e.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("pv").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cs").desc(), "cand_id"
+        )
+        return (
+            e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("cand_id"),
+                F.round(
+                    _cos_pre(
+                        F.col("qv"), F.col("qn"), F.col("pv"), F.col("nrm")
+                    ),
+                    6,
+                ).alias("cs"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= MRL_K)
+            .select("query_id", "cand_id")
+        )
+
+    full = rank_at(64)
+    nq = full.agg(
+        F.count_distinct(F.col("query_id")).cast("bigint").alias(
+            "n_queries"
+        )
+    )
+    out = None
+    for dim in MRL_DIMS:
+        hits = (
+            rank_at(dim)
+            .join(full, ["query_id", "cand_id"])
+            .agg(F.count("*").cast("bigint").alias("hits"))
+        )
+        row = (
+            hits.crossJoin(F.broadcast(nq))
+            .select(
+                F.lit(dim).cast("bigint").alias("dim"),
+                "n_queries",
+                "hits",
+                (
+                    F.col("hits").cast("double")
+                    / (MRL_K * F.col("n_queries"))
+                ).alias(f"recall_at_{MRL_K}"),
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("dim")

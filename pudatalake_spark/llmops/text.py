@@ -2614,3 +2614,76 @@ def q_stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: identical.
     """
     return spark.sql(_kappa_sql("explode(split(lower(text), ' '))"))
+
+
+AUTOCOMPLETE_PREFIX = 3
+AUTOCOMPLETE_K = 3
+AUTOCOMPLETE_MIN_LEN = 4
+
+
+@register(
+    "q_text_autocomplete",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                t -> len(t) >= {AUTOCOMPLETE_MIN_LEN}))
+                 AS w
+      FROM documents
+    ),
+    freq AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS n FROM words GROUP BY w
+    ),
+    pref AS (
+      SELECT substr(w, 1, {AUTOCOMPLETE_PREFIX}) AS prefix, w, n,
+             row_number() OVER (
+               PARTITION BY substr(w, 1, {AUTOCOMPLETE_PREFIX})
+               ORDER BY n DESC, w) AS rk
+      FROM freq
+    )
+    SELECT prefix, CAST(rk AS BIGINT) AS rank, w AS completion, n
+    FROM pref WHERE rk <= {AUTOCOMPLETE_K}
+    ORDER BY prefix, rank
+    """,
+)
+def q_text_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocomplete index build: for every 3-character prefix, the
+    top-3 corpus completions by frequency (word tie-break) - the
+    batch side of type-ahead search (the index a serving layer
+    loads keyed by prefix), and the simplest instance of the
+    "group by prefix, rank within" shape that also powers query
+    -suggestion mining. Words shorter than the prefix+1 are
+    excluded (nothing to complete).
+
+    Determinism: integer frequencies from one two-phase word agg;
+    the per-prefix ranking orders (n DESC, word) - ties on count
+    fall to the lexicographic word, identical in both engines.
+
+    Scale shape: ONE tokenize pass -> word-frequency agg (map-side
+    combine) -> prefix window with IN-SHUFFLE top-k pruning
+    (WindowGroupLimit) - the vocabulary, not the corpus, is what
+    shuffles. 100 TB: identical; longer prefixes just widen the
+    partition key.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), " "),
+                lambda t: F.length(t) >= AUTOCOMPLETE_MIN_LEN,
+            )
+        ).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").cast("bigint").alias("n"))
+    prefix = F.substring("w", 1, AUTOCOMPLETE_PREFIX)
+    wp = Window.partitionBy(prefix).orderBy(F.desc("n"), "w")
+    return (
+        freq.select(
+            prefix.alias("prefix"),
+            "w",
+            "n",
+            F.row_number().over(wp).cast("bigint").alias("rank"),
+        )
+        .filter(F.col("rank") <= AUTOCOMPLETE_K)
+        .select("prefix", "rank", F.col("w").alias("completion"), "n")
+        .orderBy("prefix", "rank")
+    )

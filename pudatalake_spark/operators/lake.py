@@ -1412,3 +1412,71 @@ def q_lake_column_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+DV_ERASE_MOD = 13  # delete ~1/13 of rows by key hash
+
+
+@register(
+    "q_lake_deletion_vectors",
+    oracle=f"""
+    WITH alive AS (
+      SELECT * FROM orders
+      WHERE ((o_orderkey * 2654435761 + 1013904223) % 1000000007)
+            % {DV_ERASE_MOD} <> 0
+    )
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM alive GROUP BY o_orderstatus ORDER BY status
+    """,
+)
+def q_lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors (the Delta DV /
+    Iceberg positional-delete mechanism): the base table is left
+    UNTOUCHED and deletes are a tiny side table of deleted row
+    positions; every read applies the vector with an anti-join
+    before the query sees a row. Here a deterministic ~1/13 of
+    orders (key-hash) is deleted; the query is the per-status
+    revenue rollup over the SURVIVORS, and the oracle recomputes it
+    from the predicate directly - hash-match proves the
+    read-time-apply path equals the logical delete.
+
+    Contrast pinned in-code: copy-on-write (q_delete_keys) rewrites
+    every file containing a deleted row - O(data touched); the DV
+    write here is O(deletes) (a positions list), trading write
+    amplification for a per-read anti-join that stays cheap because
+    the vector is BROADCAST (deletes are sparse by construction;
+    compaction folds DVs back into files when they accumulate -
+    q_compact_small_files is that job).
+
+    Scale shape: the DV side is (file_id, position) in production;
+    position here is the stable primary key, same semantics. The
+    anti-join broadcasts the vector; the scan and rollup are
+    unchanged. 100 TB: the read overhead is one broadcast probe per
+    scan - the measured reason every modern lakehouse made DVs the
+    default delete path.
+    """
+    o = table(spark, sf_dir, "orders")
+    erased = F.expr(
+        f"((o_orderkey * 2654435761 + 1013904223) % 1000000007)"
+        f" % {DV_ERASE_MOD} = 0"
+    )
+    # The deletion vector: positions (keys) only - O(deletes) bytes.
+    dv = o.filter(erased).select(F.col("o_orderkey").alias("del_key"))
+    alive = o.join(
+        F.broadcast(dv),
+        F.col("o_orderkey") == F.col("del_key"),
+        "left_anti",
+    )
+    return (
+        alive.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .orderBy("status")
+    )

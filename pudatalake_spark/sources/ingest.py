@@ -154,3 +154,94 @@ def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("s_nationkey").alias("n_nations"),
     )
+
+
+@register("src_csv_malformed")  # filesystem + reader modes -> rows-only
+def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-CSV ingestion policy surface: the same file - 150
+    good customer rows plus 3 injected corruptions (wrong column
+    count, unparseable number, bare junk line) - read under Spark's
+    three parser modes: PERMISSIVE (null-fill + capture the raw
+    line in _corrupt_record), DROPMALFORMED (silently keep only
+    clean rows), FAILFAST (probed: must raise - asserted, not
+    returned). One row per mode with parsed/corrupt counts - the
+    ingestion-contract decision every CSV feed forces, made
+    testable (the ingest sibling of q_quality_expectations' batch
+    gate: mode choice decides whether bad rows become NULLs,
+    disappear, or stop the pipeline).
+
+    Rows-only BY DESIGN (reader-mode semantics are engine surface,
+    not relational algebra). Deterministic: corruption lines are
+    literals appended to a deterministic export.
+
+    Scale shape: parser mode is a per-task scan option - no
+    shuffle, no driver involvement; _corrupt_record routes bad
+    lines to a quarantine column scanned like any other (the
+    standard dead-letter pattern at 100 TB).
+    """
+    out = _scratch("csv", "customer_malformed") + ".csv"
+    c = table(spark, sf_dir, "customer").orderBy("c_custkey").limit(150)
+    rows = [
+        f"{r.c_custkey},{r.c_name},{r.c_nationkey},{r.c_acctbal},{r.c_mktsegment}"
+        for r in c.collect()  # bounded: 150 rows, export fixture
+    ]
+    rows.insert(50, "9001,BadColumns,7")                  # too few cols
+    rows.insert(100, "9002,BadNumber,XX,not_a_number,AUTOMOBILE")
+    rows.append("complete junk line without commas")
+    with open(out, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string, _corrupt_record string"
+    )
+    # Spark refuses _corrupt_record-only queries on the raw scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache the parsed frame
+    # first, exactly as the error message prescribes.
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()
+    )
+    perm_total = permissive.count()
+    perm_corrupt = permissive.filter(
+        F.col("_corrupt_record").isNotNull()
+    ).count()
+    permissive.unpersist()
+    # Column pruning is the trap: count() parses NO data columns, so
+    # DROPMALFORMED never drops and FAILFAST never fails (probed -
+    # both modes only fire for columns the plan actually reads).
+    # Reference every column through an aggregate to force the parse.
+    strict_schema = (
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    )
+
+    def _full_parse_count(df):
+        cols = [F.count(c) for c in df.columns]
+        row = df.agg(F.count("*").alias("n"), *cols).collect()[0]
+        return row["n"]
+
+    dropm = _full_parse_count(
+        spark.read.schema(strict_schema)
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+    )
+    failfast_raised = 0
+    try:
+        _full_parse_count(
+            spark.read.schema(strict_schema)
+            .option("mode", "FAILFAST")
+            .csv(out)
+        )
+    except Exception:  # Py4J wraps the executor SparkRuntimeException
+        failfast_raised = 1
+    return spark.createDataFrame(
+        [
+            ("PERMISSIVE", perm_total, perm_corrupt),
+            ("DROPMALFORMED", dropm, 153 - dropm),
+            ("FAILFAST", 0, failfast_raised),
+        ],
+        "mode string, n_rows long, n_flagged long",
+    ).orderBy("mode")

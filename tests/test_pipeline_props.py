@@ -1167,3 +1167,61 @@ def test_cluster_nmi_matches_sklearn_free(spark):
     assert row.mutual_info == pytest.approx(mi, abs=2e-6)
     assert row.nmi == pytest.approx(mi / np.sqrt(hc * hl), abs=2e-6)
     assert 0 <= row.nmi <= 1
+
+
+def test_dim_truncation_recall_ladder(spark):
+    """Recall must be measured against the full ranking: dim=64 would
+    be 1.0 by construction; 16 <= 32 is the expected monotone ladder
+    (checked weakly: 32-dim recall within [16-dim recall - 0.1, 1])."""
+    rows = {r.dim: r for r in registry.QUERIES["q_sim_dim_truncation"](
+        spark, SF_DIR).collect()}
+    assert set(rows) == {16, 32}
+    for r in rows.values():
+        assert r.n_queries == 10
+        assert 0 <= r.recall_at_5 <= 1
+        assert r.hits == round(r.recall_at_5 * 50)
+    assert rows[32].recall_at_5 >= rows[16].recall_at_5 - 0.1
+    # numpy cross-check of the 16-dim recall
+    e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
+        "vec_id"
+    )
+    V = np.stack(e.embedding.map(lambda a: np.asarray(a, np.float64)))
+    ids = e.vec_id.to_numpy()
+
+    def topk(dim):
+        P = V[:, :dim]
+        nrm = np.linalg.norm(P, axis=1)
+        out = {}
+        for qi in range(10):
+            cos = np.round(P @ P[qi] / (nrm * nrm[qi]), 6)
+            order = sorted(
+                ((-cos[i], int(ids[i])) for i in range(len(V))
+                 if ids[i] != qi)
+            )[:5]
+            out[qi] = {c for _, c in order}
+        return out
+
+    full, d16 = topk(64), topk(16)
+    hits = sum(len(full[q] & d16[q]) for q in range(10))
+    assert rows[16].hits == hits
+
+
+def test_autocomplete_matches_python(spark):
+    import collections
+
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    freq = collections.Counter(
+        w
+        for t in d.text
+        for w in str(t).lower().split(" ")
+        if len(w) >= 4
+    )
+    by_prefix = collections.defaultdict(list)
+    for w, n in freq.items():
+        by_prefix[w[:3]].append((-n, w))
+    ref = []
+    for p in sorted(by_prefix):
+        for rk, (negn, w) in enumerate(sorted(by_prefix[p])[:3], 1):
+            ref.append((p, rk, w, -negn))
+    rows = registry.QUERIES["q_text_autocomplete"](spark, SF_DIR).collect()
+    assert [(r.prefix, r.rank, r.completion, r.n) for r in rows] == ref

@@ -351,3 +351,46 @@ def test_clone_shallow_isolation(spark):
     rows = registry.QUERIES["q_lake_clone_shallow"](spark, SF_DIR).collect()
     assert len(rows) == 5
     assert all(r.ok == 1 for r in rows)
+
+
+def test_csv_malformed_modes(spark):
+    from pudatalake_spark import registry
+    from tests.conftest import SF_DIR
+
+    rows = {r.mode: r for r in registry.QUERIES["src_csv_malformed"](
+        spark, SF_DIR).collect()}
+    assert rows["PERMISSIVE"].n_rows == 153
+    assert rows["PERMISSIVE"].n_flagged == 3
+    assert rows["DROPMALFORMED"].n_rows == 150
+    assert rows["DROPMALFORMED"].n_flagged == 3
+    assert rows["FAILFAST"].n_flagged == 1  # the raise happened
+
+
+def test_deletion_vectors_equals_cow_delete(spark):
+    """Merge-on-read DV result must equal the copy-on-write filtered
+    rollup computed directly."""
+    from pudatalake_spark import registry
+    from pudatalake_spark.loaders import table
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    o = table(spark, SF_DIR, "orders")
+    keep = F.expr(
+        "((o_orderkey * 2654435761 + 1013904223) % 1000000007) % 13 <> 0"
+    )
+    ref = {
+        r.status: (r.n_rows, r.total_cents)
+        for r in o.filter(keep)
+        .groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("total_cents"),
+        )
+        .collect()
+    }
+    rows = registry.QUERIES["q_lake_deletion_vectors"](
+        spark, SF_DIR
+    ).collect()
+    assert {r.status: (r.n_rows, r.total_cents) for r in rows} == ref
