@@ -1213,3 +1213,75 @@ def q_graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("community")
     )
+
+
+@register(
+    "q_graph_centralization",
+    oracle=f"""
+    WITH edges AS ({_EDGES_SQL}),
+    deg AS (
+      SELECT node, CAST(sum(d) AS BIGINT) AS deg FROM (
+        SELECT 'C' || CAST(ck AS VARCHAR) AS node, count(*) AS d
+        FROM edges GROUP BY ck
+        UNION ALL
+        SELECT 'S' || CAST(sk AS VARCHAR), count(*)
+        FROM edges GROUP BY sk
+      ) GROUP BY node
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(max(deg) AS BIGINT) AS dmax,
+             CAST(sum(deg) AS BIGINT) AS dsum
+      FROM deg
+    )
+    SELECT n, dmax,
+           CAST(dsum AS DOUBLE) / n AS mean_degree,
+           CAST(n * dmax - dsum AS DOUBLE)
+             / (CAST(n - 1 AS DOUBLE) * (n - 2)) AS centralization
+    FROM g
+    """,
+)
+def q_graph_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeman degree centralization of the purchase graph:
+    sum(d_max - d_i) / ((n-1)(n-2)) - the [0,1] "how star-like is
+    this network" summary (0 = regular, 1 = perfect star), the
+    one-number companion to q_graph_degree's full distribution and
+    q_graph_assortativity's mixing coefficient: hub-dominated
+    purchase graphs are exactly where skew-salted joins
+    (q_join_skew_salted) earn their keep, and this is the metric
+    that says so.
+
+    Exactness: degrees / n / max / sum all exact int64 (note
+    sum(d_max - d_i) = n*d_max - sum d, so no per-node second
+    pass); ONE division, unrounded.
+
+    Scale shape: the q_graph_degree shuffle -> 1-row min/max agg ->
+    arithmetic. 100 TB: identical.
+    """
+    t = load(spark, sf_dir)
+    e = _bipartite_edges(t)
+    deg = (
+        e.groupBy(F.concat(F.lit("C"), F.col("ck").cast("string")).alias("node"))
+        .agg(F.count("*").alias("d"))
+        .unionAll(
+            e.groupBy(
+                F.concat(F.lit("S"), F.col("sk").cast("string")).alias("node")
+            ).agg(F.count("*").alias("d"))
+        )
+        .groupBy("node")
+        .agg(F.sum("d").cast("bigint").alias("deg"))
+    )
+    g = deg.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max("deg").cast("bigint").alias("dmax"),
+        F.sum("deg").cast("bigint").alias("dsum"),
+    )
+    return g.select(
+        "n",
+        "dmax",
+        (F.col("dsum").cast("double") / F.col("n")).alias("mean_degree"),
+        (
+            (F.col("n") * F.col("dmax") - F.col("dsum")).cast("double")
+            / ((F.col("n") - 1).cast("double") * (F.col("n") - 2))
+        ).alias("centralization"),
+    )

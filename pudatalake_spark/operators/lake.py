@@ -1480,3 +1480,163 @@ def q_lake_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+MIX_LAYOUT_CUTOFF = "1997-01-01"  # history stays unpartitioned
+
+
+@register(
+    "q_lake_mixed_layout",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_lake_mixed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lazy partition-layout migration: HISTORY lives in the old
+    unpartitioned layout, NEW data lands partitioned by event_type,
+    and queries read both through one unionByName view - the
+    migration pattern that avoids rewriting history when a table
+    changes its partitioning (rewrite happens opportunistically via
+    compaction, not as a blocking backfill). The rollup over the
+    mixed view hash-matches the single-table oracle, proving the
+    seam is invisible to queries.
+
+    The asymmetry IS the point and is observable in the plan: the
+    event_type predicate PARTITION-PRUNES the new layout (reads 2
+    of 5 directories) but only row-filters the old one - the
+    measured incentive to eventually compact history into the new
+    layout (q_compact_small_files + sink_parquet_partitioned are
+    those pieces).
+
+    Rows-on-oracle: the result is fully SQL-checkable; the layout
+    split is scratch-local and deterministic by the date cutoff.
+
+    Scale shape: two scans + unionByName; Catalyst pushes the
+    filter into both branches independently (pruning where the
+    layout allows). 100 TB: exactly how Hive->Iceberg style
+    migrations serve reads mid-migration.
+    """
+    e = table(spark, sf_dir, "events")
+    old_dir = _scratch("lake", "events_layout_old")
+    new_dir = _scratch("lake", "events_layout_new")
+    cutoff = F.lit(MIX_LAYOUT_CUTOFF).cast("timestamp")
+    e.filter(F.col("ts") < cutoff).write.mode("overwrite").parquet(
+        old_dir
+    )
+    e.filter(F.col("ts") >= cutoff).repartition("event_type").write.mode(
+        "overwrite"
+    ).partitionBy("event_type").parquet(new_dir)
+    old = spark.read.schema(e.schema).parquet(old_dir)
+    # partitioned read-back: event_type comes back as a partition
+    # column; align column order with unionByName.
+    new = spark.read.parquet(new_dir)
+    mixed = old.unionByName(new.select(*old.columns))
+    return (
+        mixed.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_quality_freshness",
+    oracle="""
+    WITH marks AS (
+      SELECT 'events' AS tbl, max(ts) AS latest,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events
+      UNION ALL
+      SELECT 'orders', CAST(max(o_orderdate) AS TIMESTAMP),
+             CAST(count(*) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', CAST(max(l_shipdate) AS TIMESTAMP),
+             CAST(count(*) AS BIGINT)
+      FROM lineitem
+    ),
+    now_ref AS (SELECT max(latest) AS now_ts FROM marks)
+    SELECT m.tbl, m.n_rows,
+           CAST(m.latest AS VARCHAR) AS latest_mark,
+           CAST(date_diff('day', CAST(m.latest AS DATE),
+                          CAST(n.now_ts AS DATE)) AS BIGINT)
+               AS staleness_days,
+           CASE WHEN date_diff('day', CAST(m.latest AS DATE),
+                               CAST(n.now_ts AS DATE)) <= 36500
+                THEN 1 ELSE 0 END AS within_sla
+    FROM marks m CROSS JOIN now_ref n ORDER BY m.tbl
+    """,
+)
+def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA audit: each table's latest watermark
+    column (events.ts, orders.o_orderdate, lineitem.l_shipdate),
+    its staleness against the lake-wide reference "now" (the max
+    watermark across tables - deterministic, so both engines and
+    every rerun agree; production substitutes the wall clock), and
+    an SLA flag - the freshness face of the DQ triangle next to
+    q_quality_expectations (validity) and q_privacy_kanon
+    (governance); staleness is THE first alert any data-platform
+    on-call checks. The TPC-H dates sit years apart by fixture
+    design, so the wide SLA bound keeps the flag column exercised
+    without asserting fixture accidents.
+
+    Exactness: watermarks are max() of exact column values;
+    staleness is integer day arithmetic on CAST-to-DATE values,
+    identical in both engines.
+
+    Scale shape: one column-pruned max/count agg per table
+    (metadata-answerable from parquet footers at 100 TB - the
+    zero-read fast path production planners take), 1-row reference
+    broadcast.
+    """
+    e = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    marks = (
+        e.agg(
+            F.lit("events").alias("tbl"),
+            F.max("ts").alias("latest"),
+            F.count("*").cast("bigint").alias("n_rows"),
+        )
+        .select("tbl", "latest", "n_rows")
+        .unionAll(
+            o.agg(
+                F.lit("orders").alias("tbl"),
+                F.max("o_orderdate").cast("timestamp").alias("latest"),
+                F.count("*").cast("bigint").alias("n_rows"),
+            ).select("tbl", "latest", "n_rows")
+        )
+        .unionAll(
+            li.agg(
+                F.lit("lineitem").alias("tbl"),
+                F.max("l_shipdate").cast("timestamp").alias("latest"),
+                F.count("*").cast("bigint").alias("n_rows"),
+            ).select("tbl", "latest", "n_rows")
+        )
+    )
+    now_ref = marks.agg(F.max("latest").alias("now_ts"))
+    stale = F.datediff(
+        F.to_date(F.col("now_ts")), F.to_date(F.col("latest"))
+    ).cast("bigint")
+    return (
+        marks.crossJoin(F.broadcast(now_ref))
+        .select(
+            "tbl",
+            "n_rows",
+            F.col("latest").cast("string").alias("latest_mark"),
+            stale.alias("staleness_days"),
+            F.when(stale <= 36500, 1).otherwise(0).alias("within_sla"),
+        )
+        .orderBy("tbl")
+    )

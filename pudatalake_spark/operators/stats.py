@@ -4383,3 +4383,109 @@ def q_stats_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("w")
     )
+
+
+MSPRT_TAU = "1.0"  # mixture variance (the tuning parameter)
+MSPRT_ALPHA_INV = 20.0  # reject when Lambda > 1/alpha (alpha = .05)
+
+
+@register(
+    "q_stats_msprt",
+    oracle=f"""
+    WITH u AS (
+      SELECT CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})
+                        % {FDR_HASH_P}) % 2 = 0 THEN 1 ELSE 0 END AS a,
+             CASE WHEN 2 * sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)
+                    > sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS s
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(sum(a) AS BIGINT) AS na,
+             CAST(sum(a * s) AS BIGINT) AS ka,
+             CAST(count(*) - sum(a) AS BIGINT) AS nb,
+             CAST(sum((1 - a) * s) AS BIGINT) AS kb
+      FROM u
+    ),
+    z AS (
+      SELECT na, nb, ka, kb,
+             (CAST(kb AS DOUBLE) / nb - CAST(ka AS DOUBLE) / na) AS d,
+             (CAST(ka + kb AS DOUBLE) / (na + nb))
+               * (1.0 - CAST(ka + kb AS DOUBLE) / (na + nb))
+               * (1.0 / na + 1.0 / nb) AS v
+      FROM agg
+    )
+    SELECT na, nb, ka, kb, round(d, 6) AS diff,
+           round(sqrt(v / (v + {MSPRT_TAU}))
+                 * exp({MSPRT_TAU} * d * d
+                       / (2.0 * v * (v + {MSPRT_TAU}))), 6)
+               AS mixture_lr,
+           CASE WHEN sqrt(v / (v + {MSPRT_TAU}))
+                     * exp({MSPRT_TAU} * d * d
+                           / (2.0 * v * (v + {MSPRT_TAU})))
+                     > {MSPRT_ALPHA_INV} THEN 1 ELSE 0 END AS reject
+    FROM z
+    """,
+)
+def q_stats_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT, the
+    always-valid inference behind "peeking-safe" experiment
+    dashboards - Johari et al. 2017): the Gaussian-mixture
+    likelihood ratio Lambda = sqrt(v/(v+tau)) * exp(tau d^2 /
+    (2 v (v+tau))) for the B-A conversion difference, with the
+    level-alpha decision Lambda > 1/alpha - unlike
+    q_events_ab_welch's fixed-horizon t, this statistic can be
+    monitored CONTINUOUSLY and rejected the moment it crosses,
+    with type-I error still controlled at alpha.
+
+    Exactness: counts int64 from one per-user agg; d and v are
+    integer-division compositions; exp is the one libm surface
+    (6dp-rounded, the FDR rule) and the reject flag compares the
+    unrounded Lambda to a literal.
+
+    Scale shape: fact -> user agg -> 1-row arithmetic; streaming
+    deployments recompute the same 1-row frame per micro-batch
+    (s_stateful_running is that harness). 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_cv = F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+    u = e.groupBy("user_id").agg(
+        F.when(2 * F.sum(is_purch) > F.sum(is_cv), 1)
+        .otherwise(0)
+        .alias("s")
+    ).select(
+        F.expr(
+            f"CASE WHEN ((user_id * {FDR_HASH_A} + {FDR_HASH_B})"
+            f" % {FDR_HASH_P}) % 2 = 0 THEN 1 ELSE 0 END"
+        ).alias("a"),
+        "s",
+    )
+    agg = u.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum(F.col("a") * F.col("s")).cast("bigint").alias("ka"),
+        (F.count("*") - F.sum("a")).cast("bigint").alias("nb"),
+        F.sum((1 - F.col("a")) * F.col("s")).cast("bigint").alias("kb"),
+    )
+    d = F.col("kb").cast("double") / F.col("nb") - F.col("ka").cast(
+        "double"
+    ) / F.col("na")
+    pool = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    v = pool * (1.0 - pool) * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    tau = float(MSPRT_TAU)
+    lam = F.sqrt(v / (v + tau)) * F.exp(
+        tau * d * d / (2.0 * v * (v + tau))
+    )
+    return agg.select(
+        "na",
+        "nb",
+        "ka",
+        "kb",
+        F.round(d, 6).alias("diff"),
+        F.round(lam, 6).alias("mixture_lr"),
+        F.when(lam > MSPRT_ALPHA_INV, 1).otherwise(0).alias("reject"),
+    )

@@ -295,6 +295,7 @@ def test_wap_publish_gates_on_audit(spark, tmp_path):
     from pudatalake_spark import registry
     from tests.conftest import SF_DIR
 
+    registry.load_all()
     rows = registry.QUERIES["q_lake_wap_publish"](spark, SF_DIR).collect()
     assert {r.rule for r in rows} == {
         "orderkey_unique_in_batch",
@@ -311,6 +312,8 @@ def test_wap_publish_gates_on_audit(spark, tmp_path):
 
 def test_jsonl_roundtrip_lossless(spark):
     from pudatalake_spark import registry
+
+    registry.load_all()
     from tests.conftest import SF_DIR
 
     rows = registry.QUERIES["sink_jsonl_export"](spark, SF_DIR).collect()
@@ -346,6 +349,8 @@ def test_cross_corpus_is_cross_parity_subset(spark):
 
 def test_clone_shallow_isolation(spark):
     from pudatalake_spark import registry
+
+    registry.load_all()
     from tests.conftest import SF_DIR
 
     rows = registry.QUERIES["q_lake_clone_shallow"](spark, SF_DIR).collect()
@@ -355,6 +360,8 @@ def test_clone_shallow_isolation(spark):
 
 def test_csv_malformed_modes(spark):
     from pudatalake_spark import registry
+
+    registry.load_all()
     from tests.conftest import SF_DIR
 
     rows = {r.mode: r for r in registry.QUERIES["src_csv_malformed"](
@@ -394,3 +401,35 @@ def test_deletion_vectors_equals_cow_delete(spark):
         spark, SF_DIR
     ).collect()
     assert {r.status: (r.n_rows, r.total_cents) for r in rows} == ref
+
+
+def test_mixed_layout_prunes_new_branch(spark):
+    """The partitioned branch of the mixed-layout read must carry
+    PartitionFilters for the event_type predicate; the legacy branch
+    cannot (it row-filters) - the asymmetry the operator documents."""
+    from pudatalake_spark import registry
+    from tests.conftest import SF_DIR
+
+    df = registry.QUERIES["q_lake_mixed_layout"](spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [" in plan
+    assert "event_type" in plan.split("PartitionFilters:")[1][:200]
+
+
+def test_freshness_marks_match_pandas(spark):
+    import pandas as pd
+
+    from pudatalake_spark import registry
+    from tests.conftest import SF_DIR
+
+    e = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    rows = {r.tbl: r for r in registry.QUERIES["q_quality_freshness"](
+        spark, SF_DIR).collect()}
+    assert rows["events"].n_rows == len(e)
+    assert rows["orders"].n_rows == len(o)
+    assert all(r.within_sla == 1 for r in rows.values())
+    # events carries the lake-wide max watermark -> staleness 0
+    assert rows["events"].staleness_days == 0

@@ -1414,3 +1414,28 @@ def test_hurst_matches_python(spark, events_pdf):
     h_ref = np.polyfit(xs, ys, 1)[0]
     for r in rows.values():
         assert r.hurst_h == pytest.approx(h_ref, abs=2e-6)
+
+
+def test_msprt_matches_formula(spark, events_pdf):
+    A, B, P = 2654435761, 1013904223, 1_000_000_007
+    g = events_pdf.groupby("user_id").event_type
+    purch = g.apply(lambda s: (s == "purchase").sum())
+    cv = g.apply(lambda s: s.isin(["click", "view"]).sum())
+    succ = (2 * purch > cv).astype(int)
+    a = pd.Series(
+        [1 if ((u * A + B) % P) % 2 == 0 else 0 for u in succ.index],
+        index=succ.index,
+    )
+    na, ka = int((a == 1).sum()), int(succ[a == 1].sum())
+    nb, kb = int((a == 0).sum()), int(succ[a == 0].sum())
+    d = kb / nb - ka / na
+    pool = (ka + kb) / (na + nb)
+    v = pool * (1 - pool) * (1 / na + 1 / nb)
+    tau = 1.0
+    lam = np.sqrt(v / (v + tau)) * np.exp(
+        tau * d * d / (2 * v * (v + tau))
+    )
+    row = registry.QUERIES["q_stats_msprt"](spark, SF_DIR).collect()[0]
+    assert (row.na, row.ka, row.nb, row.kb) == (na, ka, nb, kb)
+    assert row.mixture_lr == pytest.approx(lam, abs=2e-6)
+    assert row.reject == int(lam > 20.0)
