@@ -1945,8 +1945,8 @@ def _trunc_rank_sql(dim: int) -> str:
            FROM full64)
     SELECT CAST(m.dim AS BIGINT) AS dim, nq.n_queries,
            CAST(m.hits AS BIGINT) AS hits,
-           CAST(m.hits AS DOUBLE) / ({MRL_K} * nq.n_queries)
-               AS recall_at_{MRL_K}
+           CAST(m.hits AS DOUBLE)
+             / nullif({MRL_K} * nq.n_queries, 0) AS recall_at_{MRL_K}
     FROM m CROSS JOIN nq ORDER BY dim
     """,
 )
@@ -2027,7 +2027,9 @@ def q_sim_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hits",
                 (
                     F.col("hits").cast("double")
-                    / (MRL_K * F.col("n_queries"))
+                    / F.nullif(
+                        MRL_K * F.col("n_queries"), F.lit(0)
+                    )
                 ).alias(f"recall_at_{MRL_K}"),
             )
         )

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..loaders import load, table
+from ..loaders import cached, load, table
 from ..registry import register
 from ..functions.exact import avg_exact
 
@@ -1297,6 +1297,11 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
+    # x feeds three ln-sum passes (group, global, decomposition):
+    # cache the per-customer frame so the orders join+agg runs once
+    # (the un-cached diamond re-scanned the fact join 24 times,
+    # caught by the plan survey).
+    x = cached(x)
     g = x.groupBy("nation").agg(
         F.count("*").cast("bigint").alias("n_g"),
         F.sum("cents").cast("bigint").alias("x_g"),

@@ -1118,7 +1118,12 @@ def q_graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern); 100 TB: identical shapes per round.
     """
     t = load(spark, sf_dir)
-    bip = _bipartite_edges(t)
+    # The symmetric edge list feeds THREE consumers (2m, deg, kuc):
+    # localCheckpoint once (lazy - the pagerank protocol) so the
+    # orders><lineitem derivation runs once, not per consumer (the
+    # un-checkpointed plan re-scanned the fact tables 23 times,
+    # caught by the plan survey).
+    bip = _bipartite_edges(t).localCheckpoint(eager=False)
     c = F.concat(F.lit("C"), F.col("ck").cast("string"))
     s = F.concat(F.lit("S"), F.col("sk").cast("string"))
     ed = bip.select(c.alias("u"), s.alias("v")).unionAll(

@@ -1269,7 +1269,7 @@ def q_lake_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT col, n_rows, n_nonnull, ndv, min_v, max_v,
            round(avg_width, 4) AS avg_width,
-           CAST(n_rows AS DOUBLE) / ndv AS rows_per_value
+           CAST(n_rows AS DOUBLE) / nullif(ndv, 0) AS rows_per_value
     FROM s ORDER BY col
     """,
 )
@@ -1335,9 +1335,10 @@ def q_lake_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_v",
         "max_v",
         F.round("avg_width", 4).alias("avg_width"),
-        (F.col("n_rows").cast("double") / F.col("ndv")).alias(
-            "rows_per_value"
-        ),
+        (
+            F.col("n_rows").cast("double")
+            / F.nullif(F.col("ndv"), F.lit(0))
+        ).alias("rows_per_value"),
     ).orderBy("col")
 
 
@@ -1534,8 +1535,11 @@ def q_lake_mixed_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).partitionBy("event_type").parquet(new_dir)
     old = spark.read.schema(e.schema).parquet(old_dir)
     # partitioned read-back: event_type comes back as a partition
-    # column; align column order with unionByName.
-    new = spark.read.parquet(new_dir)
+    # column; align column order with unionByName. The explicit
+    # schema also keeps a ZERO-ROW new layout readable (no
+    # partition dirs -> inference has nothing to infer; caught by
+    # the empty-relation sweep).
+    new = spark.read.schema(e.schema).parquet(new_dir)
     mixed = old.unionByName(new.select(*old.columns))
     return (
         mixed.filter(F.col("event_type").isin("click", "purchase"))

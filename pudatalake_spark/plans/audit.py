@@ -605,6 +605,35 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct", r"BatchEvalPython"],
         "RAKE: broadcast word-stat probes + streaming top-k, JVM-side",
     ),
+    "q_text_bm25": (
+        # query-pruned tf frame + broadcast df/corpus stats; top-k is
+        # the streaming operator.
+        [r"TakeOrderedAndProject", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython", r"Window"],
+        "BM25: inverted-index probe, broadcast stats, streaming top-k",
+    ),
+    "q_lake_deletion_vectors": (
+        # the DV applies as a BROADCAST anti-join; the scan+rollup
+        # must not degrade to a shuffled join.
+        [r"BroadcastHashJoin.*LeftAnti|LeftAnti.*BroadcastHashJoin",
+         r"partial_sum"],
+        [r"SortMergeJoin", r"CartesianProduct", r"BatchEvalPython"],
+        "deletion vectors: broadcast anti-probe + two-phase rollup",
+    ),
+    "q_lake_incremental_agg": (
+        # base/delta partial aggs merge through a union re-agg - no
+        # window, no join; three hash aggregation layers.
+        [r"Union", r"partial_sum"],
+        [r"Window", r"SortMergeJoin", r"BatchEvalPython"],
+        "IVM merge: union of partial aggs re-aggregated, join-free",
+    ),
+    "q_graph_louvain_round": (
+        # per-node argmax prunes in-shuffle; label/total dims ride
+        # broadcasts; the edge self-join never degenerates.
+        [r"WindowGroupLimit", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython"],
+        "louvain round: broadcast dims + in-shuffle argmax",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
