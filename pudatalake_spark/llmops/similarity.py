@@ -2035,3 +2035,87 @@ def q_sim_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("dim")
+
+
+@register(
+    "q_sim_isotropy",
+    oracle="""
+    WITH e AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM e
+    ),
+    pd AS (
+      SELECT CAST(dim AS BIGINT) AS dim,
+             round(avg(x * x) - avg(x) * avg(x), 6) AS var_d
+      FROM dims GROUP BY dim
+    ),
+    g AS (
+      SELECT count(*) AS d, sum(var_d) AS s1,
+             sum(var_d * var_d) AS s2,
+             max(var_d) AS vmax, min(var_d) AS vmin
+      FROM pd
+    )
+    SELECT CAST(d AS BIGINT) AS n_dims,
+           round(s1 / d, 6) AS mean_var,
+           round(vmax, 6) AS max_var, round(vmin, 6) AS min_var,
+           round(sqrt(d * s2 - s1 * s1) / s1, 6) AS cv_of_vars,
+           round(1.0 - sqrt(greatest(d * s2 - s1 * s1, 0.0))
+                       / (s1 * sqrt(CAST(d - 1 AS DOUBLE))), 6)
+               AS isotropy_score
+    FROM g
+    """,
+)
+def q_sim_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy diagnostic: the per-dimension
+    variance spectrum summarized as its coefficient of variation
+    and an IsoScore-style [0,1] uniformity (1 = all dims carry
+    equal variance; 0 = one dim dominates) - anisotropic embedding
+    spaces are exactly where raw cosine similarity degrades (the
+    "narrow cone" pathology), so this is the health check run
+    BEFORE trusting q_sim_cosine_topk rankings or choosing
+    whitening/q_embeddings_pca_power post-processing.
+
+    Determinism: per-dim variances via the q_sim_embedding_drift
+    protocol (posexplode avg aggs, 6dp-rounded); all global sums
+    run over the 64 ROUNDED values behind 6dp output rounds; the
+    score normalizes the variance-spectrum sd by its max possible
+    (s1*sqrt(d-1), attained by the one-hot spectrum).
+
+    Scale shape: one posexplode pass -> 64-row two-phase agg ->
+    1-row arithmetic; cost is one scan at any corpus size.
+    """
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        _vd("embedding").alias("v")
+    )
+    dims = e.select(F.posexplode("v").alias("pos0", "x")).select(
+        F.col("pos0").cast("bigint").alias("dim"), "x"
+    )
+    pd_ = dims.groupBy("dim").agg(
+        F.round(
+            F.avg(F.col("x") * F.col("x")) - F.avg("x") * F.avg("x"), 6
+        ).alias("var_d")
+    )
+    g = pd_.agg(
+        F.count("*").alias("d"),
+        F.sum("var_d").alias("s1"),
+        F.sum(F.col("var_d") * F.col("var_d")).alias("s2"),
+        F.max("var_d").alias("vmax"),
+        F.min("var_d").alias("vmin"),
+    )
+    d, s1, s2 = F.col("d"), F.col("s1"), F.col("s2")
+    return g.select(
+        d.cast("bigint").alias("n_dims"),
+        F.round(s1 / d, 6).alias("mean_var"),
+        F.round("vmax", 6).alias("max_var"),
+        F.round("vmin", 6).alias("min_var"),
+        F.round(F.sqrt(d * s2 - s1 * s1) / s1, 6).alias("cv_of_vars"),
+        F.round(
+            1.0
+            - F.sqrt(F.greatest(d * s2 - s1 * s1, F.lit(0.0)))
+            / (s1 * F.sqrt((d - 1).cast("double"))),
+            6,
+        ).alias("isotropy_score"),
+    )

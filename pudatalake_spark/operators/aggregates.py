@@ -1350,3 +1350,101 @@ def q_agg_theil(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+SKETCH_ERR_QS = (0.1, 0.5, 0.9, 0.99)
+SKETCH_ERR_ACC = 1000  # percentile_approx accuracy parameter
+
+
+@register("q_stats_sketch_error")  # measures an engine sketch -> rows-only
+def q_stats_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-error measurement: percentile_approx (Spark's
+    KLL-style quantile sketch at accuracy 1000) evaluated against
+    the EXACT rank-picked quantiles of order value at p10/p50/p90/
+    p99, reporting absolute and RANK error per quantile - the
+    q_sim_recall_eval discipline applied to the approx-aggregate
+    family (an approximation you have not measured is a guess;
+    the guarantee is on RANK error <= 1/accuracy, which is what
+    the bound column checks).
+
+    Rows-only BY DESIGN: the sketch is engine-specific (DuckDB has
+    no bit-identical twin); the EXACT side is independently
+    computed in-plan and the error bound is asserted in the pinned
+    test.
+
+    Scale shape: the exact side is one rank window (the DKW/
+    winsorized pick); the sketch side is ONE mergeable two-phase
+    agg - the 100 TB path, which is exactly why its error needs
+    measuring before it replaces exact ranks at scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("o_orderkey").alias("k"),
+    )
+    r = v.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "k")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    qs = spark.createDataFrame(
+        [(q,) for q in SKETCH_ERR_QS], "q double"
+    )
+    exact = (
+        r.crossJoin(F.broadcast(qs))
+        .filter(
+            F.col("rn")
+            == F.greatest(
+                F.lit(1),
+                F.ceil(F.col("q") * F.col("n")).cast("long"),
+            )
+        )
+        .select(
+            "q", F.col("cents").alias("exact_cents"), "n",
+            F.col("rn").alias("exact_rank"),
+        )
+    )
+    approx = o.agg(
+        F.percentile_approx(
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+            list(SKETCH_ERR_QS),
+            SKETCH_ERR_ACC,
+        ).alias("apx")
+    ).select(
+        F.posexplode("apx").alias("i", "approx_cents")
+    ).join(
+        F.broadcast(
+            spark.createDataFrame(
+                [(i, q) for i, q in enumerate(SKETCH_ERR_QS)],
+                "i int, q double",
+            )
+        ),
+        "i",
+    )
+    # rank of the sketch's answer within the exact order statistics
+    apx_rank = (
+        approx.join(r, F.col("cents") <= F.col("approx_cents"))
+        .groupBy("q", "approx_cents")
+        .agg(F.max("rn").cast("bigint").alias("approx_rank"))
+    )
+    return (
+        exact.join(apx_rank, "q")
+        .select(
+            "q",
+            "n",
+            "exact_cents",
+            "approx_cents",
+            (F.col("approx_cents") - F.col("exact_cents")).alias(
+                "abs_err_cents"
+            ),
+            (
+                F.abs(F.col("approx_rank") - F.col("exact_rank")).cast(
+                    "double"
+                )
+                / F.col("n")
+            ).alias("rank_err"),
+        )
+        .orderBy("q")
+    )

@@ -4451,3 +4451,142 @@ def q_events_kpi_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(x2 / x1) / d_rev, 6).alias("contribution"),
         F.round(d_rev, 6).alias("delta_ln_revenue"),
     ).orderBy("factor")
+
+
+RET_FIT_MAX_T = 14
+RET_FIT_PREDICT_T = 30
+
+
+@register(
+    "q_events_retention_fit",
+    oracle=f"""
+    WITH days AS (
+      SELECT user_id,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    d0 AS (SELECT min(ed) AS d0 FROM days),
+    cohort AS (
+      SELECT DISTINCT user_id FROM days CROSS JOIN d0 WHERE ed = d0
+    ),
+    curve AS (
+      SELECT CAST(t.t AS BIGINT) AS t,
+             CAST((SELECT count(*) FROM cohort) AS BIGINT) AS n0,
+             CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_t
+      FROM (SELECT unnest(range(1, {RET_FIT_MAX_T + 1})) AS t) t
+      CROSS JOIN d0
+      LEFT JOIN days d ON d.ed = d0.d0 + t.t
+        AND d.user_id IN (SELECT user_id FROM cohort)
+      GROUP BY t.t
+    ),
+    pts AS (
+      SELECT t, n0, n_t, CAST(n_t AS DOUBLE) / n0 AS r,
+             ln(CAST(t AS DOUBLE)) AS x,
+             ln(CAST(n_t AS DOUBLE) / n0) AS y
+      FROM curve WHERE n_t > 0
+    ),
+    fit AS (
+      SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    )
+    SELECT p.t, p.n_t, round(p.r, 6) AS retention,
+           round((f.k * f.sxy - f.sx * f.sy)
+                 / (f.k * f.sxx - f.sx * f.sx), 6) AS decay_b,
+           round(exp((f.sy - (f.k * f.sxy - f.sx * f.sy)
+                      / (f.k * f.sxx - f.sx * f.sx) * f.sx) / f.k
+                     + (f.k * f.sxy - f.sx * f.sy)
+                       / (f.k * f.sxx - f.sx * f.sx)
+                       * ln(CAST({RET_FIT_PREDICT_T} AS DOUBLE))), 6)
+               AS predicted_day{RET_FIT_PREDICT_T}
+    FROM pts p CROSS JOIN fit f ORDER BY p.t
+    """,
+)
+def q_events_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-law retention-curve fit r(t) = a * t^-b over the
+    day-0 cohort's daily return rates (t = 1..14), with the
+    extrapolated day-30 retention - the "shape of the curve"
+    summary (b is THE retention quality number: flattening curves
+    have small b) that turns q_events_retention's observed
+    triangle into a forward forecast, exactly how consumer teams
+    project long-horizon retention from two weeks of data
+    (power-law decay is the standard empirical fit; exponential
+    underfits the fat tail).
+
+    Exactness: cohort and return counts are exact int64 distinct
+    aggs on integer epoch days; r is ONE division; the log-log OLS
+    and the exp-extrapolation are the q_text_heaps_law protocol
+    (ln/exp behind 6dp rounds).
+
+    Scale shape: one (user, day) dedup agg, a 14-row offset frame
+    joined against it (cohort semi-join rides a broadcast), 1-row
+    fit broadcast back. 100 TB: identical; per-cohort-week curves
+    widen the key.
+    """
+    e = table(spark, sf_dir, "events")
+    days = (
+        e.select(
+            "user_id",
+            F.datediff(
+                F.to_date("ts"), F.lit("1970-01-01").cast("date")
+            ).alias("ed"),
+        )
+        .distinct()
+    )
+    d0 = days.agg(F.min("ed").alias("d0"))
+    cohort = (
+        days.crossJoin(F.broadcast(d0))
+        .filter(F.col("ed") == F.col("d0"))
+        .select("user_id")
+        .distinct()
+    )
+    n0 = cohort.agg(F.count("*").cast("bigint").alias("n0"))
+    ts = spark.range(1, RET_FIT_MAX_T + 1).select(
+        F.col("id").cast("bigint").alias("t")
+    )
+    returns = (
+        days.join(F.broadcast(cohort), "user_id")
+        .crossJoin(F.broadcast(d0))
+        .crossJoin(F.broadcast(ts))
+        .filter(F.col("ed") == F.col("d0") + F.col("t"))
+        .groupBy("t")
+        .agg(F.count_distinct(F.col("user_id")).cast("bigint").alias("n_t"))
+    )
+    curve = (
+        ts.join(returns, "t", "left")
+        .select("t", F.coalesce("n_t", F.lit(0)).cast("bigint").alias("n_t"))
+        .crossJoin(F.broadcast(n0))
+    )
+    pts = curve.filter(F.col("n_t") > 0).select(
+        "t",
+        "n_t",
+        "n0",
+        (F.col("n_t").cast("double") / F.col("n0")).alias("r"),
+        F.log(F.col("t").cast("double")).alias("x"),
+        F.log(F.col("n_t").cast("double") / F.col("n0")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count("*").alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("k")
+    import math as _math
+
+    pred = F.exp(intercept + slope * _math.log(float(RET_FIT_PREDICT_T)))
+    return (
+        pts.crossJoin(F.broadcast(fit))
+        .select(
+            "t",
+            "n_t",
+            F.round("r", 6).alias("retention"),
+            F.round(slope, 6).alias("decay_b"),
+            F.round(pred, 6).alias(f"predicted_day{RET_FIT_PREDICT_T}"),
+        )
+        .orderBy("t")
+    )

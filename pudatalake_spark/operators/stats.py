@@ -4489,3 +4489,83 @@ def q_stats_msprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lam, 6).alias("mixture_lr"),
         F.when(lam > MSPRT_ALPHA_INV, 1).otherwise(0).alias("reject"),
     )
+
+
+DKW_LN_2_OVER_ALPHA = "3.6888794541139363"  # ln(2/.05), literal
+
+
+@register(
+    "q_stats_dkw_band",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             o_orderkey AS k
+      FROM orders
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, k) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM v
+    ),
+    deciles AS (
+      SELECT CAST(d.d AS BIGINT) AS decile, r.cents, r.n,
+             CAST(r.rn AS DOUBLE) / r.n AS ecdf
+      FROM r JOIN (SELECT unnest(range(1, 10)) AS d) d
+        ON r.rn = (d.d * r.n + 9) // 10
+    )
+    SELECT decile, cents AS value_cents,
+           ecdf,
+           greatest(0.0, ecdf - sqrt({DKW_LN_2_OVER_ALPHA} / (2.0 * n)))
+               AS band_lo,
+           least(1.0, ecdf + sqrt({DKW_LN_2_OVER_ALPHA} / (2.0 * n)))
+               AS band_hi
+    FROM deciles ORDER BY decile
+    """,
+)
+def q_stats_dkw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dvoretzky-Kiefer-Wolfowitz 95% confidence band around the
+    order-value ECDF, evaluated at its deciles: the UNIFORM bound
+    sup|F_n - F| <= sqrt(ln(2/alpha)/2n) that holds simultaneously
+    at every point - the honest error bar on any empirical
+    distribution readout (q_agg_percentile, q_stats_ks_test's
+    statistic lives in exactly this band), and what a dashboard
+    should shade behind an ECDF curve instead of pointwise
+    binomial bars.
+
+    Exactness: decile evaluation points are integer rank picks
+    (ceil(d*n/10), the winsorized protocol); ecdf = rn/n is ONE
+    integer division; the half-width needs one sqrt of a
+    literal/integer ratio - identical trees, unrounded; the clamp
+    is exact.
+
+    Scale shape: one ordered rank window (TakeOrdered-scale for
+    fixed evaluation points), 9-row output. 100 TB: the rank swaps
+    for approx_percentile evaluation points; the band formula is
+    n-only and unchanged.
+    """
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+        F.col("o_orderkey").alias("k"),
+    )
+    r = v.select(
+        "cents",
+        F.row_number().over(Window.orderBy("cents", "k")).alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    ds = spark.range(1, 10).select(F.col("id").cast("bigint").alias("d"))
+    deciles = r.join(
+        F.broadcast(ds), F.col("rn") == F.expr("(d * n + 9) div 10")
+    )
+    eps = F.sqrt(float(DKW_LN_2_OVER_ALPHA) / (2.0 * F.col("n")))
+    ecdf = F.col("rn").cast("double") / F.col("n")
+    return deciles.select(
+        F.col("d").alias("decile"),
+        F.col("cents").alias("value_cents"),
+        ecdf.alias("ecdf"),
+        F.greatest(F.lit(0.0), ecdf - eps).alias("band_lo"),
+        F.least(F.lit(1.0), ecdf + eps).alias("band_hi"),
+    ).orderBy("decile")

@@ -1225,3 +1225,19 @@ def test_autocomplete_matches_python(spark):
             ref.append((p, rk, w, -negn))
     rows = registry.QUERIES["q_text_autocomplete"](spark, SF_DIR).collect()
     assert [(r.prefix, r.rank, r.completion, r.n) for r in rows] == ref
+
+
+def test_isotropy_matches_numpy(spark):
+    e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    V = np.stack(e.embedding.map(lambda a: np.asarray(a, np.float64)))
+    var_d = np.round(V.var(axis=0), 6)  # population variance per dim
+    d = len(var_d)
+    s1, s2 = var_d.sum(), (var_d**2).sum()
+    cv = np.sqrt(d * s2 - s1 * s1) / s1
+    iso = 1 - np.sqrt(max(d * s2 - s1 * s1, 0)) / (s1 * np.sqrt(d - 1))
+    row = registry.QUERIES["q_sim_isotropy"](spark, SF_DIR).collect()[0]
+    assert row.n_dims == d
+    assert row.mean_var == pytest.approx(s1 / d, abs=2e-6)
+    assert row.cv_of_vars == pytest.approx(cv, abs=2e-5)
+    assert row.isotropy_score == pytest.approx(iso, abs=2e-5)
+    assert 0 <= row.isotropy_score <= 1

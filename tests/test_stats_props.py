@@ -1439,3 +1439,66 @@ def test_msprt_matches_formula(spark, events_pdf):
     assert (row.na, row.ka, row.nb, row.kb) == (na, ka, nb, kb)
     assert row.mixture_lr == pytest.approx(lam, abs=2e-6)
     assert row.reject == int(lam > 20.0)
+
+
+def test_dkw_band_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    srt = (
+        pd.DataFrame(
+            {"c": (o.o_totalprice * 100).round(0).astype("int64"),
+             "k": o.o_orderkey}
+        )
+        .sort_values(["c", "k"])
+        .c.to_numpy()
+    )
+    n = len(srt)
+    eps = np.sqrt(np.log(2 / 0.05) / (2 * n))
+    rows = registry.QUERIES["q_stats_dkw_band"](spark, SF_DIR).collect()
+    assert [r.decile for r in rows] == list(range(1, 10))
+    for r in rows:
+        rn = (r.decile * n + 9) // 10
+        assert r.value_cents == srt[rn - 1]
+        assert r.ecdf == pytest.approx(rn / n, abs=1e-12)
+        assert r.band_lo == pytest.approx(max(0, rn / n - eps), abs=1e-9)
+        assert r.band_hi == pytest.approx(min(1, rn / n + eps), abs=1e-9)
+
+
+def test_retention_fit_matches_numpy(spark, events_pdf):
+    days = (
+        events_pdf.assign(
+            ed=(events_pdf.ts.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+        )[["user_id", "ed"]]
+        .drop_duplicates()
+    )
+    d0 = days.ed.min()
+    cohort = set(days.loc[days.ed == d0, "user_id"])
+    pts = []
+    rows = {r.t: r for r in registry.QUERIES["q_events_retention_fit"](
+        spark, SF_DIR).collect()}
+    for t in range(1, 15):
+        n_t = len(cohort & set(days.loc[days.ed == d0 + t, "user_id"]))
+        if n_t > 0:
+            pts.append((np.log(t), np.log(n_t / len(cohort))))
+            r = rows[t]
+            assert r.n_t == n_t
+            assert r.retention == pytest.approx(
+                n_t / len(cohort), abs=1e-6
+            )
+    b, a = np.polyfit([x for x, _ in pts], [y for _, y in pts], 1)
+    some = next(iter(rows.values()))
+    assert some.decay_b == pytest.approx(b, abs=2e-6)
+    assert some.predicted_day30 == pytest.approx(
+        np.exp(a + b * np.log(30)), abs=2e-6
+    )
+
+
+def test_sketch_error_within_guarantee(spark):
+    rows = registry.QUERIES["q_stats_sketch_error"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 4
+    for r in rows:
+        # KLL-style guarantee: rank error <= 1/accuracy
+        assert r.rank_err <= 1.0 / 1000 + 1e-12
+        # exact side must really be the rank-picked order statistic
+        assert r.n > 0 and r.exact_cents > 0
