@@ -714,3 +714,60 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("days_to_month_end"),
         )
     )
+
+
+AES_KEY = "0123456789abcdef"  # 16-byte literal demo key (AES-128)
+
+
+@register("q_fn_crypto")  # engine-specific AES -> rows-only
+def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column encryption surface: aes_encrypt/aes_decrypt round-trip
+    over customer names in deterministic ECB mode (chosen HERE so
+    the ciphertext is a pure function of the plaintext and the
+    check is rerun-stable; production uses the default GCM, whose
+    random IV is the point - same API, one argument), plus sha2 /
+    md5 / crc32 digests of the same column - the column-protection
+    toolbox next to q_lake_column_mask's policy layer (masking is
+    one-way; encryption keeps an authorized read path).
+
+    Checks emitted per segment: round_trip_ok (decrypt(encrypt(x))
+    = x for EVERY row), ciphertext_distinct (ECB determinism:
+    distinct ciphertexts = distinct names), and digest NDVs.
+    Rows-only BY DESIGN (DuckDB ships no AES surface).
+
+    Scale shape: all codec work is per-row JVM expressions inside
+    whole-stage codegen - a map-only pass; the audit agg is one
+    two-phase pass.
+    """
+    c = table(spark, sf_dir, "customer")
+    enc = F.expr(
+        f"aes_encrypt(c_name, '{AES_KEY}', 'ECB')"
+    )
+    dec = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(c_name, '{AES_KEY}', 'ECB'),"
+        f" '{AES_KEY}', 'ECB') AS STRING)"
+    )
+    enriched = c.select(
+        "c_mktsegment",
+        "c_name",
+        enc.alias("ct"),
+        dec.alias("rt"),
+        F.sha2(F.col("c_name"), 256).alias("sha"),
+        F.md5(F.col("c_name")).alias("md5"),
+        F.crc32(F.col("c_name")).alias("crc"),
+    )
+    return (
+        enriched.groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("rt") == F.col("c_name"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_roundtrip_ok"),
+            F.count_distinct(F.col("ct")).cast("bigint").alias("ndv_cipher"),
+            F.count_distinct(F.col("c_name"))
+            .cast("bigint")
+            .alias("ndv_plain"),
+            F.count_distinct(F.col("sha")).cast("bigint").alias("ndv_sha"),
+        )
+        .orderBy("seg")
+    )

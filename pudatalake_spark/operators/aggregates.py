@@ -1448,3 +1448,85 @@ def q_stats_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+@register("q_agg_hll_cumulative")  # engine sketch -> rows-only + bound pin
+def q_agg_hll_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day via MERGEABLE HLL sketch
+    algebra - hll_sketch_agg per day once, then a running
+    hll_union_agg window over the daily sketches - next to the
+    EXACT cumulative distinct (min-first-day trick: a user counts
+    from their first active day onward), with the per-day relative
+    error. This is THE sketch-algebra shape that makes 100 TB
+    growth dashboards possible: the fact table is scanned ONCE, and
+    every prefix's cardinality comes from merging <= |days| tiny
+    sketches - where the exact form must either rescan per prefix
+    or carry a distinct-union state that grows with users.
+
+    Rows-only BY DESIGN (HLL binary sketches are engine-specific);
+    the exact side is computed in-plan and the pinned test bounds
+    the relative error by the sketch's standard-error envelope.
+
+    Scale shape: one fact scan -> per-day sketch agg (map-side
+    combinable, sketches are KB); the running union is a window
+    over the |days|-row sketch frame. Exact side: per-user min-day
+    agg -> day counts -> running sum - also one scan, but its
+    shuffle carries every user id; the sketch frame carries none.
+    """
+    e = table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.to_date("ts"), F.lit("1970-01-01").cast("date")
+    ).alias("ed")
+    sketches = e.groupBy(day).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    w = Window.orderBy("ed").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # The running union is hll_union_agg AS A WINDOW FUNCTION; the
+    # estimate applies OUTSIDE the window (expr-level SQL because
+    # Column.over would wrap the outer estimate call instead).
+    approx = sketches.select(
+        "ed",
+        F.expr(
+            "CAST(hll_sketch_estimate(hll_union_agg(sk) OVER "
+            "(ORDER BY ed ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND CURRENT ROW)) AS BIGINT)"
+        ).alias("approx_cum"),
+    )
+    first_day = e.groupBy("user_id").agg(
+        F.min(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        ).alias("fd")
+    )
+    new_users = first_day.groupBy(F.col("fd").alias("ed")).agg(
+        F.count("*").alias("new_users")
+    )
+    # every observed day gets a row (days with no NEW users still
+    # advance the curve with +0) - left join from the day frame.
+    exact = (
+        sketches.select("ed")
+        .join(new_users, "ed", "left")
+        .select(
+            "ed",
+            F.sum(F.coalesce("new_users", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("exact_cum"),
+        )
+    )
+    return (
+        approx.join(exact, "ed")
+        .select(
+            F.col("ed").cast("bigint").alias("epoch_day"),
+            "exact_cum",
+            "approx_cum",
+            (
+                F.abs(F.col("approx_cum") - F.col("exact_cum")).cast(
+                    "double"
+                )
+                / F.col("exact_cum")
+            ).alias("rel_err"),
+        )
+        .orderBy("epoch_day")
+    )

@@ -4569,3 +4569,241 @@ def q_stats_dkw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.lit(0.0), ecdf - eps).alias("band_lo"),
         F.least(F.lit(1.0), ecdf + eps).alias("band_hi"),
     ).orderBy("decile")
+
+
+@register(
+    "q_stats_friedman",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             event_type,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT ed FROM daily GROUP BY ed
+      HAVING count(*) = (SELECT count(DISTINCT event_type) FROM daily)
+    ),
+    ranked AS (
+      SELECT d.ed, d.event_type,
+             CAST(rank() OVER (PARTITION BY d.ed ORDER BY d.cents)
+                  AS BIGINT) AS rk
+      FROM daily d JOIN complete c ON d.ed = c.ed
+    ),
+    sums AS (
+      SELECT event_type, CAST(sum(rk) AS BIGINT) AS r_sum,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM ranked GROUP BY event_type
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(max(n_blocks) AS BIGINT) AS n,
+             CAST(sum(r_sum * r_sum) AS BIGINT) AS ssq
+      FROM sums
+    )
+    SELECT s.event_type, s.r_sum, g.n AS n_blocks, g.k,
+           round(12.0 * g.ssq / (g.n * g.k * (g.k + 1))
+                 - 3.0 * g.n * (g.k + 1), 6) AS friedman_q
+    FROM sums s CROSS JOIN g ORDER BY s.event_type
+    """,
+)
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test across event types with DAYS as blocks: is
+    any type's daily revenue systematically higher once day-level
+    shocks are removed? Each complete day ranks its five types'
+    revenues; Q = 12/(nk(k+1)) sum R_j^2 - 3n(k+1) is the k-sample
+    repeated-measures generalization of the sign test - the
+    nonparametric sibling of q_stats_anova when the same blocks
+    (days) are measured under every treatment (the within-block
+    ranking removes the day effect ANOVA would pool into error).
+    Per-type rank sums with the shared Q.
+
+    Exactness: revenue cents are exact ints so within-day ranks
+    are exact (ties share min rank - integer cents make true ties
+    measure-zero and rank() handles them identically in both
+    engines); rank sums and their squares are int64; Q is composed
+    of integer ratios (6dp round on the final value only).
+    Incomplete days (a type absent) are excluded - the standard
+    complete-block requirement.
+
+    Scale shape: one (day, type) rollup, a bounded-frame semi-join
+    for complete blocks, per-day rank windows over 5-row
+    partitions, one agg. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        ),
+        "event_type",
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    k_types = daily.agg(
+        F.count_distinct(F.col("event_type")).alias("kk")
+    )
+    complete = (
+        daily.groupBy("ed")
+        .agg(F.count("*").alias("ct"))
+        .crossJoin(F.broadcast(k_types))
+        .filter(F.col("ct") == F.col("kk"))
+        .select("ed")
+    )
+    ranked = daily.join(F.broadcast(complete), "ed").select(
+        "ed",
+        "event_type",
+        F.rank()
+        .over(Window.partitionBy("ed").orderBy("cents"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    sums = ranked.groupBy("event_type").agg(
+        F.sum("rk").cast("bigint").alias("r_sum"),
+        F.count("*").cast("bigint").alias("n_blocks"),
+    )
+    g = sums.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.max("n_blocks").cast("bigint").alias("n"),
+        F.sum(F.col("r_sum") * F.col("r_sum")).cast("bigint").alias("ssq"),
+    )
+    q = (
+        12.0
+        * F.col("ssq")
+        / (F.col("n") * F.col("k") * (F.col("k") + 1))
+        - 3.0 * F.col("n") * (F.col("k") + 1)
+    )
+    return (
+        sums.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            "r_sum",
+            F.col("n").alias("n_blocks"),
+            "k",
+            F.round(q, 6).alias("friedman_q"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_stats_cronbach_alpha",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             event_type, CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    complete AS (
+      SELECT ed FROM daily GROUP BY ed
+      HAVING count(*) = (SELECT count(DISTINCT event_type) FROM daily)
+    ),
+    item_var AS (
+      SELECT d.event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d.y) AS BIGINT) AS s1,
+             CAST(sum(d.y * d.y) AS BIGINT) AS s2
+      FROM daily d JOIN complete c ON d.ed = c.ed
+      GROUP BY d.event_type
+    ),
+    total AS (
+      SELECT t.ed, CAST(sum(t.y) AS BIGINT) AS tot FROM (
+        SELECT d.ed, d.y FROM daily d JOIN complete c ON d.ed = c.ed
+      ) t GROUP BY t.ed
+    ),
+    tv AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tot) AS BIGINT) AS s1,
+             CAST(sum(tot * tot) AS BIGINT) AS s2
+      FROM total
+    ),
+    g AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM item_var) AS k,
+             (SELECT sum((CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE)
+                          * s1) / (CAST(n AS DOUBLE) * n))
+              FROM item_var) AS sum_item_var,
+             (SELECT (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+                     / (CAST(n AS DOUBLE) * n)
+              FROM tv) AS total_var
+    )
+    SELECT k, round(sum_item_var, 6) AS sum_item_var,
+           round(total_var, 6) AS total_var,
+           round((CAST(k AS DOUBLE) / (k - 1))
+                 * (1.0 - sum_item_var / total_var), 6)
+               AS cronbach_alpha
+    FROM g
+    """,
+)
+def q_stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the five event-type daily-count series
+    (items = types, cases = complete days): alpha = k/(k-1) * (1 -
+    sum(item variances)/variance(total)) - the internal-consistency
+    coefficient that says whether the five streams move together
+    enough to justify a single "activity" composite metric (alpha
+    >= .7 is the usual bar); the reliability-theory complement to
+    q_agg_corr_matrix's pairwise view, and the measurement-quality
+    gate before any composite KPI (q_events_kpi_tree) is trusted.
+
+    Exactness: per-item and total power sums are exact int64 over
+    integer counts; each population variance is the identical
+    (S2*n - S1^2)/n^2 tree; the 5-term item-variance sum and final
+    alpha sit behind 6dp rounds.
+
+    Scale shape: one (day, type) rollup; the complete-block
+    semi-join, a per-item agg, a per-day total agg, 1-row
+    arithmetic. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        ),
+        "event_type",
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    k_types = daily.agg(
+        F.count_distinct(F.col("event_type")).alias("kk")
+    )
+    complete = (
+        daily.groupBy("ed")
+        .agg(F.count("*").alias("ct"))
+        .crossJoin(F.broadcast(k_types))
+        .filter(F.col("ct") == F.col("kk"))
+        .select("ed")
+    )
+    blocked = daily.join(F.broadcast(complete), "ed")
+    item_var = blocked.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    pvar = (
+        F.col("s2").cast("double") * F.col("n")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("n").cast("double") * F.col("n"))
+    siv = item_var.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(pvar).alias("sum_item_var"),
+    )
+    total = blocked.groupBy("ed").agg(
+        F.sum("y").cast("bigint").alias("tot")
+    )
+    tv = total.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("tot").cast("bigint").alias("s1"),
+        F.sum(F.col("tot") * F.col("tot")).cast("bigint").alias("s2"),
+    ).select(pvar.alias("total_var"))
+    return (
+        siv.crossJoin(tv)
+        .select(
+            "k",
+            F.round("sum_item_var", 6).alias("sum_item_var"),
+            F.round("total_var", 6).alias("total_var"),
+            F.round(
+                (F.col("k").cast("double") / (F.col("k") - 1))
+                * (1.0 - F.col("sum_item_var") / F.col("total_var")),
+                6,
+            ).alias("cronbach_alpha"),
+        )
+    )

@@ -433,3 +433,16 @@ def test_freshness_marks_match_pandas(spark):
     assert all(r.within_sla == 1 for r in rows.values())
     # events carries the lake-wide max watermark -> staleness 0
     assert rows["events"].staleness_days == 0
+
+
+def test_crypto_roundtrip_all_rows(spark):
+    from pudatalake_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    rows = registry.QUERIES["q_fn_crypto"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.n_roundtrip_ok == r.n  # decrypt(encrypt(x)) == x
+        assert r.ndv_cipher == r.ndv_plain  # ECB determinism
+        assert r.ndv_sha == r.ndv_plain

@@ -1502,3 +1502,68 @@ def test_sketch_error_within_guarantee(spark):
         assert r.rank_err <= 1.0 / 1000 + 1e-12
         # exact side must really be the rank-picked order statistic
         assert r.n > 0 and r.exact_cents > 0
+
+
+def test_friedman_matches_bruteforce(spark, events_pdf):
+    cents = (events_pdf.value * 100).round(0).astype("int64")
+    d = (
+        events_pdf.assign(c=cents)
+        .groupby(["day", "event_type"])["c"]
+        .sum()
+        .unstack()
+        .dropna()  # complete blocks only
+    )
+    ranks = d.rank(axis=1, method="min")
+    r_sums = ranks.sum()
+    n, k = len(d), d.shape[1]
+    q_ref = 12 / (n * k * (k + 1)) * (r_sums**2).sum() - 3 * n * (k + 1)
+    rows = {r.event_type: r for r in
+            registry.QUERIES["q_stats_friedman"](spark, SF_DIR).collect()}
+    for et, rs in r_sums.items():
+        r = rows[et]
+        assert r.r_sum == int(rs)
+        assert (r.n_blocks, r.k) == (n, k)
+        assert r.friedman_q == pytest.approx(q_ref, abs=2e-6)
+
+
+def test_cronbach_matches_numpy(spark, events_pdf):
+    d = (
+        events_pdf.groupby(["day", "event_type"])
+        .size()
+        .unstack()
+        .dropna()
+    )
+    item_vars = d.var(axis=0, ddof=0)
+    total_var = d.sum(axis=1).var(ddof=0)
+    k = d.shape[1]
+    alpha_ref = k / (k - 1) * (1 - item_vars.sum() / total_var)
+    row = registry.QUERIES["q_stats_cronbach_alpha"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert row.k == k
+    assert row.sum_item_var == pytest.approx(item_vars.sum(), abs=2e-5)
+    assert row.total_var == pytest.approx(total_var, abs=2e-5)
+    assert row.cronbach_alpha == pytest.approx(alpha_ref, abs=2e-5)
+
+
+def test_hll_cumulative_error_envelope(spark, events_pdf):
+    rows = registry.QUERIES["q_agg_hll_cumulative"](
+        spark, SF_DIR
+    ).collect()
+    days = (
+        events_pdf.assign(
+            ed=(events_pdf.ts.dt.normalize() - pd.Timestamp("1970-01-01")).dt.days
+        )[["user_id", "ed"]]
+        .drop_duplicates()
+    )
+    fd = days.groupby("user_id").ed.min()
+    assert len(rows) == days.ed.nunique()
+    for r in rows:
+        assert r.exact_cum == int((fd <= r.epoch_day).sum())
+        # lgK=12 sketch: ~1.04/sqrt(2^12) ~ 1.6% SE; 5 sigma bound
+        assert r.rel_err <= 0.10
+    # cumulative curve is monotone in both forms
+    assert all(
+        a.exact_cum <= b.exact_cum and a.approx_cum <= b.approx_cum
+        for a, b in zip(rows, rows[1:])
+    )
