@@ -2687,3 +2687,145 @@ def q_text_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("prefix", "rank", F.col("w").alias("completion"), "n")
         .orderBy("prefix", "rank")
     )
+
+
+@register(
+    "q_text_lang_divergence",
+    oracle="""
+    WITH words AS (
+      SELECT lang,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    counts AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS n
+      FROM words GROUP BY lang, w
+    ),
+    totals AS (
+      SELECT lang, CAST(sum(n) AS BIGINT) AS tot FROM counts
+      GROUP BY lang
+    ),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vv
+              FROM counts),
+    pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM totals a JOIN totals b ON a.lang < b.lang
+    ),
+    cells AS (
+      SELECT p.lang_a, p.lang_b, w.w,
+             COALESCE(ca.n, 0) AS na, COALESCE(cb.n, 0) AS nb,
+             ta.tot AS tta, tb.tot AS ttb, v.vv
+      FROM pairs p
+      CROSS JOIN (SELECT DISTINCT w FROM counts) w
+      CROSS JOIN vocab v
+      LEFT JOIN counts ca ON ca.lang = p.lang_a AND ca.w = w.w
+      LEFT JOIN counts cb ON cb.lang = p.lang_b AND cb.w = w.w
+      JOIN totals ta ON ta.lang = p.lang_a
+      JOIN totals tb ON tb.lang = p.lang_b
+    ),
+    jsd AS (
+      SELECT lang_a, lang_b,
+             sum(0.5 * ((na + 0.5) / (tta + vv * 0.5))
+                 * ln(((na + 0.5) / (tta + vv * 0.5))
+                      / (0.5 * ((na + 0.5) / (tta + vv * 0.5))
+                         + 0.5 * ((nb + 0.5) / (ttb + vv * 0.5))))
+                 + 0.5 * ((nb + 0.5) / (ttb + vv * 0.5))
+                   * ln(((nb + 0.5) / (ttb + vv * 0.5))
+                        / (0.5 * ((na + 0.5) / (tta + vv * 0.5))
+                           + 0.5 * ((nb + 0.5) / (ttb + vv * 0.5)))))
+                 AS d
+      FROM cells GROUP BY lang_a, lang_b
+    )
+    SELECT lang_a, lang_b, round(d, 6) AS jsd_nats
+    FROM jsd ORDER BY lang_a, lang_b
+    """,
+)
+def q_text_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence matrix between the five
+    languages' unigram distributions (+0.5 smoothing over the
+    shared vocabulary): which sub-corpora are linguistically close
+    - the corpus-comparison readout behind mixture design
+    (q_mix_weighted decides HOW MUCH of each language;
+    this says HOW DIFFERENT they are, which is what transfer /
+    curriculum decisions key on), and q_stats_jsd's scalar lifted
+    to a distribution-over-vocabulary per pair.
+
+    Determinism: counts/totals/vocab are exact int64; each term is
+    integer ratios through ln over the (pair x vocab) frame - the
+    vocab-sized sums are the order surface behind the 6dp round
+    (PSI rule).
+
+    Scale shape: ONE tokenize pass -> (lang, word) counts; the
+    pair x vocab expansion is bounded by |langs|^2 x |vocab| (a
+    vocabulary-scale frame, not corpus-scale) and aggregates
+    map-side. 100 TB: identical - vocabulary grows ~T^0.5 (the
+    measured q_text_heaps_law exponent), not with T.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("w"),
+    )
+    counts = words.groupBy("lang", "w").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    totals = counts.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("tot")
+    )
+    vocab = counts.agg(
+        F.count_distinct(F.col("w")).cast("bigint").alias("vv")
+    )
+    pairs = (
+        totals.alias("a")
+        .join(totals.alias("b"), F.col("a.lang") < F.col("b.lang"))
+        .select(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            F.col("a.tot").alias("tta"),
+            F.col("b.tot").alias("ttb"),
+        )
+    )
+    vocab_words = counts.select("w").distinct()
+    ca = counts.select(
+        F.col("lang").alias("la"), F.col("w").alias("wa"),
+        F.col("n").alias("na"),
+    )
+    cb = counts.select(
+        F.col("lang").alias("lb"), F.col("w").alias("wb"),
+        F.col("n").alias("nb"),
+    )
+    cells = (
+        pairs.crossJoin(vocab_words)
+        .crossJoin(F.broadcast(vocab))
+        .join(
+            ca,
+            (F.col("la") == F.col("lang_a")) & (F.col("wa") == F.col("w")),
+            "left",
+        )
+        .join(
+            cb,
+            (F.col("lb") == F.col("lang_b")) & (F.col("wb") == F.col("w")),
+            "left",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+            "tta",
+            "ttb",
+            "vv",
+        )
+    )
+    pa = (F.col("na") + 0.5) / (F.col("tta") + F.col("vv") * 0.5)
+    pb = (F.col("nb") + 0.5) / (F.col("ttb") + F.col("vv") * 0.5)
+    m = 0.5 * pa + 0.5 * pb
+    term = 0.5 * pa * F.log(pa / m) + 0.5 * pb * F.log(pb / m)
+    return (
+        cells.groupBy("lang_a", "lang_b")
+        .agg(F.round(F.sum(term), 6).alias("jsd_nats"))
+        .orderBy("lang_a", "lang_b")
+    )

@@ -1644,3 +1644,72 @@ def q_quality_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tbl")
     )
+
+
+@register("q_lake_orphan_files")  # filesystem audit -> rows-only
+def q_lake_orphan_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file audit - the VACUUM pre-check: files present in a
+    table location but referenced by NO manifest are storage leaks
+    (crashed writes, aborted compactions, superseded versions) that
+    a retention job may delete ONLY after proving no manifest
+    references them. Setup: a manifest-committed table plus two
+    planted orphans (an aborted-write temp file and a stale data
+    file); the audit diffs the directory listing against the
+    manifest and classifies every file. One row per (status) with
+    counts and bytes - the deletion candidate list IS the
+    `orphan` class.
+
+    Rows-only BY DESIGN (filesystem inventory). Idempotent: the
+    location is rebuilt per run.
+
+    Scale shape: the listing side is object-store inventory
+    (metadata-scale); the manifest side is the file-list column of
+    q_lake_manifest's table; the diff is an anti-join of two
+    PATH SETS - never a data read, which is the entire point of
+    manifest-based vacuum (contrast: Hive-style vacuum must list
+    AND stat everything it deletes).
+    """
+    import json as _json
+
+    loc = _scratch("lake", "orphan_audit")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("date")
+    )
+    data_dir = os.path.join(loc, "data")
+    o.write.mode("overwrite").parquet(data_dir)
+    committed = sorted(glob.glob(os.path.join(data_dir, "*.parquet")))
+    with open(os.path.join(loc, "manifest.json"), "w") as f:
+        _json.dump({"version": 1, "files": committed}, f)
+    # planted orphans: an aborted temp part and a superseded file
+    orphan1 = os.path.join(data_dir, "part-9999-aborted.parquet.tmp")
+    orphan2 = os.path.join(data_dir, "part-9998-superseded.parquet")
+    with open(orphan1, "wb") as f:
+        f.write(b"\x00" * 128)
+    with open(orphan2, "wb") as f:
+        f.write(b"\x00" * 256)
+    listing = [
+        (p, os.path.getsize(p))
+        for p in sorted(
+            glob.glob(os.path.join(data_dir, "*"))
+        )
+    ]
+    manifest_set = set(committed)
+    def classify(p):
+        base = os.path.basename(p)
+        if base.startswith("_") or base.startswith("."):
+            return "marker"  # _SUCCESS / checksums: commit protocol,
+            # not data - never vacuum candidates
+        return "committed" if p in manifest_set else "orphan"
+
+    rows = [(p, sz, classify(p)) for p, sz in listing]
+    df = spark.createDataFrame(
+        rows, "path string, bytes long, status string"
+    )
+    return (
+        df.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("bytes").cast("bigint").alias("total_bytes"),
+        )
+        .orderBy("status")
+    )

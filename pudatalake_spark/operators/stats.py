@@ -4807,3 +4807,131 @@ def q_stats_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cronbach_alpha"),
         )
     )
+
+
+@register(
+    "q_stats_kruskal_wallis",
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    ranked AS (
+      SELECT seg,
+             CAST(2 * rank() OVER (ORDER BY x)
+                  + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS r2
+      FROM v
+    ),
+    g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(r2) AS BIGINT) AS r2_sum
+      FROM ranked GROUP BY seg
+    ),
+    t AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k
+      FROM g
+    ),
+    ties AS (
+      SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tsum FROM (
+        SELECT CAST(count(*) AS BIGINT) AS c FROM v GROUP BY x)
+    )
+    SELECT g.seg, g.n_g,
+           round(CAST(g.r2_sum AS DOUBLE) / (2.0 * g.n_g), 4)
+               AS mean_rank,
+           round((12.0 / (CAST(t.n AS DOUBLE) * (t.n + 1))
+                  * (SELECT sum(CAST(r2_sum AS DOUBLE) * r2_sum
+                                / (4.0 * n_g)) FROM g)
+                  - 3.0 * (t.n + 1))
+                 / (1.0 - CAST(ties.tsum AS DOUBLE)
+                          / (CAST(t.n AS DOUBLE) * t.n * t.n - t.n)), 6)
+               AS h_stat
+    FROM g CROSS JOIN t CROSS JOIN ties ORDER BY g.seg
+    """,
+)
+def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H test of order value across the five market
+    segments: the k-sample rank generalization of Mann-Whitney
+    (and the BETWEEN-groups nonparametric ANOVA - q_stats_friedman
+    is its within-blocks sibling), with the standard tie
+    correction H / (1 - sum(t^3-t)/(N^3-N)). Per-segment mean
+    ranks plus the shared H.
+
+    Exactness: tie-averaged ranks via the q_stats_spearman
+    DOUBLED-rank trick (2*rank + ties - 1 is an exact INTEGER = 2x
+    the average rank, so rank sums stay int64 and mean ranks are
+    one division); the tie term is an exact int64 sum over
+    distinct values; H composes integer ratios behind the 6dp
+    round.
+
+    Scale shape: one global rank window (range-partitioned sort at
+    scale), two bounded aggs, 1-row arithmetic. 100 TB: identical.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    v = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
+    )
+    ranked = v.select(
+        "seg",
+        (
+            2 * F.rank().over(Window.orderBy("x"))
+            + F.count("*").over(Window.partitionBy("x"))
+            - 1
+        )
+        .cast("bigint")
+        .alias("r2"),
+    )
+    g = ranked.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("r2").cast("bigint").alias("r2_sum"),
+    )
+    t = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    ties = (
+        v.groupBy("x")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            )
+            .cast("bigint")
+            .alias("tsum")
+        )
+    )
+    hsum = g.agg(
+        F.sum(
+            F.col("r2_sum").cast("double")
+            * F.col("r2_sum")
+            / (4.0 * F.col("n_g"))
+        ).alias("s")
+    )
+    n = F.col("n")
+    h_raw = (
+        12.0 / (n.cast("double") * (n + 1)) * F.col("s")
+        - 3.0 * (n + 1)
+    )
+    corr = 1.0 - F.col("tsum").cast("double") / (
+        n.cast("double") * n * n - n
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(hsum))
+        .select(
+            "seg",
+            "n_g",
+            F.round(
+                F.col("r2_sum").cast("double") / (2.0 * F.col("n_g")), 4
+            ).alias("mean_rank"),
+            F.round(h_raw / corr, 6).alias("h_stat"),
+        )
+        .orderBy("seg")
+    )

@@ -973,3 +973,133 @@ def q_win_cep_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "trough_day")
     )
+
+
+SPC_SUBGROUP = 5        # X-bar/R subgroup size (days per subgroup)
+SPC_A2 = "0.577"        # control-chart constants for n=5 (literal,
+SPC_D3 = "0.0"          # from the standard SPC tables)
+SPC_D4 = "2.114"
+
+
+@register(
+    "q_win_spc_xbar_r",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST((row_number() OVER (ORDER BY ed) - 1)
+                  // {SPC_SUBGROUP} AS BIGINT) AS sg,
+             y,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM daily
+    ),
+    sub AS (
+      SELECT sg, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(y) AS BIGINT) AS s1,
+             CAST(max(y) - min(y) AS BIGINT) AS r
+      FROM idx WHERE sg < (SELECT max(n) FROM idx) // {SPC_SUBGROUP}
+      GROUP BY sg
+    ),
+    lim AS (
+      SELECT avg(CAST(s1 AS DOUBLE) / m) AS xbb,
+             avg(CAST(r AS DOUBLE)) AS rb
+      FROM sub
+    )
+    SELECT s.sg AS subgroup,
+           round(CAST(s.s1 AS DOUBLE) / s.m, 4) AS xbar,
+           s.r AS range_cents,
+           round(l.xbb, 4) AS center,
+           round(l.xbb + {SPC_A2} * l.rb, 4) AS ucl_x,
+           round(l.xbb - {SPC_A2} * l.rb, 4) AS lcl_x,
+           round({SPC_D4} * l.rb, 4) AS ucl_r,
+           CASE WHEN CAST(s.s1 AS DOUBLE) / s.m
+                     > l.xbb + {SPC_A2} * l.rb
+                  OR CAST(s.s1 AS DOUBLE) / s.m
+                     < l.xbb - {SPC_A2} * l.rb THEN 1 ELSE 0 END
+               AS out_of_control
+    FROM sub s CROSS JOIN lim l ORDER BY subgroup
+    """,
+)
+def q_win_spc_xbar_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-bar/R statistical process control chart over daily purchase
+    revenue in subgroups of 5 days: subgroup means against
+    Xbarbar +/- A2*Rbar control limits (A2/D3/D4 = the standard SPC
+    constants for n=5), subgroup ranges against D4*Rbar - Shewhart's
+    original process-monitoring design, the INDUSTRIAL sibling of
+    q_win_bollinger (whose limits come from the series' own rolling
+    sigma; SPC limits come from WITHIN-subgroup dispersion, which
+    is what makes them detect between-subgroup shifts). Trailing
+    partial subgroups are dropped (standard practice).
+
+    Exactness: subgroup sums/ranges are exact int64; xbar and the
+    limits are integer-ratio and literal-constant arithmetic (the
+    only order surface is the two <=|subgroups|-term averages,
+    behind the 4dp rounds); the out-of-control flag compares the
+    identical unrounded trees.
+
+    Scale shape: one fact rollup, one rank window to index
+    subgroups, bounded aggs - per-series SPC partitions the rank
+    window (the q_win_rsi posture).
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        )
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    idx = daily.select(
+        F.expr(
+            f"(row_number() OVER (ORDER BY ed) - 1) div {SPC_SUBGROUP}"
+        )
+        .cast("bigint")
+        .alias("sg"),
+        "y",
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    nfull = idx.agg(
+        F.expr(f"max(n) div {SPC_SUBGROUP}").alias("nfull")
+    )
+    sub = (
+        idx.crossJoin(F.broadcast(nfull))
+        .filter(F.col("sg") < F.col("nfull"))
+        .groupBy("sg")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum("y").cast("bigint").alias("s1"),
+            (F.max("y") - F.min("y")).cast("bigint").alias("r"),
+        )
+    )
+    lim = sub.agg(
+        F.avg(F.col("s1").cast("double") / F.col("m")).alias("xbb"),
+        F.avg(F.col("r").cast("double")).alias("rb"),
+    )
+    a2, d4 = float(SPC_A2), float(SPC_D4)
+    xbar = F.col("s1").cast("double") / F.col("m")
+    ucl = F.col("xbb") + a2 * F.col("rb")
+    lcl = F.col("xbb") - a2 * F.col("rb")
+    return (
+        sub.crossJoin(F.broadcast(lim))
+        .select(
+            F.col("sg").alias("subgroup"),
+            F.round(xbar, 4).alias("xbar"),
+            F.col("r").alias("range_cents"),
+            F.round("xbb", 4).alias("center"),
+            F.round(ucl, 4).alias("ucl_x"),
+            F.round(lcl, 4).alias("lcl_x"),
+            F.round(d4 * F.col("rb"), 4).alias("ucl_r"),
+            F.when((xbar > ucl) | (xbar < lcl), 1)
+            .otherwise(0)
+            .alias("out_of_control"),
+        )
+        .orderBy("subgroup")
+    )

@@ -1241,3 +1241,35 @@ def test_isotropy_matches_numpy(spark):
     assert row.cv_of_vars == pytest.approx(cv, abs=2e-5)
     assert row.isotropy_score == pytest.approx(iso, abs=2e-5)
     assert 0 <= row.isotropy_score <= 1
+
+
+def test_lang_divergence_matches_python(spark):
+    import collections
+
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    counts = collections.defaultdict(collections.Counter)
+    for r in d.itertuples():
+        for w in str(r.text).lower().split(" "):
+            if w:
+                counts[r.lang][w] += 1
+    vocab = set().union(*(c.keys() for c in counts.values()))
+    vv = len(vocab)
+    langs = sorted(counts)
+    rows = {(r.lang_a, r.lang_b): r.jsd_nats for r in
+            registry.QUERIES["q_text_lang_divergence"](
+                spark, SF_DIR).collect()}
+    assert len(rows) == len(langs) * (len(langs) - 1) // 2
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1:]:
+            ta = sum(counts[la].values())
+            tb = sum(counts[lb].values())
+            jsd = 0.0
+            for w in vocab:
+                pa = (counts[la][w] + 0.5) / (ta + vv * 0.5)
+                pb = (counts[lb][w] + 0.5) / (tb + vv * 0.5)
+                m = (pa + pb) / 2
+                jsd += 0.5 * pa * np.log(pa / m) + 0.5 * pb * np.log(
+                    pb / m
+                )
+            assert rows[(la, lb)] == pytest.approx(jsd, abs=2e-6)
+            assert 0 <= rows[(la, lb)] <= np.log(2)

@@ -446,3 +446,16 @@ def test_crypto_roundtrip_all_rows(spark):
         assert r.n_roundtrip_ok == r.n  # decrypt(encrypt(x)) == x
         assert r.ndv_cipher == r.ndv_plain  # ECB determinism
         assert r.ndv_sha == r.ndv_plain
+
+
+def test_orphan_audit_classification(spark):
+    from pudatalake_spark import registry
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    rows = {r.status: r for r in registry.QUERIES["q_lake_orphan_files"](
+        spark, SF_DIR).collect()}
+    assert rows["orphan"].n_files == 2          # exactly the planted pair
+    assert rows["orphan"].total_bytes == 384
+    assert rows["committed"].n_files >= 1
+    assert "marker" in rows                      # _SUCCESS never vacuumed

@@ -1567,3 +1567,51 @@ def test_hll_cumulative_error_envelope(spark, events_pdf):
         a.exact_cum <= b.exact_cum and a.approx_cum <= b.approx_cum
         for a, b in zip(rows, rows[1:])
     )
+
+
+def test_kruskal_wallis_matches_scipy_free(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["x"] = (j.o_totalprice * 100).round(0).astype("int64")
+    j["rk"] = j.x.rank(method="average")
+    n = len(j)
+    groups = j.groupby("c_mktsegment")
+    h = 12 / (n * (n + 1)) * sum(
+        g.rk.sum() ** 2 / len(g) for _, g in groups
+    ) - 3 * (n + 1)
+    _, t_counts = np.unique(j.x, return_counts=True)
+    corr = 1 - ((t_counts**3 - t_counts).sum()) / (n**3 - n)
+    h_ref = h / corr
+    rows = {r.seg: r for r in registry.QUERIES["q_stats_kruskal_wallis"](
+        spark, SF_DIR).collect()}
+    for seg, g in groups:
+        r = rows[seg]
+        assert r.n_g == len(g)
+        assert r.mean_rank == pytest.approx(g.rk.mean(), abs=1e-3)
+        assert r.h_stat == pytest.approx(h_ref, abs=2e-5)
+
+
+def test_spc_xbar_matches_numpy(spark, events_pdf):
+    d = (
+        events_pdf[events_pdf.event_type == "purchase"]
+        .assign(c=lambda x: (x.value * 100).round(0).astype("int64"))
+        .groupby("day")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    nfull = len(d) // 5
+    subs = d[: nfull * 5].reshape(nfull, 5)
+    xbars = subs.mean(axis=1)
+    ranges = subs.max(axis=1) - subs.min(axis=1)
+    xbb, rb = xbars.mean(), ranges.mean()
+    rows = registry.QUERIES["q_win_spc_xbar_r"](spark, SF_DIR).collect()
+    assert len(rows) == nfull
+    for r, xb, rg in zip(rows, xbars, ranges):
+        assert r.xbar == pytest.approx(xb, abs=1e-3)
+        assert r.range_cents == rg
+        assert r.ucl_x == pytest.approx(xbb + 0.577 * rb, abs=1e-3)
+        assert r.out_of_control == int(
+            xb > xbb + 0.577 * rb or xb < xbb - 0.577 * rb
+        )
