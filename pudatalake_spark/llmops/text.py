@@ -2613,6 +2613,7 @@ def q_stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> marginal aggs on the bounded frame -> 1-row arithmetic.
     100 TB: identical.
     """
+    load(spark, sf_dir)  # registers the documents temp view
     return spark.sql(_kappa_sql("explode(split(lower(text), ' '))"))
 
 
@@ -2828,4 +2829,300 @@ def q_text_lang_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.groupBy("lang_a", "lang_b")
         .agg(F.round(F.sum(term), 6).alias("jsd_nats"))
         .orderBy("lang_a", "lang_b")
+    )
+
+
+def _langid_weak_sql(split_expr: str) -> str:
+    """Ablated language-ID: votes from only the FIRST marker word of
+    each language (the single-feature baseline McNemar compares
+    against)."""
+    hit_cols = []
+    for lang, words in _LANG_MARKERS.items():
+        hit_cols.append(
+            f"count(*) FILTER (WHERE token = '{words[0]}') AS hits_{lang}"
+        )
+    hits = ",\n             ".join(hit_cols)
+    greatest = ", ".join(f"hits_{lang}" for lang in _LANG_MARKERS)
+    cases = "\n                ".join(
+        f"WHEN hits_{lang} = best AND best > 0 THEN '{lang}'"
+        for lang in _LANG_MARKERS
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang AS true_lang, {split_expr} AS token FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, true_lang,
+             {hits}
+      FROM toks GROUP BY doc_id, true_lang
+    ),
+    scored AS (
+      SELECT *, greatest({greatest}) AS best FROM hits
+    )
+    SELECT doc_id, true_lang,
+           CASE {cases}
+                ELSE 'und' END AS pred_lang
+    FROM scored
+    """
+
+
+def _mcnemar_sql(split_expr: str) -> str:
+    return f"""
+    WITH a AS ({_langid_sql(split_expr)}),
+    b AS ({_langid_weak_sql(split_expr)}),
+    paired AS (
+      SELECT CASE WHEN a.pred_lang = a.true_lang THEN 1 ELSE 0 END
+                 AS a_ok,
+             CASE WHEN b.pred_lang = b.true_lang THEN 1 ELSE 0 END
+                 AS b_ok
+      FROM a JOIN b ON a.doc_id = b.doc_id
+    ),
+    cells AS (
+      SELECT CAST(sum(a_ok * b_ok) AS BIGINT) AS both_ok,
+             CAST(sum(a_ok * (1 - b_ok)) AS BIGINT) AS only_a,
+             CAST(sum((1 - a_ok) * b_ok) AS BIGINT) AS only_b,
+             CAST(sum((1 - a_ok) * (1 - b_ok)) AS BIGINT) AS both_bad
+      FROM paired
+    )
+    SELECT both_ok, only_a, only_b, both_bad,
+           round((abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                 * (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                 / nullif(only_a + only_b, 0), 6) AS mcnemar_chi2,
+           CASE WHEN (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                     * (abs(CAST(only_a - only_b AS DOUBLE)) - 1.0)
+                     / nullif(only_a + only_b, 0) > 3.841458820694124
+                THEN 1 ELSE 0 END AS significant
+    FROM cells
+    """
+
+
+@register(
+    "q_stats_mcnemar",
+    oracle=_mcnemar_sql("unnest(string_split(lower(text), ' '))"),
+)
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test between the FULL language-ID classifier (five
+    marker words per language) and a single-marker ABLATION on the
+    same documents: the paired classifier-comparison test - only
+    DISCORDANT docs (one right, the other wrong) carry information,
+    so chi2 = (|b - c| - 1)^2/(b + c) with continuity correction,
+    against the literal chi2_1 95% critical. THE correct test when
+    two models score the SAME examples (an unpaired two-proportion
+    test throws away the pairing and loses power) - the missing
+    member of the eval family next to q_stats_cohens_kappa
+    (agreement) and q_sim_ndcg (ranking).
+
+    Exactness: the 2x2 paired cells are int64 from one join-agg of
+    two deterministic classifier runs; chi2 is integer arithmetic
+    through ONE nullif-guarded division (6dp) and the significance
+    flag compares to a literal.
+
+    Scale shape: the classifier is the shared explode ->
+    conditional agg (run twice - at scale, both ablations compute
+    in ONE pass with two vote column sets); the pairing join is on
+    doc_id. 100 TB: identical.
+    """
+    load(spark, sf_dir)  # registers the documents temp view
+    return spark.sql(_mcnemar_sql("explode(split(lower(text), ' '))"))
+
+
+PRF_FEEDBACK_DOCS = 3
+PRF_EXPANSION_TERMS = 2
+
+_PRF_BASE_CTES = f"""
+    words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(lower(text), ' '),
+                                t -> t <> '')) AS w
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM words GROUP BY doc_id),
+    corp AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS total_len
+      FROM dl
+    ),
+    alltf AS (
+      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf
+      FROM words GROUP BY doc_id, w
+    ),
+    alldf AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM alltf
+              GROUP BY w)"""
+
+
+def _prf_bm25_sql(terms_cte: str) -> str:
+    """BM25 scoring against a (term) CTE named {terms_cte}."""
+    return f"""
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+             round(sum(
+               ln((c.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * (CAST(l.dl * c.n_docs AS DOUBLE)
+                                / c.total_len)))), 6) AS s
+      FROM alltf t
+      JOIN {terms_cte} q ON t.w = q.term
+      JOIN alldf d ON t.w = d.w
+      JOIN dl l ON t.doc_id = l.doc_id
+      CROSS JOIN corp c
+      GROUP BY t.doc_id
+    """
+
+
+@register(
+    "q_sim_query_expansion",
+    oracle=f"""
+    WITH {_PRF_BASE_CTES},
+    q0 AS (SELECT unnest(['{"', '".join(BM25_QUERY)}']) AS term),
+    base AS ({_prf_bm25_sql("q0")}),
+    fb AS (
+      SELECT doc_id FROM base
+      ORDER BY s DESC, doc_id LIMIT {PRF_FEEDBACK_DOCS}
+    ),
+    cand AS (
+      SELECT t.w,
+             round(sum(t.tf * ln(CAST(c.n_docs AS DOUBLE) / d.df)), 6)
+                 AS score
+      FROM alltf t JOIN fb ON t.doc_id = fb.doc_id
+      JOIN alldf d ON t.w = d.w CROSS JOIN corp c
+      WHERE t.w NOT IN ('{"', '".join(BM25_QUERY)}')
+        AND t.w NOT IN ({", ".join(f"'{w}'" for w in _RAKE_STOPS)})
+      GROUP BY t.w
+    ),
+    exp_terms AS (
+      SELECT w AS term FROM cand ORDER BY score DESC, w
+      LIMIT {PRF_EXPANSION_TERMS}
+    ),
+    q1 AS (SELECT term FROM q0 UNION ALL SELECT term FROM exp_terms),
+    expanded AS ({_prf_bm25_sql("q1")}),
+    en AS (
+      SELECT string_agg(term, ',' ORDER BY term) AS added
+      FROM exp_terms
+    )
+    SELECT e.doc_id, e.n_hit, e.s AS bm25_expanded, en.added
+    FROM expanded e CROSS JOIN en
+    ORDER BY e.s DESC, e.doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def q_sim_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio/RM-lite):
+    run BM25 for the base 3-term query, take the top-3 docs AS IF
+    relevant, mine their 2 strongest tf-idf terms (stopword-
+    lexicon and original terms excluded), and re-run BM25 with the
+    expanded 5-term query - the classical recall-booster every
+    lexical search stack ships (and the lexical twin of
+    embedding-side HyDE-style expansion), completing the retrieval
+    family: q_text_bm25 scores, q_sim_rank_fusion combines,
+    this one REFORMULATES.
+
+    Determinism: both BM25 passes inherit the 6dp-rounded scoring
+    protocol; feedback-doc and expansion-term cuts order by
+    (score DESC, id/word) - engine-stable; the added terms ride
+    along as one sorted CSV column so the hash also pins WHAT was
+    added, not just the final ranking.
+
+    Scale shape: ONE tokenize pass feeds everything (tf/df/dl
+    computed once, probed by BOTH query stages - the inverted-index
+    build/probe split again); the feedback mining runs on 3 docs'
+    postings. 100 TB: identical; the second probe costs one more
+    index lookup per expanded term.
+    """
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("w"),
+    )
+    dl = words.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("dl")
+    )
+    corp = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+    )
+    alltf = words.groupBy("doc_id", "w").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    alldf = alltf.groupBy("w").agg(
+        F.count("*").cast("bigint").alias("df")
+    )
+    k1, b = float(BM25_K1), float(BM25_B)
+
+    def bm25_for(terms_df):
+        idf = F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            + 1.0
+        )
+        norm_len = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+            "total_len"
+        )
+        sc = (
+            idf
+            * (F.col("tf") * (k1 + 1.0))
+            / (F.col("tf") + k1 * (1.0 - b + b * norm_len))
+        )
+        return (
+            alltf.join(
+                F.broadcast(terms_df), F.col("w") == F.col("term")
+            )
+            .join(F.broadcast(alldf), "w")
+            .join(dl, "doc_id")
+            .crossJoin(F.broadcast(corp))
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("bigint").alias("n_hit"),
+                F.round(F.sum(sc), 6).alias("s"),
+            )
+        )
+
+    q0 = spark.createDataFrame(
+        [(t,) for t in BM25_QUERY], "term string"
+    )
+    base = bm25_for(q0)
+    fb = base.orderBy(F.desc("s"), "doc_id").limit(
+        PRF_FEEDBACK_DOCS
+    ).select("doc_id")
+    cand = (
+        alltf.join(F.broadcast(fb), "doc_id")
+        .filter(
+            ~F.col("w").isin(*BM25_QUERY)
+            & ~F.col("w").isin(_RAKE_STOPS)
+        )
+        .join(F.broadcast(alldf), "w")
+        .crossJoin(F.broadcast(corp))
+        .groupBy("w")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf")
+                    * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    exp_terms = (
+        cand.orderBy(F.desc("score"), "w")
+        .limit(PRF_EXPANSION_TERMS)
+        .select(F.col("w").alias("term"))
+    )
+    q1 = q0.unionAll(exp_terms)
+    expanded = bm25_for(q1)
+    en = exp_terms.agg(
+        F.array_join(F.sort_array(F.collect_list("term")), ",").alias(
+            "added"
+        )
+    )
+    return (
+        expanded.crossJoin(F.broadcast(en))
+        .select(
+            "doc_id",
+            "n_hit",
+            F.col("s").alias("bm25_expanded"),
+            "added",
+        )
+        .orderBy(F.desc("bm25_expanded"), "doc_id")
+        .limit(BM25_TOPK)
     )

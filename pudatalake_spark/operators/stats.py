@@ -4935,3 +4935,76 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+TOL_GAMMA = "0.95"  # target population coverage
+
+
+@register(
+    "q_stats_tolerance_interval",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(min(cents) AS BIGINT) AS lo,
+             CAST(max(cents) AS BIGINT) AS hi
+      FROM v
+    )
+    SELECT n, lo AS lower_cents, hi AS upper_cents,
+           round(1.0 - n * pow({TOL_GAMMA}, n - 1)
+                     * (1.0 - {TOL_GAMMA})
+                 - pow({TOL_GAMMA}, n), 6) AS confidence,
+           CASE WHEN 1.0 - n * pow({TOL_GAMMA}, n - 1)
+                      * (1.0 - {TOL_GAMMA})
+                     - pow({TOL_GAMMA}, n) >= 0.95
+                THEN 1 ELSE 0 END AS meets_95
+    FROM g
+    """,
+)
+def q_stats_tolerance_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric (distribution-free) tolerance interval: the
+    sample (min, max) covers >= 95% of the POPULATION with
+    confidence 1 - n g^(n-1)(1-g) - g^n (Wilks 1941, the
+    order-statistic coverage identity) - the spec-limit statement
+    engineering asks for ("95% of future values fall in this
+    range, and how sure are we") that a confidence interval for
+    the MEAN does not answer; the distribution-free sibling of
+    q_stats_dkw_band's ECDF envelope.
+
+    Exactness: the interval endpoints are exact integer min/max;
+    the confidence is literal-gamma power arithmetic in n (pow is
+    the libm surface behind the 6dp round); the meets_95 flag
+    compares the unrounded expression.
+
+    Scale shape: ONE min/max/count agg - footer-answerable at
+    100 TB like q_quality_freshness; interior order-statistic
+    variants (2nd smallest/largest) swap the agg for a rank pick.
+    """
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        )
+    )
+    g = v.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("cents").cast("bigint").alias("lo"),
+        F.max("cents").cast("bigint").alias("hi"),
+    )
+    gam = float(TOL_GAMMA)
+    n = F.col("n")
+    conf = (
+        1.0
+        - n * F.pow(F.lit(gam), n - 1) * (1.0 - gam)
+        - F.pow(F.lit(gam), n)
+    )
+    return g.select(
+        "n",
+        F.col("lo").alias("lower_cents"),
+        F.col("hi").alias("upper_cents"),
+        F.round(conf, 6).alias("confidence"),
+        F.when(conf >= 0.95, 1).otherwise(0).alias("meets_95"),
+    )

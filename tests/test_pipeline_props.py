@@ -1273,3 +1273,25 @@ def test_lang_divergence_matches_python(spark):
                 )
             assert rows[(la, lb)] == pytest.approx(jsd, abs=2e-6)
             assert 0 <= rows[(la, lb)] <= np.log(2)
+
+
+def test_query_expansion_properties(spark):
+    """PRF invariants: the added terms are real corpus words outside
+    the query+stopword sets, every result doc matches >=1 of the 5
+    expanded terms, and the expanded ranking is internally ordered."""
+    rows = registry.QUERIES["q_sim_query_expansion"](
+        spark, SF_DIR
+    ).collect()
+    assert len(rows) == 10
+    added = rows[0].added.split(",")
+    assert len(added) == 2
+    stops = {
+        "the", "and", "of", "to", "is", "el", "la", "de", "que", "los",
+        "der", "die", "und", "das", "ist", "le", "les", "des", "est",
+    }
+    for t in added:
+        assert t not in stops and t not in ("spark", "join", "stream")
+    key = [(-r.bm25_expanded, r.doc_id) for r in rows]
+    assert key == sorted(key)
+    for r in rows:
+        assert 1 <= r.n_hit <= 5

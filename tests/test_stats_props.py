@@ -1615,3 +1615,87 @@ def test_spc_xbar_matches_numpy(spark, events_pdf):
         assert r.out_of_control == int(
             xb > xbb + 0.577 * rb or xb < xbb - 0.577 * rb
         )
+
+
+def test_mcnemar_matches_bruteforce(spark):
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    markers = {
+        "en": ["the", "and", "of", "to", "is"],
+        "es": ["el", "la", "de", "que", "los"],
+        "de": ["der", "die", "und", "das", "ist"],
+        "fr": ["le", "la", "les", "des", "est"],
+    }
+
+    def classify(text, word_lists):
+        toks = str(text).lower().split(" ")
+        hits = {
+            lang: sum(toks.count(w) for w in ws)
+            for lang, ws in word_lists.items()
+        }
+        best = max(hits.values())
+        if best == 0:
+            return "und"
+        for lang in word_lists:  # dict order = tie priority
+            if hits[lang] == best:
+                return lang
+
+    weak = {lang: ws[:1] for lang, ws in markers.items()}
+    b = c = 0
+    cells = [0, 0, 0, 0]
+    for r in d.itertuples():
+        a_ok = classify(r.text, markers) == r.lang
+        b_ok = classify(r.text, weak) == r.lang
+        cells[(1 - a_ok) * 2 + (1 - b_ok)] += 1
+        if a_ok and not b_ok:
+            b += 1
+        if b_ok and not a_ok:
+            c += 1
+    chi2 = (abs(b - c) - 1) ** 2 / (b + c) if b + c else None
+    row = registry.QUERIES["q_stats_mcnemar"](spark, SF_DIR).collect()[0]
+    assert (row.both_ok, row.only_a, row.only_b, row.both_bad) == (
+        cells[0], cells[1], cells[2], cells[3],
+    )
+    if chi2 is None:
+        # no discordant pairs at this SF: NULL chi2, not significant
+        assert row.mcnemar_chi2 is None and row.significant == 0
+    else:
+        assert row.mcnemar_chi2 == pytest.approx(chi2, abs=2e-6)
+        assert row.significant == int(chi2 > 3.841458820694124)
+
+
+def test_tolerance_interval_matches_wilks(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cents = (o.o_totalprice * 100).round(0).astype("int64")
+    n = len(cents)
+    g = 0.95
+    conf = 1 - n * g ** (n - 1) * (1 - g) - g**n
+    row = registry.QUERIES["q_stats_tolerance_interval"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert (row.n, row.lower_cents, row.upper_cents) == (
+        n, cents.min(), cents.max(),
+    )
+    assert row.confidence == pytest.approx(conf, abs=2e-6)
+    assert row.meets_95 == int(conf >= 0.95)
+
+
+def test_business_days_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    first = li.groupby("l_orderkey").l_shipdate.min().dt.normalize()
+    j = o.assign(d0=o.o_orderdate.dt.normalize()).merge(
+        first.rename("d1"), left_on="o_orderkey", right_index=True
+    )
+    j = j[j.d1 > j.d0]
+    cal = (j.d1 - j.d0).dt.days.to_numpy()
+    biz = np.busday_count(
+        j.d0.dt.date.to_numpy("datetime64[D]") + np.timedelta64(1, "D"),
+        j.d1.dt.date.to_numpy("datetime64[D]") + np.timedelta64(1, "D"),
+    )
+    row = registry.QUERIES["q_time_business_days"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert row.n_orders == len(j)
+    assert row.avg_cal_days == pytest.approx(cal.mean(), abs=1e-9)
+    assert row.avg_biz_days == pytest.approx(biz.mean(), abs=1e-9)
+    assert row.max_biz_days == biz.max()
