@@ -912,3 +912,70 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_doc", "ref_doc", "jaccard")
         .orderBy("batch_doc")
     )
+
+
+DEDUP_EVAL_PREFIX = 40  # the fixture's planted-group prefix length
+
+
+@register("q_dedup_eval")  # grades a hash-based detector -> rows-only
+def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-detector evaluation: precision/recall of the
+    MinHash+LSH near-dup pairs (q_dedup_near_minhash's
+    minhash_verified_pairs) against the fixture's PLANTED ground
+    truth - documents sharing their first 40 characters form the
+    planted near-duplicate groups (FIXTURES.md), so truth pairs are
+    same-prefix pairs. The q_sim_recall_eval discipline applied to
+    the dedup family itself: a detector whose precision/recall
+    nobody measured is a guess, and THIS is the number a curation
+    team quotes when they pick tau/banding (the measured banding
+    ladder in minhash_verified_pairs' docstring came from exactly
+    this loop).
+
+    Rows-only BY DESIGN (the detector side is xxhash64-based).
+    Precision counts detected pairs whose endpoints share the
+    prefix; recall counts truth pairs detected. Note the detector
+    verifies EXACT Jaccard >= 0.5, so false "positives" against
+    prefix-truth are usually REAL near-dups the planter didn't
+    intend - which is why both numbers ship instead of one F1.
+
+    Scale shape: truth pairs come from a prefix groupBy (bounded
+    group fan-out); the detector runs its normal banded plan; the
+    comparison joins two pair lists. 100 TB: the eval rides a
+    SAMPLE of planted groups, same shape.
+    """
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    detected = minhash_verified_pairs(d, JACCARD_TAU).select(
+        F.least("doc1", "doc2").alias("a"),
+        F.greatest("doc1", "doc2").alias("b"),
+    )
+    pref = d.select(
+        "doc_id",
+        F.substring("text", 1, DEDUP_EVAL_PREFIX).alias("pfx"),
+    )
+    truth = (
+        pref.alias("x")
+        .join(
+            pref.alias("y"),
+            (F.col("x.pfx") == F.col("y.pfx"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+    )
+    n_det = detected.count()
+    n_truth = truth.count()
+    n_hit = detected.join(truth, ["a", "b"]).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_det,
+                n_hit,
+                round(n_hit / n_det, 6) if n_det else None,
+                round(n_hit / n_truth, 6) if n_truth else None,
+            )
+        ],
+        "n_truth_pairs long, n_detected long, n_hits long, "
+        "precision double, recall double",
+    )

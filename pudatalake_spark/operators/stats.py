@@ -5008,3 +5008,120 @@ def q_stats_tolerance_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(conf, 6).alias("confidence"),
         F.when(conf >= 0.95, 1).otherwise(0).alias("meets_95"),
     )
+
+
+JB_CHI2_95_DF2 = "5.991464547107979"  # literal critical value
+
+
+@register(
+    "q_stats_jarque_bera",
+    oracle=f"""
+    WITH v AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice, 0) AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    s AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2,
+             sum(CAST(x AS DOUBLE) * x * x) AS s3,
+             sum(CAST(x AS DOUBLE) * x * x * x) AS s4
+      FROM v GROUP BY seg
+    ),
+    m AS (
+      SELECT seg, n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s1 AS DOUBLE) / n) AS m2,
+             s3 / n - 3.0 * (CAST(s1 AS DOUBLE) / n)
+               * (CAST(s2 AS DOUBLE) / n)
+               + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) AS m3,
+             s4 / n - 4.0 * (CAST(s1 AS DOUBLE) / n) * (s3 / n)
+               + 6.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s2 AS DOUBLE) / n)
+               - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) AS m4
+      FROM s
+    ),
+    jb AS (
+      SELECT seg, n,
+             m3 / (m2 * sqrt(m2)) AS skew,
+             m4 / (m2 * m2) - 3.0 AS ex_kurt
+      FROM m
+    )
+    SELECT seg, n, round(skew, 6) AS skewness,
+           round(ex_kurt, 6) AS excess_kurtosis,
+           round(n / 6.0 * (skew * skew
+                            + ex_kurt * ex_kurt / 4.0), 6) AS jb_stat,
+           CASE WHEN n / 6.0 * (skew * skew + ex_kurt * ex_kurt / 4.0)
+                     > {JB_CHI2_95_DF2} THEN 1 ELSE 0 END
+               AS reject_normality
+    FROM jb ORDER BY seg
+    """,
+)
+def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality test per market segment: JB = n/6
+    (skew^2 + excess_kurtosis^2/4) against the literal chi2_2 95%
+    critical - the moment-based normality gate that tells you
+    whether q_stats_anova/Welch's normal-theory machinery is even
+    admissible on this column (q_stats_ks_test compares two
+    samples; JB tests ONE sample against normal shape), built
+    directly on the central-moment expansion q_agg_moments
+    established.
+
+    Exactness: whole-dollar int64 power sums through S2 (the
+    brown-forsythe unit); S3/S4 carried as doubles BY DESIGN
+    (dollar^4 exceeds int64 - the documented moment-family trade);
+    the central-moment expansion is the identical tree in both
+    engines behind 6dp rounds; the reject flag compares the
+    unrounded statistic to a literal.
+
+    Scale shape: ONE map-side-combining power-sum agg; everything
+    after is 5-row projection arithmetic. 100 TB: identical.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    v = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("x"),
+    )
+    xd = F.col("x").cast("double")
+    s = v.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - m1 * m1
+    m3 = F.col("s3") / n - 3.0 * m1 * (F.col("s2").cast("double") / n) + 2.0 * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * m1 * (F.col("s3") / n)
+        + 6.0 * m1 * m1 * (F.col("s2").cast("double") / n)
+        - 3.0 * m1 * m1 * m1 * m1
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    exk = m4 / (m2 * m2) - 3.0
+    jb = n / 6.0 * (skew * skew + exk * exk / 4.0)
+    return s.select(
+        "seg",
+        "n",
+        F.round(skew, 6).alias("skewness"),
+        F.round(exk, 6).alias("excess_kurtosis"),
+        F.round(jb, 6).alias("jb_stat"),
+        F.when(jb > float(JB_CHI2_95_DF2), 1)
+        .otherwise(0)
+        .alias("reject_normality"),
+    ).orderBy("seg")

@@ -1103,3 +1103,96 @@ def q_win_spc_xbar_r(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subgroup")
     )
+
+
+@register(
+    "q_win_skyline_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS price,
+             CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                            CAST(f.d1 AS DATE)) AS BIGINT) AS latency
+      FROM orders o
+      JOIN (SELECT l_orderkey, min(l_shipdate) AS d1 FROM lineitem
+            GROUP BY l_orderkey) f
+        ON o.o_orderkey = f.l_orderkey
+      WHERE CAST(f.d1 AS DATE) > CAST(o.o_orderdate AS DATE)
+    ),
+    swept AS (
+      SELECT o_orderkey, price, latency,
+             min(latency) OVER (ORDER BY price, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS best_latency_cheaper
+      FROM pts
+    )
+    SELECT o_orderkey, price AS price_cents, latency AS latency_days
+    FROM swept
+    WHERE best_latency_cheaper IS NULL
+       OR latency < best_latency_cheaper
+    ORDER BY price_cents, o_orderkey
+    """,
+)
+def q_win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front) of orders on (price LOW, ship
+    latency LOW): an order survives iff NO strictly cheaper-or-equal
+    order shipped strictly faster - the SKYLINE operator relational
+    engines grew for multi-criteria shortlists ("show me the
+    non-dominated options"), which plain ORDER BY cannot express.
+    Computed by the classic sort-sweep: order by price, keep rows
+    that improve the running-min latency - O(n log n), ONE window
+    pass, no self-join (the naive NOT EXISTS dominance query is the
+    O(n^2) formulation this replaces; >=3 dimensions fall back to
+    the blocked variant).
+
+    Exactness: price/latency are exact int64; the sweep's
+    running-min frame ends at 1 PRECEDING so equal-price ties
+    compete against CHEAPER rows only (orderkey makes the sweep
+    order total - equal-price rows each survive iff they beat every
+    strictly-cheaper row's best, the standard skyline tie
+    convention, identical in both engines).
+
+    Scale shape: one fact agg (first-ship), one range-partitioned
+    sort + running-min window. 100 TB: the sweep parallelizes by
+    price range with a per-partition prefix-min merge (the
+    q_pack_sequences_sharded two-phase cumulative idiom).
+    """
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    first_ship = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("d1")
+    )
+    pts = (
+        o.join(first_ship, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.to_date("d1") > F.to_date("o_orderdate"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("price"),
+            F.datediff(F.to_date("d1"), F.to_date("o_orderdate"))
+            .cast("bigint")
+            .alias("latency"),
+        )
+    )
+    w = Window.orderBy("price", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    swept = pts.select(
+        "o_orderkey",
+        "price",
+        "latency",
+        F.min("latency").over(w).alias("best_latency_cheaper"),
+    )
+    return (
+        swept.filter(
+            F.col("best_latency_cheaper").isNull()
+            | (F.col("latency") < F.col("best_latency_cheaper"))
+        )
+        .select(
+            "o_orderkey",
+            F.col("price").alias("price_cents"),
+            F.col("latency").alias("latency_days"),
+        )
+        .orderBy("price_cents", "o_orderkey")
+    )

@@ -1295,3 +1295,32 @@ def test_query_expansion_properties(spark):
     assert key == sorted(key)
     for r in rows:
         assert 1 <= r.n_hit <= 5
+
+
+def test_dedup_eval_matches_python(spark):
+    """q_dedup_eval's truth/hit counts recomputed from the parquet
+    prefix groups and an independent run of the detector."""
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    pfx = d.assign(p=d.text.str[:40])
+    truth = set()
+    for _, g in pfx.groupby("p"):
+        ids = sorted(g.doc_id)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                truth.add((a, b))
+    from pudatalake_spark.llmops.dedup import (
+        JACCARD_TAU, minhash_verified_pairs,
+    )
+    from pudatalake_spark.loaders import spread, table
+    det = {
+        (min(r.doc1, r.doc2), max(r.doc1, r.doc2))
+        for r in minhash_verified_pairs(
+            spread(table(spark, SF_DIR, "documents"), "doc_id"),
+            JACCARD_TAU,
+        ).collect()
+    }
+    row = registry.QUERIES["q_dedup_eval"](spark, SF_DIR).collect()[0]
+    assert row.n_truth_pairs == len(truth)
+    assert row.n_detected == len(det)
+    assert row.n_hits == len(det & truth)
+    assert row.recall >= 0.9  # the planted groups must be found

@@ -1699,3 +1699,63 @@ def test_business_days_matches_numpy(spark):
     assert row.avg_cal_days == pytest.approx(cal.mean(), abs=1e-9)
     assert row.avg_biz_days == pytest.approx(biz.mean(), abs=1e-9)
     assert row.max_biz_days == biz.max()
+
+
+def test_jarque_bera_matches_numpy(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["x"] = j.o_totalprice.round(0).astype("int64")
+    rows = {r.seg: r for r in registry.QUERIES["q_stats_jarque_bera"](
+        spark, SF_DIR).collect()}
+    for seg, g in j.groupby("c_mktsegment"):
+        x = g.x.to_numpy(float)
+        n = len(x)
+        m = x.mean()
+        m2 = ((x - m) ** 2).mean()
+        skew = ((x - m) ** 3).mean() / m2**1.5
+        exk = ((x - m) ** 4).mean() / m2**2 - 3
+        jb = n / 6 * (skew**2 + exk**2 / 4)
+        r = rows[seg]
+        assert r.n == n
+        assert r.skewness == pytest.approx(skew, abs=2e-5)
+        assert r.excess_kurtosis == pytest.approx(exk, abs=2e-5)
+        assert r.jb_stat == pytest.approx(jb, rel=1e-4)
+        assert r.reject_normality == int(jb > 5.991464547107979)
+
+
+def test_skyline_matches_bruteforce(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    li = pd.read_parquet(f"{SF_DIR}/lineitem.parquet")
+    first = li.groupby("l_orderkey").l_shipdate.min().dt.normalize()
+    j = o.assign(d0=o.o_orderdate.dt.normalize()).merge(
+        first.rename("d1"), left_on="o_orderkey", right_index=True
+    )
+    j = j[j.d1 > j.d0].copy()
+    j["price"] = (j.o_totalprice * 100).round(0).astype("int64")
+    j["lat"] = (j.d1 - j.d0).dt.days
+    pts = j[["o_orderkey", "price", "lat"]].to_numpy()
+    # O(n^2) dominance check (ground truth independent of the sweep)
+    sky = []
+    for k, p, l in pts:
+        dominated = any(
+            (p2 <= p and l2 < l) or (p2 < p and l2 <= l)
+            for _, p2, l2 in pts
+        )
+        if not dominated:
+            sky.append((k, p, l))
+    # the sweep's tie convention keeps EVERY equal-price row that
+    # beats all strictly-cheaper rows; reconcile by the same rule
+    sweep_truth = []
+    for k, p, l in sorted(map(tuple, pts), key=lambda t: (t[1], t[0])):
+        cheaper = [l2 for _, p2, l2 in pts if p2 < p]
+        if not cheaper or l < min(cheaper):
+            sweep_truth.append((k, p, l))
+    rows = registry.QUERIES["q_win_skyline_2d"](spark, SF_DIR).collect()
+    got = [(r.o_orderkey, r.price_cents, r.latency_days) for r in rows]
+    assert got == sorted(sweep_truth, key=lambda t: (t[1], t[0]))
+    # every strictly-dominant point must be present
+    for k, p, l in sky:
+        cheaper = [l2 for _, p2, l2 in pts if p2 < p]
+        if not cheaper or l < min(cheaper):
+            assert (k, p, l) in got
