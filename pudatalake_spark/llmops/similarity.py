@@ -2061,10 +2061,11 @@ def q_sim_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(d AS BIGINT) AS n_dims,
            round(s1 / d, 6) AS mean_var,
            round(vmax, 6) AS max_var, round(vmin, 6) AS min_var,
-           round(sqrt(d * s2 - s1 * s1) / s1, 6) AS cv_of_vars,
+           round(sqrt(greatest(d * s2 - s1 * s1, 0.0)) / s1, 6)
+               AS cv_of_vars,
            round(1.0 - sqrt(greatest(d * s2 - s1 * s1, 0.0))
-                       / (s1 * sqrt(CAST(d - 1 AS DOUBLE))), 6)
-               AS isotropy_score
+                       / (s1 * sqrt(CAST(greatest(d - 1, 0) AS DOUBLE))),
+                 6) AS isotropy_score
     FROM g
     """,
 )
@@ -2111,11 +2112,13 @@ def q_sim_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s1 / d, 6).alias("mean_var"),
         F.round("vmax", 6).alias("max_var"),
         F.round("vmin", 6).alias("min_var"),
-        F.round(F.sqrt(d * s2 - s1 * s1) / s1, 6).alias("cv_of_vars"),
+        F.round(
+            F.sqrt(F.greatest(d * s2 - s1 * s1, F.lit(0.0))) / s1, 6
+        ).alias("cv_of_vars"),
         F.round(
             1.0
             - F.sqrt(F.greatest(d * s2 - s1 * s1, F.lit(0.0)))
-            / (s1 * F.sqrt((d - 1).cast("double"))),
+            / (s1 * F.sqrt(F.greatest(d - 1, F.lit(0)).cast("double"))),
             6,
         ).alias("isotropy_score"),
     )
