@@ -1072,3 +1072,92 @@ def q_sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rel_error"),
     )
+
+
+PAD_LENGTHS = (512, 1024, 2048)
+
+
+@register(
+    "q_pack_padding_waste",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    ladder AS (SELECT unnest([{", ".join(str(l) for l in PAD_LENGTHS)}])
+                   AS ctx),
+    per AS (
+      SELECT CAST(l.ctx AS BIGINT) AS ctx,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(t.n_tok) AS BIGINT) AS real_tokens,
+             CAST(sum(((t.n_tok + l.ctx - 1) // l.ctx) * l.ctx)
+                  AS BIGINT) AS padded_tokens,
+             CAST(sum((t.n_tok + l.ctx - 1) // l.ctx) AS BIGINT)
+                 AS n_sequences
+      FROM toks t CROSS JOIN ladder l
+      GROUP BY l.ctx
+    )
+    SELECT ctx, n_docs, n_sequences, real_tokens, padded_tokens,
+           CAST(padded_tokens - real_tokens AS DOUBLE) / padded_tokens
+               AS waste_share
+    FROM per ORDER BY ctx
+    """,
+)
+def q_pack_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste economics across the context-length ladder
+    (512/1024/2048): if every document is chunked to ceil(len/ctx)
+    sequences and each sequence padded to ctx, what fraction of
+    paid-for tokens is padding - the number that justifies sequence
+    PACKING in the first place (q_pack_sequences' waste is bounded
+    by one doc per pack; naive padding wastes THIS much), and the
+    curve a training team reads before picking a context length for
+    a corpus with this length distribution.
+
+    Exactness: token counts, ceil-division sequence counts, and
+    padded totals are pure int64; waste_share is ONE integer
+    division, unrounded.
+
+    Scale shape: one tokenize-count pass crossed with the 3-row
+    ladder, map-side combining agg. 100 TB: identical - this is a
+    histogram functional of the length distribution
+    (q_seq_len_buckets is that histogram; this is its cost
+    projection).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        )
+        .cast("bigint")
+        .alias("n_tok"),
+    )
+    ladder = spark.createDataFrame(
+        [(l,) for l in PAD_LENGTHS], "ctx long"
+    )
+    n_seq = F.expr("(n_tok + ctx - 1) div ctx")
+    per = (
+        toks.crossJoin(F.broadcast(ladder))
+        .groupBy("ctx")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("real_tokens"),
+            F.sum(n_seq * F.col("ctx")).cast("bigint").alias(
+                "padded_tokens"
+            ),
+            F.sum(n_seq).cast("bigint").alias("n_sequences"),
+        )
+    )
+    return per.select(
+        "ctx",
+        "n_docs",
+        "n_sequences",
+        "real_tokens",
+        "padded_tokens",
+        (
+            (F.col("padded_tokens") - F.col("real_tokens")).cast("double")
+            / F.col("padded_tokens")
+        ).alias("waste_share"),
+    ).orderBy("ctx")

@@ -5125,3 +5125,274 @@ def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("reject_normality"),
     ).orderBy("seg")
+
+
+COOKS_TOPK = 5
+
+
+@register(
+    "q_stats_cooks_distance",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    idx AS (
+      SELECT CAST(row_number() OVER (ORDER BY ed) - 1 AS BIGINT) AS x,
+             ed, y
+      FROM daily
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM idx
+    ),
+    fit AS (
+      SELECT n, sx, sy,
+             (CAST(n * sxy - sx * sy AS DOUBLE))
+               / (CAST(n * sxx - sx * sx AS DOUBLE)) AS b,
+             CAST(sx AS DOUBLE) / n AS xbar,
+             CAST(n * sxx - sx * sx AS DOUBLE) / n AS sxx_c
+      FROM s
+    ),
+    resid AS (
+      SELECT i.ed, i.x, i.y,
+             i.y - ((CAST(f.sy AS DOUBLE) / f.n - f.b * f.xbar)
+                    + f.b * i.x) AS e,
+             1.0 / f.n + (i.x - f.xbar) * (i.x - f.xbar) / f.sxx_c
+                 AS h,
+             f.n
+      FROM idx i CROSS JOIN fit f
+    ),
+    mse AS (
+      SELECT sum(e * e) / (max(n) - 2) AS s2 FROM resid
+    ),
+    cooks AS (
+      SELECT r.ed, round(r.e, 4) AS residual,
+             round(r.h, 6) AS leverage,
+             round(r.e * r.e * r.h
+                   / (2.0 * m.s2 * (1.0 - r.h) * (1.0 - r.h)), 6)
+                 AS cooks_d
+      FROM resid r CROSS JOIN mse m
+    )
+    SELECT ed AS epoch_day, residual, leverage, cooks_d
+    FROM cooks ORDER BY cooks_d DESC, epoch_day LIMIT {COOKS_TOPK}
+    """,
+)
+def q_stats_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance for the daily purchase-count trend fit: per
+    day, D_i = e_i^2 h_i / (p s^2 (1-h_i)^2) with the closed-form
+    simple-regression leverage h_i = 1/n + (x-xbar)^2/Sxx - the
+    influence diagnostic that names WHICH observations drive
+    q_stats_ols_trend's slope (a big residual at high leverage can
+    own the fit), reported as the top-5 most influential days. The
+    regression-diagnostics member the inference family was missing:
+    anomaly detectors flag outliers in y; Cook's D flags outliers
+    in EFFECT.
+
+    Exactness: x is the integer day rank and y integer counts, so
+    every power sum is exact int64; slope/intercept/leverage/
+    residual are the identical closed-form trees (4-6dp rounds on
+    output per the OLS rule); the top-k boundary ties on epoch_day.
+
+    Scale shape: one rollup, 1-row power-sum fit broadcast back
+    onto the bounded daily frame, projection arithmetic, TakeOrdered
+    top-k. 100 TB: identical per series.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        )
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    idx = daily.select(
+        (F.row_number().over(Window.orderBy("ed")) - 1)
+        .cast("bigint")
+        .alias("x"),
+        "ed",
+        "y",
+    )
+    s = idx.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    fit = s.select(
+        "n",
+        "sx",
+        "sy",
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / (
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+            ).cast("double")
+        ).alias("b"),
+        (F.col("sx").cast("double") / F.col("n")).alias("xbar"),
+        (
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                "double"
+            )
+            / F.col("n")
+        ).alias("sxx_c"),
+    )
+    resid = idx.crossJoin(F.broadcast(fit)).select(
+        "ed",
+        "x",
+        "y",
+        (
+            F.col("y")
+            - (
+                (F.col("sy").cast("double") / F.col("n")
+                 - F.col("b") * F.col("xbar"))
+                + F.col("b") * F.col("x")
+            )
+        ).alias("e"),
+        (
+            1.0 / F.col("n")
+            + (F.col("x") - F.col("xbar"))
+            * (F.col("x") - F.col("xbar"))
+            / F.col("sxx_c")
+        ).alias("h"),
+        "n",
+    )
+    mse = resid.agg(
+        (F.sum(F.col("e") * F.col("e")) / (F.max("n") - 2)).alias("s2")
+    )
+    cooks = resid.crossJoin(F.broadcast(mse)).select(
+        F.col("ed").alias("epoch_day"),
+        F.round("e", 4).alias("residual"),
+        F.round("h", 6).alias("leverage"),
+        F.round(
+            F.col("e")
+            * F.col("e")
+            * F.col("h")
+            / (
+                2.0
+                * F.col("s2")
+                * (1.0 - F.col("h"))
+                * (1.0 - F.col("h"))
+            ),
+            6,
+        ).alias("cooks_d"),
+    )
+    return cooks.orderBy(F.desc("cooks_d"), "epoch_day").limit(
+        COOKS_TOPK
+    )
+
+
+@register(
+    "q_stats_bartlett",
+    oracle="""
+    WITH v AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice, 0) AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    g AS (
+      SELECT seg, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s1,
+             CAST(sum(x * x) AS BIGINT) AS s2
+      FROM v GROUP BY seg
+    ),
+    gv AS (
+      SELECT seg, n,
+             (CAST(s2 AS DOUBLE) * n - CAST(s1 AS DOUBLE) * s1)
+               / (CAST(n AS DOUBLE) * (n - 1)) AS var_i
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn,
+             CAST(count(*) AS BIGINT) AS k,
+             sum((n - 1.0) * var_i) AS pooled_num,
+             sum((n - 1.0) * ln(var_i)) AS sum_ln,
+             sum(1.0 / (n - 1.0)) AS sum_inv
+      FROM gv
+    )
+    SELECT gv.seg, gv.n, round(gv.var_i, 4) AS variance,
+           round(((t.nn - t.k) * ln(t.pooled_num / (t.nn - t.k))
+                  - t.sum_ln)
+                 / (1.0 + (t.sum_inv - 1.0 / (t.nn - t.k))
+                          / (3.0 * (t.k - 1))), 6) AS bartlett_stat
+    FROM gv CROSS JOIN t ORDER BY gv.seg
+    """,
+)
+def q_stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for variance homogeneity across segments -
+    the NORMAL-THEORY counterpart of q_stats_brown_forsythe (more
+    powerful when q_stats_jarque_bera passes, badly anti-
+    conservative when it fails, which is exactly why all three
+    ship): T = ((N-k) ln s_p^2 - sum (n_i-1) ln s_i^2) / C against
+    chi2_{k-1}. Per-segment sample variances with the shared
+    statistic.
+
+    Exactness: whole-dollar int64 power sums (the brown-forsythe
+    unit); each sample variance is the identical (S2 n - S1^2)/
+    (n(n-1)) tree; ln terms and the <=k-term sums sit behind the
+    6dp/4dp output rounds.
+
+    Scale shape: ONE power-sum agg to the 5-row frame, 1-row
+    arithmetic. 100 TB: identical.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    v = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice"), 0).cast("bigint").alias("x"),
+    )
+    g = v.groupBy("seg").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    )
+    gv = g.select(
+        "seg",
+        "n",
+        (
+            (
+                F.col("s2").cast("double") * F.col("n")
+                - F.col("s1").cast("double") * F.col("s1")
+            )
+            / (F.col("n").cast("double") * (F.col("n") - 1))
+        ).alias("var_i"),
+    )
+    t = gv.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.count("*").cast("bigint").alias("k"),
+        F.sum((F.col("n") - 1.0) * F.col("var_i")).alias("pooled_num"),
+        F.sum((F.col("n") - 1.0) * F.log(F.col("var_i"))).alias(
+            "sum_ln"
+        ),
+        F.sum(1.0 / (F.col("n") - 1.0)).alias("sum_inv"),
+    )
+    stat = (
+        (F.col("nn") - F.col("k"))
+        * F.log(F.col("pooled_num") / (F.col("nn") - F.col("k")))
+        - F.col("sum_ln")
+    ) / (
+        1.0
+        + (F.col("sum_inv") - 1.0 / (F.col("nn") - F.col("k")))
+        / (3.0 * (F.col("k") - 1))
+    )
+    return (
+        gv.crossJoin(F.broadcast(t))
+        .select(
+            "seg",
+            "n",
+            F.round("var_i", 4).alias("variance"),
+            F.round(stat, 6).alias("bartlett_stat"),
+        )
+        .orderBy("seg")
+    )

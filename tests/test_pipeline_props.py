@@ -1324,3 +1324,25 @@ def test_dedup_eval_matches_python(spark):
     assert row.n_detected == len(det)
     assert row.n_hits == len(det & truth)
     assert row.recall >= 0.9  # the planted groups must be found
+
+
+def test_padding_waste_matches_python(spark):
+    d = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    lens = d.text.map(
+        lambda t: len([w for w in str(t).lower().split(" ") if w])
+    ).to_numpy()
+    rows = {r.ctx: r for r in registry.QUERIES["q_pack_padding_waste"](
+        spark, SF_DIR).collect()}
+    for ctx in (512, 1024, 2048):
+        seqs = -(-lens // ctx)  # ceil division
+        padded = (seqs * ctx).sum()
+        r = rows[ctx]
+        assert r.n_docs == len(lens)
+        assert r.n_sequences == seqs.sum()
+        assert r.real_tokens == lens.sum()
+        assert r.padded_tokens == padded
+        assert r.waste_share == pytest.approx(
+            (padded - lens.sum()) / padded, abs=1e-12
+        )
+    # waste grows with context length on a short-doc corpus
+    assert rows[2048].waste_share >= rows[512].waste_share

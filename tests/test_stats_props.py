@@ -1759,3 +1759,54 @@ def test_skyline_matches_bruteforce(spark):
         cheaper = [l2 for _, p2, l2 in pts if p2 < p]
         if not cheaper or l < min(cheaper):
             assert (k, p, l) in got
+
+
+def test_cooks_distance_matches_numpy(spark, events_pdf):
+    daily = (
+        events_pdf[events_pdf.event_type == "purchase"]
+        .groupby("day")
+        .size()
+        .sort_index()
+    )
+    ed = (daily.index - pd.Timestamp("1970-01-01")).days.to_numpy()
+    y = daily.to_numpy(float)
+    x = np.arange(len(y), dtype=float)
+    n = len(y)
+    b, a = np.polyfit(x, y, 1)
+    e = y - (a + b * x)
+    h = 1 / n + (x - x.mean()) ** 2 / ((x - x.mean()) ** 2).sum()
+    s2 = (e**2).sum() / (n - 2)
+    d = e**2 * h / (2 * s2 * (1 - h) ** 2)
+    order = sorted(
+        range(n), key=lambda i: (-round(d[i], 6), ed[i])
+    )[:5]
+    rows = registry.QUERIES["q_stats_cooks_distance"](
+        spark, SF_DIR
+    ).collect()
+    for r, i in zip(rows, order):
+        assert r.epoch_day == ed[i]
+        assert r.cooks_d == pytest.approx(d[i], abs=2e-6)
+        assert r.leverage == pytest.approx(h[i], abs=2e-6)
+
+
+def test_bartlett_matches_scipy_free(spark):
+    o = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    c = pd.read_parquet(f"{SF_DIR}/customer.parquet")
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    j["x"] = j.o_totalprice.round(0).astype("int64")
+    groups = [g.x.to_numpy(float) for _, g in j.groupby("c_mktsegment")]
+    k = len(groups)
+    nn = sum(len(g) for g in groups)
+    vars_ = [g.var(ddof=1) for g in groups]
+    sp2 = sum((len(g) - 1) * v for g, v in zip(groups, vars_)) / (
+        nn - k
+    )
+    num = (nn - k) * np.log(sp2) - sum(
+        (len(g) - 1) * np.log(v) for g, v in zip(groups, vars_)
+    )
+    den = 1 + (
+        sum(1 / (len(g) - 1) for g in groups) - 1 / (nn - k)
+    ) / (3 * (k - 1))
+    rows = registry.QUERIES["q_stats_bartlett"](spark, SF_DIR).collect()
+    for r in rows:
+        assert r.bartlett_stat == pytest.approx(num / den, abs=2e-5)
