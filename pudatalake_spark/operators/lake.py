@@ -783,7 +783,7 @@ ZM_HI_CENTS = 21_000_000     # .. $210,000.00
 )
 def q_lake_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zone-map (per-file min/max) skipping simulator: lay orders out
-    into {ZM_ROWS_PER_FILE}-row files under two clusterings -
+    into 1000-row (ZM_ROWS_PER_FILE) files under two clusterings -
     date-clustered (the natural ingest order) and value-sorted - and
     report how many files a BETWEEN predicate on order value could
     skip under each, plus the rows actually scanned. The measured
