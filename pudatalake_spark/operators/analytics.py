@@ -4701,3 +4701,120 @@ def q_time_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         F.max("biz_days").cast("bigint").alias("max_biz_days"),
     )
+
+
+@register(
+    "q_events_mix_shift",
+    oracle=f"""
+    WITH base AS (
+      SELECT CASE WHEN dayofmonth(CAST(ts AS DATE)) < {KPI_SPLIT_DAY}
+                  THEN 1 ELSE 2 END AS period,
+             event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT period, CAST(sum(n) AS BIGINT) AS tn FROM base
+      GROUP BY period
+    ),
+    seg AS (
+      SELECT b.event_type,
+             max(CASE WHEN b.period = 1
+                 THEN CAST(b.n AS DOUBLE) / t.tn END) AS w1,
+             max(CASE WHEN b.period = 2
+                 THEN CAST(b.n AS DOUBLE) / t.tn END) AS w2,
+             max(CASE WHEN b.period = 1
+                 THEN CAST(b.cents AS DOUBLE) / (100.0 * b.n) END) AS r1,
+             max(CASE WHEN b.period = 2
+                 THEN CAST(b.cents AS DOUBLE) / (100.0 * b.n) END) AS r2
+      FROM base b JOIN tot t ON b.period = t.period
+      GROUP BY b.event_type
+    )
+    SELECT event_type,
+           round(w1, 6) AS share_p1, round(w2, 6) AS share_p2,
+           round(r1, 6) AS rate_p1, round(r2, 6) AS rate_p2,
+           round((w2 - w1) * (r1 + r2) / 2.0, 6) AS mix_effect,
+           round((r2 - r1) * (w1 + w2) / 2.0, 6) AS rate_effect,
+           round((w2 - w1) * (r1 + r2) / 2.0
+                 + (r2 - r1) * (w1 + w2) / 2.0, 6) AS total_effect
+    FROM seg ORDER BY event_type
+    """,
+)
+def q_events_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate/mix decomposition of the period-over-period change in
+    average event value: for each event type, how much of the
+    overall average's movement came from the type's SHARE changing
+    (mix effect) vs its own AVERAGE VALUE changing (rate effect),
+    using the symmetric midpoint weighting (w-delta x mean rate +
+    r-delta x mean share - the two-period Oaxaca-Blinder/Bennet
+    decomposition whose effects sum EXACTLY to each segment's total
+    contribution). This answers the question q_events_kpi_tree's
+    single-chain logs cannot: "did the METRIC move, or did the
+    TRAFFIC move under it?" - the first question asked whenever a
+    blended average shifts (Simpson's q_stats_simpson_check is the
+    pathological case of the same phenomenon).
+
+    Exactness: counts/cents are int64; shares and rates are integer
+    divisions; the midpoint products are the identical trees in
+    both engines behind 6dp rounds. The per-type effects sum to the
+    overall average's change (the pinned test identity).
+
+    Scale shape: ONE two-period (type) agg + a 2-row total
+    broadcast -> 5-row pivot arithmetic. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    period = F.when(
+        F.dayofmonth(F.to_date("ts")) < KPI_SPLIT_DAY, 1
+    ).otherwise(2)
+    base = e.groupBy(
+        period.alias("period"), "event_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    tot = base.groupBy("period").agg(
+        F.sum("n").cast("bigint").alias("tn")
+    )
+    j = base.join(F.broadcast(tot), "period")
+    seg = j.groupBy("event_type").agg(
+        F.max(
+            F.when(
+                F.col("period") == 1,
+                F.col("n").cast("double") / F.col("tn"),
+            )
+        ).alias("w1"),
+        F.max(
+            F.when(
+                F.col("period") == 2,
+                F.col("n").cast("double") / F.col("tn"),
+            )
+        ).alias("w2"),
+        F.max(
+            F.when(
+                F.col("period") == 1,
+                F.col("cents").cast("double") / (100.0 * F.col("n")),
+            )
+        ).alias("r1"),
+        F.max(
+            F.when(
+                F.col("period") == 2,
+                F.col("cents").cast("double") / (100.0 * F.col("n")),
+            )
+        ).alias("r2"),
+    )
+    mix = (F.col("w2") - F.col("w1")) * (F.col("r1") + F.col("r2")) / 2.0
+    rate = (F.col("r2") - F.col("r1")) * (F.col("w1") + F.col("w2")) / 2.0
+    return seg.select(
+        "event_type",
+        F.round("w1", 6).alias("share_p1"),
+        F.round("w2", 6).alias("share_p2"),
+        F.round("r1", 6).alias("rate_p1"),
+        F.round("r2", 6).alias("rate_p2"),
+        F.round(mix, 6).alias("mix_effect"),
+        F.round(rate, 6).alias("rate_effect"),
+        F.round(mix + rate, 6).alias("total_effect"),
+    ).orderBy("event_type")

@@ -1196,3 +1196,94 @@ def q_win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_cents", "o_orderkey")
     )
+
+
+@register(
+    "q_win_ulcer_index",
+    oracle="""
+    WITH daily AS (
+      SELECT date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS y
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    equity AS (
+      SELECT ed, CAST(sum(y) OVER w AS BIGINT) AS equity
+      FROM daily
+      WINDOW w AS (ORDER BY ed ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    cum AS (
+      SELECT ed, equity,
+             CAST(max(equity) OVER w AS BIGINT) AS peak
+      FROM equity
+      WINDOW w AS (ORDER BY ed ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    dd AS (
+      SELECT ed, equity, peak,
+             100.0 * (peak - equity) / peak AS dd_pct
+      FROM cum
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_days,
+           round(max(dd_pct), 6) AS max_drawdown_pct,
+           round(sqrt(avg(dd_pct * dd_pct)), 6) AS ulcer_index
+    FROM dd
+    """,
+)
+def q_win_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ulcer index of the cumulative-revenue equity curve:
+    sqrt(mean(drawdown%^2)) - Martin's downside-pain measure that
+    penalizes DEPTH x DURATION of drawdowns where plain sigma
+    (q_win_bollinger) treats up and down moves alike; reported next
+    to the max drawdown, whose single worst point it generalizes to
+    the whole underwater profile (the summary scalar of
+    q_win_drawdown's full curve).
+
+    Exactness: the equity curve and running peak are exact int64
+    window sums/maxes (nested windows: running max OF the running
+    sum); each drawdown% is one integer-difference division
+    (peak > 0 from the first day on - purchase revenue is
+    positive); the quadratic mean is the one <=|days|-term order
+    surface behind the 6dp round.
+
+    Scale shape: the q_win_drawdown stacked-window pass + a 1-row
+    agg; per-series partitioning generalizes.
+    """
+    e = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    daily = e.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias(
+            "ed"
+        )
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("ed").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = daily.select(
+        "ed", F.sum("y").over(w).cast("bigint").alias("equity")
+    )
+    cum2 = cum.select(
+        "ed",
+        "equity",
+        F.max("equity").over(w).cast("bigint").alias("peak"),
+    )
+    dd = cum2.select(
+        (
+            100.0
+            * (F.col("peak") - F.col("equity"))
+            / F.col("peak")
+        ).alias("dd_pct")
+    )
+    return dd.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(F.max("dd_pct"), 6).alias("max_drawdown_pct"),
+        F.round(
+            F.sqrt(F.avg(F.col("dd_pct") * F.col("dd_pct"))), 6
+        ).alias("ulcer_index"),
+    )

@@ -1810,3 +1810,49 @@ def test_bartlett_matches_scipy_free(spark):
     rows = registry.QUERIES["q_stats_bartlett"](spark, SF_DIR).collect()
     for r in rows:
         assert r.bartlett_stat == pytest.approx(num / den, abs=2e-5)
+
+
+def test_mix_shift_decomposition_identity(spark, events_pdf):
+    cents = (events_pdf.value * 100).round(0).astype("int64")
+    df = events_pdf.assign(
+        c=cents, p=np.where(events_pdf.ts.dt.day < 15, 1, 2)
+    )
+    rows = registry.QUERIES["q_events_mix_shift"](spark, SF_DIR).collect()
+    # the per-type effects must sum to the overall average's change
+    avg1 = df[df.p == 1].c.mean() / 100
+    avg2 = df[df.p == 2].c.mean() / 100
+    total = sum(r.total_effect for r in rows)
+    assert total == pytest.approx(avg2 - avg1, abs=5e-5)
+    for r in rows:
+        g1 = df[(df.p == 1) & (df.event_type == r.event_type)]
+        g2 = df[(df.p == 2) & (df.event_type == r.event_type)]
+        w1 = len(g1) / (df.p == 1).sum()
+        w2 = len(g2) / (df.p == 2).sum()
+        r1 = g1.c.mean() / 100
+        r2 = g2.c.mean() / 100
+        assert r.mix_effect == pytest.approx(
+            (w2 - w1) * (r1 + r2) / 2, abs=2e-6
+        )
+        assert r.rate_effect == pytest.approx(
+            (r2 - r1) * (w1 + w2) / 2, abs=2e-6
+        )
+
+
+def test_ulcer_index_matches_numpy(spark, events_pdf):
+    d = (
+        events_pdf[events_pdf.event_type == "purchase"]
+        .assign(c=lambda x: (x.value * 100).round(0).astype("int64"))
+        .groupby("day")["c"]
+        .sum()
+        .sort_index()
+        .to_numpy()
+    )
+    eq = np.cumsum(d)
+    peak = np.maximum.accumulate(eq)
+    ddp = 100 * (peak - eq) / peak
+    row = registry.QUERIES["q_win_ulcer_index"](spark, SF_DIR).collect()[0]
+    assert row.n_days == len(d)
+    assert row.max_drawdown_pct == pytest.approx(ddp.max(), abs=2e-6)
+    assert row.ulcer_index == pytest.approx(
+        np.sqrt((ddp**2).mean()), abs=2e-6
+    )
