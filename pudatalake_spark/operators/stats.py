@@ -5396,3 +5396,219 @@ def q_stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("seg")
     )
+
+
+KSU_BUCKETS = 1024  # hash-bucket granularity for the uniformity test
+
+
+@register(
+    "q_stats_ks_uniformity",
+    oracle=f"""
+    WITH b AS (
+      SELECT DISTINCT user_id,
+             ((user_id * {FDR_HASH_A} + {FDR_HASH_B}) % {FDR_HASH_P})
+               % {KSU_BUCKETS} AS bucket
+      FROM events
+    ),
+    r AS (
+      SELECT bucket,
+             CAST(row_number() OVER (ORDER BY bucket, user_id)
+                  AS BIGINT) AS rn,
+             CAST(count(*) OVER () AS BIGINT) AS n
+      FROM b
+    ),
+    d AS (
+      SELECT max(greatest(
+               abs(CAST(rn AS DOUBLE) / n
+                   - CAST(bucket + 1 AS DOUBLE) / {KSU_BUCKETS}),
+               abs(CAST(rn - 1 AS DOUBLE) / n
+                   - CAST(bucket AS DOUBLE) / {KSU_BUCKETS})))
+                 AS ks_d,
+             max(n) AS n
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           round(ks_d, 6) AS ks_d,
+           round(ks_d * sqrt(CAST(n AS DOUBLE)), 6) AS ks_scaled,
+           CASE WHEN ks_d * sqrt(CAST(n AS DOUBLE)) > 1.358
+                THEN 1 ELSE 0 END AS reject_uniform
+    FROM d
+    """,
+)
+def q_stats_ks_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov test of the A/B HASH SPLIT
+    itself against the uniform distribution: bucket every user's
+    assignment hash into 1024 cells and take the sup distance
+    between the empirical CDF and the uniform line (both one-sided
+    envelopes per discrete-KS practice), scaled by sqrt(n) against
+    the 95% Kolmogorov critical 1.358 - the randomization-quality
+    check UNDER q_events_srm_check (SRM tests the 2-way split
+    ratio; this tests the whole hash's distributional uniformity,
+    which is what stratified or many-armed designs lean on).
+
+    Exactness: buckets/ranks/n are exact integer hash arithmetic;
+    each envelope term is a difference of two integer ratios with
+    identical trees; only the reported sup and its scaling are
+    rounded (6dp), and the reject flag compares the unrounded value
+    to a literal.
+
+    Scale shape: per-user distinct agg -> one ordered rank window
+    over users -> 1-row sup agg. 100 TB: the rank collapses to a
+    per-bucket count agg + running sum over 1024 cells (same sup,
+    bucket granularity) - the documented swap.
+    """
+    e = table(spark, sf_dir, "events")
+    b = e.select(
+        "user_id",
+        F.expr(
+            f"((user_id * {FDR_HASH_A} + {FDR_HASH_B}) % {FDR_HASH_P})"
+            f" % {KSU_BUCKETS}"
+        ).alias("bucket"),
+    ).distinct()
+    r = b.select(
+        "bucket",
+        F.row_number()
+        .over(Window.orderBy("bucket", "user_id"))
+        .cast("bigint")
+        .alias("rn"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    up = F.abs(
+        F.col("rn").cast("double") / F.col("n")
+        - (F.col("bucket") + 1).cast("double") / KSU_BUCKETS
+    )
+    lo = F.abs(
+        (F.col("rn") - 1).cast("double") / F.col("n")
+        - F.col("bucket").cast("double") / KSU_BUCKETS
+    )
+    d = r.agg(
+        F.max(F.greatest(up, lo)).alias("ks_d"),
+        F.max("n").alias("n"),
+    )
+    scaled = F.col("ks_d") * F.sqrt(F.col("n").cast("double"))
+    return d.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round("ks_d", 6).alias("ks_d"),
+        F.round(scaled, 6).alias("ks_scaled"),
+        F.when(scaled > 1.358, 1).otherwise(0).alias("reject_uniform"),
+    )
+
+
+@register(
+    "q_stats_info_gain",
+    oracle=f"""
+    WITH u AS (
+      SELECT user_id, user_id % {SIMPSON_STRATA} AS feat,
+             CASE WHEN 2 * sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END)
+                    > sum(CASE WHEN event_type IN ('click', 'view')
+                               THEN 1 ELSE 0 END)
+                  THEN 1 ELSE 0 END AS y
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(feat AS BIGINT) AS feat,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS k
+      FROM u GROUP BY feat
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(k) AS BIGINT) AS kk
+      FROM cells
+    ),
+    hy AS (
+      SELECT -( (CAST(kk AS DOUBLE)/nn) * ln(CAST(kk AS DOUBLE)/nn)
+              + (1.0 - CAST(kk AS DOUBLE)/nn)
+                * ln(1.0 - CAST(kk AS DOUBLE)/nn)) AS h
+      FROM tot
+    ),
+    cond AS (
+      SELECT sum((CAST(c.n AS DOUBLE)/t.nn)
+                 * (-( (CAST(c.k AS DOUBLE)/c.n)
+                       * ln(nullif(CAST(c.k AS DOUBLE)/c.n, 0))
+                     + (1.0 - CAST(c.k AS DOUBLE)/c.n)
+                       * ln(nullif(1.0 - CAST(c.k AS DOUBLE)/c.n, 0))))
+                ) AS h_cond
+      FROM cells c CROSS JOIN tot t
+    )
+    SELECT c.feat, c.n, c.k,
+           round(CAST(c.k AS DOUBLE)/c.n, 6) AS p_cell,
+           round(hy.h, 6) AS h_y,
+           round(hy.h - cond.h_cond, 6) AS info_gain,
+           round((hy.h - cond.h_cond) / hy.h, 6) AS gain_ratio_of_h
+    FROM cells c CROSS JOIN hy CROSS JOIN cond ORDER BY c.feat
+    """,
+)
+def q_stats_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of splitting the purchase-majority outcome
+    by the user-cohort feature: IG = H(Y) - sum_i w_i H(Y|feat=i) -
+    the decision-tree split criterion (ID3/C4.5) computed
+    relationally, i.e. the single-feature importance score a tree
+    trainer evaluates for EVERY candidate feature at every node
+    (run per feature, the argmax is the split; q_stats_mutual_info
+    is the same quantity for two categoricals - this member frames
+    it as the supervised-split score with the share of H(Y)
+    explained). Degenerate pure cells contribute 0 via nullif-
+    guarded ln (the 0 ln 0 = 0 convention).
+
+    Exactness: cells are int64 from one per-user agg; entropies
+    are integer-ratio ln trees over the bounded cell frame behind
+    6dp rounds.
+
+    Scale shape: fact -> user agg -> |feature values|-row cell agg
+    -> 1-row entropies broadcast. 100 TB: identical; a tree trainer
+    fans this over features with one grouping set.
+    """
+    e = table(spark, sf_dir, "events")
+    is_purch = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    is_cv = F.when(F.col("event_type").isin("click", "view"), 1).otherwise(0)
+    u = e.groupBy("user_id").agg(
+        F.when(2 * F.sum(is_purch) > F.sum(is_cv), 1)
+        .otherwise(0)
+        .alias("y")
+    ).select(
+        (F.col("user_id") % SIMPSON_STRATA).cast("bigint").alias("feat"),
+        "y",
+    )
+    cells = u.groupBy("feat").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("k").cast("bigint").alias("kk"),
+    )
+    p = F.col("kk").cast("double") / F.col("nn")
+    hy = tot.select(
+        (-(p * F.log(p) + (1.0 - p) * F.log(1.0 - p))).alias("h")
+    )
+    pc = F.col("k").cast("double") / F.col("n")
+    cell_h = -(
+        pc * F.log(F.nullif(pc, F.lit(0.0)))
+        + (1.0 - pc) * F.log(F.nullif(1.0 - pc, F.lit(0.0)))
+    )
+    cond = (
+        cells.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                (F.col("n").cast("double") / F.col("nn"))
+                * F.coalesce(cell_h, F.lit(0.0))
+            ).alias("h_cond")
+        )
+    )
+    return (
+        cells.crossJoin(F.broadcast(hy))
+        .crossJoin(F.broadcast(cond))
+        .select(
+            "feat",
+            "n",
+            "k",
+            F.round(pc, 6).alias("p_cell"),
+            F.round("h", 6).alias("h_y"),
+            F.round(F.col("h") - F.col("h_cond"), 6).alias("info_gain"),
+            F.round(
+                (F.col("h") - F.col("h_cond")) / F.col("h"), 6
+            ).alias("gain_ratio_of_h"),
+        )
+        .orderBy("feat")
+    )

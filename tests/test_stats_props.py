@@ -1856,3 +1856,47 @@ def test_ulcer_index_matches_numpy(spark, events_pdf):
     assert row.ulcer_index == pytest.approx(
         np.sqrt((ddp**2).mean()), abs=2e-6
     )
+
+
+def test_ks_uniformity_matches_numpy(spark, events_pdf):
+    A, B, P = 2654435761, 1013904223, 1_000_000_007
+    users = sorted(events_pdf.user_id.unique())
+    buckets = np.array(sorted(((u * A + B) % P) % 1024 for u in users))
+    n = len(buckets)
+    rn = np.arange(1, n + 1)
+    up = np.abs(rn / n - (buckets + 1) / 1024)
+    lo = np.abs((rn - 1) / n - buckets / 1024)
+    ks = max(up.max(), lo.max())
+    row = registry.QUERIES["q_stats_ks_uniformity"](
+        spark, SF_DIR
+    ).collect()[0]
+    assert row.n_users == n
+    assert row.ks_d == pytest.approx(ks, abs=2e-6)
+    assert row.reject_uniform == int(ks * np.sqrt(n) > 1.358)
+
+
+def test_info_gain_matches_bruteforce(spark, events_pdf):
+    g = events_pdf.groupby("user_id").event_type
+    purch = g.apply(lambda s: (s == "purchase").sum())
+    cv = g.apply(lambda s: s.isin(["click", "view"]).sum())
+    y = (2 * purch > cv).astype(int)
+    feat = pd.Series([u % 3 for u in y.index], index=y.index)
+
+    def h(p):
+        if p in (0, 1):
+            return 0.0
+        return -(p * np.log(p) + (1 - p) * np.log(1 - p))
+
+    hy = h(y.mean())
+    h_cond = sum(
+        (len(y[feat == f]) / len(y)) * h(y[feat == f].mean())
+        for f in (0, 1, 2)
+    )
+    rows = registry.QUERIES["q_stats_info_gain"](spark, SF_DIR).collect()
+    for r in rows:
+        sub = y[feat == r.feat]
+        assert (r.n, r.k) == (len(sub), sub.sum())
+        assert r.h_y == pytest.approx(hy, abs=2e-6)
+        assert r.info_gain == pytest.approx(hy - h_cond, abs=2e-6)
+    # conditioning cannot increase entropy
+    assert rows[0].info_gain >= -1e-9
