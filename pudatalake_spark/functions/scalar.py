@@ -716,7 +716,14 @@ def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-AES_KEY = "0123456789abcdef"  # 16-byte literal demo key (AES-128)
+# 16-byte literal DEMO key (AES-128) - deliberately hardcoded so the
+# rerun-stable check needs no secret management. Production: derive
+# the key from a secret store (never a source literal) and use the
+# default GCM mode - deterministic ECB leaks plaintext equality
+# (identical names -> identical ciphertexts), which the operator
+# exploits as a CHECK but a real column-encryption deployment must
+# not (ADVICE r6).
+AES_KEY = "0123456789abcdef"
 
 
 @register("q_fn_crypto")  # engine-specific AES -> rows-only

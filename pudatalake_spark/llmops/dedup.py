@@ -944,11 +944,24 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     SAMPLE of planted groups, same shape.
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    detected = minhash_verified_pairs(d, JACCARD_TAU).select(
-        F.least("doc1", "doc2").alias("a"),
-        F.greatest("doc1", "doc2").alias("b"),
+    # Both pair lists are localCheckpointed before the three counts:
+    # without it each count re-ran the full MinHash+verify pipeline /
+    # the prefix self-join (up to 3x) - ADVICE r6. The checkpoint is
+    # lazy, so the registry's lazy-DataFrame contract holds until the
+    # caller's first action.
+    detected = (
+        minhash_verified_pairs(d, JACCARD_TAU)
+        .select(
+            F.least("doc1", "doc2").alias("a"),
+            F.greatest("doc1", "doc2").alias("b"),
+        )
+        .localCheckpoint(eager=False)
     )
-    pref = d.select(
+    # Docs shorter than the planted prefix would compare on their
+    # FULL text (substring truncates silently) and any heavily shared
+    # short prefix would make the self-join quadratic in that group -
+    # guard explicitly rather than relying on the fixture (ADVICE r6).
+    pref = d.filter(F.length("text") >= DEDUP_EVAL_PREFIX).select(
         "doc_id",
         F.substring("text", 1, DEDUP_EVAL_PREFIX).alias("pfx"),
     )
@@ -962,6 +975,7 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
         )
+        .localCheckpoint(eager=False)
     )
     n_det = detected.count()
     n_truth = truth.count()

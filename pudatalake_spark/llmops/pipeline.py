@@ -903,6 +903,13 @@ DP_LCG_C = 12345          # deterministic inverse-CDF uniform
 DP_LCG_M = 2147483648
 
 
+# WARNING (registration-site, per ADVICE r6): this operator
+# demonstrates the Laplace-mechanism ALGEBRA with a DETERMINISTIC
+# seeded noise draw so the oracle check is rerun-stable. The released
+# counts are therefore exactly invertible and provide ZERO actual
+# differential privacy. A real DP release must draw the noise from a
+# cryptographically secure RNG (and never publish the seed) - swap
+# the LCG uniform for `rand()`/OS entropy in production.
 @register(
     "q_privacy_dp_noise",
     oracle=f"""

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..loaders import cached, load, table
 from ..registry import register
 from ..functions.exact import avg_exact
+from .ranks import global_order, ntile_expr
 
 #: Flagship filter date (TPC-H Q1 style).
 Q1_CUTOFF = "1998-09-02"
@@ -937,9 +938,12 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: ONE full-scan aggregate computes all 15 sums
     map-side-combinably (a single 1-row reduce regardless of input
-    size); every pairwise r is then arithmetic on that 1-row frame -
-    the covariance matrix for p columns needs one pass and
-    O(p^2) accumulators, never p^2 scans.
+    size); the 6 pair rows are then an EXPLODE of an
+    array-of-structs projection on that single aggregate row (the
+    q_events_kpi_tree factor-explode rewrite, applied r7 after the
+    r6 audit caught the previous union-of-selects re-running the
+    full-scan agg 6x) - the covariance matrix for p columns needs
+    one pass and O(p^2) accumulators, never p^2 scans.
     """
     li = table(spark, sf_dir, "lineitem")
     aggs = [F.count("*").cast("double").alias("n")]
@@ -963,14 +967,19 @@ def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i, a in enumerate(_CORR_COLS)
         for b in _CORR_COLS[i + 1:]
     ]
-    out = None
-    for a, b in pairs:
-        row = sums.select(
-            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
-            r_expr(a, b).alias("r"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                r_expr(a, b).alias("r"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return sums.select(F.explode(pair_structs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.r"
+    )
 
 
 EQUIDEPTH_BUCKETS = 8
@@ -989,7 +998,8 @@ EQUIDEPTH_BUCKETS = 8
            CAST(count(*) AS BIGINT) AS n_orders,
            round(min(o_totalprice), 4) AS lo,
            round(max(o_totalprice), 4) AS hi,
-           round(sum(o_totalprice), 4) AS band_total
+           CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                AS DOUBLE) / 100.0 AS band_total
     FROM b
     GROUP BY bucket
     """,
@@ -1002,24 +1012,44 @@ def q_agg_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     support). Ties broken by o_orderkey so the band assignment is a
     pure function of the data.
 
-    Scale shape: ntile needs a total order - ONE global sort (range
-    partitioner, so it scales out; this is the one window family
-    where the sort is the contract itself); everything after is a
-    |buckets|-row two-phase agg. At 100 TB prefer
-    approx_percentile boundaries + a broadcast range join when the
-    exact equal-count property is not required.
+    Scale shape: ntile needs a total order, but NOT a global window
+    (Window.orderBy with no partition spec = Exchange SinglePartition
+    = one task sorts everything - the r6 audit finding). Instead the
+    shared bucketed two-pass rank (operators/ranks.py) computes the
+    global row_number in parallel (equi-depth buckets -> local sort
+    per bucket -> broadcast prefix offsets) and the ntile band is
+    closed-form arithmetic on (rank, N) - bit-identical to the
+    window ntile in both engines. Everything after is a
+    |buckets|-row two-phase agg.
     """
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    b = o.select(
+    r = global_order(
+        o.select("o_totalprice", "o_orderkey"),
         "o_totalprice",
-        F.ntile(EQUIDEPTH_BUCKETS).over(w).cast("bigint").alias("bucket"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_name="_i",
+        total_name="_n",
     )
+    b = r.select(
+        "o_totalprice",
+        ntile_expr(F.col("_i"), F.col("_n"), EQUIDEPTH_BUCKETS)
+        .cast("bigint")
+        .alias("bucket"),
+    )
+    # band_total accumulates exact int64 CENTS (a double sum at 1e9+
+    # scale is not reproducible to 4dp across reduction orders - the
+    # old single-partition plan masked this by summing in sorted
+    # order; functions/exact.py rule).
     return b.groupBy("bucket").agg(
         F.count("*").alias("n_orders"),
         F.round(F.min("o_totalprice"), 4).alias("lo"),
         F.round(F.max("o_totalprice"), 4).alias("hi"),
-        F.round(F.sum("o_totalprice"), 4).alias("band_total"),
+        (
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+            ).cast("double")
+            / 100.0
+        ).alias("band_total"),
     )
 
 
@@ -1052,9 +1082,12 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     whale-dependence and revenue-concentration monitoring (0 =
     uniform, ->1 = one customer is the business).
 
-    Scale shape: per-customer spend is a combinable agg; the rank
-    needs ONE global sort of |customers| rows (range-partitioned,
-    scales out); the final statistic is three sums on the ranked
+    Scale shape: per-customer spend is a combinable agg; the global
+    rank of |customers| rows comes from the shared bucketed two-pass
+    rank (operators/ranks.py - equi-depth buckets, per-bucket local
+    sort, broadcast prefix offsets), NOT an unpartitioned window
+    (which would be a SinglePartition single-task sort - the r6
+    audit finding); the final statistic is three sums on the ranked
     frame collapsed to a 1-row result. Ranks tie-break on custkey,
     and i*x products are summed from 4dp-rounded spends - the 6dp
     final round absorbs ordering ULPs.
@@ -1063,8 +1096,12 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     spend = o.groupBy("o_custkey").agg(
         F.round(F.sum("o_totalprice"), 4).alias("x")
     )
-    w = Window.orderBy("x", "o_custkey")
-    ranked = spend.select("x", F.row_number().over(w).alias("i"))
+    ranked = global_order(
+        spend,
+        "x",
+        [F.col("x"), F.col("o_custkey")],
+        rank_name="i",
+    ).select("x", "i")
     s = ranked.agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),

@@ -2599,11 +2599,17 @@ def q_events_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: sessionization is the standard lag+cumsum pair of
     windows on the shared user partitioning; the sweep operates on
-    2 x |sessions| boundary rows, NOT events. The global time-order
-    window is the honest cost at 100 TB - partition the sweep by
-    day with carry-in counts (the q_events_anomaly_chunked overlap
-    pattern) to bound the sort; at this corpus a single ordered
-    frame is optimal.
+    2 x |sessions| boundary rows, NOT events - and it is
+    DAY-PARTITIONED with carry-in counts (the q_events_anomaly_chunked
+    overlap pattern, implemented r7 after the r6 audit flagged the
+    global time-order window as an Exchange SinglePartition
+    single-task sort): the running sum at any mark = (sum of all
+    previous days' deltas) + (running sum within the day), because
+    every earlier-day mark precedes every same-day mark in the
+    global (ts, delta DESC) order and ties share a day by
+    construction. The carry-in prefix runs on the bounded |days|
+    spine via a broadcast triangular join (no window at all), so no
+    stage sorts more than one day of marks.
     """
     e = table(spark, sf_dir, "events")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -2632,14 +2638,36 @@ def q_events_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     marks = ivals.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
         ivals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    ).withColumn("day", F.date_trunc("day", F.col("ts")))
+    # Day-local running sum: a PARALLEL per-day window (the only sort
+    # is one day's marks per task).
+    wd = Window.partitionBy("day").orderBy(
+        F.col("ts"), F.col("delta").desc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    local = marks.select(
+        "day", F.sum("delta").over(wd).alias("run")
     )
-    ws = Window.orderBy(F.col("ts"), F.col("delta").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Carry-in = sum of ALL previous days' deltas, on the bounded
+    # |days| spine via a broadcast triangular join (window-free).
+    daytot = marks.groupBy("day").agg(F.sum("delta").alias("dtot"))
+    carry = (
+        daytot.alias("L")
+        .join(
+            F.broadcast(daytot.alias("R")),
+            F.col("R.day") < F.col("L.day"),
+            "left",
+        )
+        .groupBy(F.col("L.day").alias("day"))
+        .agg(F.coalesce(F.sum("R.dtot"), F.lit(0)).alias("carry"))
     )
-    sweep = marks.select("ts", F.sum("delta").over(ws).alias("concurrent"))
     return (
-        sweep.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
-        .agg(F.max("concurrent").cast("bigint").alias("peak_concurrent"))
+        local.join(F.broadcast(carry), "day")
+        .groupBy(F.col("day"))
+        .agg(
+            F.max(F.col("carry") + F.col("run"))
+            .cast("bigint")
+            .alias("peak_concurrent")
+        )
     )
 
 

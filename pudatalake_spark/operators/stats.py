@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 
 from ..loaders import table
 from ..registry import register
+from .ranks import global_order, ntile_expr
 
 KS_SEG_A = "BUILDING"
 KS_SEG_B = "MACHINERY"
@@ -1351,11 +1352,17 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical integers in both engines - is rounded (6dp). Doubling
     cancels between numerator and denominator.
 
-    Scale shape: broadcast-joinable dim join, then TWO global
-    range-partitioned sorts (one per variable) for the rank windows
-    - the same cost class as any global order-by - followed by one
-    combinable 1-row power-sum agg. 100 TB: ranks come from the same
-    two sorts (Spark range-partitions them); no pairwise work.
+    Scale shape: broadcast-joinable dim join, then per-variable
+    DISTINCT-VALUE frames carry the tie-averaged ranks: the doubled
+    rank 2*rank(x) + ties(x) - 1 is a pure function of the VALUE
+    (2*count_less + count_eq + 1), so it is computed as a bucketed
+    distributed cumulative count over the distinct-value frame
+    (operators/ranks.py - NOT an unpartitioned window, which Spark
+    would execute as an Exchange SinglePartition single-task sort;
+    the r6 audit finding) and hash-joined back onto the rows. One
+    combinable 1-row power-sum agg closes. 100 TB: two distinct-frame
+    cumsums + two shuffle joins; no single-task stage, no pairwise
+    work.
     """
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -1363,15 +1370,24 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("y"),
     )
-    rx = (
-        2 * F.rank().over(Window.orderBy("x"))
-        + F.count("*").over(Window.partitionBy("x")) - 1
-    ).cast("bigint")
-    ry = (
-        2 * F.rank().over(Window.orderBy("y"))
-        + F.count("*").over(Window.partitionBy("y")) - 1
-    ).cast("bigint")
-    ranked = j.select(rx.alias("rx"), ry.alias("ry"))
+
+    def doubled_ranks(col: str, out: str) -> DataFrame:
+        # 2*rank + ties - 1 = 2*cum_count_through(value) - ties + 1:
+        # value-keyed, so the rank join key is the value itself.
+        g = j.groupBy(col).agg(F.count("*").cast("bigint").alias("_c"))
+        g = global_order(g, col, [F.col(col)], cumsum={"_c": "_cum"})
+        return g.select(
+            col,
+            (2 * F.col("_cum") - F.col("_c") + 1)
+            .cast("bigint")
+            .alias(out),
+        )
+
+    ranked = (
+        j.join(doubled_ranks("x", "rx"), "x")
+        .join(doubled_ranks("y", "ry"), "y")
+        .select("rx", "ry")
+    )
     s = ranked.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum("rx").cast("bigint").alias("sx"),
@@ -2317,19 +2333,28 @@ def q_stats_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-random fixture lift hovers around 1.0 by construction - the
     operator measures, fixtures need not contain a working model.
 
-    Scale shape: fact->user agg, then ntile over a global sort of
-    the per-user frame - the one rank pass (range-partitioned sort
-    at cluster scale; the 100 TB variant cuts deciles at
-    approx-percentile score boundaries instead, trading exact equal
-    counts for a sort-free two-phase agg - same downstream algebra).
-    The decile frame is 10 rows; cumulative windows run on it.
+    Scale shape: fact->user agg, then the decile comes from the
+    shared bucketed two-pass rank (operators/ranks.py) + the
+    closed-form ntile expression on (rank, N) - bit-identical to a
+    window ntile in both engines but parallel (a window ntile with
+    no partition spec would be an Exchange SinglePartition
+    single-task sort; the r6 audit finding). The decile frame is 10
+    rows; cumulative windows run on it (bounded spine - exempt from
+    the SinglePartition audit rule).
     """
     u = _eval_frame(spark, sf_dir)
-    r = u.select(
+    ranked = global_order(
+        u.select("pos", "s_milli", "user_id").withColumn(
+            "_ord", -F.col("s_milli")
+        ),
+        "_ord",
+        [F.desc("s_milli"), F.col("user_id")],
+        rank_name="_i",
+        total_name="_n",
+    )
+    r = ranked.select(
         "pos",
-        F.ntile(LIFT_DECILES)
-        .over(Window.orderBy(F.desc("s_milli"), F.col("user_id")))
-        .alias("decile"),
+        ntile_expr(F.col("_i"), F.col("_n"), LIFT_DECILES).alias("decile"),
     )
     d = r.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.count("*").cast("bigint").alias("n_users"),
@@ -2417,13 +2442,16 @@ def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     dialects). Clamped sums are exact int64; each mean is ONE IEEE
     division, reported UNROUNDED (functions/exact.py rule).
 
-    Scale shape: one shuffle to rank within segment (range-
-    partitioned sort at scale), a segment-keyed bounds agg
-    broadcast back, then a two-phase clamped-sum agg. The 100 TB
-    variant swaps the exact rank for approx_percentile boundaries
-    (sort-free, same downstream algebra - the q_stats_lift_gains
-    trade, documented not implemented here because the exact rank
-    IS this operator's contract).
+    Scale shape: NO row-level rank at all - the pXX order statistic
+    is value-keyed, so everything runs on the DISTINCT (seg, cents)
+    count frame: the boundary at 1-indexed rank r is the smallest
+    value whose cumulative count reaches r, computed from a bucketed
+    per-segment distributed cumsum (operators/ranks.py; the previous
+    plan ranked every fact row inside a 5-partition window - one
+    task per segment at 100 TB). Clamped sums then come from the
+    same distinct frame weighted by counts: fact work is ONE
+    two-phase (seg, cents) agg; no window touches a fact-sized
+    frame.
     """
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -2433,23 +2461,29 @@ def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("c_mktsegment").alias("seg"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
-        F.col("o_orderkey").alias("k"),
     )
-    ws = Window.partitionBy("seg")
-    r = v.select(
-        "seg",
+    d = v.groupBy("seg", "cents").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    d = global_order(
+        d,
         "cents",
-        F.row_number().over(ws.orderBy("cents", "k")).alias("rn"),
-        F.count("*").over(ws).cast("bigint").alias("n"),
+        [F.col("cents")],
+        cumsum={"cnt": "cum"},
+        partition_cols=["seg"],
     )
+    # Per-seg ORDER count n = the largest inclusive cumulative count
+    # (total_name would count distinct-frame rows, not orders).
+    nseg = d.groupBy("seg").agg(F.max("cum").cast("bigint").alias("n"))
+    d = d.join(F.broadcast(nseg), "seg")
     lo_rank = F.expr(f"({WINSOR_LO} * n + 99) div 100")
     hi_rank = F.expr(f"({WINSOR_HI} * n + 99) div 100")
-    b = r.groupBy("seg").agg(
+    b = d.groupBy("seg").agg(
         F.max("n").alias("n"),
-        F.max(F.when(F.col("rn") == lo_rank, F.col("cents")))
+        F.min(F.when(F.col("cum") >= lo_rank, F.col("cents")))
         .cast("bigint")
         .alias("lo"),
-        F.max(F.when(F.col("rn") == hi_rank, F.col("cents")))
+        F.min(F.when(F.col("cum") >= hi_rank, F.col("cents")))
         .cast("bigint")
         .alias("hi"),
     )
@@ -2459,12 +2493,12 @@ def q_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("cents"))
     )
     return (
-        r.drop("n", "rn")
+        d.select("seg", "cents", "cnt")
         .join(F.broadcast(b), "seg")
         .groupBy("seg", "n", F.col("lo"), F.col("hi"))
         .agg(
-            F.sum(clamped).cast("double").alias("wsum"),
-            F.sum("cents").cast("double").alias("rsum"),
+            F.sum(clamped * F.col("cnt")).cast("double").alias("wsum"),
+            F.sum(F.col("cents") * F.col("cnt")).cast("double").alias("rsum"),
         )
         .select(
             "seg",
@@ -4865,8 +4899,15 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct values; H composes integer ratios behind the 6dp
     round.
 
-    Scale shape: one global rank window (range-partitioned sort at
-    scale), two bounded aggs, 1-row arithmetic. 100 TB: identical.
+    Scale shape: the tie-averaged doubled rank 2*rank(x)+ties(x)-1
+    is a pure function of the VALUE, so it lives on the distinct-
+    value frame: a bucketed distributed cumulative count
+    (operators/ranks.py - no unpartitioned window, which would be an
+    Exchange SinglePartition single-task sort; the r6 audit finding)
+    joined onto the (seg, x) count frame - per-seg rank sums are
+    then Sum(count * r2) without ever ranking row-by-row. Two
+    bounded aggs, 1-row arithmetic. 100 TB: distinct-frame cumsum +
+    one (seg,x)-grain join; no single-task stage.
     """
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
@@ -4877,34 +4918,33 @@ def q_stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment").alias("seg"),
         F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("x"),
     )
-    ranked = v.select(
-        "seg",
-        (
-            2 * F.rank().over(Window.orderBy("x"))
-            + F.count("*").over(Window.partitionBy("x"))
-            - 1
-        )
-        .cast("bigint")
-        .alias("r2"),
+    # Distinct-value frame: per-value count, cumulative count, and
+    # the doubled tie-averaged rank r2 = 2*cum - c + 1.
+    gx = v.groupBy("x").agg(F.count("*").cast("bigint").alias("c"))
+    gx = global_order(gx, "x", [F.col("x")], cumsum={"c": "cum"})
+    r2f = gx.select(
+        "x",
+        (2 * F.col("cum") - F.col("c") + 1).cast("bigint").alias("r2"),
     )
-    g = ranked.groupBy("seg").agg(
-        F.count("*").cast("bigint").alias("n_g"),
-        F.sum("r2").cast("bigint").alias("r2_sum"),
+    sx = v.groupBy("seg", "x").agg(
+        F.count("*").cast("bigint").alias("cg")
+    )
+    g = (
+        sx.join(r2f, "x")
+        .groupBy("seg")
+        .agg(
+            F.sum("cg").cast("bigint").alias("n_g"),
+            F.sum(F.col("cg") * F.col("r2")).cast("bigint").alias("r2_sum"),
+        )
     )
     t = g.agg(
         F.sum("n_g").cast("bigint").alias("n"),
         F.count("*").cast("bigint").alias("k"),
     )
-    ties = (
-        v.groupBy("x")
-        .agg(F.count("*").cast("bigint").alias("c"))
-        .agg(
-            F.sum(
-                F.col("c") * F.col("c") * F.col("c") - F.col("c")
-            )
-            .cast("bigint")
-            .alias("tsum")
-        )
+    ties = gx.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tsum")
     )
     hsum = g.agg(
         F.sum(

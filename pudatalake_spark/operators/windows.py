@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.exact import avg_exact_over
 from ..loaders import load, table
 from ..registry import register
+from .ranks import global_order, ntile_expr
 
 
 @register(
@@ -87,12 +88,24 @@ def q_win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Acctbal quartiles; total order includes c_custkey so tied
-    balances assign deterministically. Global window - at 100 TB use
-    approx quantile cut-points instead of a single-partition ntile."""
+    balances assign deterministically. A window ntile with no
+    partition spec would be an Exchange SinglePartition single-task
+    sort (the r6 audit finding), so the quartile comes from the
+    shared bucketed two-pass rank (operators/ranks.py) plus the
+    closed-form ntile expression on (rank, N) - bit-identical to the
+    window ntile in both engines, parallel at any scale."""
     c = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("quartile")
+    r = global_order(
+        c.select("c_custkey", "c_acctbal"),
+        "c_acctbal",
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        rank_name="_i",
+        total_name="_n",
+    )
+    return r.select(
+        "c_custkey",
+        "c_acctbal",
+        ntile_expr(F.col("_i"), F.col("_n"), 4).cast("int").alias("quartile"),
     )
 
 

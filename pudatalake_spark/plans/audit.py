@@ -665,6 +665,71 @@ PY_EVAL_RX = re.compile(
     r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas"
 )
 
+# ---------------------------------------------------------------------------
+# Global rule #2 (r7, VERDICT r6 #1): no GLOBAL-ORDER WINDOW on an
+# unbounded frame. ``Window.orderBy(...)`` with an empty partition
+# spec plans as ``Exchange SinglePartition -> Sort -> Window`` - one
+# task sorts the whole frame, the single plan shape that cannot scale
+# out. SinglePartition is fine when it merges 1-row aggregate
+# partials or feeds a Limit; it is a scale defect when a Sort+Window
+# sits on top of it over a fact-derived frame. Operators that
+# legitimately window a BOUNDED spine (daily rollups, decile frames,
+# |event-types| matrices) declare themselves below with the bound.
+
+#: key -> why its global-order window is bounded (the exemption is
+#: per-operator and reviewed, never blanket).
+BOUNDED_GLOBAL_WINDOW: dict[str, str] = {}
+
+_TREE_NODE_RX = re.compile(
+    r"^(\s*(?:[+:][- ]\s*)*)\*?\s*([A-Za-z][\w]*)[^(]*\((\d+)\)"
+)
+
+
+def global_window_violations(plan: str) -> list[str]:
+    """Find Exchange-SinglePartition nodes that feed a Sort -> Window
+    chain in a formatted explain string. Returns one message per hit.
+
+    Works on the operator-tree header: builds (depth, opname, id)
+    rows, finds SinglePartition exchange ids from the detail
+    sections, then walks each one's ancestor chain upward - skipping
+    Sort / WindowGroupLimit / Project - and reports if the first
+    structural ancestor is a Window."""
+    single_ids = set(
+        re.findall(
+            r"\((\d+)\) Exchange\nInput[^\n]*\nArguments: SinglePartition",
+            plan,
+        )
+    )
+    if not single_ids:
+        return []
+    tree = plan.split("\n\n")[0]
+    nodes: list[tuple[int, str, str]] = []
+    for line in tree.splitlines():
+        m = _TREE_NODE_RX.match(line)
+        if m:
+            depth = len(m.group(1)) // 3
+            nodes.append((depth, m.group(2), m.group(3)))
+    out = []
+    for i, (depth, op, nid) in enumerate(nodes):
+        if op != "Exchange" or nid not in single_ids:
+            continue
+        # Ancestors: nearest prior rows with strictly decreasing depth.
+        d = depth
+        for j in range(i - 1, -1, -1):
+            pd, pop, pid = nodes[j]
+            if pd >= d:
+                continue
+            d = pd
+            if pop in ("Sort", "WindowGroupLimit", "Project"):
+                continue
+            if pop == "Window":
+                out.append(
+                    f"Exchange SinglePartition ({nid}) feeds Window "
+                    f"({pid}) - single-task global sort"
+                )
+            break
+    return out
+
 
 def explain_str(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
@@ -690,12 +755,22 @@ def audit(spark, sf_dir: str):
         tree = plan.split("\n\n")[0]
         sections.append(f"### `{name}`\n\n*Invariant: {why}.*\n\n```\n{tree}\n```\n")
 
-    # Global rule: no Python evaluation outside the UDF surface.
+    # Global rule #1: no Python evaluation outside the UDF surface.
+    # Global rule #2: no Exchange SinglePartition feeding Sort+Window
+    # (a single-task global sort) outside the declared bounded-frame
+    # exemptions.
     for name, fn in sorted(registry.QUERIES.items()):
         if name in UDF_KEYS or name in SIDE_EFFECT or name.startswith("s_"):
             continue
         plan = explain_str(fn(spark, sf_dir))
         if PY_EVAL_RX.search(plan):
             failures.append(f"{name}: Python evaluation in a non-UDF operator")
+        hits = global_window_violations(plan)
+        if hits and name not in BOUNDED_GLOBAL_WINDOW:
+            failures.append(
+                f"{name}: global-order window on SinglePartition "
+                f"({'; '.join(hits)}) - fix with operators/ranks.py "
+                "or declare the bounded frame in BOUNDED_GLOBAL_WINDOW"
+            )
 
     return failures, sections
