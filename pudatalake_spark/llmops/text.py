@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..loaders import cached, load, spread, table
+from ..operators.ranks import global_order
 from ..registry import register
 
 
@@ -2406,20 +2407,20 @@ def q_sim_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("s")
     )
-    ra = bm25.select(
-        F.col("doc_id").alias("da"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("s"), "doc_id"))
-        .cast("bigint")
-        .alias("rank_bm25"),
-    )
-    rb = tfidf.select(
-        F.col("doc_id").alias("db"),
-        F.row_number()
-        .over(Window.orderBy(F.desc("s"), "doc_id"))
-        .cast("bigint")
-        .alias("rank_tfidf"),
-    )
+    # Distributed ranks (r7): bucketed two-pass row_number per ranker
+    # instead of two unpartitioned windows (Exchange SinglePartition
+    # single-task sorts over the scored-doc frames - r6 audit
+    # finding); at RRF scale each list ranks in parallel.
+    ra = global_order(
+        bm25.withColumn("_ns", -F.col("s")),
+        "_ns", [F.desc("s"), F.col("doc_id")],
+        rank_name="rank_bm25",
+    ).select(F.col("doc_id").alias("da"), "rank_bm25")
+    rb = global_order(
+        tfidf.withColumn("_ns", -F.col("s")),
+        "_ns", [F.desc("s"), F.col("doc_id")],
+        rank_name="rank_tfidf",
+    ).select(F.col("doc_id").alias("db"), "rank_tfidf")
     fused = ra.join(rb, F.col("da") == F.col("db"), "full_outer").select(
         F.coalesce("da", "db").alias("doc_id"),
         "rank_bm25",
@@ -2518,19 +2519,19 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_per_doc = first_seen.groupBy(F.col("fd").alias("doc_id")).agg(
         F.count("*").cast("bigint").alias("nv")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # Distributed cumulatives (r7): bucketed two-pass cumsum over the
+    # per-doc frame instead of an unpartitioned window (Exchange
+    # SinglePartition single-task sort - r6 audit finding).
+    per_doc = dl.join(new_per_doc, "doc_id", "left").withColumn(
+        "nv0", F.coalesce("nv", F.lit(0))
     )
-    curve = (
-        dl.join(new_per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.sum("dl").over(w).cast("bigint").alias("cum_tokens"),
-            F.sum(F.coalesce("nv", F.lit(0)))
-            .over(w)
-            .cast("bigint")
-            .alias("vocab"),
-        )
+    curve = global_order(
+        per_doc, "doc_id", [F.col("doc_id")],
+        cumsum={"dl": "cum_tokens", "nv0": "vocab"},
+    ).select(
+        "doc_id",
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab"),
     )
     lx = F.log(F.col("cum_tokens").cast("double"))
     ly = F.log(F.col("vocab").cast("double"))

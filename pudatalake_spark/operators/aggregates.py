@@ -1421,11 +1421,12 @@ def q_stats_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_orderkey").alias("k"),
     )
-    r = v.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "k")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    # Distributed rank (r7): bucketed two-pass row_number instead of
+    # an unpartitioned window over the fact frame (r6 audit finding).
+    r = global_order(
+        v, "cents", [F.col("cents"), F.col("k")],
+        rank_name="rn", total_name="n",
+    ).select("cents", "rn", "n")
     qs = spark.createDataFrame(
         [(q,) for q in SKETCH_ERR_QS], "q double"
     )

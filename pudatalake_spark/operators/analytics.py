@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..loaders import load, table
 from ..registry import register
+from .ranks import global_order, ntile_expr
 
 
 @register(
@@ -932,18 +933,44 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("monetary"),
         )
     )
-    r = F.ntile(4).over(Window.orderBy("recency_days", "user_id"))
-    f = F.ntile(4).over(Window.orderBy(F.col("frequency").desc(), "user_id"))
-    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "user_id"))
-    return base.select(
+    # Distributed quartiles (r7): three bucketed two-pass ranks +
+    # the closed-form ntile (operators/ranks.py) instead of three
+    # unpartitioned ntile windows - each of those was an Exchange
+    # SinglePartition single-task sort of the whole per-user frame
+    # (r6 audit finding). Bit-identical tile assignment.
+    g = base.withColumn("_mr", F.col("recency_days").cast("double"))
+    g = global_order(
+        g, "_mr", [F.col("recency_days"), F.col("user_id")],
+        rank_name="_ir", total_name="_n",
+    )
+    g = g.withColumn("_r", ntile_expr(F.col("_ir"), F.col("_n"), 4)).drop(
+        "_mr", "_ir", "_n"
+    )
+    g = g.withColumn("_mf", -F.col("frequency").cast("double"))
+    g = global_order(
+        g, "_mf", [F.col("frequency").desc(), F.col("user_id")],
+        rank_name="_if", total_name="_n",
+    )
+    g = g.withColumn("_f", ntile_expr(F.col("_if"), F.col("_n"), 4)).drop(
+        "_mf", "_if", "_n"
+    )
+    g = g.withColumn("_mm", -F.col("monetary"))
+    g = global_order(
+        g, "_mm", [F.col("monetary").desc(), F.col("user_id")],
+        rank_name="_im", total_name="_n",
+    )
+    g = g.withColumn("_m", ntile_expr(F.col("_im"), F.col("_n"), 4)).drop(
+        "_mm", "_im", "_n"
+    )
+    return g.select(
         "user_id",
         F.col("recency_days").cast("bigint").alias("recency_days"),
         F.col("frequency").cast("bigint").alias("frequency"),
         "monetary",
         F.concat(
-            F.lit("R"), r.cast("string"),
-            F.lit("F"), f.cast("string"),
-            F.lit("M"), m.cast("string"),
+            F.lit("R"), F.col("_r").cast("string"),
+            F.lit("F"), F.col("_f").cast("string"),
+            F.lit("M"), F.col("_m").cast("string"),
         ).alias("segment"),
     )
 

@@ -85,13 +85,17 @@ def _bucketed(
 
 
 def _prefix_offsets(
-    sizes: DataFrame, sum_cols: list[str], partition_cols: list[str]
+    sizes: DataFrame,
+    sum_cols: list[str],
+    partition_cols: list[str],
+    min_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Exclusive prefix sums over the bounded bucket-total frame
-    (<= |partitions| x ``buckets`` rows) WITHOUT a window: broadcast
-    triangular (same partition, R._b < L._b) join. Returns one row
-    per (partition, bucket): the keys plus ``_off_<c>`` for each
-    input column ``c`` (0 for a partition's first bucket)."""
+    """Exclusive prefix sums (and mins) over the bounded bucket-total
+    frame (<= |partitions| x ``buckets`` rows) WITHOUT a window:
+    broadcast triangular (same partition, R._b < L._b) join. Returns
+    one row per (partition, bucket): the keys plus ``_off_<c>`` for
+    each input column ``c`` (0 for a partition's first sum bucket,
+    NULL for its first min bucket)."""
     left = sizes.alias("L")
     right = sizes.alias("R")
     cond = F.col("R._b") < F.col("L._b")
@@ -100,6 +104,10 @@ def _prefix_offsets(
     offs = [
         F.coalesce(F.sum(F.col(f"R.{c}")), F.lit(0)).alias(f"_off_{c}")
         for c in sum_cols
+    ]
+    offs += [
+        F.min(F.col(f"R.{c}")).alias(f"_off_{c}")
+        for c in (min_cols or [])
     ]
     keys = [F.col(f"L.{p}").alias(p) for p in partition_cols]
     keys.append(F.col("L._b").alias("_b"))
@@ -118,6 +126,7 @@ def global_order(
     rank_name: str | None = None,
     rank_kind: str = "row_number",
     cumsum: dict[str, str] | None = None,
+    cummin_excl: dict[str, str] | None = None,
     total_name: str | None = None,
     partition_cols: list[str] | None = None,
     buckets: int = RANK_BUCKETS,
@@ -137,6 +146,10 @@ def global_order(
             co-bucket).
         cumsum: {source_col: dest_col} inclusive global running sums
             (ROWS UNBOUNDED PRECEDING..CURRENT ROW semantics).
+        cummin_excl: {source_col: dest_col} EXCLUSIVE global running
+            mins (ROWS UNBOUNDED PRECEDING..-1: NULL on the first
+            row, matching the window semantics) - the sweep-line
+            primitive (skyline dominance).
         total_name: if set, adds the bigint (per-partition) row count
             to every row (rides the same broadcast - no extra pass).
         partition_cols: optional window partition keys. With these,
@@ -154,6 +167,7 @@ def global_order(
     frames are <= |keys| x ``buckets`` rows by construction.
     """
     cumsum = cumsum or {}
+    cummin_excl = cummin_excl or {}
     pcols = partition_cols or []
     df = df.localCheckpoint(eager=False)
     # The bucketed frame is checkpointed too: the window side and the
@@ -174,15 +188,22 @@ def global_order(
         b = b.withColumn("_lr", fn.over(w_loc))
     for src, dst in cumsum.items():
         b = b.withColumn(f"_lc_{src}", F.sum(src).over(w_run))
+    w_excl = w_loc.rowsBetween(Window.unboundedPreceding, -1)
+    for src, dst in cummin_excl.items():
+        b = b.withColumn(f"_lm_{src}", F.min(src).over(w_excl))
 
     # Bucket totals come from the SAME bucketed subtree (pre-window,
     # so this side is a pure two-phase hash agg over the shared
     # checkpointed scan).
     size_aggs = [F.count("*").alias("_bn")]
     size_aggs += [F.sum(src).alias(f"_bs_{src}") for src in cumsum]
+    size_aggs += [F.min(src).alias(f"_bm_{src}") for src in cummin_excl]
     sizes = bk.groupBy(*pcols, "_b").agg(*size_aggs)
     off = _prefix_offsets(
-        sizes, ["_bn"] + [f"_bs_{src}" for src in cumsum], pcols
+        sizes,
+        ["_bn"] + [f"_bs_{src}" for src in cumsum],
+        pcols,
+        min_cols=[f"_bm_{src}" for src in cummin_excl],
     )
 
     out = b.join(F.broadcast(off), [*pcols, "_b"])
@@ -193,6 +214,13 @@ def global_order(
     for src, dst in cumsum.items():
         out = out.withColumn(
             dst, F.col(f"_off__bs_{src}") + F.col(f"_lc_{src}")
+        )
+    for src, dst in cummin_excl.items():
+        # least() skips NULLs: first row of the first bucket stays
+        # NULL (empty exclusive frame), first row of a later bucket
+        # sees only the prior buckets' min - the window semantics.
+        out = out.withColumn(
+            dst, F.least(F.col(f"_off__bm_{src}"), F.col(f"_lm_{src}"))
         )
     if total_name is not None:
         if pcols:
@@ -211,6 +239,8 @@ def global_order(
         drop.append("_lr")
     for src in cumsum:
         drop += [f"_lc_{src}", f"_off__bs_{src}"]
+    for src in cummin_excl:
+        drop += [f"_lm_{src}", f"_off__bm_{src}"]
     return out.drop(*drop)
 
 

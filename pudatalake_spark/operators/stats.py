@@ -116,16 +116,19 @@ def q_stats_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ca").cast("bigint").alias("na"),
         F.sum("cb").cast("bigint").alias("nb"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ecdf = (
-        per_v.crossJoin(F.broadcast(n))
-        .withColumn(
-            "d",
-            F.abs(
-                F.sum("ca").over(w).cast("double") / F.col("na")
-                - F.sum("cb").over(w).cast("double") / F.col("nb")
-            ),
-        )
+    # Distributed ordered pass (r7): the ECDF cumulatives come from
+    # the bucketed two-pass cumsum (operators/ranks.py), not an
+    # unpartitioned window (Exchange SinglePartition - the r6 audit
+    # finding; the distinct-value frame is fact-derived, unbounded).
+    cum = global_order(
+        per_v, "v", [F.col("v")], cumsum={"ca": "cca", "cb": "ccb"}
+    )
+    ecdf = cum.crossJoin(F.broadcast(n)).withColumn(
+        "d",
+        F.abs(
+            F.col("cca").cast("double") / F.col("na")
+            - F.col("ccb").cast("double") / F.col("nb")
+        ),
     )
     return ecdf.groupBy(F.col("na").alias("n_a"), F.col("nb").alias("n_b")).agg(
         F.round(F.max("d"), 6).alias("ks_d"),
@@ -637,15 +640,18 @@ def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("a").cast("bigint").alias("ca"),
         (F.count("*") - F.sum("a")).cast("bigint").alias("cb"),
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t = F.col("ca") + F.col("cb")
-    ranked = per_v.select(
+    # Distributed ordered pass (r7, same rewrite as q_stats_ks_test):
+    # bucketed two-pass cumsum instead of an unpartitioned window.
+    per_v = per_v.withColumn("t", F.col("ca") + F.col("cb"))
+    cum = global_order(per_v, "v", [F.col("v")], cumsum={"t": "cum_t"})
+    ranked = cum.select(
         "ca",
         "cb",
-        t.alias("t"),
-        ((F.sum(t).over(w) - t).cast("double") + (t + 1) / F.lit(2.0)).alias(
-            "avg_rank"
-        ),
+        "t",
+        (
+            (F.col("cum_t") - F.col("t")).cast("double")
+            + (F.col("t") + 1) / F.lit(2.0)
+        ).alias("avg_rank"),
     )
     agg = ranked.agg(
         F.sum("ca").cast("bigint").alias("na"),
@@ -2775,16 +2781,15 @@ def q_stats_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_orderkey").alias("k"),
     )
-    r = v.select(
-        "cents",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cents"), "k"))
-        .alias("rn"),
-        F.count("*")
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
-    )
+    # Distributed rank (r7): the data-dependent k = n div 100 defeats
+    # WindowGroupLimit pruning, so the old unpartitioned window was a
+    # true full single-task sort (r6 audit finding); the bucketed
+    # two-pass rank keeps the top-slice pick parallel.
+    r = global_order(
+        v.withColumn("_negc", -F.col("cents")),
+        "_negc", [F.desc("cents"), F.col("k")],
+        rank_name="rn", total_name="n",
+    ).select("cents", "rn", "n")
     kk = r.limit(1).select(
         "n", F.greatest(F.lit(HILL_MIN_K), F.expr("n div 100")).alias("kk")
     )
@@ -4113,13 +4118,13 @@ def q_stats_weibull_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = conv.filter(
         F.col("tp").isNotNull() & (F.col("tp") > F.col("t0"))
     ).select("user_id", (F.col("tp") - F.col("t0")).alias("dt"))
-    ranked = t.select(
-        F.col("dt").cast("bigint").alias("dt"),
-        F.row_number()
-        .over(Window.orderBy("dt", "user_id"))
-        .cast("bigint")
-        .alias("i"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    # Distributed rank (r7): bucketed two-pass plotting positions
+    # instead of an unpartitioned window over the converter frame
+    # (r6 audit finding).
+    ranked = global_order(
+        t.select(F.col("dt").cast("bigint").alias("dt"), "user_id"),
+        "dt", [F.col("dt"), F.col("user_id")],
+        rank_name="i", total_name="n",
     )
     x = F.log(F.col("dt").cast("double") / 10.0)
     y = F.log(-F.log(1.0 - (F.col("i") - 0.38) / (F.col("n") + 0.25)))
@@ -4585,10 +4590,11 @@ def q_stats_dkw_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("o_orderkey").alias("k"),
     )
-    r = v.select(
-        "cents",
-        F.row_number().over(Window.orderBy("cents", "k")).alias("rn"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    # Distributed rank (r7): bucketed two-pass row_number instead of
+    # an unpartitioned window over the fact frame (r6 audit finding).
+    r = global_order(
+        v, "cents", [F.col("cents"), F.col("k")],
+        rank_name="rn", total_name="n",
     )
     ds = spark.range(1, 10).select(F.col("id").cast("bigint").alias("d"))
     deciles = r.join(
@@ -5505,13 +5511,12 @@ def q_stats_ks_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" % {KSU_BUCKETS}"
         ).alias("bucket"),
     ).distinct()
-    r = b.select(
-        "bucket",
-        F.row_number()
-        .over(Window.orderBy("bucket", "user_id"))
-        .cast("bigint")
-        .alias("rn"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    # Distributed rank (r7): bucketed two-pass row_number instead of
+    # an unpartitioned window over the per-user frame (r6 audit
+    # finding); hash cells co-bucket, so ranks are identical.
+    r = global_order(
+        b, "bucket", [F.col("bucket"), F.col("user_id")],
+        rank_name="rn", total_name="n",
     )
     up = F.abs(
         F.col("rn").cast("double") / F.col("n")

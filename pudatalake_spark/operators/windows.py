@@ -235,14 +235,40 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_win_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank/cume_dist: rank-based, so deterministic under ties;
-    values are exact rationals (same division both sides) - unrounded."""
+    values are exact rationals (same division both sides) - unrounded.
+
+    Both statistics are pure functions of the VALUE (min-rank and
+    through-count of p_retailprice), so they are computed on the
+    DISTINCT-value frame via the bucketed two-pass cumsum
+    (operators/ranks.py) and hash-joined back - not an unpartitioned
+    window, which would be an Exchange SinglePartition single-task
+    sort (the r6 audit finding): percent_rank = count_less/(N-1),
+    cume_dist = count_through/N."""
     p = table(spark, sf_dir, "part")
-    w = Window.orderBy("p_retailprice")
-    return p.select(
-        "p_partkey",
+    g = p.groupBy("p_retailprice").agg(
+        F.count("*").cast("bigint").alias("_c")
+    )
+    g = global_order(
+        g, "p_retailprice", [F.col("p_retailprice")],
+        cumsum={"_c": "_cum"},
+    )
+    # N = number of PART ROWS (sum of per-value counts; total_name
+    # would count distinct values).
+    n1 = g.agg(F.sum("_c").cast("bigint").alias("_n"))
+    g = g.crossJoin(F.broadcast(n1))
+    stats = g.select(
         "p_retailprice",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+        F.when(
+            F.col("_n") > 1,
+            (F.col("_cum") - F.col("_c")).cast("double")
+            / (F.col("_n") - 1),
+        )
+        .otherwise(0.0)
+        .alias("pr"),
+        (F.col("_cum").cast("double") / F.col("_n")).alias("cd"),
+    )
+    return p.join(stats, "p_retailprice").select(
+        "p_partkey", "p_retailprice", "pr", "cd"
     )
 
 
@@ -1188,15 +1214,17 @@ def q_win_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("latency"),
         )
     )
-    w = Window.orderBy("price", "o_orderkey").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    swept = pts.select(
-        "o_orderkey",
+    # Distributed sweep (r7): the exclusive running-min comes from
+    # the bucketed two-pass helper (operators/ranks.py cummin_excl)
+    # instead of an unpartitioned window - the r6 audit finding; the
+    # per-price-range prefix-min merge the old docstring described
+    # is now what actually executes.
+    swept = global_order(
+        pts,
         "price",
-        "latency",
-        F.min("latency").over(w).alias("best_latency_cheaper"),
-    )
+        [F.col("price"), F.col("o_orderkey")],
+        cummin_excl={"latency": "best_latency_cheaper"},
+    ).select("o_orderkey", "price", "latency", "best_latency_cheaper")
     return (
         swept.filter(
             F.col("best_latency_cheaper").isNull()

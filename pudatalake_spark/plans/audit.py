@@ -336,12 +336,13 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         "CMS cells partial-agg map-side; 20-row probe set broadcasts",
     ),
     "q_agg_corr_matrix": (
-        # All 15 sums in ONE scan's aggregate - no window, no join
-        # in the sums path (the pairwise rows are unions over the
-        # 1-row frame).
-        [r"partial_sum", r"Union"],
-        [r"Window", r"SortMergeJoin", r"CartesianProduct"],
-        "one full-scan agg computes every sum; correlations are arithmetic",
+        # All 15 sums in ONE scan's aggregate; the 6 pair rows are an
+        # explode (Generate) of an array-of-structs projection on the
+        # single aggregate row - the r7 rewrite after the r6 audit
+        # caught the union-of-selects re-running the full scan 6x.
+        [r"partial_sum", r"Generate"],
+        [r"Window", r"SortMergeJoin", r"CartesianProduct", r"Union"],
+        "ONE full-scan agg computes every sum; pair rows explode from the 1-row frame",
     ),
     "q_events_growth_accounting": (
         [r"partial_", r"Window"],
@@ -650,6 +651,12 @@ UDF_KEYS = {
     "q_multimodal_audio_vad",  # same mapInPandas codec surface (r6)
     "q_multimodal_image_stats",  # same mapInPandas codec surface (r6 close)
     "udtf_table_arg",  # Spark 4 TABLE-arg UDTF - Python by definition
+    # r6 additions whose CONTRACT is per-series iterative Python
+    # (applyInPandas over bounded per-group frames; rows-only keys) -
+    # added r7 when the audit first ran over them:
+    "q_events_holt_winters",  # per-series triple-smoothing recursion
+    "q_events_markov_attribution",  # per-graph absorption solve
+    "q_text_bpe_merges",  # iterative merge loop over the vocab sample
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
@@ -677,8 +684,34 @@ PY_EVAL_RX = re.compile(
 # |event-types| matrices) declare themselves below with the bound.
 
 #: key -> why its global-order window is bounded (the exemption is
-#: per-operator and reviewed, never blanket).
-BOUNDED_GLOBAL_WINDOW: dict[str, str] = {}
+#: per-operator and reviewed, never blanket). Frames here grow with
+#: the TIME HORIZON or a FIXED constant, not with data volume - at
+#: 100 TB they are still a few hundred / thousand rows. Windows whose
+#: output feeds a BroadcastExchange are auto-exempt structurally
+#: (broadcast-small by construction, see global_window_violations).
+BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
+    "q_agg_hll_cumulative": "cumulative HLL union over the event-DAY spine (|days| rows)",
+    "q_events_conversion_lag": "cumulative share over the lag-DAY histogram (|lag days| rows)",
+    "q_events_survival_km": "KM product-limit over the duration-DAY frame (|horizon days| rows)",
+    "q_orders_backlog": "running open-minus-closed over the daily spine",
+    "q_pack_sequences": "deliberately-global greedy pack (the operator's contract); q_pack_sequences_sharded is the declared scale path",
+    "q_privacy_dp_noise": "noise seeding over the |event types| frame (5 rows)",
+    "q_seq_len_buckets": "cumulative share over the |length buckets| frame",
+    "q_stats_bootstrap_ci": "percentile pick over the |bootstrap replicates| frame (fixed B)",
+    "q_stats_fdr_bh": "BH step-up over the |hypotheses| frame (|event types|)",
+    "q_stats_jsd": "pairwise divergence over the |event types|^2 matrix",
+    "q_stats_psi": "PSI terms over the |bands| frame",
+    "q_stats_lift_gains": "cumulative gains over the 10-row decile frame (the rank itself is the bucketed two-pass helper)",
+    "q_stats_periodogram": "DFT terms over the daily spine",
+    "q_stats_runs_test": "median split + run flips over the daily spine",
+    "q_stats_hurst": "R/S cumulative over the daily spine",
+    "q_stats_cooks_distance": "leverage/residual terms over the daily spine",
+    "q_win_bollinger": "rolling bands over the daily spine",
+    "q_win_rolling_corr": "rolling correlation over the daily spine",
+    "q_win_spc_xbar_r": "control limits over the |subgroups| frame",
+    "q_win_ulcer_index": "drawdown over the daily spine",
+    "q_lake_zonemap_prune": "row_number only SIMULATES the sorted file layout so the oracle can check zone stats; a real writer range-partitions via DataFrame.orderBy",
+}
 
 _TREE_NODE_RX = re.compile(
     r"^(\s*(?:[+:][- ]\s*)*)\*?\s*([A-Za-z][\w]*)[^(]*\((\d+)\)"
@@ -709,25 +742,46 @@ def global_window_violations(plan: str) -> list[str]:
         if m:
             depth = len(m.group(1)) // 3
             nodes.append((depth, m.group(2), m.group(3)))
+    def _ancestors(start: int):
+        """Yield (index, op, id) up the parent chain from nodes[start]."""
+        d = nodes[start][0]
+        for j in range(start - 1, -1, -1):
+            pd, pop, pid = nodes[j]
+            if pd < d:
+                d = pd
+                yield j, pop, pid
+
     out = []
     for i, (depth, op, nid) in enumerate(nodes):
         if op != "Exchange" or nid not in single_ids:
             continue
-        # Ancestors: nearest prior rows with strictly decreasing depth.
-        d = depth
-        for j in range(i - 1, -1, -1):
-            pd, pop, pid = nodes[j]
-            if pd >= d:
-                continue
-            d = pd
+        win_at = None
+        for j, pop, pid in _ancestors(i):
             if pop in ("Sort", "WindowGroupLimit", "Project"):
                 continue
             if pop == "Window":
-                out.append(
-                    f"Exchange SinglePartition ({nid}) feeds Window "
-                    f"({pid}) - single-task global sort"
-                )
+                win_at = (j, pid)
             break
+        if win_at is None:
+            continue
+        # Structural bound: a window whose output feeds a
+        # BroadcastExchange (through row-preserving/reducing nodes)
+        # is broadcast-small by construction - a bounded frame, not
+        # a scale defect.
+        broadcast_bound = False
+        for _, pop, _ in _ancestors(win_at[0]):
+            if pop in ("Project", "Filter", "Window", "Sort",
+                       "HashAggregate", "ObjectHashAggregate",
+                       "SortAggregate"):
+                continue
+            broadcast_bound = pop == "BroadcastExchange"
+            break
+        if broadcast_bound:
+            continue
+        out.append(
+            f"Exchange SinglePartition ({nid}) feeds Window "
+            f"({win_at[1]}) - single-task global sort"
+        )
     return out
 
 
