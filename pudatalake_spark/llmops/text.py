@@ -2498,10 +2498,12 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q_stats_ols_trend rule).
 
     Scale shape: one tokenize pass feeds the per-doc lengths AND
-    the first-occurrence agg (two-phase on word); the curve is one
-    ordered window over the per-DOC frame (range-partitioned sort
-    at scale); the fit is a 1-row power-sum agg. 100 TB: identical
-    - checkpoints thin to every k-th doc, same algebra.
+    the first-occurrence agg (two-phase on word); the curve's two
+    cumulatives run through the bucketed two-pass distributed cumsum
+    (operators/ranks.py - r7; an unpartitioned window would be an
+    Exchange SinglePartition single-task sort); the fit is a 1-row
+    power-sum agg. 100 TB: identical - checkpoints thin to every
+    k-th doc, same algebra.
     """
     d = table(spark, sf_dir, "documents")
     words = d.select(

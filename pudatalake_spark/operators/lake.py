@@ -796,12 +796,15 @@ def q_lake_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     are identical in both engines; skip decisions are pure integer
     comparisons.
 
-    Scale shape: two range-partitioned sorts (the file-id windows) ->
-    one (layout, file) min/max/count agg -> a 2-row rollup. At 100 TB
-    the sort disappears entirely: zone stats come FREE from parquet
-    footers (one metadata read per file), and this operator's agg
-    runs over the stats table - the plan here exercises the same
-    decision arithmetic end-to-end.
+    Scale shape: the file-id windows here are SINGLE-TASK global
+    sorts (unpartitioned row_number) - kept deliberately, and
+    exempted in the plan audit, because they only SIMULATE the
+    sorted file layout so the oracle can check zone stats. At 100 TB
+    neither sort exists: a real writer lays files out with
+    DataFrame.orderBy (range-partitioned), zone stats come FREE from
+    parquet footers (one metadata read per file), and this
+    operator's agg runs over the stats table - the plan here
+    exercises the same decision arithmetic end-to-end.
     """
     o = table(spark, sf_dir, "orders").select(
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
