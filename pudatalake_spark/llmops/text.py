@@ -3129,3 +3129,123 @@ def q_sim_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25_expanded"), "doc_id")
         .limit(BM25_TOPK)
     )
+
+
+LEN_OUTLIER_LO = 5   # drop below the p5 token-length order statistic
+LEN_OUTLIER_HI = 95  # and above the p95
+
+
+@register(
+    "q_docs_length_outliers",
+    oracle=f"""
+    WITH lens AS (
+      SELECT CAST(len(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS BIGINT) AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT toks, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY toks
+    ),
+    cg AS (
+      SELECT toks, c,
+             CAST(sum(c) OVER (ORDER BY toks
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM g
+    ),
+    b AS (
+      SELECT max(n) AS n,
+             min(CASE WHEN cum >= ({LEN_OUTLIER_LO} * n + 99) // 100
+                      THEN toks END) AS lo,
+             min(CASE WHEN cum >= ({LEN_OUTLIER_HI} * n + 99) // 100
+                      THEN toks END) AS hi
+      FROM cg
+    )
+    SELECT CASE WHEN g.toks < b.lo THEN 'short'
+                WHEN g.toks > b.hi THEN 'long'
+                ELSE 'kept' END AS outcome,
+           CAST(sum(g.c) AS BIGINT) AS n_docs,
+           CAST(sum(g.toks * g.c) AS BIGINT) AS total_tokens,
+           round(CAST(sum(g.c) AS DOUBLE) / max(b.n), 6) AS doc_share
+    FROM g CROSS JOIN b
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_docs_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length ORDER-STATISTIC outlier filter over the corpus:
+    classify every document against the exact [p5, p95] whitespace-
+    token-count bounds - the first knife of any curation funnel
+    (truncated fragments below, boilerplate/concatenation monsters
+    above), reported as kept/short/long counts with their token
+    mass so the cut's data cost is visible before it runs. Exact
+    bounds matter here because the length distribution is exactly
+    where web corpora are heavy-tailed and sketch rank error
+    concentrates (the q_stats_sketch_error lesson applied to
+    curation; q_text_quality filters on CONTENT, this on SIZE).
+
+    Exactness: bounds are values at 1-indexed ranks ceil(p*n/100)
+    of the token-count order (smallest value whose cumulative count
+    reaches the rank - the winsorized protocol); boundary-valued
+    docs are KEPT (strict < lo / > hi exclusion); counts and token
+    sums are exact int64; doc_share is one IEEE division behind a
+    6dp round.
+
+    Scale shape: one tokenize pass collapses to the DISTINCT
+    (token-count, docs) frame (two-phase agg); the bounds come from
+    ONE bucketed distributed cumsum (operators/ranks.py - no
+    unpartitioned window, r6 audit rule) and classification +
+    mass totals run ON the distinct frame (documents are never
+    re-scanned or joined back). 100 TB: identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    lens = d.select(
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "), lambda t: t != ""
+            )
+        )
+        .cast("bigint")
+        .alias("toks")
+    )
+    g = lens.groupBy("toks").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    g = global_order(g, "toks", [F.col("toks")], cumsum={"c": "cum"})
+    n1 = lens.agg(F.count("*").cast("bigint").alias("n"))
+    g = g.crossJoin(F.broadcast(n1))
+    b = g.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({LEN_OUTLIER_LO} * n + 99) div 100"),
+                F.col("toks"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({LEN_OUTLIER_HI} * n + 99) div 100"),
+                F.col("toks"),
+            )
+        ).alias("hi"),
+    )
+    outcome = (
+        F.when(F.col("toks") < F.col("lo"), "short")
+        .when(F.col("toks") > F.col("hi"), "long")
+        .otherwise("kept")
+    )
+    return (
+        g.select("toks", "c")
+        .crossJoin(F.broadcast(b))
+        .groupBy(outcome.alias("outcome"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n_docs"),
+            F.sum(F.col("toks") * F.col("c"))
+            .cast("bigint")
+            .alias("total_tokens"),
+            F.round(
+                F.sum("c").cast("double") / F.max("n"), 6
+            ).alias("doc_share"),
+        )
+        .orderBy("outcome")
+    )

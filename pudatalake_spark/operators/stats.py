@@ -5657,3 +5657,318 @@ def q_stats_info_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feat")
     )
+
+
+TRIM_PCT = 10  # symmetric trim: drop the lowest/highest 10% by rank
+
+
+@register(
+    "q_stats_trimmed_mean",
+    oracle=f"""
+    WITH v AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             o_orderkey AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    r AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents, k)
+                 AS rn,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+      FROM v
+    )
+    SELECT seg,
+           max(n) AS n,
+           CAST(max(n) * {TRIM_PCT} // 100 AS BIGINT) AS k_each_side,
+           CAST(sum(CASE WHEN rn > n * {TRIM_PCT} // 100
+                          AND rn <= n - n * {TRIM_PCT} // 100
+                         THEN cents END) AS DOUBLE)
+             / (100.0 * (max(n) - 2 * (max(n) * {TRIM_PCT} // 100)))
+             AS trimmed_mean,
+           CAST(sum(cents) AS DOUBLE) / (100.0 * max(n)) AS raw_mean
+    FROM r GROUP BY seg ORDER BY seg
+    """,
+)
+def q_stats_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRIMMED mean of order value per market segment: DROP the
+    lowest and highest k = floor(10%*n) rows by rank before
+    averaging - the discard-the-tails robust location estimate next
+    to q_stats_winsorized's clamp-the-tails one (trimming changes n,
+    winsorizing keeps it; reporting both beside the raw mean shows
+    HOW the tails pull).
+
+    Exactness: rank-based trimming with tied values is
+    tiebreak-INDEPENDENT (every tied row carries the same value, so
+    the kept value multiset is identical however ties order), which
+    lets the whole computation run on the DISTINCT (seg, cents)
+    frame: a value at cumulative range [cum-c+1, cum] contributes
+    kept = max(0, min(cum, n-k) - max(cum-c+1, k+1) + 1) rows.
+    Sums are exact int64 cents; each mean is ONE IEEE division,
+    unrounded (functions/exact.py rule).
+
+    Scale shape: ONE two-phase (seg, cents) fact agg, a bucketed
+    per-segment distributed cumsum on the distinct frame
+    (operators/ranks.py - no unpartitioned window, no row-level
+    rank), then a |segments|-row agg. 100 TB: identical.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    v = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    d = v.groupBy("seg", "cents").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    d = global_order(
+        d, "cents", [F.col("cents")],
+        cumsum={"cnt": "cum"}, partition_cols=["seg"],
+    )
+    nseg = d.groupBy("seg").agg(F.max("cum").cast("bigint").alias("n"))
+    d = d.join(F.broadcast(nseg), "seg")
+    k = F.expr(f"n * {TRIM_PCT} div 100")
+    kept = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("cum"), F.col("n") - k)
+        - F.greatest(F.col("cum") - F.col("cnt") + 1, k + 1)
+        + 1,
+    )
+    return (
+        d.groupBy("seg", "n")
+        .agg(
+            F.max(k).cast("bigint").alias("k_each_side"),
+            F.sum(kept * F.col("cents")).cast("double").alias("tsum"),
+            F.sum(F.col("cnt") * F.col("cents")).cast("double").alias("rsum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "k_each_side",
+            (
+                F.col("tsum")
+                / (100.0 * (F.col("n") - 2 * F.col("k_each_side")))
+            ).alias("trimmed_mean"),
+            (F.col("rsum") / (100.0 * F.col("n"))).alias("raw_mean"),
+        )
+        .orderBy("seg")
+    )
+
+
+QQ_STEP = 5  # evaluate Q-Q at q = 5, 10, ..., 95
+
+
+@register(
+    "q_stats_qq_plot",
+    oracle=f"""
+    WITH v AS (
+      SELECT c_mktsegment AS seg,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             o_orderkey AS k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('{KS_SEG_A}', '{KS_SEG_B}')
+    ),
+    r AS (
+      SELECT seg, cents,
+             row_number() OVER (PARTITION BY seg ORDER BY cents, k)
+                 AS rn,
+             CAST(count(*) OVER (PARTITION BY seg) AS BIGINT) AS n
+      FROM v
+    ),
+    qs AS (SELECT CAST(q AS BIGINT) AS q
+           FROM generate_series({QQ_STEP}, 95, {QQ_STEP}) AS t(q)),
+    pick AS (
+      SELECT qs.q, r.seg, r.cents
+      FROM qs JOIN r ON r.rn = (qs.q * r.n + 99) // 100
+    )
+    SELECT a.q,
+           a.cents AS qa_cents,
+           b.cents AS qb_cents,
+           round(CAST(b.cents AS DOUBLE) / a.cents, 6) AS qq_ratio
+    FROM pick a JOIN pick b ON a.q = b.q
+    WHERE a.seg = '{KS_SEG_A}' AND b.seg = '{KS_SEG_B}'
+    ORDER BY a.q
+    """,
+)
+def q_stats_qq_plot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-Q PLOT of order value, {KS_SEG_A} vs {KS_SEG_B}: the exact
+    q-th percentile ORDER STATISTIC of each segment at q = 5..95
+    step 5, paired - the distribution-shape diagnostic behind
+    q_stats_ks_test's single sup number (KS says IF they differ;
+    the Q-Q curve says WHERE: a straight line = same shape, a bowed
+    tail = one segment's tail is heavier).
+
+    Exactness: each point is the value at 1-indexed rank
+    ceil(q*n/100) of the per-segment (cents, orderkey) total order
+    (the winsorized protocol - integer rank math, no interpolation
+    dialect); ratios are ONE IEEE division behind a 6dp round.
+
+    Scale shape: both segments' percentiles come from one bucketed
+    per-segment distributed cumsum over the DISTINCT (seg, cents)
+    frame (operators/ranks.py) joined against the broadcast 19-row
+    quantile spine - no row-level rank, no unpartitioned window.
+    100 TB: identical.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    v = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(F.col("c_mktsegment").isin(KS_SEG_A, KS_SEG_B))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    d = v.groupBy("seg", "cents").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    d = global_order(
+        d, "cents", [F.col("cents")],
+        cumsum={"cnt": "cum"}, partition_cols=["seg"],
+    )
+    nseg = d.groupBy("seg").agg(F.max("cum").cast("bigint").alias("n"))
+    d = d.join(F.broadcast(nseg), "seg")
+    qs = spark.range(QQ_STEP, 96, QQ_STEP).select(
+        F.col("id").cast("bigint").alias("q")
+    )
+    # value at rank r = smallest cents whose inclusive cum reaches r
+    pick = (
+        d.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") - F.col("cnt") + 1 <= F.expr("(q * n + 99) div 100"))
+        .filter(F.col("cum") >= F.expr("(q * n + 99) div 100"))
+        .select("q", "seg", "cents")
+    )
+    a = pick.filter(F.col("seg") == KS_SEG_A).select(
+        "q", F.col("cents").alias("qa_cents")
+    )
+    b = pick.filter(F.col("seg") == KS_SEG_B).select(
+        "q", F.col("cents").alias("qb_cents")
+    )
+    return (
+        a.join(b, "q")
+        .select(
+            "q",
+            "qa_cents",
+            "qb_cents",
+            F.round(
+                F.col("qb_cents").cast("double") / F.col("qa_cents"), 6
+            ).alias("qq_ratio"),
+        )
+        .orderBy("q")
+    )
+
+
+MAD_SIGMA = 1.4826  # normal-consistency constant for MAD -> sigma
+
+
+@register(
+    "q_stats_mad",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    g AS (
+      SELECT cents, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY cents
+    ),
+    cg AS (
+      SELECT cents, c,
+             CAST(sum(c) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM g
+    ),
+    med AS (
+      SELECT min(cents) AS m, max(n) AS n FROM cg
+      WHERE cum >= (n + 1) // 2
+    ),
+    dev AS (
+      SELECT abs(v.cents - med.m) AS d FROM v CROSS JOIN med
+    ),
+    gd AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS c FROM dev GROUP BY d
+    ),
+    cd AS (
+      SELECT d,
+             CAST(sum(c) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS n
+      FROM gd
+    )
+    SELECT med.n AS n,
+           round(med.m / 100.0, 4) AS median,
+           round((SELECT min(d) FROM cd
+                  WHERE cum >= (n + 1) // 2) / 100.0, 4) AS mad,
+           round(1.4826 * (SELECT min(d) FROM cd
+                  WHERE cum >= (n + 1) // 2) / 100.0, 4) AS sigma_robust
+    FROM med
+    """,
+)
+def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median Absolute Deviation of order value - the breakdown-
+    point-0.5 scale estimate (stddev is wrecked by one whale; MAD
+    needs HALF the data corrupted), with the 1.4826 normal-
+    consistency factor so sigma_robust reads in stddev units. The
+    global exact twin of q_events_anomaly_mad's per-type
+    approximation, and the robust denominator a z-score pipeline
+    should prefer at 100 TB.
+
+    Exactness: TWO nested exact medians (lower median = value at
+    rank ceil(n/2) = smallest value whose cumulative count reaches
+    (n+1) div 2 - pure integer rank math on cents); the only floats
+    are the final /100 and the literal 1.4826 product, rounded 4dp.
+
+    Scale shape: two passes, each a two-phase distinct-value count
+    agg + bucketed distributed cumsum (operators/ranks.py) + 1-row
+    pick; the median rides back as a 1-row broadcast into the
+    deviation pass. No row-level rank, no unpartitioned window,
+    nothing quadratic. 100 TB: identical - this is exactly the
+    shape that makes EXACT MAD affordable at scale.
+    """
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents")
+    )
+
+    def lower_median(col_df: DataFrame, col: str):
+        g = col_df.groupBy(col).agg(F.count("*").cast("bigint").alias("c"))
+        g = global_order(g, col, [F.col(col)], cumsum={"c": "cum"})
+        # n from a direct row count of the input (cheaper than
+        # re-executing the cumsum chain for max(cum)).
+        n1 = col_df.agg(F.count("*").cast("bigint").alias("n"))
+        g = g.crossJoin(F.broadcast(n1))
+        return g.filter(
+            F.col("cum") >= F.expr("(n + 1) div 2")
+        ).agg(
+            F.min(col).cast("bigint").alias("m"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+
+    med = lower_median(v, "cents")
+    dev = v.crossJoin(F.broadcast(med)).select(
+        F.abs(F.col("cents") - F.col("m")).alias("d")
+    )
+    mad = lower_median(dev, "d").select(
+        F.col("m").alias("mad_cents")
+    )
+    return (
+        med.crossJoin(F.broadcast(mad))
+        .select(
+            "n",
+            F.round(F.col("m") / 100.0, 4).alias("median"),
+            F.round(F.col("mad_cents") / 100.0, 4).alias("mad"),
+            F.round(
+                F.lit(MAD_SIGMA) * F.col("mad_cents") / 100.0, 4
+            ).alias("sigma_robust"),
+        )
+    )
