@@ -2122,3 +2122,99 @@ def q_sim_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("isotropy_score"),
     )
+
+
+DIV_SAMPLE_K = 128           # fixed sample size (scale-free cost)
+DIV_HASH_A = 2654435761      # affine sampling hash (oracle-able in
+DIV_HASH_B = 1013904223      # plain integer arithmetic, no xxhash)
+DIV_HASH_P = 1_000_000_007
+DIV_NEAR_T = 800_000         # micro-cosine near-dup threshold (0.8)
+
+
+@register(
+    "q_sim_pairwise_diversity",
+    oracle=f"""
+    WITH h AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+             (vec_id * {DIV_HASH_A} + {DIV_HASH_B}) % {DIV_HASH_P} AS hk
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, v FROM h ORDER BY hk, vec_id
+          LIMIT {DIV_SAMPLE_K}),
+    pairs AS (
+      SELECT CAST(round(1000000 * ({_duck_cos("a.v", "b.v")}), 0)
+                  AS BIGINT) AS micro
+      FROM s a JOIN s b ON a.vec_id < b.vec_id
+    )
+    SELECT CAST((SELECT count(*) FROM s) AS BIGINT) AS n_sampled,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(CAST(sum(micro) AS DOUBLE) / (1000000.0 * count(*)), 6)
+               AS mean_cos,
+           round(CAST(sum(CASE WHEN micro >= {DIV_NEAR_T}
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS near_dup_share
+    FROM pairs
+    """,
+)
+def q_sim_pairwise_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus EMBEDDING DIVERSITY on a fixed deterministic sample:
+    mean pairwise cosine and the share of pairs above 0.8 among the
+    {DIV_SAMPLE_K} vectors with the smallest affine-hash keys - the
+    one-number "is this corpus collapsing onto itself" monitor a
+    training-mix owner tracks per snapshot (mean cosine creeping up
+    = duplication or topical collapse; q_sim_isotropy measures the
+    GEOMETRY of the space, this measures the SPREAD of the data in
+    it; q_dedup_embedding finds the individual culprits).
+
+    Determinism: the sample is the bottom-{DIV_SAMPLE_K} by an
+    affine hash of vec_id (pure integer arithmetic, oracle-able -
+    no xxhash in DuckDB), tie-broken by vec_id; per-pair cosines
+    quantize to integer MICRO-units before aggregation (the
+    silhouette protocol) so the means are summation-order-free; the
+    two reported ratios are single IEEE divisions behind 6dp.
+
+    Scale shape: the sample pick is a TakeOrderedAndProject (never
+    a full sort); pairwise work is {DIV_SAMPLE_K} choose 2 ~ 8k
+    pairs over a broadcast self-join - a FIXED cost regardless of
+    corpus size (the whole point: diversity monitoring must not
+    scale with N); one 1-row agg closes. 100 TB: identical.
+    """
+    e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id",
+        _vd("embedding").alias("v"),
+        (
+            (F.col("vec_id") * DIV_HASH_A + DIV_HASH_B) % DIV_HASH_P
+        ).alias("hk"),
+    )
+    s = e.orderBy("hk", "vec_id").limit(DIV_SAMPLE_K).select("vec_id", "v")
+    a = s.select(F.col("vec_id").alias("ida"), F.col("v").alias("va"))
+    b = s.select(F.col("vec_id").alias("idb"), F.col("v").alias("vb"))
+    pairs = a.join(
+        F.broadcast(b), F.col("ida") < F.col("idb")
+    ).select(
+        F.round(1e6 * _cosine(F.col("va"), F.col("vb")), 0)
+        .cast("bigint")
+        .alias("micro")
+    )
+    # Aggregate pairs FIRST (a global agg emits its 1 row even over
+    # zero pairs), THEN attach the sample count - the other order
+    # turns an empty corpus into n_sampled NULL vs the oracle's 0
+    # (caught by the empty-relation sweep).
+    n_s = s.agg(F.count("*").cast("bigint").alias("n_sampled"))
+    pagg = pairs.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum("micro").cast("double") / (1e6 * F.count("*")), 6
+        ).alias("mean_cos"),
+        F.round(
+            F.sum(
+                F.when(F.col("micro") >= DIV_NEAR_T, 1).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("near_dup_share"),
+    )
+    return n_s.crossJoin(F.broadcast(pagg)).select(
+        "n_sampled", "n_pairs", "mean_cos", "near_dup_share"
+    )

@@ -3249,3 +3249,99 @@ def q_docs_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("outcome")
     )
+
+
+COVERAGE_PCTS = (50, 90, 99)
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                x -> x <> '')) AS w
+      FROM documents
+    ),
+    g AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY w
+    ),
+    r AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, w) AS rnk,
+             CAST(sum(c) OVER (ORDER BY c DESC, w
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(sum(c) OVER () AS BIGINT) AS total,
+             CAST(count(*) OVER () AS BIGINT) AS vocab
+      FROM g
+    ),
+    ps AS (SELECT CAST(p AS BIGINT) AS coverage_pct
+           FROM (VALUES (50), (90), (99)) AS t(p))
+    SELECT ps.coverage_pct,
+           CAST(min(r.rnk) AS BIGINT) AS tokens_needed,
+           round(CAST(min(r.rnk) AS DOUBLE) / max(r.vocab), 6)
+               AS vocab_share
+    FROM ps JOIN r
+      ON r.cum >= (ps.coverage_pct * r.total + 99) // 100
+    GROUP BY ps.coverage_pct ORDER BY ps.coverage_pct
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY COVERAGE curve: how many distinct tokens (most
+    frequent first) cover 50/90/99% of all token occurrences - the
+    tokenizer-design number Zipf's law only gestures at
+    (q_text_zipf fits the exponent; THIS answers 'what vocab size
+    do I need', and the 99%-vs-90% gap is the long-tail cost a BPE
+    vocab budget has to swallow).
+
+    Exactness: token counts are exact int64; the frequency-descending
+    rank and cumulative mass share one ordered pass; each coverage
+    point is the smallest rank whose cumulative count reaches
+    ceil(p*total/100) (integer rank math - ties in count share a
+    bucket and any tie order yields the same cumulative sequence, so
+    the pick is tiebreak-independent); vocab_share is one IEEE
+    division behind a 6dp round.
+
+    Scale shape: tokenize -> two-phase (token, count) agg -> ONE
+    bucketed distributed rank+cumsum over the vocab frame
+    (operators/ranks.py, descending by count - no unpartitioned
+    window, r6 audit rule) -> three picks against a broadcast
+    3-row spine. 100 TB: identical.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("w")
+    )
+    g = tok.groupBy("w").agg(F.count("*").cast("bigint").alias("c"))
+    r = global_order(
+        g.withColumn("_negc", -F.col("c")),
+        "_negc",
+        [F.col("c").desc(), F.col("w")],
+        rank_name="rnk",
+        cumsum={"c": "cum"},
+    )
+    tot = g.agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("vocab"),
+    )
+    ps = spark.createDataFrame(
+        [(int(p),) for p in COVERAGE_PCTS], "coverage_pct bigint"
+    )
+    return (
+        r.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(ps),
+            F.col("cum")
+            >= F.expr("(coverage_pct * total + 99) div 100"),
+        )
+        .groupBy("coverage_pct")
+        .agg(
+            F.min("rnk").cast("bigint").alias("tokens_needed"),
+            F.round(
+                F.min("rnk").cast("double") / F.max("vocab"), 6
+            ).alias("vocab_share"),
+        )
+        .orderBy("coverage_pct")
+    )

@@ -5972,3 +5972,95 @@ def q_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sigma_robust"),
         )
     )
+
+
+@register(
+    "q_stats_dispersion",
+    oracle="""
+    WITH k AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(k) AS BIGINT) AS sk,
+             CAST(sum(k * k) AS BIGINT) AS skk
+      FROM k
+    ),
+    m AS (
+      SELECT n,
+             CAST(sk AS DOUBLE) / n AS mean,
+             (CAST(skk AS DOUBLE) - CAST(sk AS DOUBLE) * sk / n)
+               / (n - 1) AS var
+      FROM s
+    )
+    SELECT n AS n_users,
+           round(mean, 6) AS mean_events,
+           CASE WHEN n >= 2 THEN round(var, 6) END AS var_events,
+           CASE WHEN n >= 2 THEN round(var / mean, 6) END
+               AS dispersion_index,
+           CASE WHEN n >= 2
+                THEN round(sqrt(2.0 * (n - 1) * var / mean)
+                           - sqrt(2.0 * (n - 1) - 1.0), 6)
+           END AS z_overdispersion,
+           CASE WHEN n >= 2 AND var > mean
+                THEN round(mean * mean / (var - mean), 6) END AS nb_r,
+           CASE WHEN n >= 2 AND var > mean
+                THEN round(mean / var, 6) END AS nb_p
+    FROM m
+    """,
+)
+def q_stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON OVERDISPERSION check on per-user event counts, with
+    the negative-binomial moment fit when it fails: dispersion
+    index s²/x̄ (Poisson predicts exactly 1), the Fisher
+    index-of-dispersion z approximation sqrt(2·chi²) − sqrt(2df−1),
+    and the method-of-moments NB(r, p) parameters - the
+    count-model sanity gate BEFORE anyone fits a Poisson rate to
+    user activity (q_events_freq_severity models severity given
+    frequency; this tests whether the frequency model itself
+    holds; real user counts are almost always overdispersed and
+    every CI built on Poisson is then too narrow).
+
+    Exactness: k, Σk, Σk² are exact int64 (Σk² at sf100 ≈ 1e13,
+    far inside int64); mean/variance/z/NB are identical IEEE trees
+    on those integers behind 6dp rounds; the var>mean gate is
+    evaluated on the unrounded values in BOTH engines.
+
+    Scale shape: one two-phase per-user count agg -> one 1-row
+    power-sum agg -> projection arithmetic. 100 TB: identical.
+    """
+    e = table(spark, sf_dir, "events")
+    k = e.groupBy("user_id").agg(F.count("*").cast("bigint").alias("k"))
+    s = k.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    n = F.col("n")
+    mean = F.col("sk").cast("double") / n
+    var = (
+        F.col("skk").cast("double")
+        - F.col("sk").cast("double") * F.col("sk") / n
+    ) / (n - 1)
+    # n>=2 gate is explicit in BOTH engines: DuckDB's sqrt RAISES on
+    # the negative argument at n<2 where Spark would return NaN (the
+    # q_stats_spearman rule; caught by the empty-relation sweep).
+    ok = n >= 2
+    over = ok & (var > mean)
+    return s.select(
+        n.alias("n_users"),
+        F.round(mean, 6).alias("mean_events"),
+        F.when(ok, F.round(var, 6)).alias("var_events"),
+        F.when(ok, F.round(var / mean, 6)).alias("dispersion_index"),
+        F.when(
+            ok,
+            F.round(
+                F.sqrt(2.0 * (n - 1) * var / mean)
+                - F.sqrt(2.0 * (n - 1) - F.lit(1.0)),
+                6,
+            ),
+        ).alias("z_overdispersion"),
+        F.when(over, F.round(mean * mean / (var - mean), 6)).alias("nb_r"),
+        F.when(over, F.round(mean / var, 6)).alias("nb_p"),
+    )
