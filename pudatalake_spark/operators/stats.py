@@ -6064,3 +6064,90 @@ def q_stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(over, F.round(mean * mean / (var - mean), 6)).alias("nb_r"),
         F.when(over, F.round(mean / var, 6)).alias("nb_p"),
     )
+
+
+WILSON_Z = "1.959963984540054"  # z_{.975}, shared literal both engines
+WHALE_CUTOFF = 300_000          # 'whale order' threshold (dollars)
+
+
+@register(
+    "q_stats_wilson_ci",
+    oracle=f"""
+    WITH g AS (
+      SELECT c_mktsegment AS seg,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN o_totalprice > {WHALE_CUTOFF}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT seg, n, x,
+           round(CAST(x AS DOUBLE) / n, 6) AS p_hat,
+           round((CAST(x AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  - {WILSON_Z} * sqrt((CAST(x AS DOUBLE) / n)
+                        * (1 - CAST(x AS DOUBLE) / n) / n
+                        + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS ci_lo,
+           round((CAST(x AS DOUBLE) / n + {WILSON_Z} * {WILSON_Z} / (2 * n)
+                  + {WILSON_Z} * sqrt((CAST(x AS DOUBLE) / n)
+                        * (1 - CAST(x AS DOUBLE) / n) / n
+                        + {WILSON_Z} * {WILSON_Z} / (4.0 * n * n)))
+                 / (1 + {WILSON_Z} * {WILSON_Z} / n), 6) AS ci_hi
+    FROM g ORDER BY seg
+    """,
+)
+def q_stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WILSON 95% confidence interval for the whale-order rate
+    (totalprice over the WHALE_CUTOFF constant, $300k) per market
+    segment - the binomial CI that
+    stays honest at small n and extreme p where the textbook Wald
+    interval collapses (Wald gives zero width at x=0 and escapes
+    [0,1] near the edges; Wilson is what A/B dashboards should
+    print next to every conversion rate, and the per-segment
+    complement of q_stats_bayes_ab's posterior readout).
+
+    Exactness: n and x are exact int64 from one conditional agg;
+    p-hat, the score-interval center and half-width are IDENTICAL
+    IEEE trees on those integers in both engines (the z literal is
+    shared to full double precision), each bound rounded 6dp. n>=1
+    by construction (groups only exist with rows), so no division
+    guard is needed - the empty relation yields zero groups in
+    both engines.
+
+    Scale shape: one broadcast dim join + one two-phase conditional
+    agg to a |segments|-row frame; everything after is projection
+    arithmetic. 100 TB: identical.
+    """
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    z = float(WILSON_Z)
+    g = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(F.col("o_totalprice") > WHALE_CUTOFF, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    n = F.col("n")
+    p = F.col("x").cast("double") / n
+    half = F.lit(z) * F.sqrt(
+        p * (1 - p) / n + F.lit(z) * F.lit(z) / (4.0 * n * n)
+    )
+    center = p + F.lit(z) * F.lit(z) / (2 * n)
+    denom = 1 + F.lit(z) * F.lit(z) / n
+    return g.select(
+        "seg",
+        "n",
+        "x",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("ci_lo"),
+        F.round((center + half) / denom, 6).alias("ci_hi"),
+    ).orderBy("seg")
