@@ -2663,9 +2663,15 @@ def q_events_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivals = sess.groupBy("user_id", "sid").agg(
         F.min("ts").alias("s"), F.max("ts").alias("e")
     )
+    # marks is consumed by BOTH the day-local running sum and the
+    # day-totals carry side: checkpoint so sessionization runs ONCE
+    # (lazy; the r7 bench caught the un-checkpointed double compute
+    # amplifying under in-session cache pressure).
     marks = ivals.select(F.col("s").alias("ts"), F.lit(1).alias("delta")).unionAll(
         ivals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
-    ).withColumn("day", F.date_trunc("day", F.col("ts")))
+    ).withColumn(
+        "day", F.date_trunc("day", F.col("ts"))
+    ).localCheckpoint(eager=False)
     # Day-local running sum: a PARALLEL per-day window (the only sort
     # is one day's marks per task).
     wd = Window.partitionBy("day").orderBy(
