@@ -33,14 +33,24 @@ def asof_join(
     right_ts: str,
     payload: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join, backward (default) or forward.
 
-    Returns ``left`` with, per row, the payload columns of the latest
-    ``right`` row of the same ``on`` key whose ``right_ts`` <=
-    ``left_ts`` (NULLs when no such row). ``tolerance`` (an interval/
-    numeric Column in ``left_ts`` units) additionally requires
-    ``left_ts - right_ts <= tolerance``.
+    Backward: returns ``left`` with, per row, the payload columns of
+    the latest ``right`` row of the same ``on`` key whose
+    ``right_ts`` <= ``left_ts`` (NULLs when no such row).
+    ``tolerance`` (an interval/numeric Column in ``left_ts`` units)
+    additionally requires ``left_ts - right_ts <= tolerance``.
+
+    Forward (``direction="forward"``): the EARLIEST right row with
+    ``right_ts >= left_ts`` (pandas merge_asof forward semantics,
+    ties matching) - the "next quote / next event after" join. Same
+    union-tag shape scanned in DESCENDING ts order: every right row
+    later than a left row precedes it in the scan, so the running
+    ``last(ignorenulls)`` holds the smallest such right_ts when the
+    left row arrives. ``tolerance`` requires
+    ``right_ts - left_ts <= tolerance``.
 
     Output columns are ``left.columns`` + payload + ``{right_ts}_matched``;
     payload names (and the ``_matched`` name) must not collide with a
@@ -84,25 +94,34 @@ def asof_join(
     )
     u = l.unionByName(r)
 
-    # Sort: ts, then right-before-left at equal ts (backward asof
-    # includes ties), then the match struct so equal-ts right rows
+    # Sort: ts, then right-before-left at equal ts (both directions
+    # include ties), then the match struct so equal-ts right rows
     # resolve deterministically (left rows all carry NULL structs and
-    # the same tag, so their relative order is irrelevant).
+    # the same tag, so their relative order is irrelevant). Forward
+    # scans ts DESCENDING with the struct order flipped so the
+    # running last() holds the earliest at-or-after right row.
+    if direction == "backward":
+        order = [F.col(left_ts), F.col(_TAG), F.col(_MATCH)]
+    elif direction == "forward":
+        order = [F.col(left_ts).desc(), F.col(_TAG), F.col(_MATCH).desc()]
+    else:
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(left_ts), F.col(_TAG), F.col(_MATCH))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = u.withColumn(_MATCH, F.last(_MATCH, ignorenulls=True).over(w)).filter(
         F.col(_TAG) == 1
     )
     if tolerance is not None:
+        in_tol = (
+            F.col(f"{_MATCH}.__ts") >= F.col(left_ts) - tolerance
+            if direction == "backward"
+            else F.col(f"{_MATCH}.__ts") <= F.col(left_ts) + tolerance
+        )
         matched = matched.withColumn(
-            _MATCH,
-            F.when(
-                F.col(f"{_MATCH}.__ts") >= F.col(left_ts) - tolerance,
-                F.col(_MATCH),
-            ),
+            _MATCH, F.when(in_tol, F.col(_MATCH))
         )
     out = matched.select(
         *lcols,

@@ -1045,3 +1045,44 @@ def q_join_geo_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_customers"),
         F.round(F.avg("dist_km"), 4).alias("avg_dist_km"),
     )
+
+
+@register(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts,
+           (SELECT min(v.ts) FROM events v
+            WHERE v.user_id = p.user_id
+              AND v.event_type = 'view'
+              AND v.ts >= p.ts) AS next_view_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase matched to the user's
+    EARLIEST view at or after it (pandas merge_asof
+    direction='forward'; "what did they look at next") - the mirror
+    of q_join_asof's backward match and the missing half of the
+    as-of family (backward / nearest / tolerance / forward now all
+    ship on the same engine).
+
+    Spark formulation: the same reusable asof_join utility
+    (operators/asof.py) scanned in DESCENDING ts order - every view
+    later than a purchase precedes it in the scan, so the running
+    last(ignorenulls) holds the earliest at-or-after view when the
+    purchase row arrives; right rows sort before left at equal ts so
+    ties count as "at or after", matching the oracle's >=. One
+    shuffle + one per-user sort, no candidate pair blow-up;
+    property-tested against a brute-force reference in
+    tests/test_asof_property.py.
+    """
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    return asof_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        payload=[], direction="forward",
+    ).withColumnRenamed("ts_matched", "next_view_ts")

@@ -6151,3 +6151,172 @@ def q_stats_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("ci_lo"),
         F.round((center + half) / denom, 6).alias("ci_hi"),
     ).orderBy("seg")
+
+
+_SPM_COLS = ["quantity", "extendedprice", "discount", "tax"]
+_SPM_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_SPM_COLS)
+    for b in _SPM_COLS[i + 1:]
+]
+
+
+def _spm_rho_sql(a: str, b: str) -> str:
+    return f"""
+      SELECT '{a}' AS col_a, '{b}' AS col_b,
+             round((CAST(n AS DOUBLE) * s_{a}_{b}
+                    - CAST(s_{a} AS DOUBLE) * s_{b})
+                   / sqrt((CAST(n AS DOUBLE) * s_{a}_{a}
+                           - CAST(s_{a} AS DOUBLE) * s_{a})
+                          * (CAST(n AS DOUBLE) * s_{b}_{b}
+                             - CAST(s_{b} AS DOUBLE) * s_{b})), 6) AS rho
+      FROM s"""
+
+
+@register(
+    "q_stats_spearman_matrix",
+    oracle=(
+        """
+    WITH v AS (
+      SELECT CAST(l_quantity AS BIGINT) AS quantity,
+             CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                 AS extendedprice,
+             CAST(round(l_discount * 10000, 0) AS BIGINT) AS discount,
+             CAST(round(l_tax * 10000, 0) AS BIGINT) AS tax
+      FROM lineitem
+    ),
+    """
+        + ",\n".join(
+            f"""g_{c} AS (
+      SELECT {c} AS val, CAST(count(*) AS BIGINT) AS cnt
+      FROM v GROUP BY {c}
+    ),
+    r_{c} AS (
+      SELECT val,
+             CAST(2 * sum(cnt) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cnt + 1 AS BIGINT) AS r
+      FROM g_{c}
+    )"""
+            for c in _SPM_COLS
+        )
+        + """,
+    ranked AS (
+      SELECT """
+        + ", ".join(f"r_{c}.r AS x_{c}" for c in _SPM_COLS)
+        + """
+      FROM v """
+        + " ".join(f"JOIN r_{c} ON v.{c} = r_{c}.val" for c in _SPM_COLS)
+        + """
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, """
+        + ", ".join(f"sum(x_{c}) AS s_{c}" for c in _SPM_COLS)
+        + ", "
+        + ", ".join(
+            f"sum(x_{a} * x_{b}) AS s_{a}_{b}"
+            for i, a in enumerate(_SPM_COLS)
+            for b in _SPM_COLS[i:]
+        )
+        + """
+      FROM ranked
+    )
+    """
+        + "\nUNION ALL".join(_spm_rho_sql(a, b) for a, b in _SPM_PAIRS)
+    ),
+)
+def q_stats_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SPEARMAN rank-correlation matrix over lineitem's
+    four numeric measures - the rank-robust twin of
+    q_agg_corr_matrix's Pearson triangle (Pearson reads linear
+    association and is dragged by tails; Spearman reads any
+    monotone association from tie-averaged ranks, which is what a
+    feature screen should check FIRST on skewed measures like
+    price).
+
+    Exactness: each column's tie-averaged doubled rank
+    2*cum - cnt + 1 is a pure function of the VALUE, computed on
+    that column's distinct-value frame (the q_stats_spearman
+    protocol) and hash-joined back; rank sums are exact int64 and
+    the quadratic power sums accumulate in DECIMAL(38,0) on the
+    Spark side / HUGEINT in DuckDB - exact and summation-order-free
+    at ANY scale factor (int64 quadratic sums would overflow past
+    ~sf0.3 on lineitem); each rho is one double-converted
+    closed-form tree behind a 6dp round.
+
+    Scale shape: quantity/discount/tax have SPEC-BOUNDED value
+    domains (<= 50 / 11 / 9 distinct values - TPC-H column
+    definitions), so their distinct-value cumsums run as plain
+    bounded-frame windows (declared in BOUNDED_GLOBAL_WINDOW);
+    extendedprice's distinct frame is unbounded and uses the
+    bucketed distributed cumsum (operators/ranks.py). Four hash
+    joins back onto the fact rows, ONE 15-sum power aggregate, and
+    the pair rows explode from the single 1-row frame (the
+    corr_matrix one-scan shape). 100 TB: identical.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_quantity").cast("bigint").alias("quantity"),
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("bigint")
+        .alias("extendedprice"),
+        F.round(F.col("l_discount") * 10000, 0).cast("bigint").alias("discount"),
+        F.round(F.col("l_tax") * 10000, 0).cast("bigint").alias("tax"),
+    )
+    ranked = v
+    w_cum = Window.orderBy(F.col("_val")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    for c in _SPM_COLS:
+        g = v.groupBy(c).agg(F.count("*").cast("bigint").alias("_c"))
+        if c == "extendedprice":
+            g = global_order(g, c, [F.col(c)], cumsum={"_c": "_cum"})
+        else:
+            g = g.withColumnRenamed(c, "_val").withColumn(
+                "_cum", F.sum("_c").over(w_cum)
+            ).withColumnRenamed("_val", c)
+        r2 = g.select(
+            c,
+            (2 * F.col("_cum") - F.col("_c") + 1)
+            .cast("bigint")
+            .alias(f"x_{c}"),
+        )
+        ranked = ranked.join(F.broadcast(r2) if c != "extendedprice" else r2, c)
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    aggs += [F.sum(f"x_{c}").cast("bigint").alias(f"s_{c}") for c in _SPM_COLS]
+    aggs += [
+        F.sum(
+            (F.col(f"x_{a}") * F.col(f"x_{b}")).cast(dec)
+        ).alias(f"s_{a}_{b}")
+        for i, a in enumerate(_SPM_COLS)
+        for b in _SPM_COLS[i:]
+    ]
+    s = ranked.agg(*aggs)
+
+    def rho(a: str, b: str):
+        n = F.col("n").cast("double")
+        num = n * F.col(f"s_{a}_{b}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{b}").cast("double")
+        da = n * F.col(f"s_{a}_{a}").cast("double") - F.col(
+            f"s_{a}"
+        ).cast("double") * F.col(f"s_{a}").cast("double")
+        db = n * F.col(f"s_{b}_{b}").cast("double") - F.col(
+            f"s_{b}"
+        ).cast("double") * F.col(f"s_{b}").cast("double")
+        return F.round(num / F.sqrt(da * db), 6)
+
+    pair_structs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                rho(a, b).alias("rho"),
+            )
+            for a, b in _SPM_PAIRS
+        ]
+    )
+    return s.select(F.explode(pair_structs).alias("p")).select(
+        "p.col_a", "p.col_b", "p.rho"
+    )

@@ -711,6 +711,7 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
     "q_win_spc_xbar_r": "control limits over the |subgroups| frame",
     "q_win_ulcer_index": "drawdown over the daily spine",
     "q_lake_zonemap_prune": "row_number only SIMULATES the sorted file layout so the oracle can check zone stats; a real writer range-partitions via DataFrame.orderBy",
+    "q_stats_spearman_matrix": "quantity/discount/tax rank frames are SPEC-BOUNDED value domains (<=50/11/9 distinct, TPC-H column definitions); extendedprice uses the bucketed distributed cumsum",
 }
 
 _TREE_NODE_RX = re.compile(

@@ -147,3 +147,50 @@ def test_asof_join_tie_at_equal_right_ts_is_deterministic(spark):
             left, right, on="k", left_ts="ts", right_ts="rts", payload=["val"]
         ).collect()
         assert len(got) == 1 and got[0]["val"] == 8, order
+
+
+def brute_force_forward(lrows, rrows):
+    out = []
+    for i, (k, ts) in enumerate(lrows):
+        nxt = [(rts, rts * 10) for (rk, rts) in rrows if rk == k and rts >= ts]
+        mts, val = min(nxt) if nxt else (None, None)
+        out.append({"k": k, "ts": ts, "lid": i, "rts_matched": mts, "val": val})
+    return pd.DataFrame(out)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(lrows=left_rows, rrows=right_rows)
+def test_asof_join_forward_matches_brute_force(spark, lrows, rrows):
+    left = spark.createDataFrame(
+        [(k, ts, i) for i, (k, ts) in enumerate(lrows)], "k INT, ts INT, lid INT"
+    )
+    right = spark.createDataFrame(
+        [(k, ts, ts * 10) for (k, ts) in rrows] or [(None, None, None)],
+        "k INT, rts INT, val INT",
+    )
+    if not rrows:
+        right = right.filter("k IS NOT NULL")
+    got = (
+        asof_join(
+            left, right, on="k", left_ts="ts", right_ts="rts",
+            payload=["val"], direction="forward",
+        )
+        .toPandas()
+        .sort_values(["k", "ts", "lid"])
+        .reset_index(drop=True)
+    )
+    want = (
+        brute_force_forward(lrows, rrows)
+        .sort_values(["k", "ts", "lid"])
+        .reset_index(drop=True)
+    )
+    for col in ["rts_matched", "val"]:
+        pd.testing.assert_series_equal(
+            got[col].astype("float64"), want[col].astype("float64"),
+            check_names=False,
+        )
+    assert (got["k"] == want["k"]).all() and (got["ts"] == want["ts"]).all()
