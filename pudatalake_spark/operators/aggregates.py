@@ -1461,9 +1461,12 @@ def q_stats_sketch_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "i",
     )
-    # rank of the sketch's answer within the exact order statistics
+    # rank of the sketch's answer within the exact order statistics -
+    # the 4-row sketch side is BROADCAST into the non-equi probe
+    # (without the hint Spark planned a CartesianProduct here; caught
+    # by the r7 global plan scan).
     apx_rank = (
-        approx.join(r, F.col("cents") <= F.col("approx_cents"))
+        r.join(F.broadcast(approx), F.col("cents") <= F.col("approx_cents"))
         .groupBy("q", "approx_cents")
         .agg(F.max("rn").cast("bigint").alias("approx_rank"))
     )
