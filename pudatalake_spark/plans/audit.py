@@ -814,6 +814,11 @@ def audit(spark, sf_dir: str):
     # Global rule #2: no Exchange SinglePartition feeding Sort+Window
     # (a single-task global sort) outside the declared bounded-frame
     # exemptions.
+    # Global rule #3 (r7): no CartesianProduct ANYWHERE - every
+    # intentional cross is a broadcast of a 1-row/bounded frame and
+    # plans as BroadcastNestedLoopJoin; a true CartesianProduct means
+    # a non-equi join lost its broadcast hint (exactly how the r7
+    # scan caught q_stats_sketch_error's 4-row probe).
     for name, fn in sorted(registry.QUERIES.items()):
         if name in UDF_KEYS or name in SIDE_EFFECT or name.startswith("s_"):
             continue
@@ -826,6 +831,11 @@ def audit(spark, sf_dir: str):
                 f"{name}: global-order window on SinglePartition "
                 f"({'; '.join(hits)}) - fix with operators/ranks.py "
                 "or declare the bounded frame in BOUNDED_GLOBAL_WINDOW"
+            )
+        if "CartesianProduct" in plan:
+            failures.append(
+                f"{name}: CartesianProduct in the plan - broadcast the "
+                "small side of the non-equi join"
             )
 
     return failures, sections
