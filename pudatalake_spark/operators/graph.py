@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..loaders import load
 from ..registry import register
+from . import ranks
 
 _EDGES_SQL = """
     SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
@@ -609,7 +610,7 @@ BFS_MAX_DEPTH = 8      # identical depth cap in both engines
       SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     ),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT ck + 1 AS a, -(sk + 1) AS b FROM e0
       UNION
       SELECT -(sk + 1) AS a, ck + 1 AS b FROM e0
@@ -826,12 +827,18 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the co-purchase edge list is one self-join of
     lineitem on orderkey (fan-out bounded by items-per-order^2) +
-    distinct, localCheckpointed; each round is ONE degree agg + two
-    semi-joins against the (node) alive set - state is ids only,
-    one shuffle per round, rounds bounded by the <= KCORE_MAX_ROUNDS
-    cap with a bounded .count() convergence check (the documented
-    CC-loop exception). 100 TB: identical; coreness DECOMPOSITION
-    (all k) would iterate the same kernel with k ascending.
+    distinct, localCheckpointed; the K-pick cumsums the degree
+    HISTOGRAM (|distinct degrees| <= 2*sqrt|E| rows) with the
+    bucketed two-pass helper (operators/ranks.py - fully parallel,
+    no single-task sort) and collects exactly one row;
+    each round is ONE degree agg + two semi-joins against the (node)
+    alive set - state is ids only, one shuffle per round, rounds
+    bounded by the <= KCORE_MAX_ROUNDS cap with a bounded .count()
+    convergence check. Both eager driver actions are declared in
+    plans/audit.py::BOUNDED_DRIVER_ACTIONS and their subtrees are
+    plan-audited like returned plans. 100 TB: identical; coreness
+    DECOMPOSITION (all k) would iterate the same kernel with k
+    ascending.
     """
     t = load(spark, sf_dir)
     li = t["lineitem"].filter(F.col("l_quantity") >= KCORE_MIN_QTY).select(
@@ -851,18 +858,33 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg0 = edges.groupBy("u").agg(F.count("*").alias("d"))
     # K pick + loop-convergence counts are the documented bounded
-    # driver actions (CC-loop exception): one 1-row collect for K,
-    # <= KCORE_MAX_ROUNDS counts for the fixpoint.
+    # driver actions (BOUNDED_DRIVER_ACTIONS in plans/audit.py): one
+    # 1-row collect for K, <= KCORE_MAX_ROUNDS counts for the
+    # fixpoint. The K-pick subtree itself is the bucketed two-pass
+    # distributed rank (r8, VERDICT r7 #1 - the old
+    # row_number/count-over-() pick was a single-task global sort
+    # over the |nodes| degree frame, executed at BUILD time where the
+    # returned-plan audit could not see it).
+    # Exact discrete percentile WITHOUT ranking |nodes| rows: the pick
+    # only needs the smallest degree whose cumulative node count
+    # reaches rank floor(p*(n-1))+1, so rank the degree HISTOGRAM
+    # (|distinct degrees| <= 2*sqrt|E| rows - sum of k distinct
+    # positive degrees is >= k(k+1)/2 <= 2|E|) and cumsum the counts.
+    # buckets=8: the histogram is tiny relative to the fact tables,
+    # and the 64-bucket cut chain's codegen compile dominates at this
+    # frame size (measured r8: 1.8s vs 0.85s for the whole pick).
+    dh = deg0.groupBy("d").agg(F.count("*").alias("c"))
+    cum = ranks.global_order(
+        dh, "d", [F.col("d")], cumsum={"c": "cum"}, buckets=8
+    )
+    tot = dh.agg(F.sum("c").alias("_n"))
     k_row = (
-        deg0.select(
-            "d",
-            (F.row_number().over(Window.orderBy("d", "u")) - 1).alias("i"),
-            F.count("*").over(Window.partitionBy()).alias("n"),
-        )
-        .filter(F.col("i") == F.floor(KCORE_PCT * (F.col("n") - 1)))
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") >= F.floor(KCORE_PCT * (F.col("_n") - 1)) + 1)
+        .agg(F.min("d").alias("d"))
         .collect()
     )
-    k = int(k_row[0]["d"]) if k_row else 1
+    k = int(k_row[0]["d"]) if k_row and k_row[0]["d"] is not None else 1
     n_alive = deg0.count()
     rounds = 0
     for _ in range(KCORE_MAX_ROUNDS):

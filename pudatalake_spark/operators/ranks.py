@@ -13,8 +13,12 @@ actions, no ``collect``).
 
 Shape (all JVM-side, whole-stage-codegen friendly):
 
-1. ``localCheckpoint(eager=False)`` the input so the two consumers
-   below (cut-point agg + main frame) share ONE materialization.
+1. ``localCheckpoint(eager=False)`` the BUCKETED frame (step 3) so
+   its two consumers (window side + bucket-total side) see one frozen
+   bucket assignment; the raw input is NOT checkpointed (r8) - its
+   shuffles are reused via stage reuse and a checkpoint there would
+   block filter/column pushdown into the shared scan and pin a second
+   full copy per call.
 2. A 1-row ``percentile_approx`` aggregate computes ``buckets-1``
    equi-depth cut points of the numeric order scalar IN-PLAN; the row
    is broadcast back (BroadcastNestedLoopJoin of a 1-row frame).
@@ -169,15 +173,30 @@ def global_order(
     cumsum = cumsum or {}
     cummin_excl = cummin_excl or {}
     pcols = partition_cols or []
-    df = df.localCheckpoint(eager=False)
-    # The bucketed frame is checkpointed too: the window side and the
+    # ONLY the bucketed frame is checkpointed: the window side and the
     # bucket-total side BOTH consume `_b`, and the percentile sketch
     # that feeds it merges partials in shuffle-arrival order - on a
     # real cluster two replans of the cuts subtree could disagree in
     # the last ulp, silently mis-offsetting ranks. Freezing `_b`
     # makes bucket assignment a materialized fact, not a replayable
     # expression. (Rank CORRECTNESS never depends on the cut values -
-    # only on both consumers seeing the SAME ones.)
+    # only on both consumers seeing the SAME ones.) The INPUT frame is
+    # deliberately NOT checkpointed (r8, ADVICE r7): its only two
+    # consumers - the cuts aggregate and the bk materialization - both
+    # execute before bk exists, any shuffle in df's lineage is reused
+    # via Spark's shuffle-file stage reuse on the second pass, and an
+    # input checkpoint would (a) pin a second full copy per call
+    # (q_events_rfm calls this helper three times) and (b) put a
+    # barrier between the caller's filters and the shared scan,
+    # blocking pushdown.
+    #
+    # Executor-loss caveat (applies to every localCheckpoint in this
+    # repo): local checkpoints are non-replicated - losing an executor
+    # fails the job instead of recomputing, and they pin blocks for
+    # the session, so dynamic-allocation clusters should prefer
+    # `spark.checkpoint()` to reliable storage. On this single-JVM
+    # bench target the trade is pure win (one materialization, no
+    # HDFS round-trip).
     bk = _bucketed(df, ord_col, buckets).localCheckpoint(eager=False)
 
     w_loc = Window.partitionBy(*pcols, "_b").orderBy(*order_exprs)

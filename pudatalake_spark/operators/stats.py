@@ -6284,10 +6284,18 @@ def q_stats_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked = ranked.join(F.broadcast(r2) if c != "extendedprice" else r2, c)
     dec = "decimal(38,0)"
     aggs = [F.count("*").cast("bigint").alias("n")]
-    aggs += [F.sum(f"x_{c}").cast("bigint").alias(f"s_{c}") for c in _SPM_COLS]
+    # Each operand is cast to decimal BEFORE the multiply/sum (ADVICE
+    # r7): a bigint x_a * x_b product is ~4n^2 and wraps int64 past
+    # ~1.5e9 rows; Sigma x_c is ~n^2 and wraps past ~3e9 rows. In
+    # decimal(38,0) the product (~1e20 at 1e9 rows) and its sum
+    # (~1e29) both fit with >= 9 orders of headroom.
+    aggs += [
+        F.sum(F.col(f"x_{c}").cast(dec)).alias(f"s_{c}")
+        for c in _SPM_COLS
+    ]
     aggs += [
         F.sum(
-            (F.col(f"x_{a}") * F.col(f"x_{b}")).cast(dec)
+            F.col(f"x_{a}").cast(dec) * F.col(f"x_{b}").cast(dec)
         ).alias(f"s_{a}_{b}")
         for i, a in enumerate(_SPM_COLS)
         for b in _SPM_COLS[i:]

@@ -714,6 +714,149 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
     "q_stats_spearman_matrix": "quantity/discount/tax rank frames are SPEC-BOUNDED value domains (<=50/11/9 distinct, TPC-H column definitions); extendedprice uses the bucketed distributed cumsum",
 }
 
+# ---------------------------------------------------------------------------
+# Global rule #4 (r8, VERDICT r7 #1): EAGER driver actions inside
+# builders are part of the audited surface. A builder that calls
+# ``collect``/``count``/``toPandas``/eager ``localCheckpoint`` while
+# CONSTRUCTING its DataFrame executes a whole Spark job before the
+# returned plan exists - r7's audit could not see those subtrees,
+# which is exactly where q_graph_kcore's single-task K-pick sort hid.
+# The audit now monkey-patches the action methods for the duration of
+# every builder call, records (key, action, callsite, plan) for each
+# eager execution, applies global rules #1-#3 to every captured plan,
+# and FAILS if a key that performs eager actions is not declared
+# below. The declaration is per-operator and reviewed: each entry
+# states why the action count and the collected row volume are
+# bounded (fixpoint loops capped by constants, 1-row/``limit``ed
+# collects), never blanket.
+
+#: key -> why its eager driver actions are bounded.
+BOUNDED_DRIVER_ACTIONS: dict[str, str] = {
+    "q_graph_kcore":
+        "1-row K-pick collect (the pick subtree is the bucketed "
+        "distributed rank over the degree HISTOGRAM, r8) + <= "
+        "KCORE_MAX_ROUNDS 1-value convergence counts",
+    "q_graph_bfs_levels":
+        "<= BFS_MAX_DEPTH 1-value frontier-drained counts (the "
+        "documented fixpoint-loop exception; frontier frames stay "
+        "distributed)",
+    "q_dedup_groups":
+        "CC supersteps: <= CC_MAX_ROUNDS eager localCheckpoints + "
+        "1-value changed-labels counts (pointer-jumping fixpoint; "
+        "label frames stay distributed)",
+    "q_dedup_eval":
+        "exactly 3 scalar counts (detected/truth/hits) over "
+        "localCheckpointed pair frames - the operator's output IS "
+        "these three numbers",
+    "q_lake_wap_publish":
+        "3-row audit-gate collect (the write-audit-publish decision "
+        "is driver-side by contract)",
+    "q_lake_clone_shallow":
+        "4 scalar verification counts over the cloned vs source "
+        "manifests (the operator's output is the equality report)",
+    "src_csv_malformed":
+        "bounded ingest fixture: 150-row export collect to write "
+        "the malformed CSV + permissive/dropmalformed scalar counts "
+        "+ 1-row stats collect - fixture-sized by construction",
+}
+
+#: infrastructure callsites (matched by source file) allowed to run a
+#: bounded eager action on behalf of WHATEVER key triggered the load.
+INFRA_EAGER_FILES: dict[str, str] = {
+    "loaders.py": "limit-1 single-column dtype sniff on the rare "
+                  "raw-bigint timestamp path (once per session/dir)",
+}
+
+#: DataFrame methods that execute jobs eagerly. ``take``/``head``/
+#: ``first`` funnel into ``collect`` via ``limit().collect()`` in
+#: PySpark, so patching these four (plus eager ``localCheckpoint``)
+#: covers every driver action the repo uses.
+EAGER_ACTION_METHODS = ("collect", "count", "toPandas", "isEmpty")
+
+
+class EagerCapture:
+    """Context manager: record (key, action, callsite, plan) for every
+    eager DataFrame action executed while a builder runs. ``holder``
+    is a 1-slot dict the audit loop updates with the key under
+    construction before each builder call."""
+
+    def __init__(self, records: list, holder: dict):
+        self.records = records
+        self.holder = holder
+        self._orig: dict[str, object] = {}
+
+    @staticmethod
+    def _callsite() -> str:
+        import sys as _sys
+
+        f = _sys._getframe(2)
+        while f is not None:
+            fn = f.f_code.co_filename
+            if "pudatalake_spark" in fn and "plans/audit" not in fn:
+                import os as _os
+
+                return f"{_os.path.basename(fn)}:{f.f_lineno}"
+            f = f.f_back
+        return "<external>"
+
+    def _wrap(self, name: str, orig):
+        records, holder, callsite = self.records, self.holder, self._callsite
+
+        def wrapped(df, *a, **kw):
+            try:
+                plan = explain_str(df)
+            except Exception:
+                plan = ""
+            records.append((holder.get("key"), name, callsite(), plan))
+            return orig(df, *a, **kw)
+
+        return wrapped
+
+    def _wrap_checkpoint(self, orig):
+        records, holder, callsite = self.records, self.holder, self._callsite
+
+        def wrapped(df, eager=True, *a, **kw):
+            if eager:
+                try:
+                    plan = explain_str(df)
+                except Exception:
+                    plan = ""
+                records.append(
+                    (holder.get("key"), "localCheckpoint", callsite(), plan)
+                )
+            return orig(df, eager, *a, **kw)
+
+        return wrapped
+
+    @staticmethod
+    def _df_class():
+        # Spark 4 splits the public pyspark.sql.DataFrame ABC from
+        # the CONCRETE classic class, which overrides every action
+        # method - patching the base would capture nothing.
+        try:
+            from pyspark.sql.classic.dataframe import DataFrame
+        except ImportError:  # Spark 3.x layout
+            from pyspark.sql import DataFrame
+        return DataFrame
+
+    def __enter__(self):
+        _DF = self._df_class()
+        for m in EAGER_ACTION_METHODS:
+            self._orig[m] = getattr(_DF, m)
+            setattr(_DF, m, self._wrap(m, self._orig[m]))
+        self._orig["localCheckpoint"] = _DF.localCheckpoint
+        _DF.localCheckpoint = self._wrap_checkpoint(
+            self._orig["localCheckpoint"]
+        )
+        return self
+
+    def __exit__(self, *exc):
+        _DF = self._df_class()
+        for m, fn in self._orig.items():
+            setattr(_DF, m, fn)
+        return False
+
+
 _TREE_NODE_RX = re.compile(
     r"^(\s*(?:[+:][- ]\s*)*)\*?\s*([A-Za-z][\w]*)[^(]*\((\d+)\)"
 )
@@ -766,14 +909,18 @@ def global_window_violations(plan: str) -> list[str]:
         if win_at is None:
             continue
         # Structural bound: a window whose output feeds a
-        # BroadcastExchange (through row-preserving/reducing nodes)
-        # is broadcast-small by construction - a bounded frame, not
-        # a scale defect.
+        # BroadcastExchange through ROW-PRESERVING nodes only is
+        # broadcast-small by construction - the frame the single task
+        # sorted is (at most project/filter away from) the frame the
+        # planner judged broadcastable. Row-REDUCING nodes
+        # (aggregates, limits) must NOT be skipped (ADVICE r7): a
+        # single-task sort over an unbounded fact frame whose output
+        # is aggregated down to a tiny broadcastable frame is exactly
+        # the defect class this rule exists to catch. Window/Sort
+        # are row-preserving and stay skippable.
         broadcast_bound = False
         for _, pop, _ in _ancestors(win_at[0]):
-            if pop in ("Project", "Filter", "Window", "Sort",
-                       "HashAggregate", "ObjectHashAggregate",
-                       "SortAggregate"):
+            if pop in ("Project", "Filter", "Window", "Sort"):
                 continue
             broadcast_bound = pop == "BroadcastExchange"
             break
@@ -792,50 +939,129 @@ def explain_str(df) -> str:
     )
 
 
+def _check_plan(name: str, plan: str, failures: list[str],
+                where: str = "") -> None:
+    """Global rules #1-#3 on one plan (returned or eager subtree)."""
+    loc = f" ({where})" if where else ""
+    if name not in UDF_KEYS and PY_EVAL_RX.search(plan):
+        failures.append(
+            f"{name}: Python evaluation in a non-UDF operator{loc}"
+        )
+    hits = global_window_violations(plan)
+    if hits and name not in BOUNDED_GLOBAL_WINDOW:
+        failures.append(
+            f"{name}: global-order window on SinglePartition "
+            f"({'; '.join(hits)}){loc} - fix with operators/ranks.py "
+            "or declare the bounded frame in BOUNDED_GLOBAL_WINDOW"
+        )
+    if "CartesianProduct" in plan:
+        failures.append(
+            f"{name}: CartesianProduct in the plan{loc} - broadcast "
+            "the small side of the non-equi join"
+        )
+
+
 def audit(spark, sf_dir: str):
-    """Run every invariant; return (failures, evidence_sections)."""
+    """Run every invariant; return (failures, evidence_sections).
+
+    Every builder call runs under ``EagerCapture`` (global rule #4):
+    eager driver actions executed at BUILD time are recorded with the
+    plan of the frame they acted on, those plans get the same global
+    rules as returned plans, and any key with eager actions must be
+    declared in ``BOUNDED_DRIVER_ACTIONS``."""
     registry.load_all()
     failures: list[str] = []
     sections: list[str] = []
+    eager_records: list[tuple] = []
+    holder: dict = {}
 
-    for name, (must, must_not, why) in sorted(RULES.items()):
-        plan = explain_str(registry.QUERIES[name](spark, sf_dir))
-        for pat in must:
-            if not re.search(pat, plan):
-                failures.append(f"{name}: MISSING /{pat}/ ({why})")
-        for pat in must_not:
-            if re.search(pat, plan):
-                failures.append(f"{name}: FORBIDDEN /{pat}/ present ({why})")
-        # Evidence excerpt: the operator-tree header of the plan.
-        tree = plan.split("\n\n")[0]
-        sections.append(f"### `{name}`\n\n*Invariant: {why}.*\n\n```\n{tree}\n```\n")
+    with EagerCapture(eager_records, holder):
+        for name, (must, must_not, why) in sorted(RULES.items()):
+            holder["key"] = name
+            plan = explain_str(registry.QUERIES[name](spark, sf_dir))
+            for pat in must:
+                if not re.search(pat, plan):
+                    failures.append(f"{name}: MISSING /{pat}/ ({why})")
+            for pat in must_not:
+                if re.search(pat, plan):
+                    failures.append(
+                        f"{name}: FORBIDDEN /{pat}/ present ({why})"
+                    )
+            # Evidence excerpt: the operator-tree header of the plan.
+            tree = plan.split("\n\n")[0]
+            sections.append(
+                f"### `{name}`\n\n*Invariant: {why}.*\n\n```\n{tree}\n```\n"
+            )
 
-    # Global rule #1: no Python evaluation outside the UDF surface.
-    # Global rule #2: no Exchange SinglePartition feeding Sort+Window
-    # (a single-task global sort) outside the declared bounded-frame
-    # exemptions.
-    # Global rule #3 (r7): no CartesianProduct ANYWHERE - every
-    # intentional cross is a broadcast of a 1-row/bounded frame and
-    # plans as BroadcastNestedLoopJoin; a true CartesianProduct means
-    # a non-equi join lost its broadcast hint (exactly how the r7
-    # scan caught q_stats_sketch_error's 4-row probe).
-    for name, fn in sorted(registry.QUERIES.items()):
-        if name in UDF_KEYS or name in SIDE_EFFECT or name.startswith("s_"):
+        # Global rule #1: no Python evaluation outside the UDF surface.
+        # Global rule #2: no Exchange SinglePartition feeding
+        # Sort+Window (a single-task global sort) outside the declared
+        # bounded-frame exemptions.
+        # Global rule #3 (r7): no CartesianProduct ANYWHERE - every
+        # intentional cross is a broadcast of a 1-row/bounded frame and
+        # plans as BroadcastNestedLoopJoin; a true CartesianProduct
+        # means a non-equi join lost its broadcast hint (exactly how
+        # the r7 scan caught q_stats_sketch_error's 4-row probe).
+        # Global rule #4 (r8): UDF and side-effect builders that the
+        # returned-plan rules skip are still BUILT here, so their
+        # eager build-time subtrees enter the capture (keys in RULES
+        # already ran above - not re-built, keeping every lake write
+        # single-shot).
+        for name, fn in sorted(registry.QUERIES.items()):
+            if name.startswith("s_"):
+                continue
+            holder["key"] = name
+            if name in UDF_KEYS or name in SIDE_EFFECT:
+                if name not in RULES:
+                    fn(spark, sf_dir)  # build for eager capture only
+                continue
+            plan = explain_str(fn(spark, sf_dir))
+            _check_plan(name, plan, failures)
+        holder["key"] = None
+
+    # Global rule #4 post-pass: every captured eager action must come
+    # from a declared key (or a declared infra callsite), and its
+    # subtree plan must satisfy the same global rules.
+    eager_summary: dict[str, dict[str, int]] = {}
+    for key, action, callsite, plan in eager_records:
+        src = callsite.split(":")[0]
+        if src in INFRA_EAGER_FILES:
             continue
-        plan = explain_str(fn(spark, sf_dir))
-        if PY_EVAL_RX.search(plan):
-            failures.append(f"{name}: Python evaluation in a non-UDF operator")
-        hits = global_window_violations(plan)
-        if hits and name not in BOUNDED_GLOBAL_WINDOW:
+        if key is None:
             failures.append(
-                f"{name}: global-order window on SinglePartition "
-                f"({'; '.join(hits)}) - fix with operators/ranks.py "
-                "or declare the bounded frame in BOUNDED_GLOBAL_WINDOW"
+                f"eager {action} at {callsite} outside any builder"
             )
-        if "CartesianProduct" in plan:
+            continue
+        if key not in BOUNDED_DRIVER_ACTIONS:
             failures.append(
-                f"{name}: CartesianProduct in the plan - broadcast the "
-                "small side of the non-equi join"
+                f"{key}: UNDECLARED eager {action} at {callsite} - "
+                "declare the bound in BOUNDED_DRIVER_ACTIONS or make "
+                "the builder lazy"
             )
+        if plan:
+            _check_plan(key, plan, failures,
+                        where=f"eager {action} at {callsite}")
+        eager_summary.setdefault(key, {}).setdefault(
+            f"{action}@{callsite}", 0
+        )
+        eager_summary[key][f"{action}@{callsite}"] += 1
+    stale = sorted(set(BOUNDED_DRIVER_ACTIONS) - set(eager_summary))
+    if stale:
+        failures.append(
+            "BOUNDED_DRIVER_ACTIONS entries never observed (stale or "
+            f"mis-keyed): {', '.join(stale)}"
+        )
+
+    lines = ["## Eager driver actions (global rule #4)", "",
+             "Captured at build time, plan-audited like returned "
+             "plans; bound declared per key in "
+             "`plans/audit.py::BOUNDED_DRIVER_ACTIONS`.", ""]
+    for key in sorted(eager_summary):
+        calls = ", ".join(
+            f"{c} x{n}" for c, n in sorted(eager_summary[key].items())
+        )
+        lines.append(f"- `{key}`: {calls}")
+    lines.append("")
+    sections.append("\n".join(lines))
 
     return failures, sections

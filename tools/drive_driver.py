@@ -20,7 +20,10 @@ rows = df.collect()
 print(f"T1 SMOKE: entry() -> {len(rows)} rows in {time.time()-t0:.1f}s schema={[f.name for f in df.schema.fields]}")
 assert len(rows) > 0
 
-SF = "/root/testdata/sf0.01"
+# Optional SF-dir argument (VERDICT r7 #5: the overflow bug class
+# only manifests at larger SF, so the round-close protocol runs this
+# sweep at BOTH sf0.01 and sf0.1).
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
@@ -73,7 +76,10 @@ for n, msg in fails:
 
 # Durable artifact: the driver's own CORRECTNESS file caps at 50 keys,
 # so this full-inventory sweep is recorded in-repo for auditability.
-with open("/root/repo/SELFCHECK.json", "w") as f:
+_sfname = SF.rstrip("/").rsplit("/", 1)[-1]
+_out = ("/root/repo/SELFCHECK.json" if _sfname == "sf0.01"
+        else f"/root/repo/SELFCHECK_{_sfname}.json")
+with open(_out, "w") as f:
     json.dump({
         "sweep": "tools/drive_driver.py full-inventory oracle sweep",
         "sf_dir": SF,
@@ -83,4 +89,4 @@ with open("/root/repo/SELFCHECK.json", "w") as f:
         "fail": len(fails),
         "per_query": results,
     }, f, indent=1, sort_keys=True)
-print("wrote SELFCHECK.json")
+print(f"wrote {_out}")
