@@ -114,9 +114,21 @@ def _mask_word(w: int):
     ).alias(f"m{w}")
 
 
-def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+def near_jaccard_pairs(
+    docs: DataFrame, tau: float = JACCARD_TAU, pair_cond=None
+) -> DataFrame:
     """Exact pairs with character-5-gram Jaccard >= tau over a
     (doc_id, text) frame - the df-capped inverted-index plan.
+
+    ``pair_cond`` (r8): optional pair-predicate PUSHDOWN - a callable
+    ``(doc1_col, doc2_col) -> Column`` conjoined into BOTH candidate
+    joins (the rare inverted-index self-join and the hot-dominated
+    broadcast enumeration), so pairs the caller will discard are
+    never counted, masked, or verified. Exact by construction: the
+    predicate depends only on the pair identity, so filtering before
+    the Jaccard computation equals filtering after it.
+    q_dedup_cross_corpus pushes its opposite-parity predicate here,
+    halving candidate volume instead of post-filtering.
 
     Hot-shingle df-cap (the dedup.py header's promised scale
     mitigation): a shingle with document frequency df > D
@@ -243,14 +255,18 @@ def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
         )
     )
     a, b = rare.alias("a"), rare.alias("b")
-    rare_pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n_sh") >= tau * F.col("b.n_sh"))
-            & (F.col("b.n_sh") >= tau * F.col("a.n_sh")),
+    rare_cond = (
+        (F.col("a.shingle") == F.col("b.shingle"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.col("a.n_sh") >= tau * F.col("b.n_sh"))
+        & (F.col("b.n_sh") >= tau * F.col("a.n_sh"))
+    )
+    if pair_cond is not None:
+        rare_cond = rare_cond & pair_cond(
+            F.col("a.doc_id"), F.col("b.doc_id")
         )
+    rare_pairs = (
+        a.join(b, rare_cond)
         .groupBy(
             F.col("a.doc_id").alias("doc1"),
             F.col("b.doc_id").alias("doc2"),
@@ -268,11 +284,18 @@ def near_jaccard_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
         .select("doc_id", "n_sh")
     )
     ha, hb = hd.alias("ha"), hd.alias("hb")
-    hd_pairs = ha.join(
-        F.broadcast(hb),
+    hd_cond = (
         (F.col("ha.doc_id") < F.col("hb.doc_id"))
         & (F.col("ha.n_sh") >= tau * F.col("hb.n_sh"))
-        & (F.col("hb.n_sh") >= tau * F.col("ha.n_sh")),
+        & (F.col("hb.n_sh") >= tau * F.col("ha.n_sh"))
+    )
+    if pair_cond is not None:
+        hd_cond = hd_cond & pair_cond(
+            F.col("ha.doc_id"), F.col("hb.doc_id")
+        )
+    hd_pairs = ha.join(
+        F.broadcast(hb),
+        hd_cond,
     ).select(
         F.col("ha.doc_id").alias("doc1"),
         F.col("hb.doc_id").alias("doc2"),
@@ -897,10 +920,14 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     member, like q_dedup_near_jaccard for the in-corpus family.
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    pairs = near_jaccard_pairs(d, JACCARD_TAU)
-    cross = pairs.filter(
-        (F.col("doc1") % 2) != (F.col("doc2") % 2)
-    ).select(
+    # Opposite-parity predicate PUSHED DOWN into both candidate joins
+    # (r8): half the candidate pairs are never counted/verified
+    # instead of being discarded after the exact Jaccard.
+    pairs = near_jaccard_pairs(
+        d, JACCARD_TAU,
+        pair_cond=lambda d1, d2: (d1 % 2) != (d2 % 2),
+    )
+    cross = pairs.select(
         F.when(F.col("doc1") % 2 == 0, F.col("doc1"))
         .otherwise(F.col("doc2"))
         .alias("ref_doc"),

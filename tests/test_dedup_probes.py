@@ -158,3 +158,25 @@ def test_cc_min_label_chain_components_singletons(spark):
     got = {r["u"]: r["lbl"] for r in cc_min_label(nodes, pairs).collect()}
     want = {i: 0 for i in range(100)} | {200: 200, 201: 200, 202: 200, 300: 300}
     assert got == want
+
+
+def test_pair_cond_pushdown_equals_post_filter(spark):
+    """pair_cond (r8, the q_dedup_cross_corpus parity pushdown) must
+    be pure pushdown: conjoining the predicate into the candidate
+    joins yields EXACTLY the post-filtered pair set - including
+    hot-only pairs that exist only via the fallback enumeration."""
+    docs = _planted_corpus()
+    tau = 0.5
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    parity = lambda d1, d2: (d1 % 2) != (d2 % 2)  # noqa: E731
+    pushed = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in near_jaccard_pairs(df, tau, pair_cond=parity).collect()
+    }
+    post = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in near_jaccard_pairs(df, tau).collect()
+        if (r["doc1"] % 2) != (r["doc2"] % 2)
+    }
+    assert pushed == post
+    assert pushed, "planted corpus must contain opposite-parity pairs"
