@@ -760,6 +760,23 @@ BOUNDED_DRIVER_ACTIONS: dict[str, str] = {
         "+ 1-row stats collect - fixture-sized by construction",
 }
 
+#: keys whose builders legitimately WRITE at build time (scratch
+#: parquet layouts the returned frame then reads: lake-format
+#: simulations, layout demos, ingest fixtures). Distinct from
+#: SIDE_EFFECT (keys the audit's global loop must not re-run);
+#: membership here only authorizes the write - the written frame's
+#: plan is still checked against rules #1-#3. Populated from the r8
+#: capture enumeration; a write from any other key fails the audit
+#: as a hidden side effect.
+WRITES_AT_BUILD: set[str] = {
+    "q_lake_wap_publish",    # staging write + audited publish copy
+    "q_lake_clone_shallow",  # source layout + manifest-clone write
+    "q_lake_mixed_layout",   # two-batch mixed-layout scratch table
+    "q_lake_orphan_files",   # referenced + orphan scratch files
+    "sink_jsonl_export",     # the export IS the operator's contract
+    "src_xml",               # writes the XML fixture it then parses
+}
+
 #: infrastructure callsites (matched by source file) allowed to run a
 #: bounded eager action on behalf of WHATEVER key triggered the load.
 INFRA_EAGER_FILES: dict[str, str] = {
@@ -769,9 +786,19 @@ INFRA_EAGER_FILES: dict[str, str] = {
 
 #: DataFrame methods that execute jobs eagerly. ``take``/``head``/
 #: ``first`` funnel into ``collect`` via ``limit().collect()`` in
-#: PySpark, so patching these four (plus eager ``localCheckpoint``)
-#: covers every driver action the repo uses.
+#: PySpark, so patching these four (plus eager ``localCheckpoint``
+#: and the terminal ``DataFrameWriter`` methods) covers every driver
+#: action the repo uses.
 EAGER_ACTION_METHODS = ("collect", "count", "toPandas", "isEmpty")
+
+#: terminal DataFrameWriter methods - a write executes the written
+#: frame's plan, so sink/lake builders' write plans are audited like
+#: returned plans (writes themselves are those keys' contract; the
+#: capture audits the PLAN feeding the write, not the side effect).
+EAGER_WRITER_METHODS = (
+    "save", "parquet", "csv", "json", "orc", "text",
+    "saveAsTable", "insertInto",
+)
 
 
 class EagerCapture:
@@ -839,7 +866,24 @@ class EagerCapture:
             from pyspark.sql import DataFrame
         return DataFrame
 
+    def _wrap_writer(self, name: str, orig):
+        records, holder, callsite = self.records, self.holder, self._callsite
+
+        def wrapped(writer, *a, **kw):
+            try:
+                plan = explain_str(writer._df)
+            except Exception:
+                plan = ""
+            records.append(
+                (holder.get("key"), f"write.{name}", callsite(), plan)
+            )
+            return orig(writer, *a, **kw)
+
+        return wrapped
+
     def __enter__(self):
+        from pyspark.sql.readwriter import DataFrameWriter as _W
+
         _DF = self._df_class()
         for m in EAGER_ACTION_METHODS:
             self._orig[m] = getattr(_DF, m)
@@ -848,12 +892,20 @@ class EagerCapture:
         _DF.localCheckpoint = self._wrap_checkpoint(
             self._orig["localCheckpoint"]
         )
+        self._worig = {}
+        for m in EAGER_WRITER_METHODS:
+            self._worig[m] = getattr(_W, m)
+            setattr(_W, m, self._wrap_writer(m, self._worig[m]))
         return self
 
     def __exit__(self, *exc):
+        from pyspark.sql.readwriter import DataFrameWriter as _W
+
         _DF = self._df_class()
         for m, fn in self._orig.items():
             setattr(_DF, m, fn)
+        for m, fn in self._worig.items():
+            setattr(_W, m, fn)
         return False
 
 
@@ -1032,7 +1084,17 @@ def audit(spark, sf_dir: str):
                 f"eager {action} at {callsite} outside any builder"
             )
             continue
-        if key not in BOUNDED_DRIVER_ACTIONS:
+        if action.startswith("write."):
+            # Build-time writes are the CONTRACT of lake/sink/fixture
+            # keys - but a write from an undeclared key is a hidden
+            # side effect. The written frame's plan is still checked.
+            if key not in SIDE_EFFECT and key not in WRITES_AT_BUILD:
+                failures.append(
+                    f"{key}: UNDECLARED build-time {action} at "
+                    f"{callsite} - declare in WRITES_AT_BUILD (or "
+                    "SIDE_EFFECT) or make the builder read-only"
+                )
+        elif key not in BOUNDED_DRIVER_ACTIONS:
             failures.append(
                 f"{key}: UNDECLARED eager {action} at {callsite} - "
                 "declare the bound in BOUNDED_DRIVER_ACTIONS or make "
@@ -1050,6 +1112,16 @@ def audit(spark, sf_dir: str):
         failures.append(
             "BOUNDED_DRIVER_ACTIONS entries never observed (stale or "
             f"mis-keyed): {', '.join(stale)}"
+        )
+    write_keys = {
+        k for k, calls in eager_summary.items()
+        if any(c.startswith("write.") for c in calls)
+    }
+    stale_w = sorted(WRITES_AT_BUILD - write_keys)
+    if stale_w:
+        failures.append(
+            "WRITES_AT_BUILD entries never observed (stale or "
+            f"mis-keyed): {', '.join(stale_w)}"
         )
 
     lines = ["## Eager driver actions (global rule #4)", "",
