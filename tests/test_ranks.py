@@ -131,3 +131,33 @@ def test_plan_has_no_singlepartition_window(spark):
     # And the old formulation IS caught (detector sanity).
     old = df.select(F.row_number().over(Window.orderBy("v", "k")).alias("i"))
     assert global_window_violations(explain_str(old)) != []
+
+
+@pytest.mark.parametrize("buckets", [2, 8, 64])
+def test_bucket_fanout_invariance(spark, buckets):
+    """Ranks and cumsums are identical at ANY bucket fan-out (the
+    helper's correctness must not depend on the cut points - r8:
+    q_graph_kcore's K-pick runs buckets=8 over the degree histogram,
+    so the non-default path is pinned too)."""
+    df = _frame(spark, n=300)
+    got = global_order(
+        df, "v", [F.col("v"), F.col("k")],
+        rank_name="i", cumsum={"v": "cv"}, buckets=buckets,
+    )
+    want = df.select(
+        "k",
+        F.row_number().over(Window.orderBy("v", "k")).alias("i"),
+        F.sum("v").over(
+            Window.orderBy("v", "k").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).alias("cv"),
+    )
+    j = got.select("k", "i", "cv").join(
+        want.withColumnRenamed("i", "iw").withColumnRenamed("cv", "cw"),
+        "k",
+    )
+    assert j.filter(
+        (F.col("i") != F.col("iw"))
+        | (F.abs(F.col("cv") - F.col("cw")) > 1e-9)
+    ).count() == 0
