@@ -151,6 +151,11 @@ def main() -> None:
         "queries": per_query,
         "steady_runs": n_steady,
         "sf": sf,
+        # 1/5/15-min load averages AT MEASUREMENT TIME: this box's
+        # sub-second queries drift up to ±30% under contention (r7/r8
+        # BASELINE notes), so every recorded BENCH artifact carries
+        # its own contention evidence.
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
     }
     detail = dict(report, cold_queries=cold, steady_samples=samples)
     # Driver-proofing (VERDICT r5 #6): the r5 driver tail-parse missed

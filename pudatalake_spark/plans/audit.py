@@ -728,7 +728,10 @@ BOUNDED_GLOBAL_WINDOW: dict[str, str] = {
 # below. The declaration is per-operator and reviewed: each entry
 # states why the action count and the collected row volume are
 # bounded (fixpoint loops capped by constants, 1-row/``limit``ed
-# collects), never blanket.
+# collects), never blanket. Scope: every non-streaming builder (s_*
+# keys run actual availableNow streams through their own writeStream
+# machinery and stay out of the audit loop; their correctness surface
+# is the streaming-equivalence tests).
 
 #: key -> why its eager driver actions are bounded.
 BOUNDED_DRIVER_ACTIONS: dict[str, str] = {
