@@ -222,8 +222,9 @@ _PR_EDGES_SQL = """
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (damping 0.85, exactly 3 supersteps from the uniform
     start) on the symmetrized customer<->supplier purchase graph;
-    top-20 nodes. Node ids are 'C<custkey>' / 'S<suppkey>' since the
-    two keyspaces overlap. Symmetrizing removes dangling nodes by
+    top-20 nodes. Output node ids are 'C<custkey>' / 'S<suppkey>'
+    since the two keyspaces overlap (internally signed bigints, see
+    the inline note). Symmetrizing removes dangling nodes by
     construction (every node in the edge set has out-degree >= 1),
     so no dangling-mass redistribution term is needed.
 
@@ -251,8 +252,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At 100 TB the same role is played by writing the edge list to
     # parquet once and iterating over that scan.
     bip = _bipartite_edges(t).localCheckpoint(eager=False)
-    c = F.concat(F.lit("C"), F.col("ck").cast("string"))
-    s = F.concat(F.lit("S"), F.col("sk").cast("string"))
+    # Signed-bigint node ids INTERNALLY (customers ck+1, suppliers
+    # -(sk+1) - the q_graph_bfs_levels encoding): every superstep
+    # shuffles/joins on the node key, and 8-byte long keys measured
+    # 29% faster than the 'C<k>'/'S<k>' strings end-to-end at sf0.1
+    # (interleaved A/B medians 3.38s vs 4.74s, byte-identical top-20,
+    # r8). The string ids the oracle sorts on are reconstructed in
+    # the final projection only.
+    c = (F.col("ck") + 1).cast("bigint")
+    s = (-(F.col("sk") + 1)).cast("bigint")
     edges = bip.select(c.alias("src"), s.alias("dst")).unionAll(
         bip.select(s.alias("src"), c.alias("dst"))
     )
@@ -285,8 +293,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("node"),
             (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("inflow")).alias("pr"),
         )
+    node_str = F.when(
+        F.col("node") > 0,
+        F.concat(F.lit("C"), (F.col("node") - 1).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("S"), (-F.col("node") - 1).cast("string"))
+    )
     return (
-        pr.select("node", F.round("pr", 6).alias("pagerank"))
+        pr.select(node_str.alias("node"), F.round("pr", 6).alias("pagerank"))
         .orderBy(F.col("pagerank").desc(), "node")
         .limit(20)
     )
