@@ -97,6 +97,9 @@ def _force(df) -> int:
 
 
 def main() -> None:
+    # Ambient load BEFORE the session spins up: the report's
+    # contention evidence must reflect the box, not this bench.
+    load0 = [round(x, 2) for x in os.getloadavg()]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     run_all = "--all" in sys.argv
     # sf number parsed from the dir name for the report line.
@@ -151,11 +154,12 @@ def main() -> None:
         "queries": per_query,
         "steady_runs": n_steady,
         "sf": sf,
-        # 1/5/15-min load averages AT MEASUREMENT TIME: this box's
-        # sub-second queries drift up to ±30% under contention (r7/r8
-        # BASELINE notes), so every recorded BENCH artifact carries
-        # its own contention evidence.
-        "loadavg": [round(x, 2) for x in os.getloadavg()],
+        # 1/5/15-min load averages SAMPLED AT BENCH START (ambient,
+        # before this bench's own load): this box's sub-second
+        # queries drift up to ±30% under contention (r7/r8 BASELINE
+        # notes), so every recorded BENCH artifact carries its own
+        # contention evidence.
+        "loadavg": load0,
     }
     detail = dict(report, cold_queries=cold, steady_samples=samples)
     # Driver-proofing (VERDICT r5 #6): the r5 driver tail-parse missed
