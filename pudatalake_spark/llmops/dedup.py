@@ -349,7 +349,13 @@ def near_jaccard_pairs(
 # same Jaccard up to negligible collisions (mirrors the Spark side's
 # xxhash64 argument); the length-ratio prune (J>=tau forces
 # min(n)>=tau*max(n)) drops pairs before the division.
-_PAIR_ORACLE_CTES = f"""
+def _pair_oracle_ctes(pair_pred: str = "") -> str:
+    """The shared exact-Jaccard pair CTEs, optionally with an extra
+    pair predicate pushed INTO the inverted-index self-join (the SQL
+    twin of near_jaccard_pairs' ``pair_cond`` pushdown, r8):
+    conjunctive on pair identity, so semantics are unchanged while
+    DuckDB never counts the pairs the caller would discard."""
+    return f"""
     sh AS (
       SELECT doc_id,
              list_distinct([hash(substr(lower(text), i + 1, {SHINGLE_LEN}))
@@ -360,7 +366,8 @@ _PAIR_ORACLE_CTES = f"""
     inst AS (SELECT doc_id, unnest(s) AS g FROM sh),
     inter AS (
       SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-      FROM inst a JOIN inst b ON a.g = b.g AND a.doc_id < b.doc_id
+      FROM inst a JOIN inst b
+        ON a.g = b.g AND a.doc_id < b.doc_id {pair_pred}
       GROUP BY 1, 2
     ),
     pr AS (
@@ -369,6 +376,9 @@ _PAIR_ORACLE_CTES = f"""
       WHERE na.n >= {JACCARD_TAU} * nb.n AND nb.n >= {JACCARD_TAU} * na.n
         AND i::DOUBLE / (na.n + nb.n - i) >= {JACCARD_TAU}
     )"""
+
+
+_PAIR_ORACLE_CTES = _pair_oracle_ctes()
 
 
 @register(
@@ -881,12 +891,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_dedup_cross_corpus",
     oracle=f"""
-    WITH {_PAIR_ORACLE_CTES},
+    WITH {_pair_oracle_ctes("AND (a.doc_id % 2) <> (b.doc_id % 2)")},
     cross_pairs AS (
       SELECT CASE WHEN d1 % 2 = 0 THEN d1 ELSE d2 END AS ref_doc,
              CASE WHEN d1 % 2 = 0 THEN d2 ELSE d1 END AS batch_doc,
              jaccard
-      FROM pr WHERE (d1 % 2) <> (d2 % 2)
+      FROM pr
     )
     SELECT batch_doc, ref_doc, jaccard
     FROM (SELECT *, row_number() OVER (
