@@ -1,0 +1,482 @@
+"""Pure-stdlib Apache Avro object-container-file codec (SURVEY §2.1).
+
+This build ships the avro core/ipc/mapred jars but NOT
+``spark-avro_2.13``, so ``spark.read.format("avro")`` is unavailable
+(probed every round since r5 — BASELINE.md). The format itself is
+fully public (Avro 1.12 specification); this module implements the
+subset a lake interchange path needs with nothing beyond the standard
+library — the same discipline as ``llmops/codecs.py`` (PNG/WAV/netpbm):
+
+- **binary encoding**: null / boolean / int / long (zigzag varint),
+  float / double (little-endian IEEE), bytes / string
+  (length-prefixed), fixed, enum (index), array / map (blocked, with
+  the optional negative-count + byte-size form on read), union
+  (branch index), record (fields in declared order), named-type
+  references.
+- **object container file**: magic ``Obj\\x01``, file-metadata map
+  (``avro.schema`` + ``avro.codec``), 16-byte sync marker, then
+  blocks of (record-count, byte-size, payload, sync). Codecs ``null``
+  and ``deflate`` (raw RFC1951 — ``zlib`` with ``wbits=-15``).
+- **schema resolution** (reader schema != writer schema): record
+  fields matched by NAME (reorder/subset both work), writer-only
+  fields decoded-and-dropped (Avro has no per-field lengths — skipping
+  requires decoding), reader-only fields take their declared default,
+  promotions int→long/float/double, long→float/double, float→double,
+  string↔bytes, and value↔``["null", value]`` union hops.
+
+Scale shape: the sync-marker block structure is what makes real Avro
+splittable — a reader seeks past the next sync and starts on a block
+boundary, so one 1 GB container file fans out across tasks.
+``iter_blocks``/``decode_block`` expose exactly that unit here; the
+``src_avro`` ingest key (sources/ingest.py) runs this codec INSIDE
+Arrow-batched ``mapInPandas`` workers (encode and decode both happen
+on executors, one container per partition — bytes never visit the
+driver).
+
+No reference file to cite: ``/root/reference`` is empty (SURVEY §0);
+the behavior contract is the public Avro 1.12 spec.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import struct
+import zlib
+from collections.abc import Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+
+PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
+              "bytes", "string"}
+
+#: writer type -> reader types it may promote to (Avro 1.12 §Schema
+#: Resolution), beyond exact match.
+PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+# ------------------------------------------------------------------ varint
+
+def _write_long(buf: bytearray, n: int) -> None:
+    """Zigzag + base-128 varint (Avro int and long share this)."""
+    n = int(n)
+    u = (n << 1) ^ (n >> 63)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            buf.append(b | 0x80)
+        else:
+            buf.append(b)
+            return
+
+
+def _read_long(data: bytes, pos: int) -> tuple[int, int]:
+    acc = shift = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+# ------------------------------------------------------------------ schema
+
+def parse_schema(schema) -> object:
+    """Accept a JSON string or an already-parsed schema; normalize
+    ``{"type": "string"}`` wrappers down to the bare primitive name."""
+    if isinstance(schema, str) and schema not in PRIMITIVES:
+        schema = json.loads(schema)
+    if isinstance(schema, dict) and set(schema) == {"type"} and (
+        schema["type"] in PRIMITIVES
+    ):
+        return schema["type"]
+    return schema
+
+
+def _schema_type(schema, names: dict) -> object:
+    """Resolve named-type references and return the concrete schema."""
+    if isinstance(schema, str):
+        if schema in PRIMITIVES:
+            return schema
+        if schema in names:
+            return names[schema]
+        raise ValueError(f"avro: unknown type reference {schema!r}")
+    return schema
+
+
+def _register_named(schema, names: dict) -> None:
+    """First pass: record every named type so later references resolve."""
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t in ("record", "enum", "fixed"):
+            names[schema["name"]] = schema
+        if t == "record":
+            for f in schema["fields"]:
+                _register_named(f["type"], names)
+        elif t == "array":
+            _register_named(schema["items"], names)
+        elif t == "map":
+            _register_named(schema["values"], names)
+    elif isinstance(schema, list):
+        for branch in schema:
+            _register_named(branch, names)
+
+
+# ------------------------------------------------------------------ encode
+
+def _encode(schema, value, buf: bytearray, names: dict) -> None:
+    schema = _schema_type(schema, names)
+    if isinstance(schema, list):  # union: branch index then value
+        idx = _union_branch(schema, value, names)
+        _write_long(buf, idx)
+        _encode(schema[idx], value, buf, names)
+        return
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            for f in schema["fields"]:
+                _encode(f["type"], value[f["name"]], buf, names)
+        elif t == "array":
+            value = list(value)
+            if value:
+                _write_long(buf, len(value))
+                for item in value:
+                    _encode(schema["items"], item, buf, names)
+            _write_long(buf, 0)
+        elif t == "map":
+            if value:
+                _write_long(buf, len(value))
+                for k, v in value.items():
+                    _encode("string", k, buf, names)
+                    _encode(schema["values"], v, buf, names)
+            _write_long(buf, 0)
+        elif t == "enum":
+            buf_idx = schema["symbols"].index(value)
+            _write_long(buf, buf_idx)
+        elif t == "fixed":
+            raw = bytes(value)
+            if len(raw) != schema["size"]:
+                raise ValueError(
+                    f"avro: fixed {schema['name']} wants {schema['size']}"
+                    f" bytes, got {len(raw)}"
+                )
+            buf.extend(raw)
+        else:
+            _encode(t, value, buf, names)
+        return
+    # primitives (schema is a str)
+    if schema == "null":
+        if value is not None:
+            raise ValueError("avro: non-None value for null type")
+    elif schema == "boolean":
+        buf.append(1 if value else 0)
+    elif schema in ("int", "long"):
+        _write_long(buf, value)
+    elif schema == "float":
+        buf.extend(struct.pack("<f", float(value)))
+    elif schema == "double":
+        buf.extend(struct.pack("<d", float(value)))
+    elif schema == "bytes":
+        raw = bytes(value)
+        _write_long(buf, len(raw))
+        buf.extend(raw)
+    elif schema == "string":
+        raw = str(value).encode("utf-8")
+        _write_long(buf, len(raw))
+        buf.extend(raw)
+    else:
+        raise ValueError(f"avro: cannot encode type {schema!r}")
+
+
+def _union_branch(union: list, value, names: dict) -> int:
+    """Pick the union branch for a Python value (None -> null branch,
+    otherwise the first non-null branch — the ``["null", T]`` shape
+    every nullable lake column uses)."""
+    for i, branch in enumerate(union):
+        if branch == "null" and value is None:
+            return i
+    for i, branch in enumerate(union):
+        if branch != "null" and value is not None:
+            return i
+    raise ValueError(f"avro: no union branch for {value!r} in {union}")
+
+
+# ------------------------------------------------------------------ decode
+
+def _decode(schema, data: bytes, pos: int, names: dict) -> tuple[object, int]:
+    schema = _schema_type(schema, names)
+    if isinstance(schema, list):
+        idx, pos = _read_long(data, pos)
+        return _decode(schema[idx], data, pos, names)
+    if isinstance(schema, dict):
+        t = schema["type"]
+        if t == "record":
+            rec = {}
+            for f in schema["fields"]:
+                rec[f["name"]], pos = _decode(f["type"], data, pos, names)
+            return rec, pos
+        if t in ("array", "map"):
+            out = [] if t == "array" else {}
+            while True:
+                n, pos = _read_long(data, pos)
+                if n == 0:
+                    break
+                if n < 0:  # negative count: a byte size follows (skippable form)
+                    n = -n
+                    _, pos = _read_long(data, pos)
+                for _ in range(n):
+                    if t == "array":
+                        item, pos = _decode(schema["items"], data, pos, names)
+                        out.append(item)
+                    else:
+                        k, pos = _decode("string", data, pos, names)
+                        v, pos = _decode(schema["values"], data, pos, names)
+                        out[k] = v
+            return out, pos
+        if t == "enum":
+            idx, pos = _read_long(data, pos)
+            return schema["symbols"][idx], pos
+        if t == "fixed":
+            size = schema["size"]
+            return data[pos:pos + size], pos + size
+        return _decode(t, data, pos, names)
+    if schema == "null":
+        return None, pos
+    if schema == "boolean":
+        return data[pos] != 0, pos + 1
+    if schema in ("int", "long"):
+        return _read_long(data, pos)
+    if schema == "float":
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    if schema == "double":
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if schema == "bytes":
+        n, pos = _read_long(data, pos)
+        return data[pos:pos + n], pos + n
+    if schema == "string":
+        n, pos = _read_long(data, pos)
+        return data[pos:pos + n].decode("utf-8"), pos + n
+    raise ValueError(f"avro: cannot decode type {schema!r}")
+
+
+# --------------------------------------------------------- schema resolution
+
+def _base_type(schema, names: dict):
+    schema = _schema_type(schema, names)
+    if isinstance(schema, dict):
+        return schema["type"]
+    return schema
+
+
+def _resolve(writer, reader, value, wnames: dict, rnames: dict):
+    """Adapt a value decoded with the WRITER schema to the READER
+    schema: field match by name, reader defaults, promotions,
+    value<->nullable-union hops. Raises on incompatible types."""
+    w, r = _schema_type(writer, wnames), _schema_type(reader, rnames)
+    # Union hops: writer union collapses to the value's branch; for a
+    # reader union, resolve against its first compatible branch.
+    if isinstance(w, list):
+        branch = "null" if value is None else next(
+            b for b in w if _base_type(b, wnames) != "null"
+        )
+        return _resolve(branch, r, value, wnames, rnames)
+    if isinstance(r, list):
+        if value is None and any(
+            _base_type(b, rnames) == "null" for b in r
+        ):
+            return None
+        for b in r:
+            if _base_type(b, rnames) == "null":
+                continue
+            try:
+                return _resolve(w, b, value, wnames, rnames)
+            except (ValueError, TypeError):
+                continue
+        raise ValueError(f"avro: no reader union branch accepts {w!r}")
+    wt, rt = _base_type(w, wnames), _base_type(r, rnames)
+    if wt == "record":
+        if rt != "record":
+            raise ValueError(f"avro: record -> {rt} is not resolvable")
+        out = {}
+        wfields = {f["name"] for f in w["fields"]}
+        by_name = {f["name"]: f for f in w["fields"]}
+        for rf in r["fields"]:
+            name = rf["name"]
+            if name in wfields:
+                out[name] = _resolve(
+                    by_name[name]["type"], rf["type"], value[name],
+                    wnames, rnames,
+                )
+            elif "default" in rf:
+                out[name] = rf["default"]
+            else:
+                raise ValueError(
+                    f"avro: reader field {name!r} missing from writer "
+                    "schema and has no default"
+                )
+        return out
+    if wt == "array":
+        return [_resolve(w["items"], r["items"], v, wnames, rnames)
+                for v in value]
+    if wt == "map":
+        return {k: _resolve(w["values"], r["values"], v, wnames, rnames)
+                for k, v in value.items()}
+    if wt == rt:
+        return value
+    if rt in PROMOTIONS.get(wt, ()):  # int->long/float/double etc.
+        if rt in ("float", "double"):
+            return float(value)
+        if rt == "long":
+            return int(value)
+        if rt == "bytes":
+            return value.encode("utf-8")
+        if rt == "string":
+            return bytes(value).decode("utf-8")
+    raise ValueError(f"avro: writer {wt} does not resolve to reader {rt}")
+
+
+# ------------------------------------------------------------- container
+
+def _sync_for(schema) -> bytes:
+    """Deterministic 16-byte sync marker derived from the schema (the
+    spec says 'randomly-generated'; deterministic keeps the lake's
+    byte output reproducible across runs — same move as the seeded
+    hashes in SURVEY §5.2)."""
+    return hashlib.md5(
+        b"pudatalake-avro:" + json.dumps(schema, sort_keys=True).encode()
+    ).digest()
+
+
+def write_ocf(records: Iterable[dict], schema, codec: str = "deflate",
+              block_records: int = 1000) -> bytes:
+    """Serialize records to one Avro object-container-file blob."""
+    schema = parse_schema(schema)
+    if codec not in ("null", "deflate"):
+        raise NotImplementedError(f"avro: codec {codec!r} (null/deflate only)")
+    names: dict = {}
+    _register_named(schema, names)
+    sync = _sync_for(schema)
+    out = io.BytesIO()
+    out.write(MAGIC)
+    header = bytearray()
+    meta = {"avro.schema": json.dumps(schema, sort_keys=True).encode(),
+            "avro.codec": codec.encode()}
+    _write_long(header, len(meta))
+    for k, v in sorted(meta.items()):
+        _encode("string", k, header, names)
+        _encode("bytes", v, header, names)
+    _write_long(header, 0)
+    out.write(bytes(header))
+    out.write(sync)
+
+    block = bytearray()
+    count = 0
+
+    def _flush():
+        nonlocal block, count
+        if not count:
+            return
+        payload = bytes(block)
+        if codec == "deflate":  # raw RFC1951 per the spec
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            payload = co.compress(payload) + co.flush()
+        head = bytearray()
+        _write_long(head, count)
+        _write_long(head, len(payload))
+        out.write(bytes(head))
+        out.write(payload)
+        out.write(sync)
+        block, count = bytearray(), 0
+
+    for rec in records:
+        _encode(schema, rec, block, names)
+        count += 1
+        if count >= block_records:
+            _flush()
+    _flush()
+    return out.getvalue()
+
+
+def _read_header(data: bytes) -> tuple[object, str, bytes, int]:
+    """-> (writer_schema, codec, sync, first_block_pos)."""
+    if data[:4] != MAGIC:
+        raise ValueError("avro: bad container magic")
+    meta: dict[str, bytes] = {}
+    pos = 4
+    while True:
+        n, pos = _read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _, pos = _read_long(data, pos)
+        for _ in range(n):
+            k, pos = _decode("string", data, pos, {})
+            v, pos = _decode("bytes", data, pos, {})
+            meta[k] = v
+    schema = parse_schema(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = data[pos:pos + 16]
+    return schema, codec, sync, pos + 16
+
+
+def iter_blocks(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """Yield (record_count, decompressed_payload) per container block —
+    the split unit a distributed reader parallelizes over."""
+    schema, codec, sync, pos = _read_header(data)
+    while pos < len(data):
+        count, pos = _read_long(data, pos)
+        size, pos = _read_long(data, pos)
+        payload = data[pos:pos + size]
+        pos += size
+        if data[pos:pos + 16] != sync:
+            raise ValueError("avro: sync marker mismatch (corrupt block)")
+        pos += 16
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise NotImplementedError(f"avro: codec {codec!r}")
+        yield count, payload
+
+
+def decode_block(payload: bytes, count: int, writer_schema,
+                 reader_schema=None) -> list[dict]:
+    """Decode one decompressed block independently (split-level unit)."""
+    writer_schema = parse_schema(writer_schema)
+    wnames: dict = {}
+    _register_named(writer_schema, wnames)
+    rnames: dict = {}
+    if reader_schema is not None:
+        reader_schema = parse_schema(reader_schema)
+        _register_named(reader_schema, rnames)
+    out, pos = [], 0
+    for _ in range(count):
+        rec, pos = _decode(writer_schema, payload, pos, wnames)
+        if reader_schema is not None:
+            rec = _resolve(writer_schema, reader_schema, rec, wnames, rnames)
+        out.append(rec)
+    if pos != len(payload):
+        raise ValueError("avro: trailing bytes after last record in block")
+    return out
+
+
+def read_ocf(data: bytes, reader_schema=None) -> tuple[object, list[dict]]:
+    """Deserialize a whole container; -> (writer_schema, records).
+    ``reader_schema`` activates schema resolution (subset/reorder/
+    default-fill/promotions)."""
+    schema, _, _, _ = _read_header(data)
+    records: list[dict] = []
+    for count, payload in iter_blocks(data):
+        records.extend(decode_block(payload, count, schema, reader_schema))
+    return schema, records

@@ -1,0 +1,250 @@
+"""Avro object-container-file codec conformance (sources/avro_codec.py).
+
+Two proof layers:
+1. pure-python roundtrips over every supported type, both codecs,
+   multi-block containers, schema resolution, corruption detection;
+2. a REFERENCE-IMPLEMENTATION fixture: tests/fixtures/
+   java_avro_1.12.1.avro was written by org.apache.avro 1.12.1 (the
+   avro jar pyspark ships; writer program recorded below) — reading
+   it bit-exactly is the spec-compliance gate. The reverse direction
+   (java reads OUR bytes) was verified once at build time with the
+   same jar: DataFileReader consumed write_ocf() output for both
+   null and deflate codecs with matching aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pudatalake_spark.sources import avro_codec as A
+
+CUSTOMER = {
+    "type": "record",
+    "name": "customer",
+    "fields": [
+        {"name": "c_custkey", "type": "long"},
+        {"name": "c_name", "type": "string"},
+        {"name": "c_nationkey", "type": "int"},
+        {"name": "c_acctbal", "type": "double"},
+        {"name": "c_mktsegment", "type": ["null", "string"], "default": None},
+    ],
+}
+
+
+def _customers(n=257, start=-5):
+    return [
+        {
+            "c_custkey": i,
+            "c_name": f"cust#{i}",
+            "c_nationkey": i % 25,
+            "c_acctbal": i * 1.25 - 3,
+            "c_mktsegment": None if i % 7 == 0 else f"SEG{i % 3}",
+        }
+        for i in range(start, start + n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_roundtrip_both_codecs(codec):
+    recs = _customers()
+    blob = A.write_ocf(recs, CUSTOMER, codec=codec, block_records=100)
+    schema, back = A.read_ocf(blob)
+    assert back == recs
+    assert schema["name"] == "customer"
+    # multi-block layout: 257 records / 100 per block = 3 blocks
+    blocks = list(A.iter_blocks(blob))
+    assert [c for c, _ in blocks] == [100, 100, 57]
+
+
+def test_blocks_decode_independently():
+    """The sync-marker block is the SPLIT unit: each block must decode
+    with no state from its predecessors (what lets a distributed
+    reader fan one big container across tasks)."""
+    recs = _customers(n=90)
+    blob = A.write_ocf(recs, CUSTOMER, codec="deflate", block_records=30)
+    out = []
+    for count, payload in A.iter_blocks(blob):
+        out.extend(A.decode_block(payload, count, CUSTOMER))
+    assert out == recs
+
+
+def test_all_primitive_and_complex_types():
+    schema = {
+        "type": "record",
+        "name": "mixed",
+        "fields": [
+            {"name": "n", "type": "null"},
+            {"name": "b", "type": "boolean"},
+            {"name": "i", "type": "int"},
+            {"name": "l", "type": "long"},
+            {"name": "f", "type": "float"},
+            {"name": "d", "type": "double"},
+            {"name": "by", "type": "bytes"},
+            {"name": "s", "type": "string"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "m", "type": {"type": "map", "values": "string"}},
+            {"name": "e", "type": {"type": "enum", "name": "Color",
+                                   "symbols": ["RED", "GREEN", "BLUE"]}},
+            {"name": "fx", "type": {"type": "fixed", "name": "FP4",
+                                    "size": 4}},
+            {"name": "u", "type": ["null", "double"]},
+        ],
+    }
+    recs = [
+        {"n": None, "b": True, "i": -(2**31), "l": -(2**63),
+         "f": 0.5, "d": 1e300, "by": b"\x00\xff", "s": "héllo ☃",
+         "arr": [1, -2, 3], "m": {"k1": "v1", "k2": "v2"},
+         "e": "GREEN", "fx": b"\x01\x02\x03\x04", "u": None},
+        {"n": None, "b": False, "i": 2**31 - 1, "l": 2**63 - 1,
+         "f": -2.25, "d": -1e-300, "by": b"", "s": "",
+         "arr": [], "m": {}, "e": "BLUE", "fx": b"ABCD", "u": 3.14},
+    ]
+    _, back = A.read_ocf(A.write_ocf(recs, schema, codec="deflate"))
+    assert back == recs
+
+
+def test_zigzag_varint_extremes():
+    for v in (0, -1, 1, 63, 64, -64, -65, 2**63 - 1, -(2**63)):
+        buf = bytearray()
+        A._write_long(buf, v)
+        got, pos = A._read_long(bytes(buf), 0)
+        assert (got, pos) == (v, len(buf)), v
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1)))
+def test_varint_roundtrip_property(values):
+    buf = bytearray()
+    for v in values:
+        A._write_long(buf, v)
+    pos, out = 0, []
+    data = bytes(buf)
+    for _ in values:
+        v, pos = A._read_long(data, pos)
+        out.append(v)
+    assert out == values and pos == len(data)
+
+
+def test_schema_resolution_subset_reorder_default_promote():
+    recs = _customers(n=10)
+    reader = {
+        "type": "record",
+        "name": "customer",
+        "fields": [
+            {"name": "c_acctbal", "type": "double"},       # reorder
+            {"name": "c_custkey", "type": "double"},       # long->double
+            {"name": "c_nationkey", "type": "long"},       # int->long
+            {"name": "c_region", "type": "string",
+             "default": "UNKNOWN"},                        # reader-only
+        ],
+    }
+    _, proj = A.read_ocf(A.write_ocf(recs, CUSTOMER), reader_schema=reader)
+    assert proj[0] == {
+        "c_acctbal": recs[0]["c_acctbal"],
+        "c_custkey": float(recs[0]["c_custkey"]),
+        "c_nationkey": recs[0]["c_nationkey"],
+        "c_region": "UNKNOWN",
+    }
+    # string <-> bytes promotion both ways
+    w = {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "string"}]}
+    r = {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "bytes"}]}
+    _, out = A.read_ocf(A.write_ocf([{"x": "abc"}], w), reader_schema=r)
+    assert out == [{"x": b"abc"}]
+
+
+def test_resolution_errors():
+    w = {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "double"}]}
+    # double does not promote to long
+    r_bad = {"type": "record", "name": "r",
+             "fields": [{"name": "x", "type": "long"}]}
+    blob = A.write_ocf([{"x": 1.5}], w)
+    with pytest.raises(ValueError, match="does not resolve"):
+        A.read_ocf(blob, reader_schema=r_bad)
+    # reader-only field with no default
+    r_missing = {"type": "record", "name": "r",
+                 "fields": [{"name": "y", "type": "long"}]}
+    with pytest.raises(ValueError, match="no default"):
+        A.read_ocf(blob, reader_schema=r_missing)
+
+
+def test_nullable_union_hops():
+    """value <-> ["null", value] hops in BOTH directions — the
+    add-a-nullable-column / tighten-to-required schema evolutions."""
+    plain = {"type": "record", "name": "r",
+             "fields": [{"name": "x", "type": "long"}]}
+    nullable = {"type": "record", "name": "r",
+                "fields": [{"name": "x", "type": ["null", "long"]}]}
+    blob = A.write_ocf([{"x": 7}], plain)
+    _, out = A.read_ocf(blob, reader_schema=nullable)
+    assert out == [{"x": 7}]
+    blob2 = A.write_ocf([{"x": 7}, {"x": None}], nullable)
+    _, out2 = A.read_ocf(blob2, reader_schema=nullable)
+    assert out2 == [{"x": 7}, {"x": None}]
+
+
+def test_corruption_detected():
+    blob = bytearray(A.write_ocf(_customers(n=50), CUSTOMER,
+                                 codec="null", block_records=25))
+    # flip a byte inside the FIRST sync marker (header is
+    # magic+metadata; the marker follows it, then block 1)
+    schema, codec, sync, pos = A._read_header(bytes(blob))
+    blob[pos - 1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync marker"):
+        list(A.iter_blocks(bytes(blob)))
+    with pytest.raises(ValueError, match="magic"):
+        A.read_ocf(b"NOPE" + bytes(blob[4:]))
+
+
+def test_deterministic_output():
+    recs = _customers(n=40)
+    assert A.write_ocf(recs, CUSTOMER) == A.write_ocf(recs, CUSTOMER)
+
+
+def test_empty_container():
+    blob = A.write_ocf([], CUSTOMER, codec="deflate")
+    schema, recs = A.read_ocf(blob)
+    assert recs == [] and schema["name"] == "customer"
+
+
+def test_reads_reference_java_avro_file():
+    """Spec-compliance gate: a container written by org.apache.avro
+    1.12.1 (DataFileWriter, deflate codec, explicit sync() splits at
+    records 200/400 -> 3 blocks; all 11 supported types). Writer
+    program: GenericDatumWriter over records
+      id=i*1000003-250, flag=(i%3==0), small=(i%97)-48,
+      ratio=i*0.25f, score=i*1e6/7.0,
+      name=(null if i%5==0 else "row-"+i), payload=[i, i>>3, 0, 0xFF],
+      tags=["t"+(i%4), "u"+(i%2)], props={a: i, b: -i},
+      color=colors[i%3], fp=[1, 2, i, 4]   for i in 0..499.
+    """
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "java_avro_1.12.1.avro")
+    data = open(path, "rb").read()
+    schema, recs = A.read_ocf(data)
+    assert len(recs) == 500
+    assert [c for c, _ in A.iter_blocks(data)] == [200, 200, 100]
+    assert sum(r["id"] for r in recs) == sum(
+        i * 1000003 - 250 for i in range(500)
+    )
+    assert recs[0]["name"] is None and recs[1]["name"] == "row-1"
+    assert recs[7]["score"] == 7e6 / 7.0
+    assert bytes(recs[7]["payload"]) == bytes([7, 0, 0, 0xFF])
+    assert recs[7]["color"] == "GREEN"
+    assert bytes(recs[7]["fp"]) == bytes([1, 2, 7, 4])
+    assert recs[7]["tags"] == ["t3", "u1"]
+    assert recs[7]["props"] == {"a": 7, "b": -7}
+    # schema resolution works against foreign-written files too
+    reader = {"type": "record", "name": "mixed", "fields": [
+        {"name": "score", "type": "double"},
+        {"name": "small", "type": "long"},
+        {"name": "extra", "type": "string", "default": "dflt"}]}
+    _, proj = A.read_ocf(data, reader_schema=reader)
+    assert proj[3] == {"score": 3e6 / 7.0, "small": 3 - 48,
+                       "extra": "dflt"}

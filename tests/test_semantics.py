@@ -373,6 +373,27 @@ def test_csv_malformed_modes(spark):
     assert rows["FAILFAST"].n_flagged == 1  # the raise happened
 
 
+def test_avro_roundtrip_pins_parquet_truth(spark, duck):
+    """src_avro's value-proving aggregate must equal the SAME
+    aggregate computed straight off the parquet source — count,
+    exact-cent acctbal total, and distinct nations all survive the
+    stdlib Avro encode → container → decode path (the src_xml
+    pinning pattern; codec spec compliance itself is proven against
+    org.apache.avro 1.12.1 in test_avro_codec.py)."""
+    from pudatalake_spark import registry
+
+    registry.load_all()
+    from tests.conftest import SF_DIR
+
+    got = registry.QUERIES["src_avro"](spark, SF_DIR).collect()[0]
+    want = duck.execute(
+        f"""SELECT count(*), sum(CAST(round(c_acctbal*100) AS BIGINT)),
+                   count(DISTINCT c_nationkey)
+            FROM '{SF_DIR}/customer.parquet'"""
+    ).fetchone()
+    assert (got.n_rows, got.acctbal_cents, got.n_nations) == want
+
+
 def test_deletion_vectors_equals_cow_delete(spark):
     """Merge-on-read DV result must equal the copy-on-write filtered
     rollup computed directly."""
