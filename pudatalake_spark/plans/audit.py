@@ -657,6 +657,7 @@ UDF_KEYS = {
     "q_events_holt_winters",  # per-series triple-smoothing recursion
     "q_events_markov_attribution",  # per-graph absorption solve
     "q_text_bpe_merges",  # iterative merge loop over the vocab sample
+    "src_avro",  # mapInPandas pure-stdlib avro decode surface (r9)
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
@@ -761,6 +762,11 @@ BOUNDED_DRIVER_ACTIONS: dict[str, str] = {
         "bounded ingest fixture: 150-row export collect to write "
         "the malformed CSV + permissive/dropmalformed scalar counts "
         "+ 1-row stats collect - fixture-sized by construction",
+    "src_avro":
+        "one manifest collect (one 3-column row per partition, 4 "
+        "rows) materializing the executor-side container writes - "
+        "the containers themselves are written inside mapInPandas "
+        "workers, bytes never visit the driver",
 }
 
 #: keys whose builders legitimately WRITE at build time (scratch
@@ -780,19 +786,35 @@ WRITES_AT_BUILD: set[str] = {
     "src_xml",               # writes the XML fixture it then parses
 }
 
-#: infrastructure callsites (matched by source file) allowed to run a
-#: bounded eager action on behalf of WHATEVER key triggered the load.
+#: infrastructure callsites (matched by REPO-RELATIVE source path -
+#: ADVICE r8: a basename match would exempt ANY file named
+#: loaders.py) allowed to run a bounded eager action on behalf of
+#: WHATEVER key triggered the load. The exemption applies only AFTER
+#: the record is attributed to a key; an eager action outside any
+#: builder is flagged regardless of callsite.
 INFRA_EAGER_FILES: dict[str, str] = {
-    "loaders.py": "limit-1 single-column dtype sniff on the rare "
-                  "raw-bigint timestamp path (once per session/dir)",
+    "pudatalake_spark/loaders.py":
+        "limit-1 single-column dtype sniff on the rare raw-bigint "
+        "timestamp path (once per session/dir)",
 }
 
 #: DataFrame methods that execute jobs eagerly. ``take``/``head``/
 #: ``first`` funnel into ``collect`` via ``limit().collect()`` in
-#: PySpark, so patching these four (plus eager ``localCheckpoint``
-#: and the terminal ``DataFrameWriter`` methods) covers every driver
-#: action the repo uses.
-EAGER_ACTION_METHODS = ("collect", "count", "toPandas", "isEmpty")
+#: PySpark, so ``collect`` covers them; ``show``/``tail``/
+#: ``toLocalIterator``/``foreach``/``foreachPartition`` do NOT funnel
+#: (showString / own JVM calls / RDD actions) and are patched
+#: explicitly (ADVICE r8 - an uncovered action would silently evade
+#: rule #4). Eager ``localCheckpoint`` and reliable ``checkpoint``
+#: (both eager by default) get dedicated wrappers; terminal
+#: ``DataFrameWriter`` AND ``DataFrameWriterV2`` methods are patched
+#: below. Known residual gap, documented not patched: raw
+#: ``df.rdd`` actions other than foreach* (the repo has none - RDDs
+#: are banned by SURVEY §1) and ``DataFrame.writeStream`` (s_* keys
+#: run outside the audit loop by design).
+EAGER_ACTION_METHODS = (
+    "collect", "count", "toPandas", "isEmpty",
+    "show", "tail", "toLocalIterator", "foreach", "foreachPartition",
+)
 
 #: terminal DataFrameWriter methods - a write executes the written
 #: frame's plan, so sink/lake builders' write plans are audited like
@@ -801,6 +823,13 @@ EAGER_ACTION_METHODS = ("collect", "count", "toPandas", "isEmpty")
 EAGER_WRITER_METHODS = (
     "save", "parquet", "csv", "json", "orc", "text",
     "saveAsTable", "insertInto",
+)
+
+#: terminal DataFrameWriterV2 methods (``df.writeTo(...)`` chain) -
+#: same contract as EAGER_WRITER_METHODS (ADVICE r8).
+EAGER_WRITER_V2_METHODS = (
+    "create", "replace", "createOrReplace", "append", "overwrite",
+    "overwritePartitions",
 )
 
 
@@ -817,15 +846,19 @@ class EagerCapture:
 
     @staticmethod
     def _callsite() -> str:
+        """Nearest non-audit repo frame as a REPO-RELATIVE path
+        (``pudatalake_spark/loaders.py:123``) - basenames would make
+        the INFRA_EAGER_FILES exemption forgeable by filename
+        collision (ADVICE r8). ``<external>`` for frames outside the
+        package (tests, the audit loop itself)."""
         import sys as _sys
 
         f = _sys._getframe(2)
         while f is not None:
-            fn = f.f_code.co_filename
-            if "pudatalake_spark" in fn and "plans/audit" not in fn:
-                import os as _os
-
-                return f"{_os.path.basename(fn)}:{f.f_lineno}"
+            fn = f.f_code.co_filename.replace("\\", "/")
+            idx = fn.rfind("pudatalake_spark/")
+            if idx >= 0 and "plans/audit" not in fn:
+                return f"{fn[idx:]}:{f.f_lineno}"
             f = f.f_back
         return "<external>"
 
@@ -842,7 +875,7 @@ class EagerCapture:
 
         return wrapped
 
-    def _wrap_checkpoint(self, orig):
+    def _wrap_checkpoint(self, name: str, orig):
         records, holder, callsite = self.records, self.holder, self._callsite
 
         def wrapped(df, eager=True, *a, **kw):
@@ -852,7 +885,7 @@ class EagerCapture:
                 except Exception:
                     plan = ""
                 records.append(
-                    (holder.get("key"), "localCheckpoint", callsite(), plan)
+                    (holder.get("key"), name, callsite(), plan)
                 )
             return orig(df, eager, *a, **kw)
 
@@ -885,30 +918,51 @@ class EagerCapture:
         return wrapped
 
     def __enter__(self):
-        from pyspark.sql.readwriter import DataFrameWriter as _W
-
-        _DF = self._df_class()
-        for m in EAGER_ACTION_METHODS:
-            self._orig[m] = getattr(_DF, m)
-            setattr(_DF, m, self._wrap(m, self._orig[m]))
-        self._orig["localCheckpoint"] = _DF.localCheckpoint
-        _DF.localCheckpoint = self._wrap_checkpoint(
-            self._orig["localCheckpoint"]
-        )
+        # Exception safety (ADVICE r8): if any import/patch fails
+        # after some methods were already wrapped, __exit__ never
+        # runs - restore what was patched before re-raising so the
+        # wrappers cannot leak process-wide.
         self._worig = {}
-        for m in EAGER_WRITER_METHODS:
-            self._worig[m] = getattr(_W, m)
-            setattr(_W, m, self._wrap_writer(m, self._worig[m]))
+        self._w2orig = {}
+        try:
+            from pyspark.sql.readwriter import (
+                DataFrameWriter as _W,
+                DataFrameWriterV2 as _W2,
+            )
+
+            _DF = self._df_class()
+            for m in EAGER_ACTION_METHODS:
+                self._orig[m] = getattr(_DF, m)
+                setattr(_DF, m, self._wrap(m, self._orig[m]))
+            for m in ("localCheckpoint", "checkpoint"):
+                self._orig[m] = getattr(_DF, m)
+                setattr(_DF, m, self._wrap_checkpoint(m, self._orig[m]))
+            for m in EAGER_WRITER_METHODS:
+                self._worig[m] = getattr(_W, m)
+                setattr(_W, m, self._wrap_writer(m, self._worig[m]))
+            for m in EAGER_WRITER_V2_METHODS:
+                self._w2orig[m] = getattr(_W2, m)
+                setattr(_W2, m, self._wrap_writer(m, self._w2orig[m]))
+        except BaseException:
+            self.__exit__()
+            raise
         return self
 
     def __exit__(self, *exc):
-        from pyspark.sql.readwriter import DataFrameWriter as _W
+        if self._orig:
+            _DF = self._df_class()
+            for m, fn in self._orig.items():
+                setattr(_DF, m, fn)
+        if self._worig or self._w2orig:
+            from pyspark.sql.readwriter import (
+                DataFrameWriter as _W,
+                DataFrameWriterV2 as _W2,
+            )
 
-        _DF = self._df_class()
-        for m, fn in self._orig.items():
-            setattr(_DF, m, fn)
-        for m, fn in self._worig.items():
-            setattr(_W, m, fn)
+            for m, fn in self._worig.items():
+                setattr(_W, m, fn)
+            for m, fn in self._w2orig.items():
+                setattr(_W2, m, fn)
         return False
 
 
@@ -1079,13 +1133,15 @@ def audit(spark, sf_dir: str):
     # subtree plan must satisfy the same global rules.
     eager_summary: dict[str, dict[str, int]] = {}
     for key, action, callsite, plan in eager_records:
-        src = callsite.split(":")[0]
-        if src in INFRA_EAGER_FILES:
-            continue
+        # Outside-any-builder check FIRST (ADVICE r8): the infra
+        # exemption is only valid for actions attributable to a key.
         if key is None:
             failures.append(
                 f"eager {action} at {callsite} outside any builder"
             )
+            continue
+        src = callsite.rsplit(":", 1)[0]  # repo-relative path
+        if src in INFRA_EAGER_FILES:
             continue
         if action.startswith("write."):
             # Build-time writes are the CONTRACT of lake/sink/fixture
