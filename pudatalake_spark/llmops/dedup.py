@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..loaders import cached, spread, table
 from ..registry import register
+from ..session import superstep_checkpoint
 from .similarity import _cos_pre, _with_norm
 
 JACCARD_TAU = 0.5
@@ -543,13 +544,40 @@ def minhash_verified_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFra
         )
         .filter(F.col("jaccard") >= tau)
     )
-    return verified.select("doc1", "doc2", F.round("jaccard", 6).alias("jaccard"))
+    # UNROUNDED jaccard (r9): i/(n1+n2-i) is the same rational in
+    # both engines, so the exact-pair oracle matches bit-for-bit (the
+    # near_jaccard convention); a round(·, 6) here would diverge from
+    # the oracle's 9-dp canonicalization on values like 13/14.
+    return verified.select("doc1", "doc2", "jaccard")
 
 
-@register("q_dedup_near_minhash")  # hash-valued -> rows-only check
+@register(
+    "q_dedup_near_minhash",
+    oracle=f"""
+    WITH {_PAIR_ORACLE_CTES}
+    SELECT d1 AS doc1, d2 AS doc2, jaccard FROM pr
+    """,
+)
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over the documents table - see
-    minhash_verified_pairs for the banding + exact-verify plan."""
+    minhash_verified_pairs for the banding + exact-verify plan.
+
+    ORACLED as of r9 (VERDICT r8 #4): the oracle is the exact-Jaccard
+    pair list (shared CTEs with q_dedup_near_jaccard), NOT a SQL
+    re-implementation of the minhash pipeline. Validity: the verify
+    stage makes output ⊆ exact-pairs by construction (no false
+    positives possible), so hash-match ⇔ banding recall = 1.0 on the
+    fixture — which the oracle now enforces at driver level instead
+    of only in pytest. Determinism makes this stable: seeded hashes +
+    fixed corpus give ONE answer, and recall has been 1.0 at every SF
+    since r1 (true-pair J distribution: min 0.93 at sf0.01 / 0.83 at
+    sf0.1; per-pair 8x8-banding miss odds at those J, IF hashes were
+    random: ~1.4e-3 / ~1.3e-1 — so a future testdata regeneration
+    with a new seed could flip the sf0.1 sweep red; that failure mode
+    is informative (recall dropped), and the fallback is reverting
+    this key to rows-only. Oracle cost measured r9: 1.9 s at sf0.01,
+    104 s at sf0.1 (the both-SF selfcheck sweep pays the latter).
+    """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     return minhash_verified_pairs(d, JACCARD_TAU)
 
@@ -781,8 +809,10 @@ def cc_min_label(
     checkpointed it is sub-second per round). Iterative graph
     algorithms are the one operator family whose builders inherently
     run jobs (same declared class as the sink/layout operators); at
-    cluster scale swap localCheckpoint for reliable checkpoint() so
-    supersteps survive executor loss.
+    cluster scale set ``spark.pudatalake.checkpoint.dir`` so every
+    superstep uses reliable ``checkpoint()`` and survives executor
+    loss (session.superstep_checkpoint; equivalence pinned in
+    tests/test_reliable_checkpoint.py, recipe in docs/SCALING.md §19).
 
     100 TB shape: labels are (id, id) pairs - the narrowest possible
     iterate; each round is two equi-joins + one map-side-combinable
@@ -794,7 +824,9 @@ def cc_min_label(
     ).unionByName(
         p.select(F.col("doc2").alias("u"), F.col("doc1").alias("v"))
     )
-    labels = nodes.select("u", F.col("u").alias("lbl")).localCheckpoint()
+    labels = superstep_checkpoint(
+        nodes.select("u", F.col("u").alias("lbl")), eager=True
+    )
     for _ in range(rounds):
         nbr = (
             edges.join(
@@ -812,9 +844,11 @@ def cc_min_label(
             F.col("u").alias("ju"), F.col("lbl").alias("jlbl")
         )
         new_labels = (
-            stepped.join(jump, stepped["lbl"] == jump["ju"], "left")
-            .select("u", F.least("lbl", "jlbl").alias("lbl"))
-            .localCheckpoint()
+            superstep_checkpoint(
+                stepped.join(jump, stepped["lbl"] == jump["ju"], "left")
+                .select("u", F.least("lbl", "jlbl").alias("lbl")),
+                eager=True,
+            )
         )
         changed = (
             new_labels.join(
@@ -998,13 +1032,11 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the prefix self-join (up to 3x) - ADVICE r6. The checkpoint is
     # lazy, so the registry's lazy-DataFrame contract holds until the
     # caller's first action.
-    detected = (
-        minhash_verified_pairs(d, JACCARD_TAU)
-        .select(
+    detected = superstep_checkpoint(
+        minhash_verified_pairs(d, JACCARD_TAU).select(
             F.least("doc1", "doc2").alias("a"),
             F.greatest("doc1", "doc2").alias("b"),
         )
-        .localCheckpoint(eager=False)
     )
     # Docs shorter than the planted prefix would compare on their
     # FULL text (substring truncates silently) and any heavily shared
@@ -1024,8 +1056,8 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
         )
-        .localCheckpoint(eager=False)
     )
+    truth = superstep_checkpoint(truth)
     n_det = detected.count()
     n_truth = truth.count()
     n_hit = detected.join(truth, ["a", "b"]).count()

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..loaders import load, table
 from ..registry import register
+from ..session import superstep_checkpoint
 from .ranks import global_order, ntile_expr
 
 
@@ -932,7 +933,8 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("frequency"),
             F.round(F.sum("value"), 4).alias("monetary"),
         )
-    ).localCheckpoint(eager=False)
+    )
+    base = superstep_checkpoint(base)
     # Distributed quartiles (r7): bucketed two-pass ranks + the
     # closed-form ntile (operators/ranks.py) instead of three
     # unpartitioned ntile windows - each of those was an Exchange
@@ -2680,7 +2682,8 @@ def q_events_concurrent_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
     ).withColumn(
         "day", F.date_trunc("day", F.col("ts"))
-    ).localCheckpoint(eager=False)
+    )
+    marks = superstep_checkpoint(marks)
     # Day-local running sum: a PARALLEL per-day window (the only sort
     # is one day's marks per task).
     wd = Window.partitionBy("day").orderBy(

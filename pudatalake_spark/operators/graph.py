@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 
 from ..loaders import load
 from ..registry import register
+from ..session import superstep_checkpoint
 from . import ranks
 
 _EDGES_SQL = """
@@ -251,7 +252,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first real action checkpoints once and later readers reuse it.
     # At 100 TB the same role is played by writing the edge list to
     # parquet once and iterating over that scan.
-    bip = _bipartite_edges(t).localCheckpoint(eager=False)
+    bip = superstep_checkpoint(_bipartite_edges(t))
     # Signed-bigint node ids INTERNALLY (customers ck+1, suppliers
     # -(sk+1) - the q_graph_bfs_levels encoding): every superstep
     # shuffles/joins on the node key, and 8-byte long keys measured
@@ -273,10 +274,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is a single edges><state join + map-side-partial agg. outdeg is
     # kept (not pre-reciprocaled) so pr/outdeg is bitwise identical to
     # the oracle's division order.
-    edges_w = (
-        edges.join(deg, "src")
-        .select("src", "dst", "outdeg")
-        .localCheckpoint(eager=False)
+    edges_w = superstep_checkpoint(
+        edges.join(deg, "src").select("src", "dst", "outdeg")
     )
     # state_0: uniform 1/N (N delivered in-plan via a 1-row cross join)
     pr = nodes.crossJoin(F.broadcast(n)).select(
@@ -361,7 +360,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     text, so the fixpoint is a pure function of the graph.
     """
     t = load(spark, sf_dir)
-    bip = _bipartite_edges(t).localCheckpoint(eager=False)
+    bip = superstep_checkpoint(_bipartite_edges(t))
     clab = (
         t["customer"]
         .join(
@@ -684,11 +683,10 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = (
+    edges = superstep_checkpoint(
         e0.select(F.col("ck").alias("a"), F.col("sk").alias("b"))
         .unionAll(e0.select(F.col("sk").alias("a"), F.col("ck").alias("b")))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     seed = spark.range(1).select(
         (F.lit(BFS_SEED_CUSTOMER).cast("bigint") + 1).alias("node"),
@@ -708,7 +706,7 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         # documented CC-loop exception to the no-collect rule.
         if nxt.count() == 0:
             break
-        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        visited = superstep_checkpoint(visited.unionAll(nxt))
         frontier = nxt.select("node")
     return visited.groupBy("level").agg(
         F.sum(F.when(F.col("node") > 0, 1).otherwise(0))
@@ -777,7 +775,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     through sf >= 1).
     """
     t = load(spark, sf_dir)
-    edges = _bipartite_edges(t).localCheckpoint(eager=False)
+    edges = superstep_checkpoint(_bipartite_edges(t))
     auth1 = edges.groupBy("sk").agg(
         F.count("*").cast("bigint").alias("a1")
     )
@@ -865,10 +863,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
-    edges = (
+    edges = superstep_checkpoint(
         half.unionAll(half.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
-        .localCheckpoint(eager=False)
     )
     deg0 = edges.groupBy("u").agg(F.count("*").alias("d"))
     # K pick + loop-convergence counts are the documented bounded
@@ -908,10 +905,9 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= k)
             .select("u")
         )
-        nxt = (
+        nxt = superstep_checkpoint(
             edges.join(alive, "u", "left_semi")
             .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=False)
         )
         # Bounded driver action (<= KCORE_MAX_ROUNDS checks) - the
         # documented CC-loop exception to the no-collect rule.
@@ -1159,7 +1155,7 @@ def q_graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders><lineitem derivation runs once, not per consumer (the
     # un-checkpointed plan re-scanned the fact tables 23 times,
     # caught by the plan survey).
-    bip = _bipartite_edges(t).localCheckpoint(eager=False)
+    bip = superstep_checkpoint(_bipartite_edges(t))
     c = F.concat(F.lit("C"), F.col("ck").cast("string"))
     s = F.concat(F.lit("S"), F.col("sk").cast("string"))
     ed = bip.select(c.alias("u"), s.alias("v")).unionAll(

@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..session import superstep_checkpoint
+
 #: Default bucket fan-out. 64 buckets over 32 shuffle partitions keeps
 #: every core busy (~2 buckets/partition) while the cut-point row and
 #: offset frame stay trivially broadcastable.
@@ -190,14 +192,17 @@ def global_order(
     # barrier between the caller's filters and the shared scan,
     # blocking pushdown.
     #
-    # Executor-loss caveat (applies to every localCheckpoint in this
-    # repo): local checkpoints are non-replicated - losing an executor
-    # fails the job instead of recomputing, and they pin blocks for
-    # the session, so dynamic-allocation clusters should prefer
-    # `spark.checkpoint()` to reliable storage. On this single-JVM
-    # bench target the trade is pure win (one materialization, no
-    # HDFS round-trip).
-    bk = _bucketed(df, ord_col, buckets).localCheckpoint(eager=False)
+    # Executor-loss caveat (applies to every superstep_checkpoint in
+    # this repo): the DEFAULT strategy is localCheckpoint - blocks are
+    # non-replicated, so losing an executor fails the job instead of
+    # recomputing, and they stay pinned for the session. On this
+    # single-JVM bench target that trade is pure win (one
+    # materialization, no distributed-FS round-trip); on dynamic-
+    # allocation / spot clusters set spark.pudatalake.checkpoint.dir
+    # and every such site switches to reliable checkpoint() (r9,
+    # session.superstep_checkpoint; equivalence pinned in
+    # tests/test_reliable_checkpoint.py).
+    bk = superstep_checkpoint(_bucketed(df, ord_col, buckets))
 
     w_loc = Window.partitionBy(*pcols, "_b").orderBy(*order_exprs)
     w_run = w_loc.rowsBetween(Window.unboundedPreceding, Window.currentRow)

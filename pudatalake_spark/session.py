@@ -52,6 +52,54 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: opt-in conf: when set to a path, every iterative-superstep /
+#: shared-frame materialization in the engine (CC, k-core, PageRank,
+#: BFS, dedup-eval, ranks.global_order) uses RELIABLE
+#: ``checkpoint()`` into that directory instead of
+#: ``localCheckpoint``. Default unchanged: localCheckpoint (fastest;
+#: non-replicated, so an executor loss fails the job - acceptable on
+#: static clusters, the wrong trade under dynamic allocation / spot
+#: executors, where this conf is the switch). Documented in
+#: docs/SCALING.md §19.
+CHECKPOINT_DIR_CONF = "spark.pudatalake.checkpoint.dir"
+
+
+def superstep_checkpoint(df, eager: bool = False):
+    """Materialize a frame that an iterative loop (or multiple
+    consumers) will reuse, truncating lineage so each superstep's plan
+    stays O(1) instead of O(rounds).
+
+    Two physical strategies behind one call:
+
+    - default: ``localCheckpoint`` - executor-local blocks, no
+      replication, no distributed-FS round-trip. Measured best on the
+      bench box (eager ``persist()`` was WORSE: the cache boundary
+      blocks codegen fusion + AQE, BASELINE.md r5). Caveat: blocks are
+      non-replicated and pinned for the session; losing an executor
+      fails the job instead of recomputing.
+    - ``spark.pudatalake.checkpoint.dir=<path>``: reliable
+      ``checkpoint()`` into that directory (set once per session via
+      ``sparkContext.setCheckpointDir``; the first dir wins - the JVM
+      checkpoint dir is session-global). Survives executor loss; the
+      right posture for dynamic-allocation / spot clusters and for
+      fixpoint loops long enough that a mid-loop loss is likely.
+      Costs one write+read round-trip per superstep to the checkpoint
+      filesystem.
+
+    ``eager=False`` (default) materializes on first downstream use -
+    eager=True only where the caller needs the job to run NOW (e.g.
+    before a driver-side count that gates a fixpoint loop).
+    """
+    spark = df.sparkSession
+    ckdir = spark.conf.get(CHECKPOINT_DIR_CONF, "")
+    if not ckdir:
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    if not sc._jsc.sc().getCheckpointDir().isDefined():
+        sc.setCheckpointDir(ckdir)
+    return df.checkpoint(eager=eager)
+
+
 def _default_heap() -> str:
     """Driver-heap default: RAM/4, clamped to [4g, 32g]."""
     try:
