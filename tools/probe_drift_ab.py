@@ -30,6 +30,35 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 R1_SHA = "92769ad"
 KEYS = ["q_join_star_multiway", "q_win_rownumber_topk"]
 
+def build_compat_dir() -> str:
+    """Both arms read ONE dir: today's sf0.1 tables, except events.ts
+    converted back to the raw int64-nanos encoding the r1 loaders
+    expect (the testdata was REGENERATED between r1 and now - r1 code
+    cannot parse the current TIMESTAMP_NTZ events file at all, which
+    is itself evidence that scan-side drift is environmental). The
+    two probed keys never read events; the loader just has to parse
+    it."""
+    import duckdb
+
+    d = "/tmp/drift_ab_sf01"
+    os.makedirs(d, exist_ok=True)
+    src = "/root/testdata/sf0.1"
+    for f in os.listdir(src):
+        if f.endswith(".parquet") and f != "events.parquet":
+            dst = os.path.join(d, f)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(src, f), dst)
+    ev = os.path.join(d, "events.parquet")
+    if not os.path.exists(ev):
+        duckdb.sql(
+            f"COPY (SELECT event_id, epoch_ns(ts) AS ts, user_id, "
+            f"event_type, value, props FROM "
+            f"read_parquet('{src}/events.parquet')) TO '{ev}' "
+            f"(FORMAT PARQUET)"
+        )
+    return d
+
+
 CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, sys.argv[1])
@@ -38,7 +67,7 @@ from pudatalake_spark.session import get_spark
 registry.load_all()
 spark = get_spark(app_name="drift-ab")
 spark.sparkContext.setLogLevel("ERROR")
-sf = "/root/testdata/sf0.1"
+sf = sys.argv[4]
 keys = json.loads(sys.argv[2])
 steady = int(sys.argv[3])
 out = {}
@@ -55,11 +84,12 @@ print("RESULT " + json.dumps(out))
 """
 
 
-def run_arm(tree: str, steady: int) -> dict:
+def run_arm(tree: str, steady: int, sf_dir: str) -> dict:
     env = dict(os.environ, PUDL_DRIVER_MEM="32g",
                PYTHONPATH="")  # arm picks its tree via sys.path
     p = subprocess.run(
-        [sys.executable, "-c", CHILD, tree, json.dumps(KEYS), str(steady)],
+        [sys.executable, "-c", CHILD, tree, json.dumps(KEYS), str(steady),
+         sf_dir],
         capture_output=True, text=True, env=env, timeout=600,
     )
     for line in p.stdout.splitlines():
@@ -77,12 +107,13 @@ def main() -> None:
         f"git -C {REPO} archive {R1_SHA} | tar -x -C {r1_tree}",
         shell=True, check=True,
     )
+    sf_dir = build_compat_dir()
     acc: dict[str, dict[str, list[float]]] = {
         k: {"r1": [], "head": []} for k in KEYS
     }
     for rnd in range(rounds):
         for arm, tree in (("r1", r1_tree), ("head", REPO)):
-            res = run_arm(tree, steady)
+            res = run_arm(tree, steady, sf_dir)
             for k in KEYS:
                 acc[k][arm].extend(res[k]["steady"])
             print(f"round {rnd} arm {arm}: "
