@@ -23,6 +23,14 @@ library — the same discipline as ``llmops/codecs.py`` (PNG/WAV/netpbm):
   requires decoding), reader-only fields take their declared default,
   promotions int→long/float/double, long→float/double, float→double,
   string↔bytes, and value↔``["null", value]`` union hops.
+- **logical types** (the lake-interchange layer): ``date``
+  (int days ↔ ``datetime.date``), ``timestamp-millis`` /
+  ``timestamp-micros`` (long ↔ naive-UTC ``datetime.datetime``, the
+  engine's session-UTC convention), ``time-millis``/``time-micros``
+  (int/long ↔ ``datetime.time``), ``decimal`` (bytes/fixed
+  two's-complement unscaled ↔ ``decimal.Decimal`` at the declared
+  scale), ``uuid`` (string ↔ ``uuid.UUID``). Unknown logical types
+  fall back to the underlying primitive per the spec.
 
 Scale shape: the sync-marker block structure is what makes real Avro
 splittable — a reader seeks past the next sync and starts on a block
@@ -133,6 +141,79 @@ def _register_named(schema, names: dict) -> None:
             _register_named(branch, names)
 
 
+# -------------------------------------------------------- logical types
+
+_EPOCH_DATE = None  # lazy: datetime import kept out of the hot path
+
+
+def _logical_encode(schema: dict, value):
+    """Python value -> underlying primitive value, per logicalType.
+    Returns the value unchanged for unknown logical types (spec rule:
+    fall back to the underlying type)."""
+    import datetime
+    import decimal as _dec
+    import uuid as _uuid
+
+    lt = schema.get("logicalType")
+    if lt == "date" and isinstance(value, datetime.date):
+        return (value - datetime.date(1970, 1, 1)).days
+    if lt in ("timestamp-millis", "timestamp-micros") and isinstance(
+        value, datetime.datetime
+    ):
+        if value.tzinfo is not None:
+            value = value.astimezone(datetime.timezone.utc).replace(
+                tzinfo=None
+            )
+        delta = value - datetime.datetime(1970, 1, 1)
+        us = (delta.days * 86_400_000_000
+              + delta.seconds * 1_000_000 + delta.microseconds)
+        return us // 1000 if lt == "timestamp-millis" else us
+    if lt in ("time-millis", "time-micros") and isinstance(
+        value, datetime.time
+    ):
+        us = (value.hour * 3600 + value.minute * 60
+              + value.second) * 1_000_000 + value.microsecond
+        return us // 1000 if lt == "time-millis" else us
+    if lt == "decimal" and isinstance(value, _dec.Decimal):
+        scale = schema.get("scale", 0)
+        unscaled = int(value.scaleb(scale).to_integral_value())
+        n = max(1, (unscaled.bit_length() + 8) // 8)
+        if schema["type"] == "fixed":
+            n = schema["size"]
+        return unscaled.to_bytes(n, "big", signed=True)
+    if lt == "uuid" and isinstance(value, _uuid.UUID):
+        return str(value)
+    return value
+
+
+def _logical_decode(schema: dict, value):
+    """Underlying primitive value -> Python value, per logicalType."""
+    import datetime
+    import decimal as _dec
+    import uuid as _uuid
+
+    lt = schema.get("logicalType")
+    if lt is None:
+        return value
+    if lt == "date":
+        return datetime.date(1970, 1, 1) + datetime.timedelta(days=value)
+    if lt in ("timestamp-millis", "timestamp-micros"):
+        us = value * 1000 if lt == "timestamp-millis" else value
+        return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+            microseconds=us
+        )
+    if lt in ("time-millis", "time-micros"):
+        us = value * 1000 if lt == "time-millis" else value
+        return (datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(microseconds=us)).time()
+    if lt == "decimal":
+        unscaled = int.from_bytes(bytes(value), "big", signed=True)
+        return _dec.Decimal(unscaled).scaleb(-schema.get("scale", 0))
+    if lt == "uuid":
+        return _uuid.UUID(value)
+    return value  # unknown logical type: underlying primitive
+
+
 # ------------------------------------------------------------------ encode
 
 def _encode(schema, value, buf: bytearray, names: dict) -> None:
@@ -143,6 +224,8 @@ def _encode(schema, value, buf: bytearray, names: dict) -> None:
         _encode(schema[idx], value, buf, names)
         return
     if isinstance(schema, dict):
+        if "logicalType" in schema:
+            value = _logical_encode(schema, value)
         t = schema["type"]
         if t == "record":
             for f in schema["fields"]:
@@ -221,6 +304,13 @@ def _decode(schema, data: bytes, pos: int, names: dict) -> tuple[object, int]:
         return _decode(schema[idx], data, pos, names)
     if isinstance(schema, dict):
         t = schema["type"]
+        if "logicalType" in schema and t not in ("record", "array", "map"):
+            value, pos = (
+                (data[pos:pos + schema["size"]], pos + schema["size"])
+                if t == "fixed"
+                else _decode(t, data, pos, names)
+            )
+            return _logical_decode(schema, value), pos
         if t == "record":
             rec = {}
             for f in schema["fields"]:
