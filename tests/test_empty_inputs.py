@@ -62,6 +62,18 @@ def empty_duck():
     con.close()
 
 
+def test_empty_avro_roundtrip(spark, empty_sf):
+    """src_avro over a zero-row lake: every partition still writes a
+    (legal, empty) container, the read-back is empty, and the
+    value-proving aggregate degrades to (0, NULL, 0) instead of
+    crashing - the empty-partitioned-write class this sweep exists
+    for, applied to the stdlib codec path."""
+    row = registry.QUERIES["src_avro"](spark, empty_sf).collect()[0]
+    assert row.n_rows == 0
+    assert row.acctbal_cents is None  # sum over nothing is NULL
+    assert row.n_nations == 0
+
+
 @pytest.mark.parametrize("key", sorted(registry.ORACLES))
 def test_empty_input_matches_oracle(spark, empty_sf, empty_duck, key):
     spark_pdf = registry.QUERIES[key](spark, empty_sf).toPandas()
