@@ -129,6 +129,43 @@ def test_varint_roundtrip_property(values):
     assert out == values and pos == len(data)
 
 
+_REC_SCHEMA = {
+    "type": "record", "name": "prop", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "x", "type": "double"},
+        {"name": "s", "type": ["null", "string"], "default": None},
+        {"name": "arr", "type": {"type": "array", "items": "long"}},
+        {"name": "m", "type": {"type": "map", "values": "long"}},
+        {"name": "b", "type": "bytes"},
+    ],
+}
+
+_rec_st = st.fixed_dictionaries({
+    "k": st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    "x": st.floats(allow_nan=False),  # NaN breaks == comparison only
+    "s": st.none() | st.text(max_size=40),
+    "arr": st.lists(st.integers(min_value=-(2**40), max_value=2**40),
+                    max_size=8),
+    "m": st.dictionaries(st.text(max_size=8),
+                         st.integers(min_value=-100, max_value=100),
+                         max_size=4),
+    "b": st.binary(max_size=32),
+})
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_rec_st, max_size=25),
+       st.sampled_from(["null", "deflate"]),
+       st.integers(min_value=1, max_value=7))
+def test_record_roundtrip_property(recs, codec, block_records):
+    """Arbitrary records (full int64 range, ±inf doubles, unicode,
+    empty/nested containers), arbitrary block sizes, both codecs."""
+    blob = A.write_ocf(recs, _REC_SCHEMA, codec=codec,
+                       block_records=block_records)
+    _, back = A.read_ocf(blob)
+    assert back == recs
+
+
 def test_schema_resolution_subset_reorder_default_promote():
     recs = _customers(n=10)
     reader = {
