@@ -524,8 +524,22 @@ def _read_header(data: bytes) -> tuple[object, str, bytes, int]:
 def iter_blocks(data: bytes) -> Iterator[tuple[int, bytes]]:
     """Yield (record_count, decompressed_payload) per container block —
     the split unit a distributed reader parallelizes over."""
+    for count, payload, _off in iter_blocks_with_offsets(data):
+        yield count, payload
+
+
+def iter_blocks_with_offsets(
+    data: bytes,
+) -> Iterator[tuple[int, bytes, int]]:
+    """Like ``iter_blocks`` but also yields each block's BYTE OFFSET —
+    the handle a distributed reader ships to tasks so each task seeks
+    straight to its block (see ``read_block_at``). This pair is what
+    makes one multi-GB container fan out across executors at 100 TB:
+    split planning reads only (count, size) varints per block, never
+    the payloads."""
     schema, codec, sync, pos = _read_header(data)
     while pos < len(data):
+        start = pos
         count, pos = _read_long(data, pos)
         size, pos = _read_long(data, pos)
         payload = data[pos:pos + size]
@@ -537,7 +551,49 @@ def iter_blocks(data: bytes) -> Iterator[tuple[int, bytes]]:
             payload = zlib.decompress(payload, -15)
         elif codec != "null":
             raise NotImplementedError(f"avro: codec {codec!r}")
-        yield count, payload
+        yield count, payload, start
+
+
+def plan_splits(data: bytes) -> list[dict]:
+    """Split planning without touching payloads: -> one dict per block
+    ``{offset, count, size}`` (offset of the count varint; size =
+    compressed payload bytes). A real reader runs this over just the
+    header + per-block varints (seekable input); here the fixture is
+    already in memory."""
+    schema, codec, sync, pos = _read_header(data)
+    out = []
+    while pos < len(data):
+        start = pos
+        count, pos = _read_long(data, pos)
+        size, pos = _read_long(data, pos)
+        pos += size
+        if data[pos:pos + 16] != sync:
+            raise ValueError("avro: sync marker mismatch (corrupt block)")
+        pos += 16
+        out.append({"offset": start, "count": count, "size": size})
+    return out
+
+
+def read_block_at(data: bytes, offset: int, writer_schema=None,
+                  reader_schema=None) -> list[dict]:
+    """Decode ONE block given its byte offset, with NO state from
+    predecessor blocks — the task-side half of the split contract
+    (``plan_splits`` is the planner-side half). ``writer_schema``
+    defaults to the container header's schema."""
+    schema, codec, sync, _ = _read_header(data)
+    if writer_schema is None:
+        writer_schema = schema
+    pos = offset
+    count, pos = _read_long(data, pos)
+    size, pos = _read_long(data, pos)
+    payload = data[pos:pos + size]
+    if data[pos + size:pos + size + 16] != sync:
+        raise ValueError("avro: sync marker mismatch at split offset")
+    if codec == "deflate":
+        payload = zlib.decompress(payload, -15)
+    elif codec != "null":
+        raise NotImplementedError(f"avro: codec {codec!r}")
+    return decode_block(payload, count, writer_schema, reader_schema)
 
 
 def decode_block(payload: bytes, count: int, writer_schema,

@@ -72,6 +72,41 @@ def test_blocks_decode_independently():
     assert out == recs
 
 
+def test_split_plan_and_seek_read():
+    """The full split contract: plan_splits reads only header +
+    per-block varints; each (offset) then decodes independently via
+    read_block_at — including OUT OF ORDER and in isolation, exactly
+    how a distributed reader fans a multi-GB container across tasks.
+    Also against the java-written fixture (foreign sync/offsets)."""
+    recs = _customers(n=100)
+    blob = A.write_ocf(recs, CUSTOMER, codec="deflate", block_records=40)
+    splits = A.plan_splits(blob)
+    assert [s["count"] for s in splits] == [40, 40, 20]
+    # tasks read their split only, in reverse order
+    out = []
+    for s in reversed(splits):
+        out = A.read_block_at(blob, s["offset"]) + out
+    assert out == recs
+    # reader-schema projection applies at the split level too
+    reader = {"type": "record", "name": "customer", "fields": [
+        {"name": "c_custkey", "type": "long"}]}
+    only_keys = A.read_block_at(blob, splits[1]["offset"],
+                                reader_schema=reader)
+    assert only_keys == [{"c_custkey": r["c_custkey"]}
+                         for r in recs[40:80]]
+    # foreign container: java-written fixture splits the same way
+    path = os.path.join(os.path.dirname(__file__), "fixtures",
+                        "java_avro_1.12.1.avro")
+    jdata = open(path, "rb").read()
+    jsplits = A.plan_splits(jdata)
+    assert [s["count"] for s in jsplits] == [200, 200, 100]
+    mid = A.read_block_at(jdata, jsplits[1]["offset"])
+    assert len(mid) == 200
+    assert mid[0]["id"] == 200 * 1000003 - 250  # first record of block 2
+    assert mid[0]["name"] is None  # 200 % 5 == 0 -> null branch
+    assert mid[1]["name"] == "row-201"
+
+
 def test_all_primitive_and_complex_types():
     schema = {
         "type": "record",
