@@ -658,6 +658,7 @@ UDF_KEYS = {
     "q_events_markov_attribution",  # per-graph absorption solve
     "q_text_bpe_merges",  # iterative merge loop over the vocab sample
     "src_avro",  # mapInPandas pure-stdlib avro decode surface (r9)
+    "src_avro_split",  # same surface, block-parallel split read (r9)
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
@@ -767,6 +768,10 @@ BOUNDED_DRIVER_ACTIONS: dict[str, str] = {
         "rows) materializing the executor-side container writes - "
         "the containers themselves are written inside mapInPandas "
         "workers, bytes never visit the driver",
+    "src_avro_split":
+        "one 1-row manifest collect materializing the single-"
+        "container write; split planning reads header + per-block "
+        "varints only (plain file IO, not a Spark action)",
 }
 
 #: keys whose builders legitimately WRITE at build time (scratch

@@ -264,6 +264,95 @@ def src_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("src_avro_split")
+def src_avro_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-file parallel Avro read: ONE container, MANY tasks — the
+    100 TB half of the Avro story that src_avro's file-per-partition
+    layout doesn't exercise.
+
+    Write: the customer table is encoded into a SINGLE object
+    container with 25-record blocks (6 blocks at sf0.001, 60 at
+    sf0.01). Read: ``avro_codec.plan_splits`` enumerates
+    (offset, count, size) per block from the header + per-block
+    varints alone (payloads untouched — on a real lake this is a
+    ranged read of a few KB against a multi-GB file); the splits
+    become a DataFrame, are spread across 8 partitions, and each task
+    seeks straight to its blocks via ``read_block_at`` with no state
+    from predecessor blocks. Locally each task re-opens the same file
+    (a production reader issues byte-range reads); what this key
+    proves is the CONTRACT — any block decodes independently at its
+    planned offset under Spark's own task distribution, out of order.
+
+    Same value-proving aggregate as src_avro, pinned equal to parquet
+    truth in tests/test_semantics.py; split-level unit tests
+    (out-of-order, isolation, foreign java-written offsets) live in
+    tests/test_avro_codec.py.
+    """
+    import shutil
+
+    from . import avro_codec
+
+    out = _scratch("avro", "customer_single")
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "customer.avro")
+    schema = AVRO_CUSTOMER_SCHEMA
+    c = table(spark, sf_dir, "customer").select(
+        [f.name for f in CUSTOMER_SCHEMA.fields]
+    ).coalesce(1)
+
+    def encode_single(batches):
+        import pandas as pd
+
+        recs: list[dict] = []
+        for pdf in batches:
+            recs.extend(pdf.to_dict("records"))
+        blob = avro_codec.write_ocf(
+            recs, schema, codec="deflate", block_records=25
+        )
+        with open(path, "wb") as f:
+            f.write(blob)
+        yield pd.DataFrame([{"n_rows": len(recs), "n_bytes": len(blob)}])
+
+    manifest = c.mapInPandas(
+        encode_single, "n_rows long, n_bytes long"
+    ).collect()  # bounded: exactly one 2-column row (coalesce(1))
+    assert len(manifest) == 1
+
+    # Split planning: header + block varints only (driver-light).
+    with open(path, "rb") as f:
+        data = f.read()
+    splits = avro_codec.plan_splits(data)
+    splits_df = spark.createDataFrame(
+        [(path, s["offset"]) for s in splits], "path string, off long"
+    ).repartition(8)
+
+    def decode_splits(batches):
+        import pandas as pd
+
+        cols = [f.name for f in CUSTOMER_SCHEMA.fields]
+        cache: dict[str, bytes] = {}
+        for pdf in batches:
+            rows: list[dict] = []
+            for p, off in zip(pdf["path"], pdf["off"]):
+                if p not in cache:  # one read per task, not per split
+                    with open(p, "rb") as fh:
+                        cache[p] = fh.read()
+                rows.extend(
+                    avro_codec.read_block_at(cache[p], int(off))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    back = splits_df.mapInPandas(decode_splits, CUSTOMER_SCHEMA)
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias(
+            "acctbal_cents"
+        ),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
 @register("src_csv_malformed")  # filesystem + reader modes -> rows-only
 def src_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Malformed-CSV ingestion policy surface: the same file - 150

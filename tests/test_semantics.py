@@ -385,13 +385,14 @@ def test_avro_roundtrip_pins_parquet_truth(spark, duck):
     registry.load_all()
     from tests.conftest import SF_DIR
 
-    got = registry.QUERIES["src_avro"](spark, SF_DIR).collect()[0]
     want = duck.execute(
         f"""SELECT count(*), sum(CAST(round(c_acctbal*100) AS BIGINT)),
                    count(DISTINCT c_nationkey)
             FROM '{SF_DIR}/customer.parquet'"""
     ).fetchone()
-    assert (got.n_rows, got.acctbal_cents, got.n_nations) == want
+    for key in ("src_avro", "src_avro_split"):
+        got = registry.QUERIES[key](spark, SF_DIR).collect()[0]
+        assert (got.n_rows, got.acctbal_cents, got.n_nations) == want, key
 
 
 def test_deletion_vectors_equals_cow_delete(spark):
