@@ -143,9 +143,6 @@ def _register_named(schema, names: dict) -> None:
 
 # -------------------------------------------------------- logical types
 
-_EPOCH_DATE = None  # lazy: datetime import kept out of the hot path
-
-
 def _logical_encode(schema: dict, value):
     """Python value -> underlying primitive value, per logicalType.
     Returns the value unchanged for unknown logical types (spec rule:
