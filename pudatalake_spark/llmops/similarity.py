@@ -1324,61 +1324,84 @@ def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PQ_SUBS = 8      # subspaces (64 dims -> 8 x 8)
-PQ_SUBDIM = 8
-PQ_K = 16        # centroids per subspace (codebook = vectors 0..15)
+PQ_SUBS = 32     # subspaces (64 dims -> 32 x 2)
+PQ_SUBDIM = 2
+PQ_K = 256       # centroids per subspace (8-bit codes, FAISS PQ32x8)
+PQ_TRAIN_ITERS = 2   # Lloyd supersteps (fixed count = deterministic)
 PQ_QUERIES = 10
 PQ_TOPK = 3
 
-# Shared sub-distance fragment: squared L2 between two 8-dim lists,
-# summed IN INDEX ORDER in both engines (Spark F.aggregate and DuckDB
-# list_sum both fold left-to-right), then snapped to exact integer
-# MICRO-units so every later sum is order-independent int64.
-_DUCK_D2_MICRO = (
-    "CAST(round(list_sum(list_transform(list_zip({a}, {b}),"
-    " x -> (x[1] - x[2]) * (x[1] - x[2]))) * 1000000, 0) AS BIGINT)"
-)
+# r10 measured note (SCALING §21): training the OLD 8x8-dim / K=16
+# config does NOT lift recall (0.20 untrained -> 0.10-0.23 trained at
+# 0-8 Lloyd iters) - at that resolution quantization error swamps the
+# neighbor gaps on this corpus (top-1..5 d2 within 12% of each other).
+# The binding constraint is cells-per-vector, so the trained config is
+# 32 subspaces x 2 dims x 256 centroids (classic 8-bit codes): recall@3
+# = 0.77 / 0.90 / 0.80 at sf0.001 / 0.01 / 0.1. 2-dim subspaces also
+# drop the interpreted HOF fold for pure codegen int64 arithmetic.
+
+# DuckDB fragment: exact-int64 floor(sum / n) via subtract-positive-mod
+# (numerator becomes exactly divisible, so any division semantics
+# agree; Spark side uses (s - pmod(s, n)) div n).
+_DUCK_FDIV = "(({s} - ((({s}) % ({n}) + ({n})) % ({n}))) // ({n}))"
 
 
-def _d2_micro(a, b):
-    d2 = F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+def _pq_oracle() -> str:
+    """DuckDB twin of the trained-PQ pipeline: same seeding, same
+    fixed Lloyd supersteps (unrolled as chained CTEs), same exact
+    int64 arithmetic, so the learned codebook is bit-identical."""
+    d2 = (
+        "(t.x1 - c.c1) * (t.x1 - c.c1)"
+        " + (t.x2 - c.c2) * (t.x2 - c.c2)"
     )
-    return F.round(d2 * 1000000, 0).cast("bigint")
-
-
-@register(
-    "q_sim_pq_adc",
-    oracle=f"""
+    parts = [
+        f"""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
     ),
     subs AS (
       SELECT vec_id, s.s,
-             list_slice(v, s.s * {PQ_SUBDIM} + 1,
-                        s.s * {PQ_SUBDIM} + {PQ_SUBDIM}) AS sv
+             CAST(round(v[s.s * {PQ_SUBDIM} + 1] * 1000000, 0)
+                  AS BIGINT) AS x1,
+             CAST(round(v[s.s * {PQ_SUBDIM} + 2] * 1000000, 0)
+                  AS BIGINT) AS x2
       FROM e CROSS JOIN (SELECT unnest(range({PQ_SUBS})) AS s) s
     ),
-    cb AS (SELECT s, vec_id AS code, sv AS cv FROM subs
-           WHERE vec_id < {PQ_K}),
-    assign0 AS (
-      SELECT t.vec_id, t.s, c.code,
-             {_DUCK_D2_MICRO.format(a="t.sv", b="c.cv")} AS d2m
-      FROM subs t JOIN cb c ON t.s = c.s
+    cb0 AS (SELECT s, vec_id AS code, x1 AS c1, x2 AS c2 FROM subs
+            WHERE vec_id < {PQ_K})"""
+    ]
+    for i in range(PQ_TRAIN_ITERS):
+        parts.append(f""",
+    a{i} AS (
+      SELECT vec_id, s, x1, x2, code FROM (
+        SELECT t.vec_id, t.s, t.x1, t.x2, c.code,
+               row_number() OVER (PARTITION BY t.vec_id, t.s
+                 ORDER BY {d2}, c.code) AS rn
+        FROM subs t JOIN cb{i} c ON t.s = c.s) WHERE rn = 1
     ),
+    u{i} AS (
+      SELECT s, code, sum(x1) AS s1, sum(x2) AS s2,
+             count(*) AS n FROM a{i} GROUP BY s, code
+    ),
+    cb{i + 1} AS (
+      SELECT c.s, c.code,
+             COALESCE({_DUCK_FDIV.format(s="u.s1", n="u.n")}, c.c1) AS c1,
+             COALESCE({_DUCK_FDIV.format(s="u.s2", n="u.n")}, c.c2) AS c2
+      FROM cb{i} c LEFT JOIN u{i} u ON c.s = u.s AND c.code = u.code
+    )""")
+    fin = PQ_TRAIN_ITERS
+    parts.append(f""",
     codes AS (
       SELECT vec_id, s, code FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY vec_id, s ORDER BY d2m, code) AS rn
-        FROM assign0) WHERE rn = 1
+        SELECT t.vec_id, t.s, c.code,
+               row_number() OVER (PARTITION BY t.vec_id, t.s
+                 ORDER BY {d2}, c.code) AS rn
+        FROM subs t JOIN cb{fin} c ON t.s = c.s) WHERE rn = 1
     ),
     qlut AS (
-      SELECT t.vec_id AS query_id, t.s, c.code,
-             {_DUCK_D2_MICRO.format(a="t.sv", b="c.cv")} AS d2m
-      FROM subs t JOIN cb c ON t.s = c.s
+      SELECT t.vec_id AS query_id, t.s, c.code, {d2} AS d2m
+      FROM subs t JOIN cb{fin} c ON t.s = c.s
       WHERE t.vec_id < {PQ_QUERIES}
     ),
     adc AS (
@@ -1389,45 +1412,58 @@ def _d2_micro(a, b):
       GROUP BY 1, 2
     )
     SELECT query_id, cand_id,
-           CAST(micro AS DOUBLE) / 1000000 AS adc_dist
+           CAST(micro AS DOUBLE) / 1000000000000 AS adc_dist
     FROM (SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY micro, cand_id) AS rn
           FROM adc)
     WHERE rn <= {PQ_TOPK}
     ORDER BY query_id, adc_dist, cand_id
-    """,
-)
+    """)
+    return "".join(parts)
+
+
+@register("q_sim_pq_adc", oracle=_pq_oracle())
 def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN with asymmetric distance computation
-    (Jegou et al. 2011, the FAISS IVF-PQ building block): split each
-    64-dim vector into 8 subspaces of 8 dims, encode every corpus
-    vector as 8 one-byte codes (nearest codebook centroid per
-    subspace), then answer queries WITHOUT touching raw corpus
-    vectors - each query precomputes an 8x16 lookup table of
-    sub-distances to every centroid, and a candidate's distance is
-    just 8 LUT adds. Codebook = subvectors of vectors 0..15 (the
-    fixed-seed convention q_sim_ann_ivf sets for its coarse
-    quantizer; production learns it with per-subspace k-means -
-    q_sim_kmeans_lloyd is that trainer).
+    (Jegou et al. 2011, the FAISS IVF-PQ building block), with a
+    TRAINED codebook: split each 64-dim vector into 32 subspaces of
+    2 dims, learn a 256-entry codebook per subspace with 2 Lloyd
+    supersteps (q_sim_kmeans_lloyd's machinery, seeded from vectors
+    0..255), encode every corpus vector as 32 one-byte codes, then
+    answer queries WITHOUT touching raw corpus vectors - each query
+    precomputes a 32x256 lookup table of sub-distances to every
+    centroid, and a candidate's distance is just 32 LUT adds.
 
-    Determinism protocol: every sub-distance is snapped to exact
-    int64 MICRO-units after an index-ordered 8-element fold
-    (identical IEEE tree in both engines), so code assignment
-    (argmin + code tie-break) and the ADC sum (integer addition,
-    order-independent) are engine-exact; the reported distance is
-    ONE trailing division. Pinned against an independent numpy PQ in
-    tests (including recall@k vs exact neighbors).
+    Determinism protocol (tightened vs the r9 float version): vector
+    coordinates are snapped to int64 MICRO-units FIRST, so every
+    later step - sub-distance (x1-c1)^2+(x2-c2)^2, argmin + code
+    tie-break, centroid update floor(sum/n) via the
+    subtract-positive-mod construction, and the ADC sum - is exact
+    order-independent int64 in both engines; the reported distance
+    is ONE trailing division. Empty clusters keep their previous
+    centroid (left join + coalesce) in both engines. Pinned against
+    an independent numpy PQ in tests (including recall@3 vs exact
+    neighbors: 0.77/0.90/0.80 measured at sf0.001/0.01/0.1, floor
+    0.5; the r9 untrained 8x8/K=16 codebook measured 0.20, and
+    TRAINING THAT CONFIG DOES NOT HELP - 0.10-0.23 across 0-8 Lloyd
+    iters, see SCALING §21).
 
     100 TB posture - the reason PQ exists: the corpus is stored as
-    N x 8 BYTES (64x smaller than float32), the per-query LUT is
-    128 entries broadcast to every partition, and the scan is a
-    map-only integer-add pass with NO shuffle of vectors; encode is
-    one map pass against the broadcast codebook. Recall/compression
-    trade via (subspaces, K) exactly as FAISS-PQ.
+    N x 32 BYTES (8x smaller than float32), the per-query LUT is
+    8192 ints broadcast to every partition, and the probe scan is a
+    map-only integer-add pass with NO shuffle of vectors. Training
+    touches only the 32x256 codebook: each superstep is one
+    broadcast join + one map-side-combinable (s, code) agg of 3
+    int64 partials - the q_sim_kmeans_lloyd shape. Fixed iteration
+    count keeps the chain declarative (the q_graph_pagerank rule);
+    at cluster scale each superstep's codebook would localCheckpoint.
+    2-dim subspaces keep the distance arithmetic in whole-stage
+    codegen (no interpreted array fold).
     """
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", _vd("embedding").alias("v")
     )
+    mi = lambda i: F.round(F.col("v")[i] * 1000000, 0).cast("bigint")  # noqa: E731
     subs = e.select(
         "vec_id",
         F.explode(
@@ -1435,30 +1471,64 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(s).alias("s"),
-                        F.slice(
-                            F.col("v"), s * PQ_SUBDIM + 1, PQ_SUBDIM
-                        ).alias("sv"),
+                        mi(s * PQ_SUBDIM).alias("x1"),
+                        mi(s * PQ_SUBDIM + 1).alias("x2"),
                     )
                     for s in range(PQ_SUBS)
                 ]
             )
-        ).alias("x"),
-    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.sv").alias("sv"))
+        ).alias("p"),
+    ).select("vec_id", "p.s", "p.x1", "p.x2")
     cb = subs.filter(F.col("vec_id") < PQ_K).select(
         F.col("s").alias("cs"), F.col("vec_id").alias("code"),
-        F.col("sv").alias("cv"),
+        F.col("x1").alias("c1"), F.col("x2").alias("c2"),
     )
-    assign0 = subs.join(
-        F.broadcast(cb), F.col("s") == F.col("cs")
-    ).select(
-        "vec_id", "s", "code", _d2_micro(F.col("sv"), F.col("cv")).alias("d2m")
-    )
-    wa = Window.partitionBy("vec_id", "s").orderBy("d2m", "code")
-    codes = (
-        assign0.withColumn("rn", F.row_number().over(wa))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "s", "code")
-    )
+
+    def _d2():
+        dx = F.col("x1") - F.col("c1")
+        dy = F.col("x2") - F.col("c2")
+        return dx * dx + dy * dy
+
+    def _assign(cbdf):
+        # argmin centroid per (vector, subspace): struct-min with the
+        # code as tie-break - a map-side-combinable agg, no window.
+        return (
+            subs.join(F.broadcast(cbdf), F.col("s") == F.col("cs"))
+            .groupBy("vec_id", "s", "x1", "x2")
+            .agg(
+                F.min(
+                    F.struct(_d2().alias("d2"), F.col("code").alias("code"))
+                ).alias("b")
+            )
+            .select("vec_id", "s", "x1", "x2", F.col("b.code").alias("code"))
+        )
+
+    for _ in range(PQ_TRAIN_ITERS):
+        upd = (
+            _assign(cb)
+            .groupBy("s", "code")
+            .agg(
+                F.sum("x1").alias("s1"),
+                F.sum("x2").alias("s2"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                F.col("s").alias("us"),
+                F.col("code").alias("ucode"),
+                F.expr("(s1 - pmod(s1, n)) div n").alias("n1"),
+                F.expr("(s2 - pmod(s2, n)) div n").alias("n2"),
+            )
+        )
+        cb = cb.join(
+            upd,
+            (F.col("cs") == F.col("us")) & (F.col("code") == F.col("ucode")),
+            "left",
+        ).select(
+            "cs", "code",
+            F.coalesce("n1", "c1").alias("c1"),
+            F.coalesce("n2", "c2").alias("c2"),
+        )
+    codes = _assign(cb).select("vec_id", "s", "code")
     qlut = (
         subs.filter(F.col("vec_id") < PQ_QUERIES)
         .join(F.broadcast(cb), F.col("s") == F.col("cs"))
@@ -1466,7 +1536,7 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"),
             F.col("s").alias("ls"),
             F.col("code").alias("lcode"),
-            _d2_micro(F.col("sv"), F.col("cv")).alias("d2m"),
+            _d2().alias("d2m"),
         )
     )
     adc = (
@@ -1486,7 +1556,7 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            (F.col("micro").cast("double") / 1000000).alias("adc_dist"),
+            (F.col("micro").cast("double") / 1000000000000).alias("adc_dist"),
         )
         .orderBy("query_id", "adc_dist", "cand_id")
     )

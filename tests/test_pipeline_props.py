@@ -804,8 +804,10 @@ def test_modularity_matches_python_reference(spark):
 
 
 def test_pq_adc_matches_numpy_and_recall(spark):
-    """q_sim_pq_adc vs an independent numpy PQ (same codebook
-    convention), plus a recall@3 floor against exact L2 neighbors."""
+    """q_sim_pq_adc vs an independent numpy PQ (same trained-codebook
+    protocol: 32x2-dim subspaces, K=256, 2 Lloyd supersteps in exact
+    int64 micro-units), plus a recall@3 floor vs exact L2 neighbors."""
+    SUBS, K, ITERS = 32, 256, 2
     e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
         "vec_id"
     )
@@ -813,27 +815,35 @@ def test_pq_adc_matches_numpy_and_recall(spark):
         e.embedding.map(lambda a: np.asarray(a, dtype=np.float64))
     )
     ids = e.vec_id.to_numpy()
-    subs = V.reshape(len(V), 8, 8)
-    cb = subs[:16]  # (16, 8, 8): codebook = vectors 0..15
-    # encode: per (vec, subspace) argmin over 16 centroids, in
-    # micro-snapped distances with code tie-break (ties -> lowest
-    # code wins because argmin returns the first minimum).
-    d2m = np.round(
-        ((subs[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(-1) * 1e6
-    ).astype("int64")  # (N, 16, 8)
-    codes = d2m.argmin(axis=1)  # (N, 8)
+    N = len(V)
+    # coordinates snapped to int64 micro-units FIRST; all later
+    # arithmetic is exact integer (order-independent in any engine).
+    subs = np.round(V * 1e6).astype("int64").reshape(N, SUBS, 2)
+    cb = subs[:K].transpose(1, 0, 2).copy()  # (SUBS, K, 2)
+    for _ in range(ITERS):
+        d2 = ((subs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+        # argmin returns the FIRST minimum -> lowest code on ties,
+        # matching the engines' (d2, code) tie-break.
+        codes = d2.argmin(axis=2)  # (N, SUBS)
+        newcb = cb.copy()
+        for s in range(SUBS):
+            for c in range(K):
+                m = codes[:, s] == c
+                n = int(m.sum())
+                if n:  # empty clusters keep their previous centroid
+                    newcb[s, c] = np.floor_divide(
+                        subs[m, s, :].sum(0), n
+                    )
+        cb = newcb
+    d2 = ((subs[:, :, None, :] - cb[None, :, :, :]) ** 2).sum(-1)
+    codes = d2.argmin(axis=2)
     ref_rows = {}
     for qi in range(10):
-        qlut = d2m[qi]  # (16, 8) distances from query qi's subvectors
-        micro = np.array(
-            [
-                sum(int(qlut[codes[x, s], s]) for s in range(8))
-                for x in range(len(V))
-            ]
-        )
+        qlut = d2[qi]  # (SUBS, K) int64 LUT for query qi
+        micro = qlut[np.arange(SUBS)[None, :], codes].sum(1)
         order = sorted(
             (int(micro[x]), int(ids[x]))
-            for x in range(len(V))
+            for x in range(N)
             if ids[x] != qi
         )[:3]
         ref_rows[qi] = order
@@ -841,7 +851,7 @@ def test_pq_adc_matches_numpy_and_recall(spark):
     got = {}
     for r in rows:
         got.setdefault(r.query_id, []).append(
-            (round(r.adc_dist * 1e6), r.cand_id)
+            (round(r.adc_dist * 1e12), r.cand_id)
         )
     assert set(got) == set(ref_rows)
     hit = total = 0
@@ -852,11 +862,13 @@ def test_pq_adc_matches_numpy_and_recall(spark):
         exact3 = [int(ids[x]) for x in ex if ids[x] != qi][:3]
         hit += len({c for _, c in ref} & set(exact3))
         total += 3
-    # PQ with a 16-entry untrained codebook is coarse; measured
-    # recall@3 = 0.20 at sf0.001 (floor set below it so a testdata
-    # regeneration doesn't flap the gate). Production raises recall
-    # with k-means-trained codebooks and more centroids.
-    assert hit / total >= 0.15, f"PQ recall@3 = {hit/total}"
+    # Trained PQ32x8bit: measured recall@3 = 0.77 at sf0.001 (0.90 at
+    # sf0.01, 0.80 at sf0.1); floor 0.5 per the r9 verdict's target,
+    # with margin so a testdata regeneration doesn't flap the gate.
+    # (The r9 untrained 8x8/K=16 codebook measured 0.20 - and
+    # training THAT config doesn't help; resolution was the binding
+    # constraint. See SCALING §21.)
+    assert hit / total >= 0.5, f"PQ recall@3 = {hit/total}"
 
 
 def test_rake_matches_python_reference(spark):
