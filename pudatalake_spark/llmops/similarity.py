@@ -936,17 +936,32 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector is a query, so the bucketed self-join is the only
     thing standing between this and an N^2 all-pairs.
 
+    r10: MULTI-PROBE (Lv et al. 2007) - each query probes its own
+    bucket PLUS the bucket with its closest hyperplane's sign bit
+    flipped (the smallest-|coordinate| dim of the band); the index
+    side stays one bucket per band. Near-boundary neighbors are
+    exactly the ones plain sign-LSH loses, and flipping the
+    minimum-margin bit is the cheapest way to reach them. Measured
+    recall@5 / candidate-volume ladder at sf0.01 (sf0.001 within
+    0.01): 1 band 0.22; 4 bands 0.625; 6 bands 0.788 @ 0.55 vol;
+    RE-banding to 8 bands 0.877 @ 0.66; 6 bands + 1 probe (shipped)
+    0.966 @ 0.82; + 2 probes 0.996 @ 0.94. Per unit of candidate
+    volume, one probe buys ~2x the recall of two extra bands -
+    and probes cost NO extra index storage, only probe-side rows.
+
     Rows-only by design (bucketed recall < 1 has no SQL twin);
     tests/test_pipeline_props.py measures recall@5
     against the exact numpy graph and pins a floor (measured value
-    recorded there). The scale ladder mirrors dedup's: more bands
-    (union of per-band candidates) buys recall linearly in cost.
+    recorded there).
 
     Scale shape: candidates = equi self-join on the bucket id
-    (bucket sizes ~N/8; at true scale use more sign bits + multiple
-    band tables to keep buckets bounded); exact cosine only on
-    candidates; per-vector top-k via WindowGroupLimit inside the
-    shuffle. Payload vectors join back once, pre-normed, AFTER pair dedup.
+    (bucket sizes ~N/8 here; at true scale use more sign bits per
+    band to bound buckets - multi-probe then matters MORE, because
+    finer buckets lose more boundary neighbors, and the probe ladder
+    extends to T flips ranked by margin without touching the index);
+    exact cosine only on candidates; per-vector top-k via
+    WindowGroupLimit inside the shuffle. Payload vectors join back
+    once, pre-normed, AFTER pair dedup.
     """
     e = table(spark, sf_dir, "embeddings")
 
@@ -958,14 +973,22 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.element_at("v", 3 * k + 3) > 0, 1).otherwise(0)
         )
 
+    def band_flip(k: int):
+        # bit weight (4/2/1) of the band's smallest-|coordinate| dim
+        # = the closest hyperplane; ties break to the lowest dim
+        # (matches numpy's stable argsort in the pinned test).
+        a1 = F.abs(F.element_at("v", 3 * k + 1))
+        a2 = F.abs(F.element_at("v", 3 * k + 2))
+        a3 = F.abs(F.element_at("v", 3 * k + 3))
+        return (
+            F.when((a1 <= a2) & (a1 <= a3), 4)
+            .when(a2 <= a3, 2)
+            .otherwise(1)
+        )
+
     eb = _with_norm(
         spread(e, "vec_id").select("vec_id", _vd("embedding").alias("v"))
     )
-    # KNN_GRAPH_BANDS independent sign-bit bands (candidate = sharing
-    # ANY band bucket): the measured recall@5 ladder on this corpus is
-    # 1 band = 0.22, 4 bands = 0.625, 6 bands = 0.788 (pinned in
-    # tests) - each band adds one bounded candidate stream at ~linear
-    # cost, which is the recall dial at any scale.
     # Band table carries IDS ONLY (the q_dedup_embedding discipline,
     # dedup.py): payload vectors must not ride the banded self-join -
     # they would be replicated x bands on both sides - and the exact
@@ -978,7 +1001,28 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[band_bucket(k) for k in range(KNN_GRAPH_BANDS)])
         ).alias("band", "bucket"),
     )
-    a = banded.select(
+    # Probe side: own bucket + the min-margin single-bit flip. The
+    # index side (b) stays 1 row per (vector, band); only the query
+    # stream doubles - the multi-probe asymmetry.
+    probes = eb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        bb.alias("bucket"),
+                    )
+                    for k in range(KNN_GRAPH_BANDS)
+                    for bb in (
+                        band_bucket(k),
+                        band_bucket(k).bitwiseXOR(band_flip(k)),
+                    )
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", "p.band", "p.bucket")
+    a = probes.select(
         F.col("vec_id").alias("src"),
         F.col("band").alias("a_band"),
         F.col("bucket").alias("a_bucket"),

@@ -422,12 +422,13 @@ def test_hamming_pairs_64_fuzz(spark):
 
 
 def test_knn_graph_recall_floor(spark):
-    """The banded kNN graph must keep recall@5 >= 0.70 against the
-    exact numpy graph (measured 0.788 with 6 bands at sf0.01 on this
+    """The multi-probe banded kNN graph must keep recall@5 >= 0.85
+    against the exact numpy graph (measured 0.96 with 6 bands + the
+    1 min-margin flip probe at sf0.001, 0.966 at sf0.01, on this
     near-isotropic corpus - the HARD case for sign-bit LSH; the
-    measured ladder is 1 band = 0.22, 4 bands = 0.625, 6 bands =
-    0.788, ~linear cost per band). Every returned edge's cosine must
-    also match numpy to 1e-6."""
+    measured recall/volume ladder lives in the operator docstring
+    and SCALING sec 21). Every returned edge's cosine must also
+    match numpy to 1e-6."""
     import numpy as np
     import pyarrow.parquet as pq
 
@@ -450,7 +451,7 @@ def test_knn_graph_recall_floor(spark):
         top = {ids[j] for j in np.argsort(-S[i])[:KNN_GRAPH_K]}
         hits += len(top & got.get(vid, set()))
         tot += KNN_GRAPH_K
-    assert hits / tot >= 0.70
+    assert hits / tot >= 0.85
     for r in rows:
         assert abs(r["cos_sim"] - S[idx[r["src"]], idx[r["dst"]]]) < 1e-6
 
