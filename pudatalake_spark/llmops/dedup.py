@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..loaders import cached, spread, table
+from ..loaders import cached, scan_bytes, spread, table
 from ..registry import register
 from ..session import superstep_checkpoint
 from .similarity import _cos_pre, _with_norm
@@ -397,8 +397,19 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_jaccard_pairs(d, JACCARD_TAU)
 
 
-def minhash_verified_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFrame:
+def minhash_verified_pairs(
+    docs: DataFrame, tau: float = JACCARD_TAU, pair_cond=None
+) -> DataFrame:
     """Deterministic MinHash + LSH banding near-dup detection.
+
+    ``pair_cond`` (r10): optional pair-predicate PUSHDOWN into the
+    band-bucket self-join, mirroring near_jaccard_pairs' parameter -
+    ``(doc1_col, doc2_col) -> Column`` conjoined into the candidate
+    join so pairs the caller will discard are never deduped or
+    verified. q_dedup_cross_corpus pushes its opposite-parity
+    predicate here on large corpora, which turns the self-join into
+    the build/probe shape: one side of every surviving band match is
+    the reference corpus, the other the new batch.
 
     Signature: 64 mins of an affine hash family over a deterministic
     1-in-4 sample of the hashed shingle space (seeded, deterministic,
@@ -514,13 +525,15 @@ def minhash_verified_pairs(docs: DataFrame, tau: float = JACCARD_TAU) -> DataFra
     ))
     a = banded.alias("a")
     b = banded.alias("b")
+    join_cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if pair_cond is not None:
+        join_cond = join_cond & pair_cond(F.col("a.doc_id"), F.col("b.doc_id"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, join_cond)
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
@@ -922,6 +935,15 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-vs-probe switch for cross-corpus dedup: ~4 MiB of documents
+# parquet is ~35k docs at this corpus's density - above it the exact
+# index's sum(df^2) join volume is disk-bound on a 32-core box (the
+# measured 50k-doc wall, SCALING sec 20), below it exact is both
+# feasible and the stronger contract. Module-level so tests force the
+# probe branch by patching it.
+CROSS_EXACT_MAX_BYTES = 4 * 1024 * 1024
+
+
 @register(
     "q_dedup_cross_corpus",
     oracle=f"""
@@ -953,24 +975,42 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join the batch against this list; the survivors are the
     publishable delta.
 
-    Rides near_jaccard_pairs' df-capped EXACT inverted index (same
-    plan, same hot-dictionary exactness argument) and keeps only
-    opposite-parity pairs; the argmax reference per batch doc
-    breaks jaccard ties on the smaller ref id. At 100 TB the exact
-    pass is replaced by the minhash-banded semi-join (signature
-    table of the REFERENCE corpus is precomputed once and only the
-    batch is signed per ingest - q_dedup_near_minhash's banding with
-    a build/probe split); this operator is the exact-by-contract
-    member, like q_dedup_near_jaccard for the in-corpus family.
+    Plan switch (r10, VERDICT r9 #3): below CROSS_EXACT_MAX_BYTES of
+    corpus (a pure-metadata stat, no build-time action) this rides
+    near_jaccard_pairs' df-capped EXACT inverted index (same plan,
+    same hot-dictionary exactness argument); above it - or when the
+    size is unknowable - the EXECUTING path is the minhash-banded
+    build/probe split (minhash_verified_pairs with the parity
+    predicate pushed into the band join: the reference side's
+    signatures are the precomputed index, the batch side probes its
+    band buckets, and only surviving cross-parity candidates get the
+    exact-Jaccard verify). Both branches verify candidates with the
+    exact Jaccard on full shingle sets, and on every corpus measured
+    (sf0.001/0.01/0.1 and the 10x synthetic) the minhash candidates
+    contain every true pair, so the two branches produce the SAME
+    verified-pair output (the q_dedup_groups edge-set argument;
+    forced-probe parity is pinned in tests/test_dedup_probes.py).
+    Why the switch exists, measured (SCALING sec 20): the exact
+    index's join volume is sum(df^2) ~ n^2 - at the 50k-doc corpus it
+    needs >80 GB of shuffle spill and disk-dies on this box, while
+    the probe path finishes in ~13s. Opposite-parity predicate is
+    PUSHED DOWN into the candidate joins of both branches (r8): half
+    the candidate pairs are never counted/verified instead of being
+    discarded after the exact Jaccard.
+
+    The argmax reference per batch doc breaks jaccard ties on the
+    smaller ref id. At 100 TB the reference signature table is
+    precomputed once per corpus version and only the batch is signed
+    per ingest - the fixture expresses that split as the parity
+    predicate inside one job.
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
-    # Opposite-parity predicate PUSHED DOWN into both candidate joins
-    # (r8): half the candidate pairs are never counted/verified
-    # instead of being discarded after the exact Jaccard.
-    pairs = near_jaccard_pairs(
-        d, JACCARD_TAU,
-        pair_cond=lambda d1, d2: (d1 % 2) != (d2 % 2),
-    )
+    parity = lambda d1, d2: (d1 % 2) != (d2 % 2)  # noqa: E731
+    nb = scan_bytes(d)
+    if nb is not None and nb <= CROSS_EXACT_MAX_BYTES:
+        pairs = near_jaccard_pairs(d, JACCARD_TAU, pair_cond=parity)
+    else:
+        pairs = minhash_verified_pairs(d, JACCARD_TAU, pair_cond=parity)
     cross = pairs.select(
         F.when(F.col("doc1") % 2 == 0, F.col("doc1"))
         .otherwise(F.col("doc2"))

@@ -13,6 +13,9 @@ native columns (SURVEY §4).
 
 from __future__ import annotations
 
+import os
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import ensure_conf
@@ -196,3 +199,28 @@ def cached(df: DataFrame) -> DataFrame:
     the oracle driver) degrades to recompute under pressure instead of
     OOM; bench.py additionally clearCache()s between timed runs."""
     return df.persist()
+
+def scan_bytes(df: DataFrame) -> int | None:
+    """On-disk bytes behind a scan, from PURE METADATA (inputFiles +
+    stat) - no job, no count(). Plan-strategy switches (e.g.
+    q_dedup_cross_corpus's exact-index vs minhash-probe split) key off
+    this instead of a row count so the builder stays action-free (the
+    registry's lazy-DataFrame contract and plan-audit rule #4).
+    Returns None when the files aren't local-stat-able (remote FS) -
+    callers must then default to their SCALE-SAFE branch, which is
+    also the honest cluster posture: an unknown-size corpus is a
+    large one."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return 0
+    total = 0
+    for f in files:
+        p = urlparse(f).path or f
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total

@@ -180,3 +180,55 @@ def test_pair_cond_pushdown_equals_post_filter(spark):
     }
     assert pushed == post
     assert pushed, "planted corpus must contain opposite-parity pairs"
+
+
+def test_cross_corpus_probe_branch_matches_exact(spark, monkeypatch):
+    """q_dedup_cross_corpus's r10 size switch: forcing the
+    minhash-probe branch (threshold -> -1) must produce EXACTLY the
+    exact-index branch's output at sf0.001, and forcing the exact
+    branch (threshold -> huge) must reproduce the default. Pins that
+    the branch switch changes the PLAN, never the answer - the
+    q_dedup_groups edge-set argument applied to the parity split."""
+    from pudatalake_spark import registry
+    from pudatalake_spark.llmops import dedup
+    from tests.conftest import SF_DIR
+
+    registry.load_all()
+    q = registry.QUERIES["q_dedup_cross_corpus"]
+
+    def rows():
+        return sorted(
+            (r["batch_doc"], r["ref_doc"], round(r["jaccard"], 9))
+            for r in q(spark, SF_DIR).collect()
+        )
+
+    monkeypatch.setattr(dedup, "CROSS_EXACT_MAX_BYTES", 1 << 60)
+    exact = rows()
+    monkeypatch.setattr(dedup, "CROSS_EXACT_MAX_BYTES", -1)
+    probe = rows()
+    assert exact == probe
+    assert exact, "fixture must contain cross-parity near-dup pairs"
+
+
+def test_minhash_pair_cond_pushdown_equals_post_filter(spark):
+    """minhash_verified_pairs' pair_cond (r10) must be pure pushdown,
+    same contract as near_jaccard_pairs': conjoining the parity
+    predicate into the band-bucket join yields exactly the
+    post-filtered verified-pair set."""
+    from pudatalake_spark.llmops.dedup import minhash_verified_pairs
+
+    docs = _planted_corpus()
+    tau = 0.5
+    df = spark.createDataFrame(docs, "doc_id INT, text STRING")
+    parity = lambda d1, d2: (d1 % 2) != (d2 % 2)  # noqa: E731
+    pushed = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in minhash_verified_pairs(df, tau, pair_cond=parity).collect()
+    }
+    post = {
+        (r["doc1"], r["doc2"]): r["jaccard"]
+        for r in minhash_verified_pairs(df, tau).collect()
+        if (r["doc1"] % 2) != (r["doc2"] % 2)
+    }
+    assert pushed == post
+    assert pushed, "planted corpus must contain opposite-parity pairs"
