@@ -96,7 +96,42 @@ def _force(df) -> int:
     return 0
 
 
+def _load_gate() -> dict:
+    """Load-gate (r10, VERDICT r9 #4): a loaded box inflates every
+    sub-second query uniformly (BENCH_r09 went out at loadavg 3.56
+    reading 28% worse than the same code on a quiet box), so a
+    fleet-visible artifact must not encode box noise. Sample the
+    1-min loadavg BEFORE the session spins up; if it exceeds the
+    threshold, wait and retry (bounded). If every attempt fails, the
+    bench still RUNS - the driver needs an artifact - but the report
+    carries ``passed: false`` plus the full retry history, which is
+    the explicit annotated failure the round protocol asks for.
+    Tunables (env): SPARK_GRAFT_LOAD_MAX (default 0.5, <=0 disables),
+    SPARK_GRAFT_LOAD_TRIES (3), SPARK_GRAFT_LOAD_WAIT (60 s)."""
+    max_load = float(os.environ.get("SPARK_GRAFT_LOAD_MAX", "0.5"))
+    tries = int(os.environ.get("SPARK_GRAFT_LOAD_TRIES", "3"))
+    wait_s = float(os.environ.get("SPARK_GRAFT_LOAD_WAIT", "60"))
+    history = []
+    if max_load <= 0:
+        return {"passed": True, "disabled": True, "history": history}
+    for attempt in range(1, max(1, tries) + 1):
+        one_min = round(os.getloadavg()[0], 2)
+        history.append(one_min)
+        if one_min <= max_load:
+            return {"passed": True, "threshold": max_load,
+                    "history": history}
+        if attempt <= tries - 1:
+            print(
+                f"LOADGATE attempt {attempt}/{tries}: 1-min loadavg "
+                f"{one_min} > {max_load}, waiting {wait_s:.0f}s",
+                flush=True,
+            )
+            time.sleep(wait_s)
+    return {"passed": False, "threshold": max_load, "history": history}
+
+
 def main() -> None:
+    gate = _load_gate()
     # Ambient load BEFORE the session spins up: the report's
     # contention evidence must reflect the box, not this bench.
     load0 = [round(x, 2) for x in os.getloadavg()]
@@ -160,6 +195,10 @@ def main() -> None:
         # notes), so every recorded BENCH artifact carries its own
         # contention evidence.
         "loadavg": load0,
+        # Gate verdict + per-attempt 1-min samples: passed=false means
+        # this artifact was KNOWINGLY recorded on a loaded box after
+        # bounded retries - read its numbers accordingly.
+        "load_gate": gate,
     }
     detail = dict(report, cold_queries=cold, steady_samples=samples)
     # Driver-proofing (VERDICT r5 #6): the r5 driver tail-parse missed
