@@ -1,4 +1,5 @@
-"""Graph analytics over join-derived edge tables (SURVEY §2.15).
+"""Graph analytics over join-derived edge tables (SURVEY §2.11,
+graph family).
 
 The star schema induces natural graphs: the customer<->supplier
 bipartite purchase graph (distinct (o_custkey, l_suppkey) pairs via

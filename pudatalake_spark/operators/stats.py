@@ -1,4 +1,5 @@
-"""Statistical inference operators (SURVEY §2.16): hypothesis
+"""Statistical inference operators (SURVEY §2.11, stats family):
+hypothesis
 tests and estimators that close the loop between the descriptive
 analytics family (q_events_*) and a decision — "did the metric
 move, and is the movement real?".

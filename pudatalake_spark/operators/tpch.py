@@ -1,4 +1,5 @@
-"""TPC-H-suite queries on the synthetic star schema (SURVEY §2.14).
+"""TPC-H-suite queries on the synthetic star schema (SURVEY §2.11,
+TPC-H family).
 
 q_tpch_q3 (shipping priority) lives in analytics.py since round 5a;
 TPC-H Q1 is already the flagship (q_agg_groupby). This module holds

@@ -84,7 +84,12 @@ def superstep_checkpoint(df, eager: bool = False):
       right posture for dynamic-allocation / spot clusters and for
       fixpoint loops long enough that a mid-loop loss is likely.
       Costs one write+read round-trip per superstep to the checkpoint
-      filesystem.
+      filesystem. Lifecycle: checkpoint files are deleted when their
+      RDD is GC'd only because ``get_spark`` sets
+      ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+      STATIC conf - sessions built elsewhere must set it at build
+      time or clean the directory themselves); files from a crashed
+      driver always need external cleanup (SCALING.md §19).
 
     ``eager=False`` (default) materializes on first downstream use -
     eager=True only where the caller needs the job to run NOW (e.g.
@@ -136,6 +141,14 @@ def get_spark(
                 os.environ.get("PUDL_DRIVER_MEM", _default_heap()))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Reliable-checkpoint hygiene (ADVICE r9): when the opt-in
+        # CHECKPOINT_DIR_CONF path is used, Spark only deletes
+        # checkpoint files whose RDD is GC'd if this cleaner flag is
+        # on - otherwise per-superstep checkpoints accumulate for the
+        # session lifetime (unbounded dir growth on long fixpoint
+        # loops / long-lived clusters). Static conf, so it must be set
+        # at build time; harmless when checkpointing is unused.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in RUNTIME_CONF.items():
         builder = builder.config(k, v)

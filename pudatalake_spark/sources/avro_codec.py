@@ -15,8 +15,12 @@ library — the same discipline as ``llmops/codecs.py`` (PNG/WAV/netpbm):
   references.
 - **object container file**: magic ``Obj\\x01``, file-metadata map
   (``avro.schema`` + ``avro.codec``), 16-byte sync marker, then
-  blocks of (record-count, byte-size, payload, sync). Codecs ``null``
-  and ``deflate`` (raw RFC1951 — ``zlib`` with ``wbits=-15``).
+  blocks of (record-count, byte-size, payload, sync). Codecs ``null``,
+  ``deflate`` (raw RFC1951 — ``zlib`` with ``wbits=-15``) and
+  ``snappy`` (r10: raw snappy block format implemented here in pure
+  stdlib — LE-varint preamble, literal/copy tags — plus the Avro
+  4-byte big-endian CRC32-of-uncompressed suffix; cross-validated
+  bidirectionally against the ``snappy-java`` jar pyspark ships).
 - **schema resolution** (reader schema != writer schema): record
   fields matched by NAME (reorder/subset both work), writer-only
   fields decoded-and-dropped (Avro has no per-field lengths — skipping
@@ -87,14 +91,24 @@ def _write_long(buf: bytearray, n: int) -> None:
 
 
 def _read_long(data: bytes, pos: int) -> tuple[int, int]:
+    """Bounded varint read (ADVICE r9): truncated input raises the
+    codec's ValueError convention instead of IndexError, and a varint
+    longer than 10 bytes (the 64-bit maximum) is rejected the way
+    real Avro readers reject it, so corrupt data fails loudly at the
+    decode site rather than as a confusing >64-bit value downstream."""
     acc = shift = 0
-    while True:
-        b = data[pos]
-        pos += 1
-        acc |= (b & 0x7F) << shift
-        if not (b & 0x80):
-            break
-        shift += 7
+    try:
+        while True:
+            b = data[pos]
+            pos += 1
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+            if shift > 63:
+                raise ValueError("avro: varint exceeds 10 bytes (corrupt)")
+    except IndexError:
+        raise ValueError("avro: truncated input") from None
     return (acc >> 1) ^ -(acc & 1), pos
 
 
@@ -279,15 +293,76 @@ def _encode(schema, value, buf: bytearray, names: dict) -> None:
         raise ValueError(f"avro: cannot encode type {schema!r}")
 
 
+def _branch_accepts(schema, value, names: dict) -> bool:
+    """Does this union branch's type accept the Python value? The
+    writer-side type dispatch the Avro spec leaves to the library
+    (java uses the datum's runtime class the same way). Records
+    additionally require every field name present so two record
+    branches disambiguate on shape."""
+    import datetime
+    import decimal as _dec
+    import uuid as _uuid
+
+    schema = _schema_type(schema, names)
+    if isinstance(schema, list):  # nested unions are illegal in Avro
+        return False
+    if isinstance(schema, dict):
+        lt = schema.get("logicalType")
+        if lt == "date":
+            return isinstance(value, datetime.date) and not isinstance(
+                value, datetime.datetime
+            )
+        if lt in ("timestamp-millis", "timestamp-micros"):
+            return isinstance(value, datetime.datetime)
+        if lt in ("time-millis", "time-micros"):
+            return isinstance(value, datetime.time)
+        if lt == "decimal":
+            return isinstance(value, _dec.Decimal)
+        if lt == "uuid":
+            return isinstance(value, _uuid.UUID)
+        t = schema["type"]
+        if t == "record":
+            return isinstance(value, dict) and all(
+                f["name"] in value for f in schema["fields"]
+            )
+        if t == "array":
+            return isinstance(value, (list, tuple))
+        if t == "map":
+            return isinstance(value, dict)
+        if t == "enum":
+            return isinstance(value, str) and value in schema["symbols"]
+        if t == "fixed":
+            return isinstance(value, (bytes, bytearray)) and len(
+                bytes(value)
+            ) == schema["size"]
+        return _branch_accepts(t, value, names)
+    if schema == "null":
+        return value is None
+    if schema == "boolean":
+        return isinstance(value, bool)
+    if schema in ("int", "long"):
+        return isinstance(value, int) and not isinstance(value, bool)
+    if schema in ("float", "double"):
+        # ints are accepted (1 is a fine double) but an int/long
+        # branch earlier in the union wins by first-match order.
+        return isinstance(value, (int, float)) and not isinstance(
+            value, bool
+        )
+    if schema == "bytes":
+        return isinstance(value, (bytes, bytearray))
+    if schema == "string":
+        return isinstance(value, str)
+    return False
+
+
 def _union_branch(union: list, value, names: dict) -> int:
-    """Pick the union branch for a Python value (None -> null branch,
-    otherwise the first non-null branch — the ``["null", T]`` shape
-    every nullable lake column uses)."""
+    """Pick the union branch for a Python value BY VALUE TYPE (first
+    accepting branch wins, the java writer's dispatch order). r9
+    shipped first-non-null, which mis-encoded any union beyond the
+    ``["null", T]`` shape (ADVICE r9: a str against
+    ["null","int","string"] hit int('x') deep in _write_long)."""
     for i, branch in enumerate(union):
-        if branch == "null" and value is None:
-            return i
-    for i, branch in enumerate(union):
-        if branch != "null" and value is not None:
+        if _branch_accepts(branch, value, names):
             return i
     raise ValueError(f"avro: no union branch for {value!r} in {union}")
 
@@ -371,12 +446,12 @@ def _resolve(writer, reader, value, wnames: dict, rnames: dict):
     schema: field match by name, reader defaults, promotions,
     value<->nullable-union hops. Raises on incompatible types."""
     w, r = _schema_type(writer, wnames), _schema_type(reader, rnames)
-    # Union hops: writer union collapses to the value's branch; for a
-    # reader union, resolve against its first compatible branch.
+    # Union hops: writer union collapses to the value's branch
+    # (matched by VALUE TYPE, r10 - first-non-null mis-resolved
+    # multi-branch unions); for a reader union, resolve against its
+    # first compatible branch.
     if isinstance(w, list):
-        branch = "null" if value is None else next(
-            b for b in w if _base_type(b, wnames) != "null"
-        )
+        branch = w[_union_branch(w, value, wnames)]
         return _resolve(branch, r, value, wnames, rnames)
     if isinstance(r, list):
         if value is None and any(
@@ -433,6 +508,177 @@ def _resolve(writer, reader, value, wnames: dict, rnames: dict):
     raise ValueError(f"avro: writer {wt} does not resolve to reader {rt}")
 
 
+# ------------------------------------------------------------------ snappy
+#
+# Raw snappy BLOCK format (google/snappy format_description.txt, also
+# pure-public): LE base-128 varint of the uncompressed length, then
+# tagged elements - literals (tag&3==0, length in the tag or 1-4
+# trailing LE bytes) and back-references (tag&3 in 1/2/3: 1-byte
+# offset-hi-in-tag, 2-byte LE offset, 4-byte LE offset). Avro's
+# "snappy" codec wraps each compressed block with a 4-byte BIG-endian
+# CRC32 of the UNCOMPRESSED payload (Avro 1.12 spec, Required Codecs).
+# The decoder below handles every legal element; the encoder is a
+# conservative greedy matcher (4-byte hash table, 2-byte-offset
+# copies only, 64 KiB window) - every output is legal snappy that
+# org.xerial.snappy round-trips (pinned bidirectionally in
+# tests/test_avro_codec.py via the snappy-java jar pyspark ships).
+
+
+def _snappy_decompress(data: bytes) -> bytes:
+    n = shift = 0
+    pos = 0
+    try:
+        while True:
+            b = data[pos]
+            pos += 1
+            n |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                break
+            shift += 7
+            if shift > 32:
+                raise ValueError("snappy: preamble varint too long")
+    except IndexError:
+        raise ValueError("snappy: truncated preamble") from None
+    out = bytearray()
+    end = len(data)
+    while pos < end:
+        tag = data[pos]
+        pos += 1
+        kind = tag & 3
+        if kind == 0:  # literal
+            ln = (tag >> 2) + 1
+            if ln > 60:  # 61..64 -> length-1 in 1..4 trailing LE bytes
+                nb = ln - 60
+                ln = int.from_bytes(data[pos:pos + nb], "little") + 1
+                pos += nb
+            if pos + ln > end:
+                raise ValueError("snappy: literal overruns input")
+            out += data[pos:pos + ln]
+            pos += ln
+            continue
+        if kind == 1:  # copy, 4..11 bytes, 11-bit offset
+            ln = 4 + ((tag >> 2) & 0x7)
+            if pos >= end:
+                raise ValueError("snappy: truncated copy")
+            off = ((tag >> 5) << 8) | data[pos]
+            pos += 1
+        elif kind == 2:  # copy, 1..64 bytes, 16-bit LE offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 2], "little")
+            pos += 2
+        else:  # copy, 1..64 bytes, 32-bit LE offset
+            ln = (tag >> 2) + 1
+            off = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: copy offset out of range")
+        if off >= ln:  # non-overlapping: one slice
+            start = len(out) - off
+            out += out[start:start + ln]
+        else:  # overlapping copy repeats recent bytes - byte-wise
+            for _ in range(ln):
+                out.append(out[-off])
+    if len(out) != n:
+        raise ValueError(
+            f"snappy: decoded {len(out)} bytes, preamble said {n}"
+        )
+    return bytes(out)
+
+
+def _snappy_compress(data: bytes) -> bytes:
+    out = bytearray()
+    n = len(data)
+    u = n
+    while True:  # preamble: uncompressed length, LE base-128 varint
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            break
+
+    def emit_literal(lo: int, hi: int) -> None:
+        while lo < hi:
+            ln = min(hi - lo, 65536)
+            lm1 = ln - 1
+            if lm1 < 60:
+                out.append(lm1 << 2)
+            elif lm1 < 256:
+                out.append(60 << 2)
+                out.append(lm1)
+            else:
+                out.append(61 << 2)
+                out.extend(lm1.to_bytes(2, "little"))
+            out.extend(data[lo:lo + ln])
+            lo += ln
+
+    def emit_copy(off: int, ln: int) -> None:
+        # 2-byte-offset form only (len 1..64); long matches chunk so
+        # the tail chunk stays >= 4 (reference-encoder convention).
+        while ln >= 68:
+            out.append((63 << 2) | 2)
+            out.extend(off.to_bytes(2, "little"))
+            ln -= 64
+        if ln > 64:
+            out.append((59 << 2) | 2)
+            out.extend(off.to_bytes(2, "little"))
+            ln -= 60
+        out.append(((ln - 1) << 2) | 2)
+        out.extend(off.to_bytes(2, "little"))
+
+    table: dict[bytes, int] = {}
+    i = lit_start = 0
+    while i + 4 <= n:
+        key = data[i:i + 4]
+        j = table.get(key)
+        table[key] = i
+        if j is not None and i - j <= 0xFFFF:
+            k = 4
+            while i + k < n and data[j + k] == data[i + k]:
+                k += 1
+            emit_literal(lit_start, i)
+            emit_copy(i - j, k)
+            i += k
+            lit_start = i
+        else:
+            i += 1
+    emit_literal(lit_start, n)
+    return bytes(out)
+
+
+def _snappy_block_encode(payload: bytes) -> bytes:
+    """Avro snappy block = raw snappy + 4-byte BE CRC32 of the
+    UNCOMPRESSED bytes."""
+    return _snappy_compress(payload) + struct.pack(
+        ">I", zlib.crc32(payload) & 0xFFFFFFFF
+    )
+
+
+def _snappy_block_decode(block: bytes) -> bytes:
+    if len(block) < 4:
+        raise ValueError("avro: snappy block shorter than its CRC")
+    payload = _snappy_decompress(block[:-4])
+    want = struct.unpack(">I", block[-4:])[0]
+    got = zlib.crc32(payload) & 0xFFFFFFFF
+    if want != got:
+        raise ValueError(
+            f"avro: snappy CRC mismatch (got {got:#010x}, "
+            f"want {want:#010x})"
+        )
+    return payload
+
+
+def _block_decode(codec: str, payload: bytes) -> bytes:
+    if codec == "null":
+        return payload
+    if codec == "deflate":
+        return zlib.decompress(payload, -15)
+    if codec == "snappy":
+        return _snappy_block_decode(payload)
+    raise NotImplementedError(f"avro: codec {codec!r}")
+
+
 # ------------------------------------------------------------- container
 
 def _sync_for(schema) -> bytes:
@@ -449,8 +695,10 @@ def write_ocf(records: Iterable[dict], schema, codec: str = "deflate",
               block_records: int = 1000) -> bytes:
     """Serialize records to one Avro object-container-file blob."""
     schema = parse_schema(schema)
-    if codec not in ("null", "deflate"):
-        raise NotImplementedError(f"avro: codec {codec!r} (null/deflate only)")
+    if codec not in ("null", "deflate", "snappy"):
+        raise NotImplementedError(
+            f"avro: codec {codec!r} (null/deflate/snappy only)"
+        )
     names: dict = {}
     _register_named(schema, names)
     sync = _sync_for(schema)
@@ -478,6 +726,8 @@ def write_ocf(records: Iterable[dict], schema, codec: str = "deflate",
         if codec == "deflate":  # raw RFC1951 per the spec
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             payload = co.compress(payload) + co.flush()
+        elif codec == "snappy":  # raw snappy + BE CRC32 of raw bytes
+            payload = _snappy_block_encode(payload)
         head = bytearray()
         _write_long(head, count)
         _write_long(head, len(payload))
@@ -544,11 +794,7 @@ def iter_blocks_with_offsets(
         if data[pos:pos + 16] != sync:
             raise ValueError("avro: sync marker mismatch (corrupt block)")
         pos += 16
-        if codec == "deflate":
-            payload = zlib.decompress(payload, -15)
-        elif codec != "null":
-            raise NotImplementedError(f"avro: codec {codec!r}")
-        yield count, payload, start
+        yield count, _block_decode(codec, payload), start
 
 
 def plan_splits(data: bytes) -> list[dict]:
@@ -586,11 +832,9 @@ def read_block_at(data: bytes, offset: int, writer_schema=None,
     payload = data[pos:pos + size]
     if data[pos + size:pos + size + 16] != sync:
         raise ValueError("avro: sync marker mismatch at split offset")
-    if codec == "deflate":
-        payload = zlib.decompress(payload, -15)
-    elif codec != "null":
-        raise NotImplementedError(f"avro: codec {codec!r}")
-    return decode_block(payload, count, writer_schema, reader_schema)
+    return decode_block(
+        _block_decode(codec, payload), count, writer_schema, reader_schema
+    )
 
 
 def decode_block(payload: bytes, count: int, writer_schema,

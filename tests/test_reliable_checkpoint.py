@@ -48,15 +48,39 @@ def reliable_dir(spark, tmp_path):
     spark.conf.unset(CHECKPOINT_DIR_CONF)
 
 
-def test_conf_switches_strategy(spark, reliable_dir):
-    df = spark.range(100)
-    out = superstep_checkpoint(df)
-    # reliable checkpoint() rewrites the plan to scan the checkpoint
-    # RDD; localCheckpoint shows LocalTableScan/ExistingRDD too, so
-    # assert on the JVM-side checkpoint dir actually being set (the
-    # observable contract) plus identical data.
-    assert spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+def test_conf_switches_strategy(spark, reliable_dir, monkeypatch):
+    """ADVICE r9: the old assertion (JVM getCheckpointDir().isDefined())
+    went vacuous whenever another test had already set the
+    session-global dir (test_eager_capture does). Observe the ACTUAL
+    strategy call instead: patch the classic DataFrame methods (the
+    public pyspark.sql.DataFrame ABC's methods are overridden -
+    patches there capture nothing, r8) and assert conf-set routes to
+    checkpoint() and conf-unset to localCheckpoint()."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    calls: list[str] = []
+    orig_ck = cdf.DataFrame.checkpoint
+    orig_lck = cdf.DataFrame.localCheckpoint
+    monkeypatch.setattr(
+        cdf.DataFrame, "checkpoint",
+        lambda self, eager=True: (
+            calls.append("reliable"), orig_ck(self, eager=eager)
+        )[1],
+    )
+    monkeypatch.setattr(
+        cdf.DataFrame, "localCheckpoint",
+        lambda self, eager=True: (
+            calls.append("local"), orig_lck(self, eager=eager)
+        )[1],
+    )
+    out = superstep_checkpoint(spark.range(100))
+    assert calls == ["reliable"]
     assert out.count() == 100
+    spark.conf.unset(CHECKPOINT_DIR_CONF)
+    calls.clear()
+    out2 = superstep_checkpoint(spark.range(5))
+    assert calls == ["local"]
+    assert out2.count() == 5
 
 
 @pytest.mark.parametrize("key", FAMILY_KEYS)
