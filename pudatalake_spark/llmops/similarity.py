@@ -1372,10 +1372,18 @@ PQ_SUBS = 32     # subspaces (64 dims -> 32 x 2)
 PQ_SUBDIM = 2
 PQ_K = 256       # centroids per subspace (8-bit codes, FAISS PQ32x8)
 PQ_TRAIN_ITERS = 2   # Lloyd supersteps (fixed count = deterministic)
+# Train on a bounded deterministic sample (vec_id < cap), the FAISS
+# convention: codebook quality needs samples-per-centroid, not the
+# corpus - so the 3x N*K*SUBS assignment volume collapses to ONE
+# full-corpus encode pass + capped training passes (measured 206 s ->
+# 90 s at 20k vecs, SCALING sec 22). Every fixture corpus is smaller
+# than the cap, so the fixture codebook (and the oracle hash) is
+# unchanged - the cap only engages at scale.
+PQ_TRAIN_CAP = 4096
 PQ_QUERIES = 10
 PQ_TOPK = 3
 
-# r10 measured note (SCALING §21): training the OLD 8x8-dim / K=16
+# r10 measured note (SCALING §22): training the OLD 8x8-dim / K=16
 # config does NOT lift recall (0.20 untrained -> 0.10-0.23 trained at
 # 0-8 Lloyd iters) - at that resolution quantization error swamps the
 # neighbor gaps on this corpus (top-1..5 d2 within 12% of each other).
@@ -1422,7 +1430,8 @@ def _pq_oracle() -> str:
         SELECT t.vec_id, t.s, t.x1, t.x2, c.code,
                row_number() OVER (PARTITION BY t.vec_id, t.s
                  ORDER BY {d2}, c.code) AS rn
-        FROM subs t JOIN cb{i} c ON t.s = c.s) WHERE rn = 1
+        FROM (SELECT * FROM subs WHERE vec_id < {PQ_TRAIN_CAP}) t
+        JOIN cb{i} c ON t.s = c.s) WHERE rn = 1
     ),
     u{i} AS (
       SELECT s, code, sum(x1) AS s1, sum(x2) AS s2,
@@ -1477,6 +1486,11 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer queries WITHOUT touching raw corpus vectors - each query
     precomputes a 32x256 lookup table of sub-distances to every
     centroid, and a candidate's distance is just 32 LUT adds.
+    Training reads only a bounded deterministic sample (vec_id <
+    PQ_TRAIN_CAP = 4096, the FAISS train-on-a-sample convention) -
+    a no-op at fixture sizes, the difference between 3x and 1x
+    full-corpus assignment passes at scale (206 s -> 90 s measured
+    at 20k vectors, SCALING sec 22).
 
     Determinism protocol (tightened vs the r9 float version): vector
     coordinates are snapped to int64 MICRO-units FIRST, so every
@@ -1490,7 +1504,7 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors: 0.77/0.90/0.80 measured at sf0.001/0.01/0.1, floor
     0.5; the r9 untrained 8x8/K=16 codebook measured 0.20, and
     TRAINING THAT CONFIG DOES NOT HELP - 0.10-0.23 across 0-8 Lloyd
-    iters, see SCALING §21).
+    iters, see SCALING §22).
 
     100 TB posture - the reason PQ exists: the corpus is stored as
     N x 32 BYTES (8x smaller than float32), the per-query LUT is
@@ -1533,11 +1547,12 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         dy = F.col("x2") - F.col("c2")
         return dx * dx + dy * dy
 
-    def _assign(cbdf):
+    def _assign(cbdf, frame=None):
         # argmin centroid per (vector, subspace): struct-min with the
         # code as tie-break - a map-side-combinable agg, no window.
         return (
-            subs.join(F.broadcast(cbdf), F.col("s") == F.col("cs"))
+            (frame if frame is not None else subs)
+            .join(F.broadcast(cbdf), F.col("s") == F.col("cs"))
             .groupBy("vec_id", "s", "x1", "x2")
             .agg(
                 F.min(
@@ -1547,9 +1562,10 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "s", "x1", "x2", F.col("b.code").alias("code"))
         )
 
+    train = subs.filter(F.col("vec_id") < PQ_TRAIN_CAP)
     for _ in range(PQ_TRAIN_ITERS):
         upd = (
-            _assign(cb)
+            _assign(cb, frame=train)
             .groupBy("s", "code")
             .agg(
                 F.sum("x1").alias("s1"),
@@ -1563,8 +1579,11 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("(s2 - pmod(s2, n)) div n").alias("n2"),
             )
         )
+        # The update table is bounded by the codebook size (<= SUBS*K
+        # = 8192 rows at ANY corpus size) - broadcast it so the
+        # codebook refresh never sort-merge-shuffles.
         cb = cb.join(
-            upd,
+            F.broadcast(upd),
             (F.col("cs") == F.col("us")) & (F.col("code") == F.col("ucode")),
             "left",
         ).select(

@@ -809,6 +809,8 @@ def test_pq_adc_matches_numpy_and_recall(spark):
     protocol: 32x2-dim subspaces, K=256, 2 Lloyd supersteps in exact
     int64 micro-units), plus a recall@3 floor vs exact L2 neighbors."""
     SUBS, K, ITERS = 32, 256, 2
+    # PQ_TRAIN_CAP (4096) is a no-op at fixture sizes (N=500 here),
+    # so this reference trains on the full corpus like the engine.
     e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet").sort_values(
         "vec_id"
     )
@@ -868,7 +870,7 @@ def test_pq_adc_matches_numpy_and_recall(spark):
     # with margin so a testdata regeneration doesn't flap the gate.
     # (The r9 untrained 8x8/K=16 codebook measured 0.20 - and
     # training THAT config doesn't help; resolution was the binding
-    # constraint. See SCALING §21.)
+    # constraint. See SCALING §22.)
     assert hit / total >= 0.5, f"PQ recall@3 = {hit/total}"
 
 

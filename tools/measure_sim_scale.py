@@ -112,7 +112,13 @@ def main() -> None:
     for tag, n in SIZES.items():
         sf_dir = os.path.join(OUT_ROOT, tag)
         keys = ["q_sim_cosine_topk", "q_sim_ann_ivf", "q_sim_ann_lsh",
-                "q_sim_knn_label"]
+                "q_sim_knn_label",
+                # r10: trained PQ — train (3 broadcast-join passes over
+                # N×K×SUBS rows) + encode are linear in N; the ADC
+                # probe itself is a flat broadcast-LUT map. At real
+                # scale the trainer runs on a bounded SAMPLE (the
+                # FAISS convention), so the linear term is capped too.
+                "q_sim_pq_adc"]
         if n <= 20_000:
             keys.append("q_sim_threshold_pairs")  # N^2 by contract
         for key in keys:
