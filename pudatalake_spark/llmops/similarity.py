@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..loaders import spread, table
 from ..registry import register
+from ..session import superstep_checkpoint
 
 COS_TAU = 0.3
 TOP_K = 5
@@ -1376,7 +1377,7 @@ PQ_TRAIN_ITERS = 2   # Lloyd supersteps (fixed count = deterministic)
 # convention: codebook quality needs samples-per-centroid, not the
 # corpus - so the 3x N*K*SUBS assignment volume collapses to ONE
 # full-corpus encode pass + capped training passes (measured 206 s ->
-# 90 s at 20k vecs, SCALING sec 22). Every fixture corpus is smaller
+# 69 s at 20k vecs, SCALING sec 22). Every fixture corpus is smaller
 # than the cap, so the fixture codebook (and the oracle hash) is
 # unchanged - the cap only engages at scale.
 PQ_TRAIN_CAP = 4096
@@ -1489,7 +1490,7 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Training reads only a bounded deterministic sample (vec_id <
     PQ_TRAIN_CAP = 4096, the FAISS train-on-a-sample convention) -
     a no-op at fixture sizes, the difference between 3x and 1x
-    full-corpus assignment passes at scale (206 s -> 90 s measured
+    full-corpus assignment passes at scale (206 s -> 69 s measured
     at 20k vectors, SCALING sec 22).
 
     Determinism protocol (tightened vs the r9 float version): vector
@@ -1581,15 +1582,29 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # The update table is bounded by the codebook size (<= SUBS*K
         # = 8192 rows at ANY corpus size) - broadcast it so the
-        # codebook refresh never sort-merge-shuffles.
-        cb = cb.join(
-            F.broadcast(upd),
-            (F.col("cs") == F.col("us")) & (F.col("code") == F.col("ucode")),
-            "left",
-        ).select(
-            "cs", "code",
-            F.coalesce("n1", "c1").alias("c1"),
-            F.coalesce("n2", "c2").alias("c2"),
+        # codebook refresh never sort-merge-shuffles. Each superstep's
+        # codebook is then MATERIALIZED (the q_graph_pagerank
+        # superstep rule, via the strategy-switchable
+        # superstep_checkpoint): the final codebook feeds TWO
+        # consumers (corpus encode + query LUT), and without the
+        # checkpoint each re-executes the training chain inside its
+        # own broadcast build. Measured A/B (interleaved, one
+        # session): ~1.15x at the sf0.1 fixture (12.1 vs 13.5 s),
+        # neutral at 20k vectors where the one-pass encode dominates
+        # - broadcast-exchange reuse already dedupes most of the
+        # recomputation, so this mainly bounds plan depth. The frame
+        # is <= 8192 rows; the checkpoint cost is noise at any size.
+        cb = superstep_checkpoint(
+            cb.join(
+                F.broadcast(upd),
+                (F.col("cs") == F.col("us"))
+                & (F.col("code") == F.col("ucode")),
+                "left",
+            ).select(
+                "cs", "code",
+                F.coalesce("n1", "c1").alias("c1"),
+                F.coalesce("n2", "c2").alias("c2"),
+            )
         )
     codes = _assign(cb).select("vec_id", "s", "code")
     qlut = (
