@@ -1518,6 +1518,16 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     at cluster scale each superstep's codebook would localCheckpoint.
     2-dim subspaces keep the distance arithmetic in whole-stage
     codegen (no interpreted array fold).
+
+    Local-engine cost (r10 follow-up, SCALING sec 22): the first
+    trained version ran 11 s at the sf0.1 fixture - stage metrics
+    showed ~80-100 s CPU per assign pass on 16.4M expanded rows.
+    Three compounding causes, each fixed: Generate fused into the
+    expansion-join codegen loop (the dominant one - see the subs
+    checkpoint note below), min(struct) planning Sort+SortAggregate
+    with the d2 arithmetic evaluated interpreted per expanded row,
+    and a 4-column grouping key missing the codegen fast hash map.
+    Fixed total: 3.5 s steady (3.2x).
     """
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", _vd("embedding").alias("v")
@@ -1538,6 +1548,19 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("vec_id", "p.s", "p.x1", "p.x2")
+    # Materialize the exploded sub-vector table ONCE. Two reasons,
+    # both measured (r10, SCALING sec 22): (1) subs feeds FOUR
+    # consumers (codebook seed, train passes, corpus encode, query
+    # LUT) - without a boundary each re-derives the explode; (2) far
+    # bigger, when the Generate(explode of 32 structs) stays FUSED
+    # into the same whole-stage-codegen loop as the x256 expansion
+    # join, every joined row re-walks the generator output (~5 us/row,
+    # ~80 s CPU per assign pass at 16.4M rows); a materialization
+    # boundary makes the join probe read flat int rows (measured
+    # 2.6 s -> 0.3 s per pass on the same synthetic shape). The frame
+    # is 32 ints per vector - strictly smaller than the raw float
+    # corpus it replaces in every downstream pass.
+    subs = superstep_checkpoint(subs)
     cb = subs.filter(F.col("vec_id") < PQ_K).select(
         F.col("s").alias("cs"), F.col("vec_id").alias("code"),
         F.col("x1").alias("c1"), F.col("x2").alias("c2"),
@@ -1549,18 +1572,32 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         return dx * dx + dy * dy
 
     def _assign(cbdf, frame=None):
-        # argmin centroid per (vector, subspace): struct-min with the
-        # code as tie-break - a map-side-combinable agg, no window.
+        # argmin centroid per (vector, subspace), as min(d2*K + code):
+        # same (d2, code)-ascending selection as a struct-min (code <
+        # K=256 and d2 <= 2*(1.2e6)^2 ~ 3e12, so d2*256 + code fits
+        # int64 with 4 decades of margin - ANSI mode would error, not
+        # wrap, if the micro-unit scale ever changed). Two measured
+        # r10 cliffs dictate the shape (SCALING sec 22): min(struct)
+        # is not hash-aggregable - Spark plans Sort+SortAggregate and
+        # evaluates the d2 arithmetic interpreted per EXPANDED row
+        # (~100 s CPU per pass at 16.4M rows); and a 4-column
+        # grouping key misses the codegen fast hash map (2.5 s vs
+        # 0.21 s measured). (vec_id, s) determines (x1, x2), so group
+        # on the 2-key grain and carry x1/x2 through as min()
+        # passthroughs: one codegen HashAggregate, map-side partials.
         return (
             (frame if frame is not None else subs)
             .join(F.broadcast(cbdf), F.col("s") == F.col("cs"))
-            .groupBy("vec_id", "s", "x1", "x2")
+            .groupBy("vec_id", "s")
             .agg(
-                F.min(
-                    F.struct(_d2().alias("d2"), F.col("code").alias("code"))
-                ).alias("b")
+                F.min(_d2() * PQ_K + F.col("code")).alias("m"),
+                F.min("x1").alias("x1"),
+                F.min("x2").alias("x2"),
             )
-            .select("vec_id", "s", "x1", "x2", F.col("b.code").alias("code"))
+            .select(
+                "vec_id", "s", "x1", "x2",
+                F.pmod(F.col("m"), F.lit(PQ_K)).alias("code"),
+            )
         )
 
     train = subs.filter(F.col("vec_id") < PQ_TRAIN_CAP)
@@ -1589,11 +1626,12 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumers (corpus encode + query LUT), and without the
         # checkpoint each re-executes the training chain inside its
         # own broadcast build. Measured A/B (interleaved, one
-        # session): ~1.15x at the sf0.1 fixture (12.1 vs 13.5 s),
-        # neutral at 20k vectors where the one-pass encode dominates
-        # - broadcast-exchange reuse already dedupes most of the
-        # recomputation, so this mainly bounds plan depth. The frame
-        # is <= 8192 rows; the checkpoint cost is noise at any size.
+        # session, pre-fix plans): ~1.15x at the sf0.1 fixture
+        # (12.1 vs 13.5 s), neutral at 20k vectors where the
+        # one-pass encode dominates - broadcast-exchange reuse
+        # already dedupes most of the recomputation, so this mainly
+        # bounds plan depth. The frame is <= 8192 rows; the
+        # checkpoint cost is noise at any size.
         cb = superstep_checkpoint(
             cb.join(
                 F.broadcast(upd),
