@@ -31,6 +31,12 @@ COS_TAU = 0.3
 TOP_K = 5
 IVF_CENTROIDS = 8
 IVF_NPROBE = 2
+# q_sim_threshold_pairs GEMM tiling (r10): 2048-row blocks keep the
+# per-task score tile at 2048^2 float64 = 32 MiB; the margin bounds
+# numpy-vs-SQL-fold summation-order drift (O(1e-15) for 64-dim dots,
+# so 1e-4 is ~11 decades of slack) making the prefilter lossless.
+GEMM_BLOCK = 2048
+GEMM_MARGIN = 1e-4
 
 
 def _vd(col: str):
@@ -145,9 +151,7 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine >= 0.3 within the same label block (the
     blocked formulation of all-pairs similarity: label partitions the
-    N^2 into 10 independent (N/10)^2 problems). The cosine is
-    projected BEFORE the filter so it is evaluated once per pair, with
-    per-row norms hoisted out of the pair loop.
+    N^2 into 10 independent (N/10)^2 problems).
 
     Why this stays exact-quadratic-within-block instead of LSH-banded
     like q_dedup_embedding: sign-bit LSH recall for a cosine-0.3 pair
@@ -155,34 +159,127 @@ def q_sim_threshold_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.6 per bit - strictly below 1 for ANY (r, b), so banding WOULD
     drop true pairs and break this operator's exact contract (the
     oracle hash-match). tau = 0.3 is simply too low an angle for
-    provable LSH recall. This operator is therefore the exact
-    complement; the declared scale path at 100 TB is q_sim_ann_lsh /
-    q_dedup_embedding (SCALING.md section 4 and 7), which trade
-    bounded recall for sub-quadratic candidates at the tau ranges
-    (>= 0.7) where banding is effective."""
+    provable LSH recall. Norm-prefix pruning is equally dead on dense
+    embeddings (measured NEGATIVE, SCALING section 23: the corpus is
+    per-vector isotropic, so the Cauchy-Schwarz bound prunes nothing).
+
+    With pruning provably unavailable, the scale lever is ARITHMETIC
+    THROUGHPUT, not pair count: the N^2-by-contract pairs are scored
+    as blocked matrix products (filter-and-refine, r10):
+
+    1. Each label's vectors are cut into position-ordered blocks of
+       GEMM_BLOCK rows; block pairs (bi <= bj) are enumerated from the
+       tiny (label, blk) spine (broadcast join) and each pair's two
+       blocks meet in one applyInPandas task that computes the full
+       cos matrix as a float64 GEMM - ~100x the throughput of the
+       previous per-pair interpreted array-aggregate, same flop count.
+    2. The GEMM keeps pairs with cos >= tau - GEMM_MARGIN. Summation
+       order in a 64-term float64 dot differs between numpy and the
+       SQL fold by O(1e-15), so GEMM_MARGIN = 1e-4 makes the
+       prefilter provably lossless.
+    3. Survivors (a vanishing fraction) are re-scored JVM-side with
+       the same _cos_pre fold the oracle uses - the emitted cos_sim
+       is bit-identical to the pre-r10 implementation, so the oracle
+       contract is untouched by the numpy surface.
+
+    At 100 TB the plan is shuffle-light: block replication is
+    n_blocks-fold within a label (sqrt of the pair fan-out), each
+    task's working set is 2 * GEMM_BLOCK * 64 doubles + the score
+    tile, and the refine join is driven by the (rare) candidate set.
+    The declared approximate alternative for tau >= 0.7 regimes
+    remains q_sim_ann_lsh / q_dedup_embedding (SCALING sections 4, 7).
+    """
+    import numpy as np
+    import pandas as pd
+
     e = _with_norm(
         table(spark, sf_dir, "embeddings").select(
             "vec_id", "label", _vd("embedding").alias("v")
         )
     )
-    a, b = e.alias("a"), e.alias("b")
-    scored = (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+    # Position-ordered blocks: within a label, block bi holds strictly
+    # smaller vec_ids than block bj > bi (row_number over vec_id), so
+    # cross-block tasks emit vec1 < vec2 without a per-pair compare.
+    wb = Window.partitionBy("label").orderBy("vec_id")
+    blocked = e.withColumn(
+        "blk", ((F.row_number().over(wb) - F.lit(1)) / F.lit(GEMM_BLOCK)).cast("int")
+    )
+    blks = blocked.select("label", "blk").distinct()
+    bx, by = blks.alias("bx"), blks.alias("by")
+    pairs = (
+        bx.join(
+            F.broadcast(by),
+            (F.col("bx.label") == F.col("by.label"))
+            & (F.col("bx.blk") <= F.col("by.blk")),
         )
         .select(
-            F.col("a.label").alias("label"),
-            F.col("a.vec_id").alias("vec1"),
-            F.col("b.vec_id").alias("vec2"),
-            F.round(
-                _cos_pre(F.col("a.v"), F.col("a.nrm"), F.col("b.v"), F.col("b.nrm")),
-                6,
-            ).alias("cos_sim"),
+            F.col("bx.label").alias("label"),
+            F.col("bx.blk").alias("bi"),
+            F.col("by.blk").alias("bj"),
         )
     )
-    return scored.filter(F.col("cos_sim") >= COS_TAU)
+    def _ship(pair_side: DataFrame, blk_col: str, side: int) -> DataFrame:
+        p, r = pair_side.alias("p"), blocked.alias("r")
+        return (
+            F.broadcast(p)
+            .join(
+                r,
+                (F.col("p.label") == F.col("r.label"))
+                & (F.col(f"p.{blk_col}") == F.col("r.blk")),
+            )
+            .select(
+                F.col("r.label").alias("label"), "p.bi", "p.bj",
+                "r.vec_id", "r.v", "r.nrm", F.lit(side).alias("side"),
+            )
+        )
+
+    side_a = _ship(pairs, "bi", 0)
+    side_b = _ship(pairs.filter(F.col("bi") < F.col("bj")), "bj", 1)
+    tau_pre = COS_TAU - GEMM_MARGIN
+
+    def _gemm_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        a = pdf[pdf["side"] == 0].sort_values("vec_id")
+        b = pdf[pdf["side"] == 1].sort_values("vec_id")
+        av = np.vstack(a["v"].to_numpy())
+        an = a["nrm"].to_numpy()
+        aid = a["vec_id"].to_numpy()
+        if len(b) == 0:  # diagonal tile: upper triangle of A x A
+            cos = (av @ av.T) / np.outer(an, an)
+            iu, ju = np.triu_indices(len(a), k=1)
+            keep = cos[iu, ju] >= tau_pre
+            v1, v2 = aid[iu[keep]], aid[ju[keep]]
+        else:  # cross tile: every A id < every B id by construction
+            bv = np.vstack(b["v"].to_numpy())
+            cos = (av @ bv.T) / np.outer(an, b["nrm"].to_numpy())
+            ii, jj = np.nonzero(cos >= tau_pre)
+            v1, v2 = aid[ii], b["vec_id"].to_numpy()[jj]
+        lbl = pdf["label"].iloc[0]
+        return pd.DataFrame({"label": lbl, "vec1": v1, "vec2": v2})
+
+    cand = (
+        side_a.unionByName(side_b)
+        .groupBy("label", "bi", "bj")
+        .applyInPandas(_gemm_tile, schema="label int, vec1 bigint, vec2 bigint")
+    )
+    # Refine: recompute survivors with the oracle's own fold so the
+    # emitted values are bit-identical to the pre-GEMM implementation.
+    e1 = e.select(
+        F.col("vec_id").alias("vec1"), F.col("v").alias("v1"), F.col("nrm").alias("n1")
+    )
+    e2 = e.select(
+        F.col("vec_id").alias("vec2"), F.col("v").alias("v2"), F.col("nrm").alias("n2")
+    )
+    return (
+        cand.join(e1, "vec1")
+        .join(e2, "vec2")
+        .select(
+            "label", "vec1", "vec2",
+            F.round(
+                _cos_pre(F.col("v1"), F.col("n1"), F.col("v2"), F.col("n2")), 6
+            ).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COS_TAU)
+    )
 
 
 @register(

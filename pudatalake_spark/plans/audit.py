@@ -659,6 +659,10 @@ UDF_KEYS = {
     "q_text_bpe_merges",  # iterative merge loop over the vocab sample
     "src_avro",  # mapInPandas pure-stdlib avro decode surface (r9)
     "src_avro_split",  # same surface, block-parallel split read (r9)
+    # r10: exact all-pairs cosine rescored as blocked float64 GEMM
+    # tiles (applyInPandas filter-and-refine; the refine fold and the
+    # emitted values stay JVM-side and bit-identical to the oracle).
+    "q_sim_threshold_pairs",
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
