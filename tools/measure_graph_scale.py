@@ -125,8 +125,8 @@ def edge_stats(out_dir: str) -> dict:
     row = con.execute(
         f"""
         WITH e AS (SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
-                   FROM read_parquet('{out_dir}/orders.parquet')
-                   JOIN read_parquet('{out_dir}/lineitem.parquet')
+                   FROM read_parquet('{out_dir}/orders.parquet') o
+                   JOIN read_parquet('{out_dir}/lineitem.parquet') l
                      ON o_orderkey = l_orderkey)
         SELECT count(*) AS n_edges,
                (SELECT max(d) FROM
