@@ -473,7 +473,20 @@ def s_anomaly_score(
         hist = list(hist)
         out = {"event_id": [], "event_type": [], "value": [], "z": []}
         frames = []
-        for pdf in pdf_iter:
+        # The iterator yields the group in ARROW-SIZED CHUNKS whose
+        # boundaries and order follow shuffle arrival, which varies
+        # run to run. Sorting per chunk (the r4-r10 code) therefore
+        # scored a run-dependent order and ~3% of the flags flickered
+        # across identical runs (caught by the r10 throughput
+        # measurement). The group must be assembled BEFORE the one
+        # global (ts, event_id) sort; per-micro-batch memory is
+        # bounded by the trigger (maxFilesPerTrigger in the replay
+        # test, file batching under availableNow), not by this concat.
+        chunks = list(pdf_iter)
+        whole = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        for pdf in ([whole] if len(whole) else []):
             pdf = pdf.sort_values(["ts", "event_id"])
             vals = pdf["value"].to_numpy(dtype=np.float64)
             n0 = len(hist)

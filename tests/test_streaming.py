@@ -243,6 +243,26 @@ def test_anomaly_score_stream_equals_batch(spark):
     assert_frames_match(per_file, batch, "s_anomaly_score≡batch(per-file)")
 
 
+def test_anomaly_score_stable_under_arrow_chunking(spark):
+    """Regression (r10): applyInPandasWithState hands each group to
+    the scorer as ARROW-SIZED CHUNKS in shuffle-arrival order. The
+    pre-r10 code sorted per chunk instead of per group, so whenever a
+    group spanned chunks (sf0.1 and up — never the sf0.001 fixture,
+    which is why the equivalence test above stayed green) ~3% of the
+    flags flickered run to run. Forcing 97-row Arrow batches makes
+    every fixture group span many chunks; the output must still equal
+    the batch analytic exactly. (Verified to FAIL against the pre-fix
+    code.)"""
+    batch = registry.QUERIES["q_events_anomaly"](spark, SF_DIR).toPandas()
+    orig = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "97")
+    try:
+        chunked = registry.QUERIES["s_anomaly_score"](spark, SF_DIR).toPandas()
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", orig)
+    assert_frames_match(chunked, batch, "s_anomaly_score≡batch(97-row chunks)")
+
+
 def test_checkpoint_restart_is_exactly_once(spark):
     """Exactly-once across RESTARTS: a stateful aggregation drains
     half its input, stops, and a NEW query resumes from the same
