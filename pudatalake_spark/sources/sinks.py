@@ -232,13 +232,40 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("days") - F.col("dmin")) * ((1 << ZBITS) - 1)
          / (F.col("dmax") - F.col("dmin"))).cast("bigint").alias("dy"),
     )
+    # File assignment is ARITHMETIC binning, not repartitionByRange:
+    # range boundaries come from reservoir sampling with a per-run
+    # seed, so two runs of the same sink produced files with slightly
+    # different span stats (caught by tools/determinism_sweep.py,
+    # r10). floor-division bins on the broadcast min/max are
+    # deterministic; repartition(fid) puts each bin in one shuffle
+    # partition and partitionBy splits files per bin, so the layout
+    # is exactly n_files files either way.
     n_files = 16
-    scaled.repartitionByRange(n_files, "o_custkey").write.mode(
+    lin = scaled.withColumn(
+        "fid",
+        F.least(
+            F.floor(
+                (F.col("o_custkey") - F.col("cmin"))
+                * n_files
+                / (F.col("cmax") - F.col("cmin") + 1)
+            ),
+            F.lit(n_files - 1),
+        ).cast("int"),
+    )
+    lin.repartition(n_files, "fid").write.partitionBy("fid").mode(
         "overwrite"
     ).parquet(out_lin)
-    scaled.withColumn("z", _zvalue(F.col("cx"), F.col("dy"))).repartitionByRange(
-        n_files, "z"
-    ).write.mode("overwrite").parquet(out_z)
+    # z is the interleave of two ZBITS-bit dims -> [0, 2^(2*ZBITS));
+    # its top 4 bits are the 16-way bin (uniform when both dims are).
+    zed = scaled.withColumn(
+        "z", _zvalue(F.col("cx"), F.col("dy"))
+    ).withColumn(
+        "fid",
+        F.shiftrightunsigned(F.col("z"), 2 * ZBITS - 4).cast("int"),
+    ).drop("z")
+    zed.repartition(n_files, "fid").write.partitionBy("fid").mode(
+        "overwrite"
+    ).parquet(out_z)
 
     def spans(path: str, layout: str) -> DataFrame:
         df = spark.read.schema(scaled.schema).parquet(path)
