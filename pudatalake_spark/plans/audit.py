@@ -635,6 +635,15 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct", r"BatchEvalPython"],
         "louvain round: broadcast dims + in-shuffle argmax",
     ),
+    "q_sim_threshold_pairs": (
+        # r10 GEMM filter-and-refine: block-pair spine and the two
+        # block shipments ride broadcasts, ONE applyInPandas surface
+        # computes the tiles, and the refine joins hash - never a
+        # cartesian pair expansion or a sort-merge of vector payloads.
+        [r"FlatMapGroupsInPandas", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"SortMergeJoin", r"BatchEvalPython"],
+        "threshold pairs: broadcast block spine + one GEMM tile surface",
+    ),
 }
 
 # Operators whose PURPOSE is Python evaluation; everything else must
