@@ -16,11 +16,14 @@ library — the same discipline as ``llmops/codecs.py`` (PNG/WAV/netpbm):
 - **object container file**: magic ``Obj\\x01``, file-metadata map
   (``avro.schema`` + ``avro.codec``), 16-byte sync marker, then
   blocks of (record-count, byte-size, payload, sync). Codecs ``null``,
-  ``deflate`` (raw RFC1951 — ``zlib`` with ``wbits=-15``) and
+  ``deflate`` (raw RFC1951 — ``zlib`` with ``wbits=-15``),
   ``snappy`` (r10: raw snappy block format implemented here in pure
   stdlib — LE-varint preamble, literal/copy tags — plus the Avro
   4-byte big-endian CRC32-of-uncompressed suffix; cross-validated
-  bidirectionally against the ``snappy-java`` jar pyspark ships).
+  bidirectionally against the ``snappy-java`` jar pyspark ships),
+  ``bzip2`` and ``xz`` (r10: standard .bz2 / .xz streams straight
+  from the stdlib ``bz2`` / ``lzma`` modules, per the spec). Of the
+  spec codecs only ``zstandard`` stays gated (no stdlib zstd).
 - **schema resolution** (reader schema != writer schema): record
   fields matched by NAME (reorder/subset both work), writer-only
   fields decoded-and-dropped (Avro has no per-field lengths — skipping
@@ -51,9 +54,11 @@ the behavior contract is the public Avro 1.12 spec.
 
 from __future__ import annotations
 
+import bz2
 import hashlib
 import io
 import json
+import lzma
 import struct
 import zlib
 from collections.abc import Iterable, Iterator
@@ -676,6 +681,18 @@ def _block_decode(codec: str, payload: bytes) -> bytes:
         return zlib.decompress(payload, -15)
     if codec == "snappy":
         return _snappy_block_decode(payload)
+    if codec == "bzip2":  # standard .bz2 stream per the spec
+        try:
+            return bz2.decompress(payload)
+        except OSError as e:
+            raise ValueError(f"avro: bad bzip2 block ({e})") from e
+    if codec == "xz":  # standard .xz container per the spec
+        try:
+            return lzma.decompress(payload, format=lzma.FORMAT_XZ)
+        except lzma.LZMAError as e:
+            raise ValueError(f"avro: bad xz block ({e})") from e
+    # "zstandard" is the one spec codec left out: no stdlib zstd in
+    # this Python (probed r10); gate rather than vendor a compressor.
     raise NotImplementedError(f"avro: codec {codec!r}")
 
 
@@ -695,9 +712,9 @@ def write_ocf(records: Iterable[dict], schema, codec: str = "deflate",
               block_records: int = 1000) -> bytes:
     """Serialize records to one Avro object-container-file blob."""
     schema = parse_schema(schema)
-    if codec not in ("null", "deflate", "snappy"):
+    if codec not in ("null", "deflate", "snappy", "bzip2", "xz"):
         raise NotImplementedError(
-            f"avro: codec {codec!r} (null/deflate/snappy only)"
+            f"avro: codec {codec!r} (null/deflate/snappy/bzip2/xz only)"
         )
     names: dict = {}
     _register_named(schema, names)
@@ -728,6 +745,10 @@ def write_ocf(records: Iterable[dict], schema, codec: str = "deflate",
             payload = co.compress(payload) + co.flush()
         elif codec == "snappy":  # raw snappy + BE CRC32 of raw bytes
             payload = _snappy_block_encode(payload)
+        elif codec == "bzip2":  # standard .bz2 stream per the spec
+            payload = bz2.compress(payload, 9)
+        elif codec == "xz":  # standard .xz container per the spec
+            payload = lzma.compress(payload, format=lzma.FORMAT_XZ, preset=6)
         head = bytearray()
         _write_long(head, count)
         _write_long(head, len(payload))

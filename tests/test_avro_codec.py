@@ -48,7 +48,7 @@ def _customers(n=257, start=-5):
     ]
 
 
-@pytest.mark.parametrize("codec", ["null", "deflate", "snappy"])
+@pytest.mark.parametrize("codec", ["null", "deflate", "snappy", "bzip2", "xz"])
 def test_roundtrip_both_codecs(codec):
     recs = _customers()
     blob = A.write_ocf(recs, CUSTOMER, codec=codec, block_records=100)
@@ -190,7 +190,7 @@ _rec_st = st.fixed_dictionaries({
 
 @settings(max_examples=100, deadline=None)
 @given(st.lists(_rec_st, max_size=25),
-       st.sampled_from(["null", "deflate", "snappy"]),
+       st.sampled_from(["null", "deflate", "snappy", "bzip2", "xz"]),
        st.integers(min_value=1, max_value=7))
 def test_record_roundtrip_property(recs, codec, block_records):
     """Arbitrary records (full int64 range, ±inf doubles, unicode,
@@ -527,3 +527,61 @@ def test_multibranch_union_resolution():
     blob = A.write_ocf([{"v": 5}, {"v": "s"}, {"v": None}], w)
     _, out = A.read_ocf(blob, reader_schema=r)
     assert out == [{"v": 5}, {"v": "s"}, {"v": None}]
+
+
+# ------------------------------------------------- bzip2 / xz (r10)
+
+def test_bzip2_xz_corruption_detected():
+    """Both stdlib streams carry their own integrity checks (bzip2
+    block CRCs, xz CRC64); a flipped byte inside block 2's payload
+    must surface as the codec's ValueError, not silent junk."""
+    for codec in ("bzip2", "xz"):
+        recs = _customers(n=80)
+        blob = A.write_ocf(recs, CUSTOMER, codec=codec, block_records=40)
+        _, back = A.read_ocf(blob)
+        assert back == recs
+        splits = A.plan_splits(blob)
+        bad = bytearray(blob)
+        bad[splits[1]["offset"] + 8] ^= 0xFF
+        with pytest.raises(ValueError):
+            A.read_ocf(bytes(bad))
+
+
+def test_bzip2_xz_java_interop(spark):
+    """LIVE bidirectional block-layer interop against org.apache.avro
+    1.12.1's own CodecFactory (bzip2 via commons-compress 1.28, xz via
+    xz-java 1.10 - both jars in pyspark's classpath): java's avro
+    codec must decompress our blocks, and our codec must decompress
+    java's - the exact both-ways gate the snappy codec got."""
+    jvm = spark._jvm
+    import random
+
+    rng = random.Random(13)
+    cases = [
+        b"a",
+        b"hello avro, " * 3000,
+        bytes(rng.randrange(256) for _ in range(20000)),
+    ]
+    factories = {
+        "bzip2": jvm.org.apache.avro.file.CodecFactory.bzip2Codec(),
+        "xz": jvm.org.apache.avro.file.CodecFactory.xzCodec(6),
+    }
+    for name, factory in factories.items():
+        codec = factory.createInstance()
+        for c in cases:
+            ours = A._block_decode  # decode path under test
+            # our compressed stream -> java decompress
+            if name == "bzip2":
+                import bz2 as _bz2
+                comp = _bz2.compress(c, 9)
+            else:
+                import lzma as _lzma
+                comp = _lzma.compress(c, format=_lzma.FORMAT_XZ, preset=6)
+            bb = jvm.java.nio.ByteBuffer.wrap(bytearray(comp))
+            out = codec.decompress(bb)
+            assert bytes(out.array()[out.position():out.limit()]) == c
+            # java's compressed stream -> our decode
+            jin = jvm.java.nio.ByteBuffer.wrap(bytearray(c))
+            jcomp = codec.compress(jin)
+            jbytes = bytes(jcomp.array()[jcomp.position():jcomp.limit()])
+            assert ours(name, jbytes) == c
