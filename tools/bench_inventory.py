@@ -48,6 +48,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry.load_all()
 
+    # Session warm-up: the first measured key otherwise pays ~5-7 s of
+    # JIT/codegen/scan initialization that belongs to the session, not
+    # the plan (measured r10: q_agg_any_all read 6.0 s cold, 0.66 s
+    # warm). One untimed run of a representative key absorbs it.
+    try:
+        registry.QUERIES["q_agg_groupby"](spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    finally:
+        registry.clear_caches(spark)
+
     times: dict[str, float] = {}
     errs: dict[str, str] = {}
     for name in sorted(registry.QUERIES):
