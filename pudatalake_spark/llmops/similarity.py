@@ -1022,6 +1022,11 @@ def q_embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_GRAPH_K = 5
 KNN_GRAPH_BANDS = 6
+# r10 tiled candidate generation: probe-side / index-side rows per
+# GEMM tile within a (band, bucket). 2048x4096 float64 score tiles
+# are 64 MiB; at the fixture every bucket fits one tile.
+KNN_TILE_Q = 2048
+KNN_TILE_I = 4096
 
 
 @register("q_sim_knn_graph")  # bucketed ANN self-join -> rows-only
@@ -1120,24 +1125,85 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("vec_id", "p.band", "p.bucket")
-    a = probes.select(
-        F.col("vec_id").alias("src"),
-        F.col("band").alias("a_band"),
-        F.col("bucket").alias("a_bucket"),
+    # r10: TILED per-bucket GEMM candidate generation. The previous
+    # form materialized the banded equi self-join as PAIR ROWS and
+    # scored each with the interpreted fold — ~0.8·N² pair rows at
+    # measured candidate volumes (168.9 s at 20 k vecs; 200 k not
+    # attemptable). Instead, each (band, bucket)'s probe and index
+    # members meet in bounded GEMM tiles (KNN_TILE_Q × KNN_TILE_I)
+    # that emit, per probe, every candidate whose ROUNDED cosine ties
+    # into the tile's top-KNN_GRAPH_K VALUES (np.partition cut, ties
+    # kept) — pair rows never materialize. Output-equivalence to the
+    # pair-join form is exact, not approximate: a global top-5
+    # neighbor shares ≥1 bucket with its query; within that bucket it
+    # ranks ≤5 by value among the bucket's candidates; tiles
+    # partition the bucket's index side, so within its tile it still
+    # ranks ≤5 and survives the cut (pinned by
+    # tests/test_gemm_pairs.py-style equality in the knn recall test
+    # and verified old-vs-new identical at sf0.001/sf0.01 when this
+    # landed). Survivors are re-scored by the same JVM fold + window
+    # tail as before, so the emitted rows are bit-identical.
+    import numpy as np
+    import pandas as pd
+
+    wq = Window.partitionBy("band", "bucket").orderBy("vec_id")
+    idx = banded.withColumn(
+        "ic",
+        ((F.row_number().over(wq) - F.lit(1)) / F.lit(KNN_TILE_I)).cast("int"),
     )
-    b = banded.select(
-        F.col("vec_id").alias("dst"),
-        F.col("band").alias("b_band"),
-        F.col("bucket").alias("b_bucket"),
+    qry = probes.withColumn(
+        "qc",
+        ((F.row_number().over(wq) - F.lit(1)) / F.lit(KNN_TILE_Q)).cast("int"),
     )
-    cand = (
-        a.join(
-            b,
-            (F.col("a_band") == F.col("b_band"))
-            & (F.col("a_bucket") == F.col("b_bucket"))
-            & (F.col("src") != F.col("dst")),
+    ic_spine = idx.select("band", "bucket", "ic").distinct()
+    qc_spine = qry.select("band", "bucket", "qc").distinct()
+    payload = eb.select("vec_id", "v", "nrm")
+    # payload joins the SLIM windowed frames first (one shuffle on
+    # vec_id); the spine joins are broadcasts, so chunk replication
+    # is map-side.
+    q_ship = (
+        qry.join(payload, "vec_id")
+        .join(F.broadcast(ic_spine), ["band", "bucket"])
+        .select(
+            "band", "bucket", "qc", "ic", "vec_id", "v", "nrm",
+            F.lit(0).alias("side"),
         )
-        .select("src", "dst")
+    )
+    i_ship = (
+        idx.join(payload, "vec_id")
+        .join(F.broadcast(qc_spine), ["band", "bucket"])
+        .select(
+            "band", "bucket", "qc", "ic", "vec_id", "v", "nrm",
+            F.lit(1).alias("side"),
+        )
+    )
+    k_cut = KNN_GRAPH_K
+
+    def _knn_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf[pdf["side"] == 0]
+        ix = pdf[pdf["side"] == 1]
+        if len(q) == 0 or len(ix) == 0:
+            return pd.DataFrame({"src": pd.Series(dtype="int64"),
+                                 "dst": pd.Series(dtype="int64")})
+        qv = np.vstack(q["v"].to_numpy())
+        iv = np.vstack(ix["v"].to_numpy())
+        qid = q["vec_id"].to_numpy()
+        iid = ix["vec_id"].to_numpy()
+        cos = np.round(
+            (qv @ iv.T) / np.outer(q["nrm"].to_numpy(), ix["nrm"].to_numpy()),
+            6,
+        )
+        cos[qid[:, None] == iid[None, :]] = -np.inf  # no self edges
+        k = min(k_cut, cos.shape[1])
+        kth = np.partition(cos, -k, axis=1)[:, -k]
+        qq, ii = np.nonzero(cos >= kth[:, None])
+        keep = qid[qq] != iid[ii]
+        return pd.DataFrame({"src": qid[qq][keep], "dst": iid[ii][keep]})
+
+    cand = (
+        q_ship.unionByName(i_ship)
+        .groupBy("band", "bucket", "qc", "ic")
+        .applyInPandas(_knn_tile, schema="src bigint, dst bigint")
         .distinct()
     )
     va = eb.select(

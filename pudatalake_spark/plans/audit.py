@@ -357,14 +357,16 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         "k x 64 centroids broadcast; assignment is a map-side min-struct agg",
     ),
     "q_sim_knn_graph": (
-        # Banded self-join carries IDS ONLY (3-column broadcast:
-        # id, band, bucket); pairs dedup (keys-only agg on src,dst)
-        # BEFORE any payload join; top-k prunes inside the shuffle.
-        [r"Input \[3\]: \[dst#\d+L?, b_band#\d+, b_bucket#\d+\]",
+        # r10 tiled form: candidates come from per-bucket GEMM tiles
+        # (ONE FlatMapGroupsInPandas surface; chunk spines ride
+        # broadcasts; pair rows never materialize as a join), the
+        # survivor dedup is a keys-only agg, and the JVM rescore's
+        # top-k still prunes inside the shuffle.
+        [r"FlatMapGroupsInPandas", r"BroadcastHashJoin",
          r"Keys \[2\]: \[src#\d+L?, dst#\d+L?\]\nFunctions: \[\]",
          r"WindowGroupLimit"],
         [r"CartesianProduct"],
-        "ids-only banded self-join, pair dedup before payload join, in-shuffle top-k",
+        "per-bucket GEMM tiles, keys-only pair dedup, in-shuffle top-k",
     ),
     # --- r6 statistical-inference wave ---
     "q_stats_ks_test": (
@@ -672,6 +674,10 @@ UDF_KEYS = {
     # tiles (applyInPandas filter-and-refine; the refine fold and the
     # emitted values stay JVM-side and bit-identical to the oracle).
     "q_sim_threshold_pairs",
+    # r10: kNN-graph candidates from per-bucket GEMM tiles (same
+    # surface; pair rows never materialize, survivors re-scored by
+    # the JVM fold - output verified identical to the pair-join form).
+    "q_sim_knn_graph",
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
