@@ -1027,6 +1027,13 @@ KNN_GRAPH_BANDS = 6
 # are 64 MiB; at the fixture every bucket fits one tile.
 KNN_TILE_Q = 2048
 KNN_TILE_I = 4096
+# Tile-cut slack (r11): the per-tile top-K cut keeps candidates by
+# the raw numpy GEMM cosine; the authoritative ranking is the JVM
+# fold's HALF_UP round(·, 6). 2e-6 spans one full 1e-6 rounding
+# interval either side plus GEMM-vs-fold summation drift (~1e-15),
+# making the prefilter lossless (same hazard/fix as GEMM_MARGIN for
+# q_sim_threshold_pairs, scaled to the rounded-rank setting).
+KNN_CUT_MARGIN = 2e-6
 
 
 @register("q_sim_knn_graph")  # bucketed ANN self-join -> rows-only
@@ -1131,9 +1138,10 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # measured candidate volumes (168.9 s at 20 k vecs; 200 k not
     # attemptable). Instead, each (band, bucket)'s probe and index
     # members meet in bounded GEMM tiles (KNN_TILE_Q × KNN_TILE_I)
-    # that emit, per probe, every candidate whose ROUNDED cosine ties
-    # into the tile's top-KNN_GRAPH_K VALUES (np.partition cut, ties
-    # kept) — pair rows never materialize. Output-equivalence to the
+    # that emit, per probe, every candidate whose raw cosine reaches
+    # the tile's KNN_GRAPH_K-th value minus KNN_CUT_MARGIN
+    # (np.partition cut, ties kept) — pair rows never materialize.
+    # Output-equivalence to the
     # pair-join form is exact, not approximate: a global top-5
     # neighbor shares ≥1 bucket with its query; within that bucket it
     # ranks ≤5 by value among the bucket's candidates; tiles
@@ -1189,14 +1197,20 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         iv = np.vstack(ix["v"].to_numpy())
         qid = q["vec_id"].to_numpy()
         iid = ix["vec_id"].to_numpy()
-        cos = np.round(
-            (qv @ iv.T) / np.outer(q["nrm"].to_numpy(), ix["nrm"].to_numpy()),
-            6,
-        )
+        # Cut on the UNROUNDED GEMM cosine with slack, never on a
+        # rounded value: the final ranking happens on the JVM fold's
+        # HALF_UP round(·, 6), which can disagree with numpy's GEMM
+        # (summation order, ~1e-15) and with numpy's half-even
+        # rounding near a 1e-6 boundary. KNN_CUT_MARGIN = 2e-6 covers
+        # a full rounding interval on each side plus the fold drift,
+        # so every edge that ranks <=K under the JVM score survives
+        # the tile cut; the JVM rescore + window discards the few
+        # extra survivors, keeping the path exact.
+        cos = (qv @ iv.T) / np.outer(q["nrm"].to_numpy(), ix["nrm"].to_numpy())
         cos[qid[:, None] == iid[None, :]] = -np.inf  # no self edges
         k = min(k_cut, cos.shape[1])
         kth = np.partition(cos, -k, axis=1)[:, -k]
-        qq, ii = np.nonzero(cos >= kth[:, None])
+        qq, ii = np.nonzero(cos >= kth[:, None] - KNN_CUT_MARGIN)
         keep = qid[qq] != iid[ii]
         return pd.DataFrame({"src": qid[qq][keep], "dst": iid[ii][keep]})
 

@@ -183,6 +183,42 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZBITS = 16
 
 
+def _one_bin_per_partition(spark: SparkSession, df: DataFrame, n: int) -> DataFrame:
+    """repartition(n, 'fid') HASH-partitions the n bin ids, and
+    pmod(murmur3(fid), n) collides for some of them — two bins land
+    in one write task while other partitions stay empty, silently
+    cutting write parallelism (layout is unaffected: partitionBy
+    still splits files per fid). Route each fid through a salt whose
+    murmur3 residue is distinct instead: probe hash residues over a
+    small int range once (metadata-scale, n-row collect — F.hash and
+    HashPartitioning are both Murmur3 seed 42, so the probe predicts
+    the partitioner exactly) and repartition on the mapped salt.
+    Falls back to plain fid routing if the probe misses a residue
+    (never observed for n=16 over 64n salts)."""
+    probe = (
+        spark.range(n * 64)
+        .select(
+            F.col("id").cast("int").alias("salt"),
+            F.pmod(F.hash(F.col("id").cast("int")), F.lit(n)).alias("p"),
+        )
+        .groupBy("p")
+        .agg(F.min("salt").alias("salt"))
+        .collect()
+    )
+    salt_of = {r["p"]: r["salt"] for r in probe}
+    if len(salt_of) < n:
+        return df.repartition(n, "fid")
+    route = F.element_at(
+        F.array(*[F.lit(salt_of[i]).cast("int") for i in range(n)]),
+        F.col("fid") + 1,
+    )
+    return (
+        df.withColumn("__route", route)
+        .repartition(n, "__route")
+        .drop("__route")
+    )
+
+
 def _zvalue(xcol, ycol):
     """Interleave the low ZBITS bits of two bucketed dims into a
     Z-curve value (bit i of x -> bit 2i, bit i of y -> bit 2i+1)."""
@@ -237,9 +273,10 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     # seed, so two runs of the same sink produced files with slightly
     # different span stats (caught by tools/determinism_sweep.py,
     # r10). floor-division bins on the broadcast min/max are
-    # deterministic; repartition(fid) puts each bin in one shuffle
-    # partition and partitionBy splits files per bin, so the layout
-    # is exactly n_files files either way.
+    # deterministic; _one_bin_per_partition puts each bin in its own
+    # shuffle partition (collision-free, see its docstring) and
+    # partitionBy splits files per bin, so the layout is exactly
+    # n_files files with full write parallelism.
     n_files = 16
     lin = scaled.withColumn(
         "fid",
@@ -252,7 +289,7 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_files - 1),
         ).cast("int"),
     )
-    lin.repartition(n_files, "fid").write.partitionBy("fid").mode(
+    _one_bin_per_partition(spark, lin, n_files).write.partitionBy("fid").mode(
         "overwrite"
     ).parquet(out_lin)
     # z is the interleave of two ZBITS-bit dims -> [0, 2^(2*ZBITS));
@@ -263,7 +300,7 @@ def sink_zorder_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fid",
         F.shiftrightunsigned(F.col("z"), 2 * ZBITS - 4).cast("int"),
     ).drop("z")
-    zed.repartition(n_files, "fid").write.partitionBy("fid").mode(
+    _one_bin_per_partition(spark, zed, n_files).write.partitionBy("fid").mode(
         "overwrite"
     ).parquet(out_z)
 

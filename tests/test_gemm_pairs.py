@@ -93,3 +93,27 @@ def test_margin_dwarfs_summation_drift(spark):
     # both sides are rounded to 6 dp, so agreement there bounds the
     # pre-round drift by 1e-6 + true drift; the margin is 1e-4
     assert gap <= S.GEMM_MARGIN / 10
+
+
+def _run_knn(spark) -> pd.DataFrame:
+    return (
+        registry.QUERIES["q_sim_knn_graph"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["src", "rank"])
+        .reset_index(drop=True)
+    )
+
+
+def test_knn_multi_tile_path_matches_single_tile(spark, monkeypatch):
+    """q_sim_knn_graph's tiled candidate generation: at the default
+    KNN_TILE_Q=2048 / KNN_TILE_I=4096 every fixture bucket fits one
+    tile, so the qc/ic chunk-spine joins and the per-tile cut across
+    a SPLIT bucket never execute in the sweep. Forcing 16-row tiles
+    splits every bucket into many tiles on both sides; the emitted
+    graph must be identical (the per-tile top-K cut is per-probe and
+    the JVM rescore + window is global, so tiling is invisible)."""
+    base = _run_knn(spark)
+    monkeypatch.setattr(S, "KNN_TILE_Q", 16)
+    monkeypatch.setattr(S, "KNN_TILE_I", 16)
+    forced = _run_knn(spark)
+    pd.testing.assert_frame_equal(base, forced)
