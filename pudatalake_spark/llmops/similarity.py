@@ -1705,6 +1705,40 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the d2 arithmetic evaluated interpreted per expanded row,
     and a 4-column grouping key missing the codegen fast hash map.
     Fixed total: 3.5 s steady (3.2x).
+
+    r11 GEMM-tiled encode (VERDICT r10 #1): even codegen-fused, the
+    argmin expansion materializes N*SUBS*K arithmetic ROWS per assign
+    pass (16.4M at the sf0.1 fixture, 1.64B at 200k vectors - the
+    census-worst key, 585 s). The assign now runs as a mapInPandas
+    pass over the N*SUBS subvector stream: each Arrow batch meets the
+    driver-held codebook in one float64 GEMM per subspace (the
+    blocked-GEMM pattern of q_sim_threshold_pairs / q_sim_knn_graph),
+    argmin picks the code, and the x256 expansion never becomes rows.
+    EXACTNESS IS PRESERVED, NOT APPROXIMATED - no margin/rescore step
+    is needed here because every quantity is an INTEGER that float64
+    represents exactly: |coords| are micro-unit ints < 2^21 (guarded
+    at 2e7 per batch), so x*x, x@c, c*c <= ~8e14 and d2 <= ~3.2e15
+    all stay below 2^53; float64 adds/FMAs of exactly-representable
+    integers with in-range results are exact regardless of summation
+    order, so the numpy argmin equals the JVM int64 argmin bit-for-
+    bit, and np.argmin's first-minimum equals the (d2, code)-
+    ascending tie-break because codes are column-ordered ascending.
+    Training itself moves to the DRIVER: the sample is capped at
+    PQ_TRAIN_CAP * PQ_SUBS rows (~4 MB, CONSTANT at any corpus size),
+    so one bounded collect feeds 2 numpy Lloyd supersteps (~34M
+    flops/pass) with the identical exact-int64 semantics - float64
+    GEMM argmin, int64 np.add.at sums, floor division (numpy // IS
+    floor, the value the subtract-positive-mod construction pins),
+    empty clusters keep their centroid. Measured at the sf0.1
+    fixture: the former seed-collect + 2 Spark training jobs (7.3 s
+    of serialized fixed cost) collapse into one job; the learned
+    codebook and the oracle hash are bit-identical to the join form
+    at both SFs (and pinned by the numpy-PQ test).
+
+    100 TB note for the driver-side phase: one collect of a
+    CAP-bounded sample (the sklearn-fit-on-sample posture) - not a
+    data collect; the full-corpus encode and the ADC probe scan are
+    the only O(N) passes and both remain distributed.
     """
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", _vd("embedding").alias("v")
@@ -1738,90 +1772,145 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is 32 ints per vector - strictly smaller than the raw float
     # corpus it replaces in every downstream pass.
     subs = superstep_checkpoint(subs)
-    cb = subs.filter(F.col("vec_id") < PQ_K).select(
-        F.col("s").alias("cs"), F.col("vec_id").alias("code"),
-        F.col("x1").alias("c1"), F.col("x2").alias("c2"),
+
+    import numpy as np
+    import pandas as pd
+
+    # ONE bounded collect feeds the whole training phase: the sample
+    # is capped at PQ_TRAIN_CAP * PQ_SUBS rows (<= 131k rows / ~4 MB)
+    # at ANY corpus size - a constant, like the graph keys' 1-row K
+    # picks, not a data collect. Training then runs driver-side in
+    # numpy (2 Lloyd supersteps over a (<=4096, 32, 2) sample against
+    # a (32, 256, 2) codebook is ~34M flops/pass - model fitting on a
+    # capped sample, the sklearn-on-sample posture), which collapses
+    # the former seed-collect + per-superstep jobs into one job and
+    # leaves exactly ONE distributed pass over the corpus: the encode.
+    sample = (
+        subs.filter(F.col("vec_id") < PQ_TRAIN_CAP)
+        .select("vec_id", "s", "x1", "x2")
+        .toPandas()  # Arrow transfer - 131k rows in one batch hop
+    )
+    t_vid = sample["vec_id"].to_numpy(dtype=np.int64)
+    t_s = sample["s"].to_numpy(dtype=np.int64)
+    t_x = sample[["x1", "x2"]].to_numpy(dtype=np.int64)
+    if len(sample) and int(np.abs(t_x).max()) >= 2 * 10**7:
+        raise ValueError(
+            "PQ coordinate outside the exact-float64 envelope "
+            "(|micro units| >= 2e7)"
+        )
+
+    # Seed: codebook entry `code` of subspace s = vector `code`'s
+    # subvector (vec_id < PQ_K), column-ordered code-ascending so
+    # argmin's first-minimum IS the (d2, code)-ascending tie-break.
+    code_ids = sorted(set(t_vid[t_vid < PQ_K].tolist()))
+    if not code_ids:
+        # zero-row corpus (or none of the seed ids present): no
+        # codebook can exist, so the answer is the empty frame with
+        # the contract schema - matches the oracle, which also
+        # produces no rows.
+        return spark.createDataFrame(
+            [], "query_id bigint, cand_id bigint, adc_dist double"
+        )
+    code_pos = {c: i for i, c in enumerate(code_ids)}
+    cids = np.asarray(code_ids, dtype=np.int64)
+    C = np.zeros((PQ_SUBS, len(code_ids), 2), dtype=np.int64)
+    seed_mask = t_vid < PQ_K
+    C[t_s[seed_mask], [code_pos[v] for v in t_vid[seed_mask]]] = t_x[seed_mask]
+
+    def _argmin_codes(xs: "np.ndarray", Cf: "np.ndarray",
+                      c_sq: "np.ndarray") -> "np.ndarray":
+        # xs: (B, 2) int64-valued float64, one subspace; returns the
+        # argmin codebook POSITION per row. Exact by the integer-in-
+        # float64 argument in the operator docstring.
+        d2 = (
+            (xs * xs).sum(axis=1)[:, None]
+            - 2.0 * (xs @ Cf.T)
+            + c_sq[None, :]
+        )
+        return np.argmin(d2, axis=1)
+
+    # Driver-side Lloyd supersteps on the capped sample: identical
+    # exact-int64 semantics to the SQL oracle - float64 GEMM argmin
+    # (exact, see docstring), int64 np.add.at sums, floor division
+    # (numpy int64 // IS floor, the value the subtract-positive-mod
+    # construction pins), empty clusters keep their centroid.
+    for _ in range(PQ_TRAIN_ITERS):
+        Cf = C.astype(np.float64)
+        c_sq = (Cf * Cf).sum(axis=2)
+        s1 = np.zeros_like(C)                       # (S, K, 2) int64
+        n = np.zeros(C.shape[:2], dtype=np.int64)   # (S, K)
+        for sub in range(PQ_SUBS):
+            m = t_s == sub
+            pos = _argmin_codes(t_x[m].astype(np.float64), Cf[sub], c_sq[sub])
+            np.add.at(s1[sub], pos, t_x[m])
+            np.add.at(n[sub], pos, 1)
+        upd = n > 0
+        C = C.copy()
+        C[upd] = s1[upd] // n[upd][:, None]
+
+    def _gemm_assign(frame: DataFrame, cbook) -> DataFrame:
+        # One distributed pass over the (vec_id, s, x1, x2) stream:
+        # per Arrow batch, one float64 GEMM per subspace against the
+        # frozen codebook, argmin -> code. Exact by the integer-in-
+        # float64 argument in the operator docstring; the guard
+        # enforces its envelope. Columns ordered code-ascending so
+        # np.argmin's first-min IS the (d2, code) tie-break.
+        Cf = cbook.astype(np.float64)        # (S, K, 2)
+        c_sq = (Cf * Cf).sum(axis=2)         # (S, K), exact <= ~8e14
+        ids = cids
+
+        def fn(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                x = pdf[["x1", "x2"]].to_numpy(dtype=np.float64)
+                if np.abs(x).max() >= 2.0e7:
+                    raise ValueError(
+                        "PQ coordinate outside the exact-float64 "
+                        "envelope (|micro units| >= 2e7)"
+                    )
+                svals = pdf["s"].to_numpy()
+                pos = np.empty(len(pdf), dtype=np.int64)
+                for sub in np.unique(svals):
+                    m = svals == sub
+                    d2 = (
+                        (x[m] * x[m]).sum(axis=1)[:, None]
+                        - 2.0 * (x[m] @ Cf[sub].T)
+                        + c_sq[sub][None, :]
+                    )
+                    pos[m] = np.argmin(d2, axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].to_numpy(),
+                        "s": pdf["s"].to_numpy(),
+                        "x1": pdf["x1"].to_numpy(),
+                        "x2": pdf["x2"].to_numpy(),
+                        "code": ids[pos].astype(np.int32),
+                    }
+                )
+
+        return frame.select("vec_id", "s", "x1", "x2").mapInPandas(
+            fn, schema="vec_id bigint, s int, x1 bigint, x2 bigint, code int"
+        )
+
+    codes = _gemm_assign(subs, C).select("vec_id", "s", "code")
+    # The final codebook goes back to a (broadcast-small) Spark frame
+    # only for the query LUT, which needs ALL 256 sub-distances per
+    # (query, s), not an argmin - that expansion is QUERIES*SUBS*K
+    # = 81,920 rows, join-shaped, and stays JVM-side.
+    cb = spark.createDataFrame(
+        [
+            (int(s), int(cids[p]), int(C[s, p, 0]), int(C[s, p, 1]))
+            for s in range(PQ_SUBS)
+            for p in range(len(code_ids))
+        ],
+        "cs int, code int, c1 bigint, c2 bigint",
     )
 
     def _d2():
         dx = F.col("x1") - F.col("c1")
         dy = F.col("x2") - F.col("c2")
         return dx * dx + dy * dy
-
-    def _assign(cbdf, frame=None):
-        # argmin centroid per (vector, subspace), as min(d2*K + code):
-        # same (d2, code)-ascending selection as a struct-min (code <
-        # K=256 and d2 <= 2*(1.2e6)^2 ~ 3e12, so d2*256 + code fits
-        # int64 with 4 decades of margin - ANSI mode would error, not
-        # wrap, if the micro-unit scale ever changed). Two measured
-        # r10 cliffs dictate the shape (SCALING sec 22): min(struct)
-        # is not hash-aggregable - Spark plans Sort+SortAggregate and
-        # evaluates the d2 arithmetic interpreted per EXPANDED row
-        # (~100 s CPU per pass at 16.4M rows); and a 4-column
-        # grouping key misses the codegen fast hash map (2.5 s vs
-        # 0.21 s measured). (vec_id, s) determines (x1, x2), so group
-        # on the 2-key grain and carry x1/x2 through as min()
-        # passthroughs: one codegen HashAggregate, map-side partials.
-        return (
-            (frame if frame is not None else subs)
-            .join(F.broadcast(cbdf), F.col("s") == F.col("cs"))
-            .groupBy("vec_id", "s")
-            .agg(
-                F.min(_d2() * PQ_K + F.col("code")).alias("m"),
-                F.min("x1").alias("x1"),
-                F.min("x2").alias("x2"),
-            )
-            .select(
-                "vec_id", "s", "x1", "x2",
-                F.pmod(F.col("m"), F.lit(PQ_K)).alias("code"),
-            )
-        )
-
-    train = subs.filter(F.col("vec_id") < PQ_TRAIN_CAP)
-    for _ in range(PQ_TRAIN_ITERS):
-        upd = (
-            _assign(cb, frame=train)
-            .groupBy("s", "code")
-            .agg(
-                F.sum("x1").alias("s1"),
-                F.sum("x2").alias("s2"),
-                F.count("*").alias("n"),
-            )
-            .select(
-                F.col("s").alias("us"),
-                F.col("code").alias("ucode"),
-                F.expr("(s1 - pmod(s1, n)) div n").alias("n1"),
-                F.expr("(s2 - pmod(s2, n)) div n").alias("n2"),
-            )
-        )
-        # The update table is bounded by the codebook size (<= SUBS*K
-        # = 8192 rows at ANY corpus size) - broadcast it so the
-        # codebook refresh never sort-merge-shuffles. Each superstep's
-        # codebook is then MATERIALIZED (the q_graph_pagerank
-        # superstep rule, via the strategy-switchable
-        # superstep_checkpoint): the final codebook feeds TWO
-        # consumers (corpus encode + query LUT), and without the
-        # checkpoint each re-executes the training chain inside its
-        # own broadcast build. Measured A/B (interleaved, one
-        # session, pre-fix plans): ~1.15x at the sf0.1 fixture
-        # (12.1 vs 13.5 s), neutral at 20k vectors where the
-        # one-pass encode dominates - broadcast-exchange reuse
-        # already dedupes most of the recomputation, so this mainly
-        # bounds plan depth. The frame is <= 8192 rows; the
-        # checkpoint cost is noise at any size.
-        cb = superstep_checkpoint(
-            cb.join(
-                F.broadcast(upd),
-                (F.col("cs") == F.col("us"))
-                & (F.col("code") == F.col("ucode")),
-                "left",
-            ).select(
-                "cs", "code",
-                F.coalesce("n1", "c1").alias("c1"),
-                F.coalesce("n2", "c2").alias("c2"),
-            )
-        )
-    codes = _assign(cb).select("vec_id", "s", "code")
     qlut = (
         subs.filter(F.col("vec_id") < PQ_QUERIES)
         .join(F.broadcast(cb), F.col("s") == F.col("cs"))

@@ -587,12 +587,13 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         "calibration: two-phase aggs + 1-row broadcast, no window/Python",
     ),
     "q_sim_pq_adc": (
-        # codebook and query LUT are BROADCAST onto the subvector /
-        # code streams; per-(vec,s) argmin and per-query top-k both
-        # prune inside the shuffle via WindowGroupLimit.
-        [r"BroadcastHashJoin", r"WindowGroupLimit"],
+        # r11: the corpus encode is ONE MapInPandas GEMM pass (the
+        # x256 argmin expansion never becomes rows); the query LUT is
+        # BROADCAST onto the code stream and the per-query top-k
+        # prunes inside the shuffle via WindowGroupLimit.
+        [r"MapInPandas", r"BroadcastHashJoin", r"WindowGroupLimit"],
         [r"CartesianProduct", r"BatchEvalPython", r"SortMergeJoin"],
-        "PQ-ADC: broadcast codebook/LUT probes, in-shuffle top-k, JVM-side",
+        "PQ-ADC: GEMM encode pass + broadcast LUT probe, in-shuffle top-k",
     ),
     "q_win_peak_detect": (
         # ONE fact scan -> daily rollup -> per-series window; the
@@ -678,6 +679,11 @@ UDF_KEYS = {
     # surface; pair rows never materialize, survivors re-scored by
     # the JVM fold - output verified identical to the pair-join form).
     "q_sim_knn_graph",
+    # r11: the PQ corpus encode is a mapInPandas GEMM argmin pass
+    # (exact-int64-in-float64, no margin needed - see the operator
+    # docstring); the N*SUBS*K expansion never becomes rows and the
+    # oracle hash is unchanged at both SFs.
+    "q_sim_pq_adc",
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
@@ -791,6 +797,15 @@ BOUNDED_DRIVER_ACTIONS: dict[str, str] = {
         "one 1-row manifest collect materializing the single-"
         "container write; split planning reads header + per-block "
         "varints only (plain file IO, not a Spark action)",
+    "q_sim_pq_adc":
+        "one Arrow toPandas of the training sample, capped at "
+        "PQ_TRAIN_CAP*PQ_SUBS rows (~4 MB) at ANY corpus size - "
+        "driver-side Lloyd fit on the bounded sample (r11); the "
+        "corpus encode and ADC probe stay distributed",
+    "sink_zorder_cluster":
+        "one n_files-row murmur3-residue probe collect mapping each "
+        "file bin to its own shuffle partition (metadata-scale, "
+        "independent of data volume)",
 }
 
 #: keys whose builders legitimately WRITE at build time (scratch
