@@ -26,6 +26,11 @@ those pairs (verified at build time), so JACCARD_TAU = 0.5.
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -39,6 +44,83 @@ SHINGLE_LEN = 5
 N_HASHES = 64
 N_BANDS = 8  # 8 rows per band
 _P31 = 2147483647  # Mersenne prime 2^31 - 1: modulus of the affine family
+
+# ---------------------------------------------------------------------------
+# MinHash oracle gate (r11, VERDICT r10 #3). q_dedup_near_minhash's
+# oracle is the EXACT pair list; the claim is only valid while the
+# banding recall is 1.0 on the exact fixture bytes it was measured
+# on (a testdata regeneration with a new seed could legitimately
+# drop a true pair - per-pair 8x8 miss odds at the fixture's J
+# range are ~1e-3..1e-1 if hashes were random). The measurement is
+# recorded in minhash_recall.json next to this module, keyed by an
+# md5 of each fixture's documents.parquet; if ANY fingerprint
+# mismatches (or the recorded recall < 1.0), the key self-demotes
+# to rows-only at import time - loudly - instead of letting the
+# sweep go red. tools/refresh_minhash_marker.py re-measures and
+# re-arms the oracle after a regen.
+
+_MARKER_PATH = os.path.join(os.path.dirname(__file__), "minhash_recall.json")
+
+
+def _doc_fingerprint(sf_dir: str) -> str | None:
+    p = os.path.join(sf_dir, "documents.parquet")
+    if not os.path.exists(p):
+        return None
+    h = hashlib.md5()
+    with open(p, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def minhash_oracle_decision(marker_path: str = _MARKER_PATH) -> tuple[bool, str]:
+    """(enabled, reason): may q_dedup_near_minhash claim the
+    exact-pair oracle on the CURRENT fixtures? Enabled iff the
+    committed marker records banding recall exactly 1.0 AND every
+    fixture it was measured on still has the same documents bytes.
+    A fixture dir absent on this host contradicts nothing."""
+    try:
+        with open(marker_path) as f:
+            marker = json.load(f)
+    except Exception as e:  # noqa: BLE001 - any unreadable marker demotes
+        return False, f"recall marker unreadable ({type(e).__name__})"
+    if marker.get("recall") != 1.0:
+        return False, (
+            f"recorded banding recall {marker.get('recall')!r} < 1.0"
+        )
+    for sf_dir, fp in marker.get("fingerprints", {}).items():
+        cur = _doc_fingerprint(sf_dir)
+        if cur is not None and cur != fp:
+            return False, (
+                f"documents fixture at {sf_dir} changed since recall "
+                "was measured (run tools/refresh_minhash_marker.py)"
+            )
+    return True, "banding recall 1.0 re-verified against fixture fingerprints"
+
+
+MINHASH_ORACLE_ENABLED, MINHASH_ORACLE_REASON = minhash_oracle_decision()
+if not MINHASH_ORACLE_ENABLED:  # pragma: no cover - regen-time path
+    warnings.warn(
+        "q_dedup_near_minhash DEMOTED to rows-only: "
+        f"{MINHASH_ORACLE_REASON}. The operator still runs and its "
+        "output is still a verified subset of the exact pair list; "
+        "only the recall=1.0 oracle claim is withdrawn. Re-measure "
+        "with tools/refresh_minhash_marker.py.",
+        stacklevel=1,
+    )
+
+
+def measure_banding_recall(docs: DataFrame, tau: float = JACCARD_TAU) -> float:
+    """Banding recall of the MinHash+LSH pipeline vs the exact
+    inverted-index pair list on the SAME frame. The verify stage
+    makes minhash output a SUBSET of the exact pairs by construction
+    (no false positive can survive the exact-Jaccard filter), so
+    recall = |minhash pairs| / |exact pairs|."""
+    exact = near_jaccard_pairs(docs, tau).count()
+    if exact == 0:
+        return 1.0
+    got = minhash_verified_pairs(docs, tau).count()
+    return got / exact
 
 
 @register(
@@ -566,10 +648,18 @@ def minhash_verified_pairs(
 
 @register(
     "q_dedup_near_minhash",
-    oracle=f"""
+    # The exact-pair oracle is claimed ONLY while the committed
+    # recall marker vouches for banding recall 1.0 on the current
+    # fixture bytes; otherwise the key self-demotes to rows-only
+    # (see the module-top gate and its warning).
+    oracle=(
+        f"""
     WITH {_PAIR_ORACLE_CTES}
     SELECT d1 AS doc1, d2 AS doc2, jaccard FROM pr
-    """,
+    """
+        if MINHASH_ORACLE_ENABLED
+        else None
+    ),
 )
 def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs over the documents table - see
@@ -586,10 +676,14 @@ def q_dedup_near_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     since r1 (true-pair J distribution: min 0.93 at sf0.01 / 0.83 at
     sf0.1; per-pair 8x8-banding miss odds at those J, IF hashes were
     random: ~1.4e-3 / ~1.3e-1 — so a future testdata regeneration
-    with a new seed could flip the sf0.1 sweep red; that failure mode
-    is informative (recall dropped), and the fallback is reverting
-    this key to rows-only. Oracle cost measured r9: 1.9 s at sf0.01,
-    104 s at sf0.1 (the both-SF selfcheck sweep pays the latter).
+    with a new seed could flip the sf0.1 sweep red. r11: that
+    fallback is now AUTOMATED - the oracle claim is gated on the
+    committed recall marker (minhash_recall.json: recall 1.0 +
+    fixture fingerprints); a regen mismatches the fingerprint and
+    the key self-demotes to rows-only with a warning instead of
+    failing the sweep (tools/refresh_minhash_marker.py re-arms).
+    Oracle cost measured r9: 1.9 s at sf0.01, 104 s at sf0.1 (the
+    both-SF selfcheck sweep pays the latter).
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     return minhash_verified_pairs(d, JACCARD_TAU)

@@ -80,6 +80,7 @@ _sfname = SF.rstrip("/").rsplit("/", 1)[-1]
 _out = ("/root/repo/SELFCHECK.json" if _sfname == "sf0.01"
         else f"/root/repo/SELFCHECK_{_sfname}.json")
 with open(_out, "w") as f:
+    from pudatalake_spark.llmops import dedup as _dedup
     json.dump({
         "sweep": "tools/drive_driver.py full-inventory oracle sweep",
         "sf_dir": SF,
@@ -87,6 +88,16 @@ with open(_out, "w") as f:
         "oracle_match": ok,
         "rows_only": rows_only,
         "fail": len(fails),
+        # Loud record of the self-demotion gate (VERDICT r10 #3): if
+        # a testdata regen dropped banding recall below 1.0, the
+        # minhash key runs rows-only and this says so in the artifact.
+        "minhash_oracle": {
+            "enabled": _dedup.MINHASH_ORACLE_ENABLED,
+            "reason": _dedup.MINHASH_ORACLE_REASON,
+        },
         "per_query": results,
     }, f, indent=1, sort_keys=True)
 print(f"wrote {_out}")
+if not _dedup.MINHASH_ORACLE_ENABLED:
+    print("NOTE: q_dedup_near_minhash ran rows-only (oracle self-demoted): "
+          + _dedup.MINHASH_ORACLE_REASON)
