@@ -877,10 +877,18 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     HISTOGRAM (|distinct degrees| <= 2*sqrt|E| rows) with the
     bucketed two-pass helper (operators/ranks.py - fully parallel,
     no single-task sort) and collects exactly one row;
-    each round is ONE degree agg + two semi-joins against the (node)
-    alive set - state is ids only, one shuffle per round, rounds
-    bounded by the <= KCORE_MAX_ROUNDS cap with a bounded .count()
-    convergence check. Both eager driver actions are declared in
+    each round is ONE job: semi-prune the ORIGINAL checkpointed edge
+    list by the latest alive set (alive sets are monotone, so the
+    latest prune subsumes the chain) + one degree agg, checkpointing
+    only the |nodes|-row degree frame - and that frame's row count
+    IS the previous round's convergence check (old |u(pruned
+    edges)|), so the former per-round edge checkpoint AND the
+    distinct-count shuffle are gone (r11, VERDICT r10 #4: the
+    per-round fixed cost behind the 4.9->25.1 s x1->x10 wall;
+    measured after: x10 25.1->6.3 s, x100 58.1->26.2 s,
+    byte-identical output incl. n_rounds). Rounds
+    stay bounded by the <= KCORE_MAX_ROUNDS cap with a bounded
+    .count() per round. Both eager driver actions are declared in
     plans/audit.py::BOUNDED_DRIVER_ACTIONS and their subtrees are
     plan-audited like returned plans. 100 TB: identical; coreness
     DECOMPOSITION (all k) would iterate the same kernel with k
@@ -901,7 +909,12 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         half.unionAll(half.select(F.col("v").alias("u"),
                                   F.col("u").alias("v")))
     )
-    deg0 = edges.groupBy("u").agg(F.count("*").alias("d"))
+    # Checkpointed: feeds the K-pick histogram AND doubles as the
+    # peeling loop's first-round degree frame D_1 (r11 - one agg
+    # saved; the frame is |nodes| rows).
+    deg0 = superstep_checkpoint(
+        edges.groupBy("u").agg(F.count("*").alias("d"))
+    )
     # K pick + loop-convergence counts are the documented bounded
     # driver actions (BOUNDED_DRIVER_ACTIONS in plans/audit.py): one
     # 1-row collect for K, <= KCORE_MAX_ROUNDS counts for the
@@ -930,29 +943,46 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     k = int(k_row[0]["d"]) if k_row and k_row[0]["d"] is not None else 1
-    n_alive = deg0.count()
-    rounds = 0
-    for _ in range(KCORE_MAX_ROUNDS):
-        alive = (
-            edges.groupBy("u")
-            .agg(F.count("*").alias("d"))
-            .filter(F.col("d") >= k)
-            .select("u")
+    # r11 peeling loop (VERDICT r10 #4): ONE job per round over a
+    # NODE-sized frame, replacing the r10 shape (edge-sized
+    # localCheckpoint + degree shuffle + pruned-edge distinct-count
+    # shuffle per round - the measured per-round fixed cost behind
+    # the 4.9->25.1 s x1->x10 wall). Two observations make the
+    # output byte-identical:
+    # 1. Alive sets are MONOTONE (alive_r is only reachable through
+    #    edges between alive_{r-1} nodes), so pruning the ORIGINAL
+    #    checkpointed edge list by the LATEST alive set equals the
+    #    old chained prunes - per-round edge materialization is
+    #    unnecessary; only the degree frame (|nodes| rows) persists.
+    # 2. The old convergence count |u(pruned edges_r)| IS the next
+    #    round's degree-frame ROW COUNT, so each iteration's single
+    #    agg serves as both the new degrees and the previous round's
+    #    convergence check - the per-round distinct() shuffle
+    #    disappears. Iteration i computes D_i = degrees of
+    #    prune(E0, A_{i-1}); n_i = |D_i| = old n_{i-1}; break at
+    #    n_i == n_{i-1} reproduces the old break at rounds = i-1
+    #    (already-a-k-core graphs break at i=2 with rounds=1, the
+    #    old round-1 break). The cap runs one extra degree agg
+    #    (MAX+1 aggs for MAX rounds) to deliver the final frame.
+    deg = deg0  # D_1: degrees of the full graph (checkpointed above)
+    prev_n = deg.count()
+    rounds = KCORE_MAX_ROUNDS
+    for i in range(2, KCORE_MAX_ROUNDS + 2):
+        alive = deg.filter(F.col("d") >= k).select("u")
+        cur = edges.join(alive, "u", "left_semi").join(
+            alive.select(F.col("u").alias("v")), "v", "left_semi"
         )
-        nxt = superstep_checkpoint(
-            edges.join(alive, "u", "left_semi")
-            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+        deg = superstep_checkpoint(
+            cur.groupBy("u").agg(F.count("*").alias("d"))
         )
-        # Bounded driver action (<= KCORE_MAX_ROUNDS checks) - the
-        # documented CC-loop exception to the no-collect rule.
-        n_next = nxt.select("u").distinct().count()
-        rounds += 1
-        edges = nxt
-        if n_next == n_alive:
+        # Bounded driver action (<= KCORE_MAX_ROUNDS + 1 checks) -
+        # the documented CC-loop exception to the no-collect rule.
+        n = deg.count()
+        if n == prev_n:
+            rounds = i - 1
             break
-        n_alive = n_next
-    deg = edges.groupBy("u").agg(F.count("*").cast("bigint").alias("d"))
-    return deg.agg(
+        prev_n = n
+    return deg.select("u", F.col("d").cast("bigint").alias("d")).agg(
         F.lit(k).cast("bigint").alias("k"),
         F.lit(rounds).cast("bigint").alias("n_rounds"),
         F.count("*").cast("bigint").alias("n_core_nodes"),

@@ -765,7 +765,8 @@ BOUNDED_DRIVER_ACTIONS: dict[str, str] = {
     "q_graph_kcore":
         "1-row K-pick collect (the pick subtree is the bucketed "
         "distributed rank over the degree HISTOGRAM, r8) + <= "
-        "KCORE_MAX_ROUNDS 1-value convergence counts",
+        "KCORE_MAX_ROUNDS + 1 1-value convergence counts over the "
+        "checkpointed |nodes|-row degree frames (r11 one-job rounds)",
     "q_graph_bfs_levels":
         "<= BFS_MAX_DEPTH 1-value frontier-drained counts (the "
         "documented fixpoint-loop exception; frontier frames stay "

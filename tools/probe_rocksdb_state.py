@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""A/B the streaming state-store provider: default (HDFS-backed
+in-memory) vs RocksDB, on the per-user-state keys at 10x/100x event
+counts (VERDICT r10 #5; corpora from tools/measure_stream_scale.py).
+
+RocksDB keeps keyed state off-heap/on-disk with changelog-free local
+checkpoints - the production posture when per-key state exceeds
+executor heap. The question here is whether it also WINS (or at
+least holds) at this workload's state sizes, where the default
+provider keeps every version in heap maps.
+
+    python tools/measure_stream_scale.py --gen-only   # once
+    python tools/probe_rocksdb_state.py [x10 x100]
+
+Appends JSONL to .scratch/stream_scale/rocksdb_ab.jsonl and prints
+each measurement. Each (provider, corpus, key) runs in the SAME
+session (provider is a per-query conf read at stream start); caches
+and scratch are cleared between runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+OUT_ROOT = os.path.join(REPO, ".scratch", "stream_scale")
+ROCKSDB = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+DEFAULT = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "HDFSBackedStateStoreProvider"
+)
+KEYS = ["s_session_window", "s_stateful_running", "s_stream_dedup"]
+N_EVENTS_X1 = 100_000
+
+
+def main() -> None:
+    tags = [a for a in sys.argv[1:] if not a.startswith("--")] or [
+        "x10", "x100"
+    ]
+
+    from pudatalake_spark import registry
+    from pudatalake_spark.session import get_spark
+
+    registry.load_all()
+    spark = get_spark(app_name="rocksdb-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    sink = open(os.path.join(OUT_ROOT, "rocksdb_ab.jsonl"), "a")
+
+    def emit(rec):
+        sink.write(json.dumps(rec) + "\n")
+        sink.flush()
+        print(json.dumps(rec), flush=True)
+
+    for tag in tags:
+        sf_dir = os.path.join(OUT_ROOT, tag)
+        n_events = N_EVENTS_X1 * int(tag.lstrip("x"))
+        for provider, label in ((DEFAULT, "default"), (ROCKSDB, "rocksdb")):
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", provider
+            )
+            for key in KEYS:
+                t0 = time.time()
+                try:
+                    rows = registry.QUERIES[key](spark, sf_dir).count()
+                    wall = round(time.time() - t0, 2)
+                    emit({"corpus": tag, "provider": label, "key": key,
+                          "wall_s": wall, "out_rows": rows,
+                          "events_per_s": round(n_events / wall)})
+                except Exception as e:  # noqa: BLE001 - record and move on
+                    emit({"corpus": tag, "provider": label, "key": key,
+                          "wall_s": round(time.time() - t0, 2),
+                          "error": str(e)[:300]})
+                finally:
+                    registry.clear_caches(spark)
+
+
+if __name__ == "__main__":
+    main()
