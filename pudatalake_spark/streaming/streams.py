@@ -92,7 +92,30 @@ def read_event_stream(
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
-def run_to_memory(stream_df, name: str, output_mode: str) -> None:
+#: RocksDB state-store provider (r11, VERDICT r10 #5). A/B-measured
+#: on the per-user-state keys at 10x/100x event volume
+#: (tools/probe_rocksdb_state.py -> SCALING sec 26): RocksDB wins
+#: where per-key state is a LIVE AGGREGATE the store rewrites every
+#: micro-batch - s_session_window 103.5->63.2 s and
+#: s_stateful_running 88.2->71.4 s at x100 (1.6x/1.2x; a wash at
+#: x10, where state volume does not yet separate the providers)
+#: - and LOSES where state is pure existence-check keys
+#: (s_stream_dedup 25.1->61.1 s at x100: 10M tiny puts pay RocksDB
+#: write amplification with no read-side win). Wired accordingly:
+#: the aggregate-state keys opt in per query; dedup keeps the
+#: default heap store at this scale (on a real cluster with state >>
+#: executor heap, RocksDB becomes mandatory for it anyway - that
+#: trade is the operator's conf to flip, not this engine's default).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+
+
+def run_to_memory(
+    stream_df, name: str, output_mode: str, state_provider: str | None = None
+) -> None:
     """Drain a stream into an in-memory sink table named `name`.
 
     Stateful streaming cost scales with the state-store PARTITION
@@ -102,12 +125,16 @@ def run_to_memory(stream_df, name: str, output_mode: str) -> None:
     streaming shuffle partitions to the state volume - here the local
     fixture's; on a cluster, to keys/executor-memory - instead of
     inheriting the batch setting. Restored after the drain so batch
-    queries keep their own sizing.
+    queries keep their own sizing. ``state_provider`` overrides the
+    state-store provider for THIS query (see ROCKSDB_PROVIDER note),
+    likewise restored.
     """
-    prev = stream_df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    stream_df.sparkSession.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS)
-    )
+    conf = stream_df.sparkSession.conf
+    prev = conf.get("spark.sql.shuffle.partitions")
+    prev_provider = conf.get(_PROVIDER_CONF, None)
+    conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE_PARTITIONS))
+    if state_provider is not None:
+        conf.set(_PROVIDER_CONF, state_provider)
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -119,7 +146,12 @@ def run_to_memory(stream_df, name: str, output_mode: str) -> None:
         )
         q.awaitTermination()
     finally:
-        stream_df.sparkSession.conf.set("spark.sql.shuffle.partitions", prev)
+        conf.set("spark.sql.shuffle.partitions", prev)
+        if state_provider is not None:
+            if prev_provider is None:
+                conf.unset(_PROVIDER_CONF)
+            else:
+                conf.set(_PROVIDER_CONF, prev_provider)
 
 
 @register("s_watermark_late")
@@ -159,7 +191,8 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "dur_us", "sum_value")
     )
-    run_to_memory(agg, "s_session_window", "append")
+    run_to_memory(agg, "s_session_window", "append",
+                  state_provider=ROCKSDB_PROVIDER)
     return spark.table("s_session_window")
 
 
@@ -228,7 +261,8 @@ def s_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    run_to_memory(result, "s_stateful_running", "update")
+    run_to_memory(result, "s_stateful_running", "update",
+                  state_provider=ROCKSDB_PROVIDER)
     # The memory sink holds one row per (user, batch); keep the final
     # state per user (max n_events is the last update).
     tbl = spark.table("s_stateful_running")
