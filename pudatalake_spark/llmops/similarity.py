@@ -1022,6 +1022,12 @@ def q_embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_GRAPH_K = 5
 KNN_GRAPH_BANDS = 6
+# Probe depth (single-bit flips per band, ranked by hyperplane
+# margin). 1 -> recall@5 0.966 @ 0.82 cand volume; 2 -> 0.996 @ 0.94
+# (sf0.01 ladder, SCALING sec 21). r11 ships 2: the >=0.99 point
+# costs only probe-side rows (index untouched) and the measured
+# build-wall delta at 20k vecs is recorded in sec 21.
+KNN_PROBES = 2
 # r10 tiled candidate generation: probe-side / index-side rows per
 # GEMM tile within a (band, bucket). 2048x4096 float64 score tiles
 # are 64 MiB; at the fixture every bucket fits one tile.
@@ -1046,18 +1052,20 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     every vector is a query, so the bucketed self-join is the only
     thing standing between this and an N^2 all-pairs.
 
-    r10: MULTI-PROBE (Lv et al. 2007) - each query probes its own
-    bucket PLUS the bucket with its closest hyperplane's sign bit
-    flipped (the smallest-|coordinate| dim of the band); the index
-    side stays one bucket per band. Near-boundary neighbors are
-    exactly the ones plain sign-LSH loses, and flipping the
-    minimum-margin bit is the cheapest way to reach them. Measured
-    recall@5 / candidate-volume ladder at sf0.01 (sf0.001 within
-    0.01): 1 band 0.22; 4 bands 0.625; 6 bands 0.788 @ 0.55 vol;
-    RE-banding to 8 bands 0.877 @ 0.66; 6 bands + 1 probe (shipped)
-    0.966 @ 0.82; + 2 probes 0.996 @ 0.94. Per unit of candidate
-    volume, one probe buys ~2x the recall of two extra bands -
-    and probes cost NO extra index storage, only probe-side rows.
+    r10/r11: MULTI-PROBE (Lv et al. 2007) - each query probes its
+    own bucket PLUS the buckets with its KNN_PROBES closest
+    hyperplanes' sign bits flipped (margin-ranked single-bit flips);
+    the index side stays one bucket per band. Near-boundary
+    neighbors are exactly the ones plain sign-LSH loses, and
+    flipping minimum-margin bits is the cheapest way to reach them.
+    Measured recall@5 / candidate-volume ladder at sf0.01 (sf0.001
+    within 0.01): 1 band 0.22; 4 bands 0.625; 6 bands 0.788 @ 0.55
+    vol; RE-banding to 8 bands 0.877 @ 0.66; 6 bands + 1 probe
+    0.966 @ 0.82; + 2 probes (r11 SHIPPED) 0.996 @ 0.94, for a
+    measured ~20-25% build-wall premium at 20k vecs (SCALING sec
+    21). Per unit of candidate volume, one probe buys ~2x the
+    recall of two extra bands - and probes cost NO extra index
+    storage, only probe-side rows.
 
     Rows-only by design (bucketed recall < 1 has no SQL twin);
     tests/test_pipeline_props.py measures recall@5
@@ -1083,17 +1091,30 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.when(F.element_at("v", 3 * k + 3) > 0, 1).otherwise(0)
         )
 
-    def band_flip(k: int):
-        # bit weight (4/2/1) of the band's smallest-|coordinate| dim
-        # = the closest hyperplane; ties break to the lowest dim
-        # (matches numpy's stable argsort in the pinned test).
+    def band_flip(k: int, rank: int = 0):
+        # bit weight (4/2/1) of the band's rank-th
+        # smallest-|coordinate| dim = the rank-th closest hyperplane
+        # (Lv et al.'s margin-ranked probe ladder); ties break to the
+        # lowest dim (a stable sort by (|coord|, dim)).
         a1 = F.abs(F.element_at("v", 3 * k + 1))
         a2 = F.abs(F.element_at("v", 3 * k + 2))
         a3 = F.abs(F.element_at("v", 3 * k + 3))
-        return (
+        first = (
             F.when((a1 <= a2) & (a1 <= a3), 4)
             .when(a2 <= a3, 2)
             .otherwise(1)
+        )
+        if rank == 0:
+            return first
+        # rank 1: the runner-up under the same stable order, branch
+        # by who won rank 0.
+        return (
+            F.when(
+                (a1 <= a2) & (a1 <= a3),          # dim1 closest
+                F.when(a2 <= a3, 2).otherwise(1),
+            )
+            .when(a2 <= a3, F.when(a1 <= a3, 4).otherwise(1))  # dim2 closest
+            .otherwise(F.when(a1 <= a2, 4).otherwise(2))       # dim3 closest
         )
 
     eb = _with_norm(
@@ -1126,7 +1147,10 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for k in range(KNN_GRAPH_BANDS)
                     for bb in (
                         band_bucket(k),
-                        band_bucket(k).bitwiseXOR(band_flip(k)),
+                        *[
+                            band_bucket(k).bitwiseXOR(band_flip(k, m))
+                            for m in range(KNN_PROBES)
+                        ],
                     )
                 ]
             )

@@ -422,10 +422,11 @@ def test_hamming_pairs_64_fuzz(spark):
 
 
 def test_knn_graph_recall_floor(spark):
-    """The multi-probe banded kNN graph must keep recall@5 >= 0.85
-    against the exact numpy graph (measured 0.96 with 6 bands + the
-    1 min-margin flip probe at sf0.001, 0.966 at sf0.01, on this
-    near-isotropic corpus - the HARD case for sign-bit LSH; the
+    """The multi-probe banded kNN graph must keep recall@5 >= 0.95
+    against the exact numpy graph (measured 0.992 with 6 bands + 2
+    margin-ranked flip probes at sf0.001, 0.996 at sf0.01 - the r11
+    operating point; 1 probe measured 0.960/0.966 - on this
+    near-isotropic corpus, the HARD case for sign-bit LSH; the
     measured recall/volume ladder lives in the operator docstring
     and SCALING sec 21). Every returned edge's cosine must also
     match numpy to 1e-6."""
@@ -451,7 +452,7 @@ def test_knn_graph_recall_floor(spark):
         top = {ids[j] for j in np.argsort(-S[i])[:KNN_GRAPH_K]}
         hits += len(top & got.get(vid, set()))
         tot += KNN_GRAPH_K
-    assert hits / tot >= 0.85
+    assert hits / tot >= 0.95
     for r in rows:
         assert abs(r["cos_sim"] - S[idx[r["src"]], idx[r["dst"]]]) < 1e-6
 
