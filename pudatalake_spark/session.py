@@ -69,6 +69,26 @@ def _ship_package(spark: SparkSession) -> None:
         if app in _SHIPPED:
             return
         pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        # Ship ONLY when workers could not import the package anyway:
+        # an added file measurably taxes EVERY task (A/B-measured r11:
+        # a 60-key sf0.1 census runs 204 s with the zip registered vs
+        # 102 s without - per-task dependency bookkeeping), so the
+        # common case (local master, driver launched from the repo,
+        # where workers inherit the driver's cwd/PYTHONPATH and
+        # import by path) must stay zip-free. Local-mode workers see
+        # the driver's cwd and PYTHONPATH; any non-local master
+        # always ships.
+        master = sc.master or ""
+        if master.startswith("local"):
+            repo_root = os.path.dirname(pkg_dir)
+            reachable = {os.getcwd()} | {
+                os.path.abspath(p)
+                for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+                if p
+            }
+            if repo_root in reachable:
+                _SHIPPED.add(app)
+                return
         zpath = os.path.join(
             tempfile.mkdtemp(prefix="pudatalake_pkg_"),
             "pudatalake_spark.zip",
