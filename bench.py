@@ -130,11 +130,26 @@ def _load_gate() -> dict:
     return {"passed": False, "threshold": max_load, "history": history}
 
 
+def _cpu_stat() -> tuple[int, int] | None:
+    """(total_jiffies, steal_jiffies) from /proc/stat - hypervisor
+    STEAL is the contention channel loadavg cannot see (r11: census
+    stretches inflated 5-15x on an idle-looking box; a noisy
+    neighbor shows up here and nowhere else)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(x) for x in parts]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+    except Exception:  # noqa: BLE001 - non-Linux or locked-down /proc
+        return None
+
+
 def main() -> None:
     gate = _load_gate()
     # Ambient load BEFORE the session spins up: the report's
     # contention evidence must reflect the box, not this bench.
     load0 = [round(x, 2) for x in os.getloadavg()]
+    stat0 = _cpu_stat()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     run_all = "--all" in sys.argv
     # sf number parsed from the dir name for the report line.
@@ -200,6 +215,13 @@ def main() -> None:
         # bounded retries - read its numbers accordingly.
         "load_gate": gate,
     }
+    stat1 = _cpu_stat()
+    if stat0 and stat1 and stat1[0] > stat0[0]:
+        # % of this run's CPU time stolen by the hypervisor: the
+        # contention channel loadavg cannot see (noisy neighbor).
+        report["cpu_steal_pct"] = round(
+            100.0 * (stat1[1] - stat0[1]) / (stat1[0] - stat0[0]), 2
+        )
     detail = dict(report, cold_queries=cold, steady_samples=samples)
     # Driver-proofing (VERDICT r5 #6): the r5 driver tail-parse missed
     # the JSON line once cold/steady detail pushed it past the driver's

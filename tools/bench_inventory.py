@@ -33,6 +33,9 @@ from pudatalake_spark import registry
 from pudatalake_spark.session import get_spark
 
 
+_STAT0 = None
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     sf_dir = args[0] if args else os.environ.get(
@@ -43,6 +46,10 @@ def main() -> None:
     else:
         sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         out = os.path.join(REPO, "tools", f"spark_times_{sfname}.json")
+
+    import bench as _b
+    global _STAT0
+    _STAT0 = _b._cpu_stat()
 
     spark = get_spark(app_name="bench-inventory")
     spark.sparkContext.setLogLevel("ERROR")
@@ -73,8 +80,16 @@ def main() -> None:
             registry.clear_caches(spark)
         print(f"  {name}: {times.get(name, 'ERR')}")
 
+    import bench as _bench
+    steal = None
+    stat1 = _bench._cpu_stat()
+    if _STAT0 and stat1 and stat1[0] > _STAT0[0]:
+        steal = round(
+            100.0 * (stat1[1] - _STAT0[1]) / (stat1[0] - _STAT0[0]), 2
+        )
     with open(out, "w") as f:
         json.dump({"sf_dir": sf_dir, "protocol": "noop-sink, caches cleared per key",
+                   "cpu_steal_pct": steal,
                    "per_query": times, "errors": errs}, f, indent=1, sort_keys=True)
     print(f"\nwrote {out}  ({len(times)} keys, {len(errs)} errors)")
     print(f"total spark wall: {sum(times.values()):.1f}s")
