@@ -173,29 +173,76 @@ def main() -> None:
     _force(registry.QUERIES["q_agg_groupby"](spark, sf_dir))
 
     n_steady = 1 if run_all else 3
-    per_query: dict[str, float] = {}
-    cold: dict[str, float] = {}
-    samples: dict[str, list[float]] = {}
-    for name in names:
-        fn = registry.QUERIES[name]
-        t0 = time.perf_counter()
-        _force(fn(spark, sf_dir))  # warm run: codegen compile + JIT
-        cold[name] = round(time.perf_counter() - t0, 3)
-        runs = []
-        for _ in range(n_steady):
-            # Clear persisted intermediates BEFORE each timed run:
-            # Spark's CacheManager matches canonicalized plans, so
-            # without this a steady-state run would silently read the
-            # previous run's persist() caches and under-report
-            # operators that materialize intermediates.
-            registry.clear_caches(spark)
+
+    def _measure():
+        """One full pass over the headline set; returns the per-query
+        medians plus the hypervisor steal %% measured across exactly
+        this pass (the contention channel loadavg cannot see)."""
+        s0 = _cpu_stat()
+        per_query: dict[str, float] = {}
+        cold: dict[str, float] = {}
+        samples: dict[str, list[float]] = {}
+        for name in names:
+            fn = registry.QUERIES[name]
             t0 = time.perf_counter()
-            _force(fn(spark, sf_dir))
-            runs.append(round(time.perf_counter() - t0, 3))
-        samples[name] = runs
-        per_query[name] = statistics.median(runs)
-        registry.clear_caches(spark)
-    total = round(sum(per_query.values()), 3)
+            _force(fn(spark, sf_dir))  # warm run: codegen compile + JIT
+            cold[name] = round(time.perf_counter() - t0, 3)
+            runs = []
+            for _ in range(n_steady):
+                # Clear persisted intermediates BEFORE each timed run:
+                # Spark's CacheManager matches canonicalized plans, so
+                # without this a steady-state run would silently read
+                # the previous run's persist() caches and under-report
+                # operators that materialize intermediates.
+                registry.clear_caches(spark)
+                t0 = time.perf_counter()
+                _force(fn(spark, sf_dir))
+                runs.append(round(time.perf_counter() - t0, 3))
+            samples[name] = runs
+            per_query[name] = statistics.median(runs)
+            registry.clear_caches(spark)
+        s1 = _cpu_stat()
+        steal = None
+        if s0 and s1 and s1[0] > s0[0]:
+            steal = round(100.0 * (s1[1] - s0[1]) / (s1[0] - s0[0]), 2)
+        return per_query, cold, samples, steal
+
+    # Steal-aware retry (r12, VERDICT r11 #7): the r11 DRIVER artifact
+    # read 1.04x purely from box conditions while the same code's
+    # quiet-box close run read 0.83x - the loadavg gate alone cannot
+    # see a hypervisor steal burst that lands DURING the run. Measure
+    # steal across each full pass and re-measure (bounded) while it
+    # exceeds SPARK_GRAFT_STEAL_MAX (default 0.3%; the r11 close run
+    # recorded 0.06%). The kept pass is the quietest one (min steal,
+    # ties to min total); every attempt's summary is recorded so a
+    # dirty artifact is self-describing. --all (census mode) has its
+    # own per-key healing in tools/bench_inventory.py and skips this.
+    steal_max = float(os.environ.get("SPARK_GRAFT_STEAL_MAX", "0.3"))
+    steal_tries = 1 if run_all else int(
+        os.environ.get("SPARK_GRAFT_STEAL_TRIES", "3"))
+    attempts = []
+    best = None
+    for attempt in range(1, max(1, steal_tries) + 1):
+        per_query, cold, samples, steal = _measure()
+        tot = round(sum(per_query.values()), 3)
+        attempts.append({"steal_pct": steal, "total": tot,
+                         "loadavg1": round(os.getloadavg()[0], 2)})
+        cand = (steal if steal is not None else 0.0, tot,
+                per_query, cold, samples)
+        if best is None or cand[:2] < best[:2]:
+            best = cand
+        if steal is None or steal <= steal_max:
+            break
+        if attempt < steal_tries:
+            print(f"STEALGATE attempt {attempt}/{steal_tries}: "
+                  f"{steal}% CPU stolen during the pass "
+                  f"(> {steal_max}%), re-measuring", flush=True)
+    _, total, per_query, cold, samples = best
+    steal_gate = {
+        "passed": best[0] <= steal_max,
+        "threshold_pct": steal_max,
+        "attempts": attempts,
+    }
 
     report = {
         "metric": "headline_total_wall" if not run_all else "all_total_wall",
@@ -214,6 +261,9 @@ def main() -> None:
         # this artifact was KNOWINGLY recorded on a loaded box after
         # bounded retries - read its numbers accordingly.
         "load_gate": gate,
+        # Per-pass hypervisor-steal verdict (r12): which measurement
+        # pass this artifact's numbers come from and how clean it was.
+        "steal_gate": steal_gate,
     }
     stat1 = _cpu_stat()
     if stat0 and stat1 and stat1[0] > stat0[0]:

@@ -73,15 +73,39 @@ def _doc_fingerprint(sf_dir: str) -> str | None:
     return h.hexdigest()
 
 
-def minhash_oracle_decision(marker_path: str = _MARKER_PATH) -> tuple[bool, str]:
+def _load_marker(marker_path: str | None):
+    """Read the recall marker as PACKAGE DATA (works under zipimport
+    on shipped executor workers, where ``__file__`` is inside the
+    addPyFile zip and plain ``open`` fails - ADVICE r11) with the
+    path form kept for tests that stage their own marker."""
+    if marker_path is not None:
+        with open(marker_path) as f:
+            return json.load(f)
+    try:
+        from importlib.resources import files
+
+        return json.loads(
+            files(__package__).joinpath("minhash_recall.json").read_text()
+        )
+    except ModuleNotFoundError:
+        raise
+    except Exception:
+        # Older loader without resource support: fall back to the
+        # filesystem path (correct everywhere except zipimport).
+        with open(_MARKER_PATH) as f:
+            return json.load(f)
+
+
+def minhash_oracle_decision(marker_path: str | None = None) -> tuple[bool, str]:
     """(enabled, reason): may q_dedup_near_minhash claim the
     exact-pair oracle on the CURRENT fixtures? Enabled iff the
     committed marker records banding recall exactly 1.0 AND every
     fixture it was measured on still has the same documents bytes.
-    A fixture dir absent on this host contradicts nothing."""
+    A fixture dir absent on this host contradicts nothing (but see
+    ``minhash_oracle_covers`` - a sweep on a NEVER-measured fixture
+    should demote itself, ADVICE r11)."""
     try:
-        with open(marker_path) as f:
-            marker = json.load(f)
+        marker = _load_marker(marker_path)
     except Exception as e:  # noqa: BLE001 - any unreadable marker demotes
         return False, f"recall marker unreadable ({type(e).__name__})"
     if marker.get("recall") != 1.0:
@@ -96,6 +120,37 @@ def minhash_oracle_decision(marker_path: str = _MARKER_PATH) -> tuple[bool, str]
                 "was measured (run tools/refresh_minhash_marker.py)"
             )
     return True, "banding recall 1.0 re-verified against fixture fingerprints"
+
+
+def minhash_oracle_covers(
+    sf_dir: str, marker_path: str | None = None
+) -> tuple[bool, str]:
+    """(covered, reason): was banding recall actually MEASURED on the
+    documents fixture at ``sf_dir``? The import-time gate above is
+    necessarily fail-open for fixtures it has never seen (an absent
+    dir contradicts nothing), so a sweep pointed at a NEW SF dir - a
+    new scale, a relocated regen, a host-local corpus - must check
+    this and run the minhash key rows-only rather than claim a recall
+    it never measured (ADVICE r11). Sweep drivers call this with
+    their actual SF dir; tools/refresh_minhash_marker.py extends the
+    marker to new fixtures."""
+    try:
+        marker = _load_marker(marker_path)
+    except Exception as e:  # noqa: BLE001
+        return False, f"recall marker unreadable ({type(e).__name__})"
+    cur = _doc_fingerprint(sf_dir)
+    if cur is None:
+        return False, f"no documents.parquet at {sf_dir}"
+    fps = marker.get("fingerprints", {})
+    recorded = fps.get(os.path.abspath(sf_dir)) or fps.get(sf_dir)
+    if recorded is None:
+        return False, (
+            f"recall never measured on {sf_dir} (run "
+            "tools/refresh_minhash_marker.py to extend the marker)"
+        )
+    if recorded != cur:
+        return False, f"documents fixture at {sf_dir} changed since measurement"
+    return True, f"recall measured on this exact fixture ({sf_dir})"
 
 
 MINHASH_ORACLE_ENABLED, MINHASH_ORACLE_REASON = minhash_oracle_decision()
@@ -907,19 +962,33 @@ def cc_min_label(
     mechanism, and R rounds provably cover any diameter
     <= 2^(R+1) - 1 (probe test pins a 100-node chain).
 
-    Supersteps are MATERIALIZED: each round ends in an eager
-    localCheckpoint that truncates lineage. This is load-bearing, not
-    a cache hint - each round references the previous labels ~4
-    times, so a lazy formulation holds ~4^R copies of the edge
-    subplan in one logical tree and CATALYST ANALYSIS, not execution,
-    dominates (measured: the lazy R=6 build never finished at sf0.01;
-    checkpointed it is sub-second per round). Iterative graph
-    algorithms are the one operator family whose builders inherently
-    run jobs (same declared class as the sink/layout operators); at
-    cluster scale set ``spark.pudatalake.checkpoint.dir`` so every
-    superstep uses reliable ``checkpoint()`` and survives executor
-    loss (session.superstep_checkpoint; equivalence pinned in
+    Supersteps are MATERIALIZED: each round ends in a localCheckpoint
+    that truncates lineage. This is load-bearing, not a cache hint -
+    each round references the previous labels ~4 times, so a lazy
+    formulation holds ~4^R copies of the edge subplan in one logical
+    tree and CATALYST ANALYSIS, not execution, dominates (measured:
+    the lazy R=6 build never finished at sf0.01; checkpointed it is
+    sub-second per round). Iterative graph algorithms are the one
+    operator family whose builders inherently run jobs (same declared
+    class as the sink/layout operators); at cluster scale set
+    ``spark.pudatalake.checkpoint.dir`` so every superstep uses
+    reliable ``checkpoint()`` and survives executor loss
+    (session.superstep_checkpoint; equivalence pinned in
     tests/test_reliable_checkpoint.py, recipe in docs/SCALING.md §19).
+
+    ONE job per round (r12, VERDICT r11 #4 - the q_graph_kcore
+    discipline applied to CC): labels are MONOTONE non-increasing per
+    node (each round takes least() of the old label and neighbor/jump
+    labels), so "no label changed" <=> "sum(lbl) unchanged" - the
+    convergence check collapses from a node-frame self-join + filter
+    + count JOB into one exact decimal(38,0) sum AGG, and running
+    that agg on the LAZY checkpoint makes one job do both the
+    superstep materialization and the fixpoint check (the old shape
+    paid an eager-checkpoint job PLUS a join-count job per round).
+    The sum is decimal so it cannot wrap at any node-count/id scale -
+    a wrapped bigint sum could collide across distinct label vectors.
+    Output is unchanged: same supersteps, same exit round (measured
+    byte-identical at sf0.001/0.01/0.1; x10 wall in SCALING §20).
 
     100 TB shape: labels are (id, id) pairs - the narrowest possible
     iterate; each round is two equi-joins + one map-side-combinable
@@ -934,6 +1003,16 @@ def cc_min_label(
     labels = superstep_checkpoint(
         nodes.select("u", F.col("u").alias("lbl")), eager=True
     )
+
+    def _lbl_sum(frame):
+        # Exact fixpoint signature: monotone labels => the sum moves
+        # iff any label moved. 1-value driver action per round
+        # (BOUNDED_DRIVER_ACTIONS), replacing the old join+count job.
+        return frame.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _lbl_sum(labels)
     for _ in range(rounds):
         nbr = (
             edges.join(
@@ -950,23 +1029,19 @@ def cc_min_label(
         jump = stepped.select(
             F.col("u").alias("ju"), F.col("lbl").alias("jlbl")
         )
-        new_labels = (
-            superstep_checkpoint(
-                stepped.join(jump, stepped["lbl"] == jump["ju"], "left")
-                .select("u", F.least("lbl", "jlbl").alias("lbl")),
-                eager=True,
-            )
+        # LAZY checkpoint: the sum agg below is the round's single
+        # job - it materializes the checkpoint blocks and reads the
+        # fixpoint signature off them in one pass.
+        new_labels = superstep_checkpoint(
+            stepped.join(jump, stepped["lbl"] == jump["ju"], "left")
+            .select("u", F.least("lbl", "jlbl").alias("lbl")),
+            eager=False,
         )
-        changed = (
-            new_labels.join(
-                labels.select("u", F.col("lbl").alias("old_lbl")), "u"
-            )
-            .filter(F.col("lbl") != F.col("old_lbl"))
-            .count()
-        )
+        new_sum = _lbl_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
 
 

@@ -772,9 +772,11 @@ BOUNDED_DRIVER_ACTIONS: dict[str, str] = {
         "documented fixpoint-loop exception; frontier frames stay "
         "distributed)",
     "q_dedup_groups":
-        "CC supersteps: <= CC_MAX_ROUNDS eager localCheckpoints + "
-        "1-value changed-labels counts (pointer-jumping fixpoint; "
-        "label frames stay distributed)",
+        "CC supersteps: <= CC_MAX_ROUNDS + 1 1-value decimal "
+        "label-sum collects, each materializing that round's lazy "
+        "checkpoint in the same job (r12 one-job rounds; monotone "
+        "labels make sum a exact fixpoint signature; label frames "
+        "stay distributed)",
     "q_dedup_eval":
         "exactly 3 scalar counts (detected/truth/hits) over "
         "localCheckpointed pair frames - the operator's output IS "

@@ -692,8 +692,9 @@ def _block_decode(codec: str, payload: bytes) -> bytes:
         except lzma.LZMAError as e:
             raise ValueError(f"avro: bad xz block ({e})") from e
     # "zstandard" is the one spec codec left out: no stdlib zstd in
-    # this Python (probed r10, re-probed r11: zstandard/zstd/cramjam
-    # all absent); gate rather than vendor a compressor.
+    # this Python (probed r10, re-probed r11/r12: zstandard/zstd/
+    # cramjam and py3.14's compression.zstd all absent on 3.11.7);
+    # gate rather than vendor a compressor.
     raise NotImplementedError(f"avro: codec {codec!r}")
 
 

@@ -274,7 +274,7 @@ def s_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tws_available() -> bool:
     """True when transformWithStateInPandas can run here: the TWS
     Python runner speaks protobuf to the JVM, so it needs
-    ``google.protobuf`` (absent in this container - probed r5/r6/r11,
+    ``google.protobuf`` (absent in this container - probed r5/r6/r11/r12,
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE at init)."""
     try:
         import google.protobuf  # noqa: F401

@@ -85,6 +85,38 @@ def test_decision_demotes_on_bad_marker(tmp_path):
     assert ok
 
 
+def test_covers_demotes_unmeasured_fixture(tmp_path):
+    """ADVICE r11: the decision gate is fail-open for fixtures it
+    never measured; sweep drivers must use minhash_oracle_covers to
+    demote the key on a NEVER-measured SF dir."""
+    # committed marker covers the real fixtures
+    ok, why = dedup.minhash_oracle_covers(SF_DIR)
+    assert ok, why
+
+    # a dir with a documents fixture the marker has never seen -> not
+    # covered, even though the decision gate stays armed
+    fake_sf = tmp_path / "sf_custom"
+    fake_sf.mkdir()
+    (fake_sf / "documents.parquet").write_bytes(b"PAR1fakebytesPAR1")
+    ok, why = dedup.minhash_oracle_covers(str(fake_sf))
+    assert not ok and "never measured" in why
+    armed, _ = dedup.minhash_oracle_decision()
+    assert armed  # decision alone would have let this through
+
+    # a measured dir whose bytes changed -> not covered
+    p = tmp_path / "m.json"
+    p.write_text(json.dumps({
+        "recall": 1.0,
+        "fingerprints": {str(fake_sf): "0" * 32},
+    }))
+    ok, why = dedup.minhash_oracle_covers(str(fake_sf), str(p))
+    assert not ok and "changed" in why
+
+    # no documents at all -> not covered
+    ok, why = dedup.minhash_oracle_covers(str(tmp_path / "empty"))
+    assert not ok and "no documents" in why
+
+
 def test_committed_marker_is_armed_and_current():
     """The repo ships with the oracle ARMED: the committed marker
     must record recall 1.0 and match the live fixture bytes (if this

@@ -55,3 +55,43 @@ def test_mapinpandas_key_runs_with_cwd_outside_repo():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "WORKER_IMPORT_OK" in proc.stdout
+
+
+# The inverse edge (VERDICT r11 "wrong" #1): session created OUTSIDE
+# the repo, driver chdirs INTO the repo before the first query. Local
+# -mode workers resolve imports from the cwd the executor JVM had at
+# session creation (/tmp), so a skip-heuristic that reads the
+# driver's CURRENT cwd would wrongly skip shipping. ensure_conf must
+# decide from the JVM's user.dir instead.
+CHDIR_SNIPPET = """
+import os, sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false")
+         .getOrCreate())  # JVM (and so worker) cwd pinned to /tmp HERE
+os.chdir({repo!r})        # driver cwd now looks reachable - a trap
+from pudatalake_spark import registry
+from pudatalake_spark.session import ensure_conf
+ensure_conf(spark)
+registry.load_all()
+n = registry.QUERIES["q_multimodal_phash"](spark, "/root/testdata/sf0.001").count()
+assert n > 0, n
+print("WORKER_IMPORT_OK_CHDIR", n)
+"""
+
+
+def test_mapinpandas_key_survives_chdir_after_session_create():
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [sys.executable, "-c", CHDIR_SNIPPET.format(repo=REPO)],
+        cwd="/tmp",
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "WORKER_IMPORT_OK_CHDIR" in proc.stdout

@@ -17,6 +17,22 @@ Writes {"sf_dir":..., "per_query": {key: secs}} sorted by key; prints
 the slowest 25.  Side-effect keys (sinks) execute their write to a
 temp dir exactly as the registry's query callable defines; streaming
 keys run their bounded batch form like everywhere else.
+
+SELF-HEALING (r12, VERDICT r11 #1): the hypervisor steals CPU in
+multi-minute bursts invisible to loadavg (r11 diagnosed 1-3
+alphabetically adjacent keys inflated 5-15x per census run; the r11
+committed artifact carried two 4-5x contaminated rows that had to be
+re-measured by hand).  A census is only round-over-round comparable
+if contaminated rows never land in it, so each key now self-heals:
+steal jiffies are sampled around EVERY key, and a key is re-run (up
+to ``--max-reruns``, default 2) when its wall exceeds
+``--rerun-factor`` (default 3) x its previous committed census value
+OR when measurable steal (>0.5% of the key's window) was stamped on a
+key slower than 1 s with no prior.  The committed number is the MIN
+of the samples (the quietest observation of a fixed plan); every
+healed key keeps its full sample/steal history under ``healing`` so
+the artifact is auditable, and rows that stay inflated after retries
+are flagged ``unresolved`` rather than silently kept.
 """
 
 from __future__ import annotations
@@ -32,24 +48,48 @@ sys.path.insert(0, REPO)
 from pudatalake_spark import registry
 from pudatalake_spark.session import get_spark
 
+RERUN_FACTOR = 3.0
+MAX_RERUNS = 2
+#: keys faster than this never trigger steal-only reruns: sub-second
+#: rows have +-20-30% ambient noise anyway and a burst cannot turn
+#: them into census outliers that matter.
+STEAL_MIN_WALL = 1.0
+STEAL_MIN_PCT = 0.5
 
-_STAT0 = None
+
+def _flag(name: str, default: float) -> float:
+    if name in sys.argv:
+        return float(sys.argv[sys.argv.index(name) + 1])
+    return default
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--") and not sys.argv[i - 1].startswith("--")
+    ]
     sf_dir = args[0] if args else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out = None
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
     else:
         sfname = sf_dir.rstrip("/").rsplit("/", 1)[-1]
         out = os.path.join(REPO, "tools", f"spark_times_{sfname}.json")
+    rerun_factor = _flag("--rerun-factor", RERUN_FACTOR)
+    max_reruns = int(_flag("--max-reruns", MAX_RERUNS))
 
     import bench as _b
-    global _STAT0
-    _STAT0 = _b._cpu_stat()
+    stat0 = _b._cpu_stat()
+
+    # Previous committed census at this path = the round-over-round
+    # reference that defines "inflated" for the healing loop.
+    prior: dict[str, float] = {}
+    try:
+        with open(out) as f:
+            prior = json.load(f).get("per_query", {})
+    except Exception:  # noqa: BLE001 - first census at this path
+        pass
 
     spark = get_spark(app_name="bench-inventory")
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,32 +106,86 @@ def main() -> None:
     finally:
         registry.clear_caches(spark)
 
-    times: dict[str, float] = {}
-    errs: dict[str, str] = {}
-    for name in sorted(registry.QUERIES):
+    def run_once(name: str) -> tuple[float, float | None]:
+        """(wall_s, steal_pct_during_this_key)."""
+        s0 = _b._cpu_stat()
         t0 = time.time()
         try:
             df = registry.QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            times[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001 - survey, keep going
-            errs[name] = f"{type(e).__name__}: {str(e)[:160]}"
         finally:
             registry.clear_caches(spark)
-        print(f"  {name}: {times.get(name, 'ERR')}")
+        wall = round(time.time() - t0, 3)
+        s1 = _b._cpu_stat()
+        steal = None
+        if s0 and s1 and s1[0] > s0[0]:
+            steal = round(100.0 * (s1[1] - s0[1]) / (s1[0] - s0[0]), 2)
+        return wall, steal
 
-    import bench as _bench
+    times: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    healing: dict[str, dict] = {}
+    for name in sorted(registry.QUERIES):
+        try:
+            wall, steal = run_once(name)
+        except Exception as e:  # noqa: BLE001 - survey, keep going
+            errs[name] = f"{type(e).__name__}: {str(e)[:160]}"
+            print(f"  {name}: ERR")
+            continue
+        samples, steals = [wall], [steal]
+        ref = prior.get(name)
+        while len(samples) <= max_reruns:
+            inflated_vs_prior = ref is not None and min(samples) > rerun_factor * ref
+            burst_no_prior = (
+                ref is None
+                and min(samples) >= STEAL_MIN_WALL
+                and steals[-1] is not None
+                and steals[-1] > STEAL_MIN_PCT
+            )
+            if not (inflated_vs_prior or burst_no_prior):
+                break
+            w, s = run_once(name)
+            samples.append(w)
+            steals.append(s)
+        times[name] = min(samples)
+        if len(samples) > 1:
+            healing[name] = {
+                "samples": samples,
+                "steal_pct": steals,
+                "prior": ref,
+                "resolved": ref is None or times[name] <= rerun_factor * ref,
+            }
+            tag = "HEALED" if healing[name]["resolved"] else "UNRESOLVED"
+            print(f"  {name}: {times[name]} [{tag} after {len(samples)} runs: {samples}]")
+        else:
+            print(f"  {name}: {times[name]}")
+
     steal = None
-    stat1 = _bench._cpu_stat()
-    if _STAT0 and stat1 and stat1[0] > _STAT0[0]:
+    stat1 = _b._cpu_stat()
+    if stat0 and stat1 and stat1[0] > stat0[0]:
         steal = round(
-            100.0 * (stat1[1] - _STAT0[1]) / (stat1[0] - _STAT0[0]), 2
+            100.0 * (stat1[1] - stat0[1]) / (stat1[0] - stat0[0]), 2
         )
     with open(out, "w") as f:
-        json.dump({"sf_dir": sf_dir, "protocol": "noop-sink, caches cleared per key",
-                   "cpu_steal_pct": steal,
-                   "per_query": times, "errors": errs}, f, indent=1, sort_keys=True)
-    print(f"\nwrote {out}  ({len(times)} keys, {len(errs)} errors)")
+        json.dump({
+            "sf_dir": sf_dir,
+            "protocol": (
+                "noop-sink, caches cleared per key; self-healing: keys "
+                f">{rerun_factor}x their previous census (or stamped with "
+                "a steal burst, no prior) re-run up to "
+                f"{max_reruns}x, min kept"
+            ),
+            "cpu_steal_pct": steal,
+            "per_query": times,
+            "healing": healing,
+            "errors": errs,
+        }, f, indent=1, sort_keys=True)
+    unresolved = [k for k, h in healing.items() if not h["resolved"]]
+    print(f"\nwrote {out}  ({len(times)} keys, {len(errs)} errors, "
+          f"{len(healing)} healed, {len(unresolved)} unresolved)")
+    if unresolved:
+        print(f"UNRESOLVED (still >{rerun_factor}x prior after retries — "
+              f"re-measure or accept as real): {unresolved}")
     print(f"total spark wall: {sum(times.values()):.1f}s")
     print("slowest 25:")
     for s, k in sorted(((v, k) for k, v in times.items()), reverse=True)[:25]:

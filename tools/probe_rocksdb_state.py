@@ -52,12 +52,24 @@ def main() -> None:
     registry.load_all()
     spark = get_spark(app_name="rocksdb-ab")
     spark.sparkContext.setLogLevel("ERROR")
+    # The corpora come from measure_stream_scale.py --gen-only; fail
+    # loudly if they are missing instead of FileNotFoundError on the
+    # sink open (ADVICE r11).
+    missing = [t for t in tags if not os.path.isdir(os.path.join(OUT_ROOT, t))]
+    if missing:
+        sys.exit(
+            f"corpus dirs missing under {OUT_ROOT}: {missing} - run "
+            "`python tools/measure_stream_scale.py --gen-only` first"
+        )
+    os.makedirs(OUT_ROOT, exist_ok=True)
     sink = open(os.path.join(OUT_ROOT, "rocksdb_ab.jsonl"), "a")
 
     def emit(rec):
         sink.write(json.dumps(rec) + "\n")
         sink.flush()
         print(json.dumps(rec), flush=True)
+
+    from pudatalake_spark.streaming import streams as _streams
 
     for tag in tags:
         sf_dir = os.path.join(OUT_ROOT, tag)
@@ -66,6 +78,14 @@ def main() -> None:
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", provider
             )
+            # s_session_window / s_stateful_running hardwire
+            # state_provider=ROCKSDB_PROVIDER since r11, which would
+            # override the ambient conf and make the 'default' arm
+            # measure RocksDB vs RocksDB (ADVICE r11). Repoint the
+            # module constant so the per-query override resolves to
+            # THIS arm's provider; restored implicitly by the next
+            # loop iteration setting it again.
+            _streams.ROCKSDB_PROVIDER = provider
             for key in KEYS:
                 t0 = time.time()
                 try:
