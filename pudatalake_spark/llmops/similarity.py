@@ -1028,6 +1028,16 @@ KNN_GRAPH_BANDS = 6
 # costs only probe-side rows (index untouched) and the measured
 # build-wall delta at 20k vecs is recorded in sec 21.
 KNN_PROBES = 2
+# Sign bits per band (r12, VERDICT r11 #3): each band hashes its own
+# disjoint block of KNN_BITS_PER_BAND dims into a 2^bits-way bucket.
+# 3 is the shipped fixture operating point (8 buckets/band); the
+# docstring's "at true scale use more sign bits per band" dial is now
+# a real constant - the 1M-vector feasibility probe
+# (tools/probe_knn_scale.py, SCALING sec 21) runs bits=10 (1024
+# buckets/band), because at N=1M a 3-bit bucket is ~N/8 = 125k rows
+# and the candidate volume stays quasi-quadratic. Requires
+# KNN_GRAPH_BANDS * bits <= vector dim.
+KNN_BITS_PER_BAND = 3
 # r10 tiled candidate generation: probe-side / index-side rows per
 # GEMM tile within a (band, bucket). 2048x4096 float64 score tiles
 # are 64 MiB; at the fixture every bucket fits one tile.
@@ -1083,39 +1093,50 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = table(spark, sf_dir, "embeddings")
 
+    bits = KNN_BITS_PER_BAND
+
     def band_bucket(k: int):
-        # band k hashes dims 3k+1..3k+3 into a 3-bit sign bucket
-        return (
-            F.when(F.element_at("v", 3 * k + 1) > 0, 4).otherwise(0)
-            + F.when(F.element_at("v", 3 * k + 2) > 0, 2).otherwise(0)
-            + F.when(F.element_at("v", 3 * k + 3) > 0, 1).otherwise(0)
-        )
+        # band k hashes dims bits*k+1..bits*k+bits into a sign bucket
+        # (bit j of the bucket = sign of the band's j-th dim).
+        out = F.lit(0)
+        for j in range(bits):
+            out = out + F.when(
+                F.element_at("v", bits * k + j + 1) > 0,
+                1 << (bits - 1 - j),
+            ).otherwise(0)
+        return out
 
     def band_flip(k: int, rank: int = 0):
-        # bit weight (4/2/1) of the band's rank-th
-        # smallest-|coordinate| dim = the rank-th closest hyperplane
-        # (Lv et al.'s margin-ranked probe ladder); ties break to the
-        # lowest dim (a stable sort by (|coord|, dim)).
-        a1 = F.abs(F.element_at("v", 3 * k + 1))
-        a2 = F.abs(F.element_at("v", 3 * k + 2))
-        a3 = F.abs(F.element_at("v", 3 * k + 3))
-        first = (
-            F.when((a1 <= a2) & (a1 <= a3), 4)
-            .when(a2 <= a3, 2)
-            .otherwise(1)
-        )
-        if rank == 0:
-            return first
-        # rank 1: the runner-up under the same stable order, branch
-        # by who won rank 0.
-        return (
-            F.when(
-                (a1 <= a2) & (a1 <= a3),          # dim1 closest
-                F.when(a2 <= a3, 2).otherwise(1),
+        # bit weight of the band's rank-th smallest-|coordinate| dim =
+        # the rank-th closest hyperplane (Lv et al.'s margin-ranked
+        # probe ladder); ties break to the lowest dim - array_sort on
+        # (|coord|, dim, weight) structs is exactly that stable order,
+        # and generalizes the r10/r11 3-dim branch form bit-for-bit
+        # (same winner under every tie pattern) while extending the
+        # ladder to any rank < bits (r12; the ADVICE r11 guard below
+        # keeps an out-of-ladder KNN_PROBES loud).
+        if rank >= bits:
+            raise NotImplementedError(
+                f"band_flip rank {rank}: the single-flip probe ladder "
+                f"has exactly {bits} rungs (KNN_BITS_PER_BAND) - "
+                "KNN_PROBES beyond that needs multi-bit flips, not "
+                "duplicate probes"
             )
-            .when(a2 <= a3, F.when(a1 <= a3, 4).otherwise(1))  # dim2 closest
-            .otherwise(F.when(a1 <= a2, 4).otherwise(2))       # dim3 closest
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(
+                            F.element_at("v", bits * k + j + 1)
+                        ).alias("a"),
+                        F.lit(j).alias("d"),
+                        F.lit(1 << (bits - 1 - j)).alias("w"),
+                    )
+                    for j in range(bits)
+                ]
+            )
         )
+        return F.element_at(margins, rank + 1)["w"]
 
     eb = _with_norm(
         spread(e, "vec_id").select("vec_id", _vd("embedding").alias("v"))

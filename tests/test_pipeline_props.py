@@ -457,6 +457,20 @@ def test_knn_graph_recall_floor(spark):
         assert abs(r["cos_sim"] - S[idx[r["src"]], idx[r["dst"]]]) < 1e-6
 
 
+def test_knn_probe_ladder_guard(spark, monkeypatch):
+    """ADVICE r11: the single-flip probe ladder has exactly
+    KNN_BITS_PER_BAND rungs; a KNN_PROBES bump past it must fail
+    LOUDLY at plan-construction time, not silently probe duplicate
+    buckets and erode recall."""
+    from pudatalake_spark.llmops import similarity as sim
+
+    monkeypatch.setattr(
+        sim, "KNN_PROBES", sim.KNN_BITS_PER_BAND + 1
+    )
+    with pytest.raises(NotImplementedError, match="probe ladder"):
+        registry.QUERIES["q_sim_knn_graph"](spark, SF_DIR)
+
+
 def test_kmeans_lloyd_matches_numpy(spark):
     """q_sim_kmeans_lloyd pin: re-run the IDENTICAL algorithm in
     numpy - seed centroids = vec_id 0..7, exactly 2 (assign, update)

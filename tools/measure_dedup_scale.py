@@ -151,7 +151,8 @@ def join_volumes(path: str, n_docs: int) -> dict:
 
 
 def run_spark_measurements(sizes: dict[str, int], uncapped_max: int,
-                           timeout_note: str) -> list[dict]:
+                           timeout_note: str,
+                           keys: tuple[str, ...] | None = None) -> list[dict]:
     from pudatalake_spark import registry
     from pudatalake_spark.llmops import dedup
     from pudatalake_spark.session import get_spark
@@ -175,8 +176,8 @@ def run_spark_measurements(sizes: dict[str, int], uncapped_max: int,
     for tag, n in sizes.items():
         sf_dir = os.path.join(OUT_ROOT, tag)
         vols = join_volumes(os.path.join(sf_dir, "documents.parquet"), n)
-        for key in ("q_dedup_near_jaccard", "q_dedup_near_minhash",
-                    "q_dedup_groups"):
+        for key in keys or ("q_dedup_near_jaccard", "q_dedup_near_minhash",
+                            "q_dedup_groups"):
             t0 = time.time()
             try:
                 out_rows = registry.QUERIES[key](spark, sf_dir).count()
@@ -193,6 +194,9 @@ def run_spark_measurements(sizes: dict[str, int], uncapped_max: int,
                 }
             emit(rec)
         # uncapped jaccard: only where the analytic volume is sane
+        # (skipped entirely when a --keys subset was requested)
+        if keys is not None:
+            continue
         if vols["uncapped_join_rows"] <= uncapped_max:
             orig = dedup.HOT_DF_MIN
             dedup.HOT_DF_MIN = 10**9
@@ -236,9 +240,16 @@ def main() -> None:
         print(f"corpus {tag}: {n} docs at {p}", flush=True)
     if "--gen-only" in sys.argv:
         return
+    # --keys k1,k2: measure only those dedup keys (r12: re-measuring
+    # the CC rows after the one-job-per-round change without paying
+    # the jaccard family's multi-minute/disk-bound arms again).
+    keys = None
+    if "--keys" in sys.argv:
+        keys = tuple(sys.argv[sys.argv.index("--keys") + 1].split(","))
     run_spark_measurements(
         SIZES, uncapped_max=20_000_000_000,
         timeout_note="uncapped budget 2e10 rows",
+        keys=keys,
     )
     print("WROTE", os.path.join(OUT_ROOT, "results.jsonl"))
 
