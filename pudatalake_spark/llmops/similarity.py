@@ -1083,13 +1083,19 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     recorded there).
 
     Scale shape: candidates = equi self-join on the bucket id
-    (bucket sizes ~N/8 here; at true scale use more sign bits per
-    band to bound buckets - multi-probe then matters MORE, because
-    finer buckets lose more boundary neighbors, and the probe ladder
-    extends to T flips ranked by margin without touching the index);
-    exact cosine only on candidates; per-vector top-k via
+    (bucket sizes ~N/8 here; at true scale KNN_BITS_PER_BAND is the
+    dial that bounds buckets - multi-probe then matters MORE, because
+    finer buckets lose more boundary neighbors, and the generalized
+    probe ladder extends to any rank < bits without touching the
+    index); exact cosine only on candidates; per-vector top-k via
     WindowGroupLimit inside the shuffle. Payload vectors join back
-    once, pre-normed, AFTER pair dedup.
+    once, pre-normed, AFTER pair dedup. The 1M-vector decade is
+    MEASURED (r12, SCALING sec 21 / tools/probe_knn_scale.py):
+    bits=10 builds the full 5M-row graph in 611 s with peak bucket
+    1,273 rows (no memory cliff anywhere), but recall@5 falls to
+    0.293 on this near-isotropic corpus; the shipped bits=3 config
+    projects to ~3.3 h at recall ~0.996 - at 1M the binding
+    constraint is recall-vs-candidate-volume, not mechanics.
     """
     e = table(spark, sf_dir, "embeddings")
 
