@@ -92,20 +92,24 @@ def read_event_stream(
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
-#: RocksDB state-store provider (r11, VERDICT r10 #5). A/B-measured
-#: on the per-user-state keys at 10x/100x event volume
-#: (tools/probe_rocksdb_state.py -> SCALING sec 26): RocksDB wins
-#: where per-key state is a LIVE AGGREGATE the store rewrites every
-#: micro-batch - s_session_window 103.5->63.2 s and
-#: s_stateful_running 88.2->71.4 s at x100 (1.6x/1.2x; a wash at
-#: x10, where state volume does not yet separate the providers)
-#: - and LOSES where state is pure existence-check keys
-#: (s_stream_dedup 25.1->61.1 s at x100: 10M tiny puts pay RocksDB
+#: RocksDB state-store provider (r11, VERDICT r10 #5; re-measured
+#: r12 after fixing the probe's dead default arm, ADVICE r11).
+#: A/B-measured on the per-user-state keys at 10x/100x event volume
+#: (tools/probe_rocksdb_state.py -> SCALING sec 26). The r12 honest
+#: interleaved re-run REVISES the r11 wiring: RocksDB still wins the
+#: applyInPandasWithState aggregate (s_stateful_running, x100 median
+#: 68.9 -> 61.9 s across 3 samples/arm) but LOSES the native
+#: session-window aggregate it was wired onto in r11
+#: (s_session_window x100 median 53.4 vs 75.1 s - 5 of 6 cross-arm
+#: samples favor the heap store; the r11 numbers predate the fixed
+#: arm), and still loses pure existence-check state
+#: (s_stream_dedup 38.0 vs 41.1 s at x100: 10M tiny puts pay RocksDB
 #: write amplification with no read-side win). Wired accordingly:
-#: the aggregate-state keys opt in per query; dedup keeps the
-#: default heap store at this scale (on a real cluster with state >>
-#: executor heap, RocksDB becomes mandatory for it anyway - that
-#: trade is the operator's conf to flip, not this engine's default).
+#: only s_stateful_running opts in per query; session-window and
+#: dedup keep the default heap store at this scale (on a real
+#: cluster with state >> executor heap, RocksDB becomes mandatory
+#: for all of them anyway - that trade is the operator's conf to
+#: flip, not this engine's default).
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state."
     "RocksDBStateStoreProvider"
@@ -191,8 +195,9 @@ def s_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "n_events", "dur_us", "sum_value")
     )
-    run_to_memory(agg, "s_session_window", "append",
-                  state_provider=ROCKSDB_PROVIDER)
+    # r12: back on the default heap store - the fixed-arm A/B showed
+    # the r11 RocksDB opt-in losing here (see ROCKSDB_PROVIDER note).
+    run_to_memory(agg, "s_session_window", "append")
     return spark.table("s_session_window")
 
 
