@@ -1092,10 +1092,12 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, pre-normed, AFTER pair dedup. The 1M-vector decade is
     MEASURED (r12, SCALING sec 21 / tools/probe_knn_scale.py):
     bits=10 builds the full 5M-row graph in 611 s with peak bucket
-    1,273 rows (no memory cliff anywhere), but recall@5 falls to
-    0.293 on this near-isotropic corpus; the shipped bits=3 config
-    projects to ~3.3 h at recall ~0.996 - at 1M the binding
-    constraint is recall-vs-candidate-volume, not mechanics.
+    1,273 rows (no memory cliff anywhere) at recall@5 0.293 on this
+    near-isotropic corpus, bits=8 in 762 s at recall 0.529 (4x the
+    volume for +25% wall - a ~600 s fixed floor below ~1e11
+    candidates), and the shipped bits=3 config projects to ~3.3 h at
+    recall ~0.996 - at 1M the binding constraint is
+    recall-vs-candidate-volume, not mechanics.
     """
     e = table(spark, sf_dir, "embeddings")
 

@@ -214,7 +214,7 @@ def main() -> None:
         hits += len(top & got.get(int(ids[i]), set()))
         tot += k
     emit({
-        "arm": "bits10_measured", "n_vecs": N, "bits": bits,
+        "arm": f"bits{bits}_measured", "n_vecs": N, "bits": bits,
         "probes": sim.KNN_PROBES, "bands": sim.KNN_GRAPH_BANDS,
         **sN,
         "wall_s": wall,
