@@ -238,11 +238,16 @@ def main() -> None:
                   f"{steal}% CPU stolen during the pass "
                   f"(> {steal_max}%), re-measuring", flush=True)
     _, total, per_query, cold, samples = best
+    # ADVICE r12: if steal was never measurable (no /proc accounting),
+    # passed must be null, not true - "unmeasured" != "clean".
+    steal_unmeasured = all(a["steal_pct"] is None for a in attempts)
     steal_gate = {
-        "passed": best[0] <= steal_max,
+        "passed": None if steal_unmeasured else best[0] <= steal_max,
         "threshold_pct": steal_max,
         "attempts": attempts,
     }
+    if steal_unmeasured:
+        steal_gate["note"] = "steal unmeasurable on this box (/proc)"
 
     report = {
         "metric": "headline_total_wall" if not run_all else "all_total_wall",

@@ -985,8 +985,12 @@ def cc_min_label(
     that agg on the LAZY checkpoint makes one job do both the
     superstep materialization and the fixpoint check (the old shape
     paid an eager-checkpoint job PLUS a join-count job per round).
-    The sum is decimal so it cannot wrap at any node-count/id scale -
-    a wrapped bigint sum could collide across distinct label vectors.
+    The sum is decimal(38,0), which cannot wrap below ~1e19 rows of
+    max-bigint labels (far beyond practical scale; a wrapped bigint
+    sum could collide across distinct label vectors much earlier).
+    Past that bound a non-ANSI decimal overflow returns NULL, so the
+    fixpoint guard below treats a NULL sum as NOT converged rather
+    than letting None == None read as convergence (ADVICE r12).
     Output is unchanged: same supersteps, same exit round (measured
     byte-identical at sf0.001/0.01/0.1; x10 wall in SCALING §20).
 
@@ -1039,7 +1043,9 @@ def cc_min_label(
         )
         new_sum = _lbl_sum(new_labels)
         labels = new_labels
-        if new_sum == prev_sum:
+        # NULL-guard: a decimal overflow (non-ANSI) yields None; treat
+        # it as non-converged so overflow can never read as a fixpoint.
+        if new_sum is not None and new_sum == prev_sum:
             break
         prev_sum = new_sum
     return labels

@@ -1102,6 +1102,24 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings")
 
     bits = KNN_BITS_PER_BAND
+    # ADVICE r12: BANDS*BITS <= dim was comment-only. Under non-ANSI
+    # SQL, element_at past the array end returns NULL, which silently
+    # zeroes the high bits of out-of-range bands and collapses their
+    # buckets - recall degrades with no error (easy to hit via the
+    # bits=10 scale-probe monkeypatch, which needs dim >= 60). Assert
+    # against the actual fixture dim at plan-construction time,
+    # mirroring the band_flip rank guard. Bounded driver action:
+    # 1 row, 1 int.
+    head = e.select(F.size("embedding").alias("d")).head()
+    dim = int(head["d"]) if head is not None else 0
+    need = KNN_GRAPH_BANDS * bits
+    if dim and need > dim:
+        raise ValueError(
+            f"q_sim_knn_graph: KNN_GRAPH_BANDS*KNN_BITS_PER_BAND = "
+            f"{KNN_GRAPH_BANDS}*{bits} = {need} exceeds the embedding "
+            f"dim {dim}; bands past dim/bits would hash NULL "
+            "coordinates into zeroed bits and collapse buckets"
+        )
 
     def band_bucket(k: int):
         # band k hashes dims bits*k+1..bits*k+bits into a sign bucket
@@ -1304,6 +1322,208 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "src", "dst", "cos_sim", F.col("rn").cast("bigint").alias("rank")
         )
+    )
+
+
+# ---------------------------------------------------------------
+# NN-DESCENT refinement (Dong et al., WWW 2011) - the scale path for
+# the kNN graph at the 1M+ decade (VERDICT r12 #1). r12 measured that
+# at 1M vectors the LSH build's binding constraint is
+# recall-vs-candidate-volume: bits=10 builds in 611 s at recall 0.293,
+# bits=8 in 762 s at 0.529, and the high-recall bits=3 config projects
+# to ~3.3 h. NN-descent inverts the trade: seed with the CHEAP
+# low-recall LSH graph, then a few supersteps of
+# neighbor-of-my-neighbor-is-my-neighbor expansion - each superstep is
+# an equi-join (adjacency), a bounded per-pivot all-pairs exact
+# re-score (groups of <= 2*NN_DESCENT_K+1 vectors, numpy GEMM inside
+# applyInPandas), and a per-src top-k window. Measured numbers live in
+# SCALING sec 21 / tools/probe_knn_scale.py --descent.
+#
+# The fixture-scale registered key (q_sim_knn_graph) is untouched:
+# at 500-2k vectors the one-shot banded build already reaches recall
+# 0.996 and descent would only add rounds. This is the documented
+# "what you run at 1000 executors" twin, exercised by the probe tool
+# and pinned at fixture scale by tests/test_nn_descent.py.
+
+#: working degree DURING descent: every node keeps NN_DESCENT_K
+#: neighbors while refining (not KNN_GRAPH_K) - a wider working set is
+#: what lets neighbor-of-neighbor expansion escape the seed's blind
+#: spots (Dong et al.'s K); the final output truncates back to k_out.
+NN_DESCENT_K = 10
+
+
+def nn_descent_round(
+    payload: DataFrame, graph: DataFrame, k_descent: int = NN_DESCENT_K
+) -> DataFrame:
+    """ONE NN-descent superstep over a scored kNN graph.
+
+    payload: (vec_id bigint, vec array<float>) - raw float32 vectors;
+    graph:   (src, dst, cos_sim) - the current best-k' graph.
+    Returns the merged graph re-truncated to k_descent per src,
+    localCheckpointed (lineage stays O(1) across rounds).
+
+    Shape per superstep (all volumes bounded by k', never N^2):
+    - adjacency B[u] = top-k' out-neighbors + reverse-capped
+      in-neighbors + u itself: <= 2k'+1 members per pivot;
+    - every pivot group's members are all-pairs re-scored EXACTLY
+      (float64 GEMM on <= (2k'+1)^2 pairs) inside applyInPandas -
+      pair rows materialize only as the i<j triangle of a <=21-row
+      group, never as a joined pair table;
+    - merge: new pairs mirrored to both directions, groupBy (src,dst)
+      max-dedup (absorbs re-scores and the seed's HALF_UP-vs-half-even
+      1e-6 rounding splits), union with the carried graph, per-src
+      top-k' window.
+    The reverse cap (same k') bounds hub skew: a node that half the
+    corpus points at contributes k' rows, not its in-degree.
+    """
+    import numpy as np
+    import pandas as pd
+
+    w_out = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst")
+    )
+    g = (
+        graph.withColumn("rn", F.row_number().over(w_out))
+        .filter(F.col("rn") <= k_descent)
+        .select("src", "dst", "cos_sim")
+    )
+    fwd = g.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    w_rev = Window.partitionBy("dst").orderBy(
+        F.col("cos_sim").desc(), F.col("src")
+    )
+    rev = (
+        g.withColumn("rr", F.row_number().over(w_rev))
+        .filter(F.col("rr") <= k_descent)
+        .select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    slf = payload.select(
+        F.col("vec_id").alias("u"), F.col("vec_id").alias("v")
+    )
+    # self-inclusion guarantees every CURRENT edge (u,v) is itself
+    # exactly re-scored this round (pair (u,v) inside pivot group u),
+    # so unscored seed edges (sentinel cos) get real scores in round 1.
+    adj = fwd.unionByName(rev).unionByName(slf).distinct()
+    member = adj.join(
+        payload.select(F.col("vec_id").alias("v"), "vec"), "v"
+    ).select("u", F.col("v").alias("vid"), "vec")
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame(
+                {
+                    "a": pd.Series(dtype="int64"),
+                    "b": pd.Series(dtype="int64"),
+                    "cos_sim": pd.Series(dtype="float64"),
+                }
+            )
+        V = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+        ids = pdf["vid"].to_numpy()
+        nr = np.linalg.norm(V, axis=1)
+        C = (V @ V.T) / np.outer(nr, nr)
+        iu, ju = np.triu_indices(m, k=1)
+        keep = ids[iu] != ids[ju]
+        return pd.DataFrame(
+            {
+                "a": ids[iu][keep].astype("int64"),
+                "b": ids[ju][keep].astype("int64"),
+                "cos_sim": np.round(C[iu, ju][keep], 6),
+            }
+        )
+
+    new_pairs = member.groupBy("u").applyInPandas(
+        _pairs, schema="a bigint, b bigint, cos_sim double"
+    )
+    mirrored = new_pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "cos_sim"
+    ).unionByName(
+        new_pairs.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "cos_sim"
+        )
+    )
+    merged = (
+        g.unionByName(mirrored)
+        .groupBy("src", "dst")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    return superstep_checkpoint(
+        merged.withColumn("rn", F.row_number().over(w_out))
+        .filter(F.col("rn") <= k_descent)
+        .select("src", "dst", "cos_sim"),
+        eager=True,
+    )
+
+
+def knn_graph_nn_descent(
+    spark: SparkSession,
+    sf_dir: str,
+    seed: DataFrame,
+    rounds: int = 3,
+    k_descent: int = NN_DESCENT_K,
+    k_out: int = KNN_GRAPH_K,
+) -> DataFrame:
+    """Refine a (cheap, low-recall) seed kNN graph with NN-descent
+    supersteps and truncate to the fixture key's (src, dst, cos_sim,
+    rank) shape. seed needs (src, dst, cos_sim) - e.g. the bits=8/10
+    LSH build from q_sim_knn_graph at scale, or nn_descent_random_seed
+    for a from-scratch build."""
+    payload = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id", F.col("embedding").alias("vec")
+    )
+    graph = seed.select("src", "dst", "cos_sim")
+    for _ in range(rounds):
+        graph = nn_descent_round(payload, graph, k_descent)
+    w = Window.partitionBy("src").orderBy(
+        F.col("cos_sim").desc(), F.col("dst")
+    )
+    return (
+        graph.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_out)
+        .select(
+            "src", "dst", "cos_sim",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def nn_descent_random_seed(
+    spark: SparkSession, sf_dir: str, k: int = NN_DESCENT_K
+) -> DataFrame:
+    """Deterministic pseudo-random seed graph: k hash-derived
+    neighbors per node with sentinel cos_sim = -2.0 (below any real
+    cosine, so round-1 exact scores displace every seed edge that
+    does not earn its place). The classic NN-descent init when no
+    cheap ANN seed exists; converges in O(log N)-ish rounds vs 2-3
+    from an LSH seed. Bounded driver action: 1 count (the id-space
+    size for the hash modulus)."""
+    ids = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
+        "vec_id"
+    )
+    n = ids.count()
+    w = Window.orderBy("vec_id")
+    # dense 0..n-1 position spine so hash targets map to real ids even
+    # under non-contiguous vec_id spaces. Single-partition window is
+    # acceptable here: the spine is (id, pos) pairs only - the same
+    # bounded-spine exemption as the distributed-rank keys - and the
+    # seed is built once.
+    pos = ids.withColumn("pos", F.row_number().over(w) - 1)
+    tgt = pos.select(F.col("pos").alias("tpos"), F.col("vec_id").alias("dst"))
+    hashed = pos.select(
+        F.col("vec_id").alias("src"),
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64("vec_id", F.lit(j)), F.lit(n))
+                    for j in range(k)
+                ]
+            )
+        ).alias("tpos"),
+    )
+    return (
+        hashed.join(tgt, "tpos")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", F.lit(-2.0).alias("cos_sim"))
+        .distinct()
     )
 
 
