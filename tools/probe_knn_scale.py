@@ -24,7 +24,19 @@ Corpus: the §21 label-conditional gaussian generator at n=1,000,000
 (pyarrow writer — the duckdb unnest path allocates ~5 GB of Python
 lists at this size).
 
+3. **NN-descent refinement (r13, VERDICT r12 #1)**: ``--descent``
+   seeds with the cheap measured LSH graph from arm 2 (bits=8 by
+   default: 762 s at recall 0.529) and runs
+   ``similarity.nn_descent_round`` supersteps (working degree
+   ``--kd``, default 20 - the dial that decides the convergence
+   ceiling: at fixture scale kd=10 plateaus at recall 0.82 while
+   kd=20 reaches 0.995 in 2 rounds), measuring sampled recall@5
+   after EVERY round and stopping at ``--target`` (default 0.95)
+   or ``--max-rounds`` (default 4). Each round's wall + recall is
+   its own JSONL row - the cost/recall curve is the artifact.
+
     python tools/probe_knn_scale.py [--bits 10] [--sample 512]
+        [--descent] [--kd 20] [--max-rounds 4] [--target 0.95]
 
 Appends JSONL to .scratch/sim_scale/knn_1m.jsonl.
 """
@@ -109,6 +121,45 @@ def generate() -> str:
     return out_dir
 
 
+def generate_clustered() -> str:
+    """1M-vector corpus WITH cluster structure (r13): 2000 gaussian
+    clusters (centers ~ N(0,1)^64, within-cluster sigma 0.3), the
+    corpus class real embedding models produce (low intrinsic dim,
+    neighbors overwhelmingly within-cluster). The iso corpus above is
+    the information-theoretic worst case for every sublinear ANN
+    (within-label cosine == between-label == ~0); this one is where
+    graph refinement actually operates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out_dir = os.path.join(OUT_ROOT, "x1m_clustered")
+    path = os.path.join(out_dir, "embeddings.parquet")
+    if os.path.exists(path):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n_clusters, dim, sigma = 2000, 64, 0.3
+    rng = np.random.default_rng(SEED + 7 * N)
+    centers = rng.normal(0, 1, size=(n_clusters, dim)).astype(np.float32)
+    cl = rng.integers(0, n_clusters, size=N)
+    embs = centers[cl] + rng.normal(0, sigma, size=(N, dim)).astype(
+        np.float32
+    )
+    flat = pa.array(embs.reshape(-1).astype(np.float32))
+    offsets = pa.array(np.arange(0, (N + 1) * dim, dim, dtype=np.int32))
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(N, dtype=np.int64)),
+        "embedding": pa.ListArray.from_arrays(offsets, flat),
+        "label": pa.array((cl % 10).astype(np.int32)),
+    })
+    pq.write_table(tbl, path)
+    for f in os.listdir(BASE):
+        if f.endswith(".parquet") and f != "embeddings.parquet":
+            dst = os.path.join(out_dir, f)
+            if not os.path.exists(dst):
+                os.symlink(os.path.join(BASE, f), dst)
+    return out_dir
+
+
 def bucket_stats(embs: np.ndarray, bands: int, bits: int, probes: int) -> dict:
     """Exact bucket occupancy + candidate volume for a sign-hash
     config, straight from the corpus (same hash the operator
@@ -134,8 +185,18 @@ def bucket_stats(embs: np.ndarray, bands: int, bits: int, probes: int) -> dict:
 def main() -> None:
     bits = _flag("--bits", 10)
     n_sample = _flag("--sample", 512)
-    out_dir = generate()
-    print(f"corpus: {N} vectors at {out_dir}", flush=True)
+    corpus = (
+        sys.argv[sys.argv.index("--corpus") + 1]
+        if "--corpus" in sys.argv
+        else "iso"
+    )
+    seed_mode = (
+        sys.argv[sys.argv.index("--seed-mode") + 1]
+        if "--seed-mode" in sys.argv
+        else "lsh"
+    )
+    out_dir = generate() if corpus == "iso" else generate_clustered()
+    print(f"corpus: {corpus}, {N} vectors at {out_dir}", flush=True)
 
     import pyarrow.parquet as pq
 
@@ -160,68 +221,161 @@ def main() -> None:
 
     registry.load_all()
 
-    # Arm 1: the shipped bits=3 config, projected (documented negative)
-    s3 = bucket_stats(embs, sim.KNN_GRAPH_BANDS, 3, sim.KNN_PROBES)
-    s200 = bucket_stats(
-        embs[:X200K_N], sim.KNN_GRAPH_BANDS, 3, sim.KNN_PROBES
-    )
-    projected = round(X200K_WALL_S * s3["cand_volume"] / s200["cand_volume"])
-    emit({
-        "arm": "bits3_projected", "n_vecs": N, "bits": 3,
-        **s3,
-        "projected_wall_s": projected,
-        "basis": f"measured 200k wall {X200K_WALL_S}s x volume ratio "
-                 f"{s3['cand_volume'] / s200['cand_volume']:.1f}",
-    })
-
-    # Arm 2: bits=10, measured end-to-end through the operator's plan
-    spark = get_spark(app_name="knn-1m")
-    spark.sparkContext.setLogLevel("ERROR")
-    graph_path = os.path.join(OUT_ROOT, "x1m_graph")
-    sN = bucket_stats(embs, sim.KNN_GRAPH_BANDS, bits, sim.KNN_PROBES)
-    old_bits = sim.KNN_BITS_PER_BAND
-    sim.KNN_BITS_PER_BAND = bits
-    try:
-        t0 = time.time()
-        registry.QUERIES["q_sim_knn_graph"](spark, out_dir).write.mode(
-            "overwrite"
-        ).parquet(graph_path)
-        wall = round(time.time() - t0, 1)
-    finally:
-        sim.KNN_BITS_PER_BAND = old_bits
-        registry.clear_caches(spark)
-
-    # recall@5 on a deterministic query sample vs exact numpy truth
+    # exact recall@5 truth on a deterministic query sample (shared by
+    # every arm below)
     rng = np.random.default_rng(SEED)
     sample = np.sort(rng.choice(len(ids), size=n_sample, replace=False))
     A = embs.astype(np.float64)
     A /= np.linalg.norm(A, axis=1, keepdims=True)
-    got: dict[int, set] = {}
-    import pyarrow.dataset as ds
-
-    gt = ds.dataset(graph_path).to_table(
-        filter=ds.field("src").isin([int(ids[i]) for i in sample]),
-        columns=["src", "dst"],
-    )
-    for s, d in zip(gt["src"].to_numpy(), gt["dst"].to_numpy()):
-        got.setdefault(int(s), set()).add(int(d))
-    hits = tot = 0
     k = sim.KNN_GRAPH_K
+    truth: dict[int, set] = {}
     for i in sample:
         scores = A[i] @ A.T
         scores[i] = -np.inf
-        top = {int(ids[j]) for j in np.argpartition(-scores, k)[:k]}
-        hits += len(top & got.get(int(ids[i]), set()))
-        tot += k
-    emit({
-        "arm": f"bits{bits}_measured", "n_vecs": N, "bits": bits,
-        "probes": sim.KNN_PROBES, "bands": sim.KNN_GRAPH_BANDS,
-        **sN,
-        "wall_s": wall,
-        "recall_at_5": round(hits / tot, 4),
-        "n_sample_queries": n_sample,
-        "graph_rows": ds.dataset(graph_path).count_rows(),
-    })
+        truth[int(ids[i])] = {
+            int(ids[j]) for j in np.argpartition(-scores, k)[:k]
+        }
+
+    def sampled_recall(pairs) -> float:
+        got: dict[int, set] = {}
+        for s, d in pairs:
+            got.setdefault(int(s), set()).add(int(d))
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        return round(hits / (len(truth) * k), 4)
+
+    import pyarrow.dataset as ds
+
+    spark = get_spark(app_name="knn-1m")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Arm 1 (iso only): the shipped bits=3 config, projected
+    # (documented negative)
+    if corpus == "iso":
+        s3 = bucket_stats(embs, sim.KNN_GRAPH_BANDS, 3, sim.KNN_PROBES)
+        s200 = bucket_stats(
+            embs[:X200K_N], sim.KNN_GRAPH_BANDS, 3, sim.KNN_PROBES
+        )
+        projected = round(
+            X200K_WALL_S * s3["cand_volume"] / s200["cand_volume"]
+        )
+        emit({
+            "arm": "bits3_projected", "n_vecs": N, "bits": 3,
+            **s3,
+            "projected_wall_s": projected,
+            "basis": f"measured 200k wall {X200K_WALL_S}s x volume ratio "
+                     f"{s3['cand_volume'] / s200['cand_volume']:.1f}",
+        })
+
+    # Arm 4 (r13): EXACT kNN graph via broadcast blocked GEMM -
+    # map-only, recall 1.0 by construction; ON THIS iso corpus (zero
+    # cluster structure) it IS the recall frontier.
+    if "--exact" in sys.argv:
+        exact_path = os.path.join(OUT_ROOT, f"x1m_exact_{corpus}")
+        t0 = time.time()
+        sim.knn_graph_exact_gemm(spark, out_dir).write.mode(
+            "overwrite"
+        ).parquet(exact_path)
+        exact_wall = round(time.time() - t0, 1)
+        gt = ds.dataset(exact_path).to_table(
+            filter=ds.field("src").isin(list(truth)),
+            columns=["src", "dst"],
+        )
+        emit({
+            "arm": "exact_gemm", "corpus": corpus, "n_vecs": N,
+            "wall_s": exact_wall,
+            "recall_at_5": sampled_recall(
+                zip(gt["src"].to_numpy(), gt["dst"].to_numpy())
+            ),
+            "n_sample_queries": n_sample,
+            "graph_rows": ds.dataset(exact_path).count_rows(),
+        })
+
+    # Arm 2: LSH seed at --bits, measured end-to-end through the
+    # operator's plan (skipped under --seed-mode random)
+    graph_path = os.path.join(OUT_ROOT, f"x1m_graph_{corpus}")
+    wall = 0.0
+    if seed_mode == "lsh":
+        sN = bucket_stats(embs, sim.KNN_GRAPH_BANDS, bits, sim.KNN_PROBES)
+        old_bits = sim.KNN_BITS_PER_BAND
+        sim.KNN_BITS_PER_BAND = bits
+        try:
+            t0 = time.time()
+            registry.QUERIES["q_sim_knn_graph"](spark, out_dir).write.mode(
+                "overwrite"
+            ).parquet(graph_path)
+            wall = round(time.time() - t0, 1)
+        finally:
+            sim.KNN_BITS_PER_BAND = old_bits
+            registry.clear_caches(spark)
+        gt = ds.dataset(graph_path).to_table(
+            filter=ds.field("src").isin(list(truth)),
+            columns=["src", "dst"],
+        )
+        emit({
+            "arm": f"bits{bits}_measured", "corpus": corpus, "n_vecs": N,
+            "bits": bits,
+            "probes": sim.KNN_PROBES, "bands": sim.KNN_GRAPH_BANDS,
+            **sN,
+            "wall_s": wall,
+            "recall_at_5": sampled_recall(
+                zip(gt["src"].to_numpy(), gt["dst"].to_numpy())
+            ),
+            "n_sample_queries": n_sample,
+            "graph_rows": ds.dataset(graph_path).count_rows(),
+        })
+
+    # Arm 3 (r13, VERDICT r12 #1): NN-descent refinement of the cheap
+    # seed just measured - per-round wall + sampled recall, stop at
+    # target. cum_wall_s INCLUDES the seed build, so the last row is
+    # the honest end-to-end cost of the high-recall graph.
+    if "--descent" in sys.argv:
+        kd = _flag("--kd", 20)
+        max_rounds = _flag("--max-rounds", 4)
+        target = (
+            float(sys.argv[sys.argv.index("--target") + 1])
+            if "--target" in sys.argv
+            else 0.95
+        )
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from pudatalake_spark import loaders as L
+
+        payload = L.spread(
+            L.table(spark, out_dir, "embeddings"), "vec_id"
+        ).select("vec_id", F.col("embedding").alias("vec"))
+        if seed_mode == "lsh":
+            graph = spark.read.parquet(graph_path).select(
+                "src", "dst", "cos_sim"
+            )
+        else:
+            graph = sim.nn_descent_random_seed(spark, out_dir, k=kd)
+        cum = wall
+        for rnd in range(1, max_rounds + 1):
+            t0 = time.time()
+            graph = sim.nn_descent_round(payload, graph, k_descent=kd)
+            round_wall = round(time.time() - t0, 1)
+            cum = round(cum + round_wall, 1)
+            w = Window.partitionBy("src").orderBy(
+                F.col("cos_sim").desc(), F.col("dst")
+            )
+            top = (
+                graph.filter(F.col("src").isin(list(truth)))
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") <= k)
+                .select("src", "dst")
+                .collect()
+            )
+            rec = sampled_recall((r["src"], r["dst"]) for r in top)
+            emit({
+                "arm": "nn_descent", "corpus": corpus, "n_vecs": N,
+                "seed": seed_mode, "seed_bits": bits,
+                "kd": kd, "round": rnd, "round_wall_s": round_wall,
+                "cum_wall_s": cum, "recall_at_5": rec,
+                "n_sample_queries": n_sample,
+            })
+            if rec >= target:
+                break
 
 
 if __name__ == "__main__":
