@@ -599,6 +599,57 @@ def minhash_verified_pairs(
     xxhash64 collisions (P ~ n^2/2^64 per pair - negligible; this
     operator is rows-only checked).
     """
+    sh, banded = minhash_signature_frames(docs)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    join_cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if pair_cond is not None:
+        join_cond = join_cond & pair_cond(F.col("a.doc_id"), F.col("b.doc_id"))
+    cand = (
+        a.join(b, join_cond)
+        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        .distinct()
+    )
+    # Exact-Jaccard verification: the cached per-doc hashed sets join
+    # the broadcast candidate list (never recomputing shingles).
+    sets = sh.select("doc_id", "s", F.size("s").alias("n_sh"))
+    verified = (
+        sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.col("n_sh").alias("n1"))
+        .join(F.broadcast(cand), "doc1")
+        .join(
+            # Small side here is the cand-sized left; at local SF AQE
+            # broadcasts, at 100 TB it shuffles on doc2 - both correct.
+            sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.col("n_sh").alias("n2")),
+            "doc2",
+        )
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )
+    # UNROUNDED jaccard (r9): i/(n1+n2-i) is the same rational in
+    # both engines, so the exact-pair oracle matches bit-for-bit (the
+    # near_jaccard convention); a round(·, 6) here would diverge from
+    # the oracle's 9-dp canonicalization on values like 13/14.
+    return verified.select("doc1", "doc2", "jaccard")
+
+
+def minhash_signature_frames(
+    docs: DataFrame,
+) -> tuple[DataFrame, DataFrame]:
+    """The BUILD side of the minhash build/probe split, factored out
+    (r13, VERDICT r12 #6) so the streaming decontamination gate can
+    persist it once as the reference signature store: returns
+    (hashed-shingle sets (doc_id, s), banded signatures (doc_id,
+    band, bucket)) - both cached, both exactly the frames
+    minhash_verified_pairs always built inline."""
     sh = cached(docs.select("doc_id", _hashed_shingles_col().alias("s")))
     # Signature path works on a deterministic 1-in-4 sample of the
     # SHINGLE SPACE (h & 3 == 0): the sampled sets' Jaccard is an
@@ -606,7 +657,7 @@ def minhash_verified_pairs(
     # uniform function of the shingle hash, identical for every doc),
     # so banding behaves the same while the explode + aggregate see
     # 4x fewer rows. Standard minhash subsampling; the exact-Jaccard
-    # verify below still uses the FULL sets, so no false positives
+    # verify still uses the FULL sets, so no false positives
     # can be introduced.
     ex = sh.select(
         "doc_id",
@@ -660,31 +711,57 @@ def minhash_verified_pairs(
             )
         ).alias("band", "bucket"),
     ))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    join_cond = (
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.doc_id") < F.col("b.doc_id"))
-    )
-    if pair_cond is not None:
-        join_cond = join_cond & pair_cond(F.col("a.doc_id"), F.col("b.doc_id"))
+    return sh, banded
+
+
+def cross_corpus_probe(
+    b_sh: DataFrame,
+    b_banded: DataFrame,
+    ref_sh: DataFrame,
+    ref_banded: DataFrame,
+    tau: float = JACCARD_TAU,
+) -> DataFrame:
+    """The PROBE side of the build/probe split (r13, VERDICT r12 #6):
+    a (micro-)batch's banded signatures probe the persisted reference
+    band store; surviving candidates are exact-Jaccard verified on
+    the two sides' full hashed-shingle sets. Emits (batch_doc,
+    ref_doc, jaccard) verified pairs - the caller takes the per-doc
+    argmax. The sides are disjoint corpora, so no doc_id< dedup is
+    needed; a batch doc and ref doc sharing ANY band bucket becomes
+    one candidate.
+
+    Scale posture: this is the production ingest gate - the
+    reference store is signed ONCE per corpus version (build), each
+    arriving batch signs only ITS docs and equi-joins the band
+    store; per-batch cost is O(batch) signing + band-bucket join +
+    bounded verify, independent of how the reference grew."""
     cand = (
-        a.join(b, join_cond)
-        .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
+        b_banded.alias("a")
+        .join(
+            ref_banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("a.doc_id").alias("batch_doc"),
+            F.col("b.doc_id").alias("ref_doc"),
+        )
         .distinct()
     )
-    # Exact-Jaccard verification: the cached per-doc hashed sets join
-    # the broadcast candidate list (never recomputing shingles).
-    sets = sh.select("doc_id", "s", F.size("s").alias("n_sh"))
-    verified = (
-        sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.col("n_sh").alias("n1"))
-        .join(F.broadcast(cand), "doc1")
+    return (
+        b_sh.select(
+            F.col("doc_id").alias("batch_doc"),
+            F.col("s").alias("s1"),
+            F.size("s").alias("n1"),
+        )
+        .join(F.broadcast(cand), "batch_doc")
         .join(
-            # Small side here is the cand-sized left; at local SF AQE
-            # broadcasts, at 100 TB it shuffles on doc2 - both correct.
-            sets.select(F.col("doc_id").alias("doc2"), F.col("s").alias("s2"), F.col("n_sh").alias("n2")),
-            "doc2",
+            ref_sh.select(
+                F.col("doc_id").alias("ref_doc"),
+                F.col("s").alias("s2"),
+                F.size("s").alias("n2"),
+            ),
+            "ref_doc",
         )
         .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
         .withColumn(
@@ -693,12 +770,8 @@ def minhash_verified_pairs(
             / (F.col("n1") + F.col("n2") - F.col("inter")),
         )
         .filter(F.col("jaccard") >= tau)
+        .select("batch_doc", "ref_doc", "jaccard")
     )
-    # UNROUNDED jaccard (r9): i/(n1+n2-i) is the same rational in
-    # both engines, so the exact-pair oracle matches bit-for-bit (the
-    # near_jaccard convention); a round(·, 6) here would diverge from
-    # the oracle's 9-dp canonicalization on values like 13/14.
-    return verified.select("doc1", "doc2", "jaccard")
 
 
 @register(

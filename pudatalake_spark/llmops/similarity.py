@@ -20,6 +20,8 @@ cut-offs are deterministic and engine-independent.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1098,6 +1100,19 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates), and the shipped bits=3 config projects to ~3.3 h at
     recall ~0.996 - at 1M the binding constraint is
     recall-vs-candidate-volume, not mechanics.
+
+    r13 frontier resolution (SCALING sec 21): the corpus measured as
+    iid isotropic (within-label cosine == between-label == ~0) - the
+    case where recall MUST cost ~N^2 scores - so the 1M high-recall
+    build ships two scale paths instead of a bigger candidate dial:
+    knn_graph_exact_gemm (broadcast blocked GEMM, map-only, 1,333 s
+    at 1M with recall 1.0 = 8.9x under the bits=3 projection) for
+    structure-free corpora, and nn_descent_round refinement (seeded
+    by this operator at coarse bits) for real low-intrinsic-dim
+    corpora, where it converges in 1-3 supersteps (clustered-1M
+    measurement in sec 21). This fixture key stays the banded
+    multi-probe build - at 500-2k vectors it is already recall
+    0.996.
     """
     e = table(spark, sf_dir, "embeddings")
 
@@ -1486,6 +1501,152 @@ def knn_graph_nn_descent(
     )
 
 
+def knn_graph_exact_gemm(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KNN_GRAPH_K,
+    col_chunk: int = 16384,
+    rerank_m: int = 16,
+) -> DataFrame:
+    """EXACT kNN graph via broadcast blocked GEMM - the right tool
+    when the corpus has no exploitable structure (r13 measurement:
+    the sec-21 gaussian corpus has within-label mean cosine ==
+    between-label == ~0, i.e. iid isotropic 64-dim - the
+    information-theoretic worst case where EVERY sublinear ANN
+    degrades to quasi-quadratic candidate volume; SCALING sec 21).
+    On such a corpus honest recall >= 0.95 costs ~N^2 scores no
+    matter the index, so spend them at BLAS speed with zero shuffle:
+
+    - the full normalized corpus (float32, N x dim = 256 MB at 1M)
+      is a Spark BROADCAST; query rows stream through mapInPandas
+      in Arrow batches - a MAP-ONLY plan, no join, no shuffle of
+      scores or candidates;
+    - each batch GEMMs against the corpus in col_chunk column tiles
+      (batch x 16384 fp32 scores = bounded task memory), keeping a
+      running per-query top-rerank_m by fp32 score;
+    - the rerank_m survivors are re-scored in float64 and the top-k
+      emitted, so fp32 rank inversions within ~1e-7 cannot cost an
+      edge (same two-stage discipline as the PQ re-rank).
+
+    Scale ceiling: broadcast holds to ~10M x 64 (2.5 GB); past that,
+    shard the corpus side into B broadcast-sized column shards, run
+    this map-only pass per shard, and merge the B per-query top-m
+    lists with one window - still no pairwise shuffle. For corpora
+    WITH structure (real embeddings: low intrinsic dim), seed cheap
+    LSH + nn_descent_round instead - measured on the clustered 1M
+    probe corpus in SCALING sec 21.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    # Corpus read driver-side ONCE for the broadcast (bounded by the
+    # broadcast budget itself: N x dim float32; 256 MB at 1M x 64 -
+    # the documented ceiling, not an accident).
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    b_ids = t["vec_id"].to_numpy().astype(np.int64)
+    V = np.asarray(
+        t["embedding"].combine_chunks().flatten(), dtype=np.float32
+    ).reshape(len(b_ids), -1)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((b_ids, Vn))
+    n_chunk = col_chunk
+    # +1 survivor slot: the self column is NOT masked chunk-side (an
+    # O(batch x N) id-compare as costly as the GEMM itself); self
+    # ranks first by cos=1 and is dropped at the float64 rerank.
+    m_keep = max(rerank_m, k + 1) + 1
+
+    def _topk(batches):
+        ids_b, Vb = bc.value
+        nb = Vb.shape[0]
+        for pdf in batches:
+            qid = pdf["vec_id"].to_numpy().astype(np.int64)
+            Q = np.vstack(pdf["vec"].to_numpy()).astype(np.float32)
+            Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+            nq = len(qid)
+            rows = np.arange(nq)[:, None]
+            # Per-row selection is the hot loop, NOT the GEMM
+            # (measured: argpartition on a 7813 x 16384 chunk 4.35 s
+            # vs 0.52 s for its GEMM). So partition ONLY the first
+            # chunk to seed a per-row threshold, then each later
+            # chunk just sparse-extracts scores above it (one
+            # vectorized compare + nonzero, ~0.1 s). The lazy (never
+            # re-raised) threshold admits ~m_keep*nb/n_chunk
+            # candidates per row over the whole pass - a bounded
+            # ~170 MB pool at 1M, compacted once at the end.
+            cand_q: list = []
+            cand_j: list = []
+            cand_s: list = []
+            thr = None
+            for lo in range(0, nb, n_chunk):
+                hi = min(lo + n_chunk, nb)
+                S = Qn @ Vb[lo:hi].T
+                if thr is None:
+                    m = min(m_keep, S.shape[1])
+                    part = np.argpartition(S, -m, axis=1)[:, -m:]
+                    cand_q.append(np.repeat(np.arange(nq), m))
+                    cand_j.append((part + lo).ravel())
+                    cand_s.append(S[rows, part].ravel())
+                    thr = np.partition(S, -m, axis=1)[:, -m]
+                else:
+                    # KNN_CUT_MARGIN band below the threshold keeps
+                    # fp32 ties (e.g. duplicate vectors) and rounding-
+                    # boundary neighbors extractable, same discipline
+                    # as the tiled fixture path.
+                    qq, jj = np.nonzero(S > thr[:, None] - KNN_CUT_MARGIN)
+                    cand_q.append(qq)
+                    cand_j.append(jj + lo)
+                    cand_s.append(S[qq, jj])
+            aq = np.concatenate(cand_q)
+            aj = np.concatenate(cand_j)
+            asc = np.concatenate(cand_s)
+            # compact: top-m_keep per row from the pooled candidates
+            order = np.lexsort((-asc, aq))
+            aq, aj = aq[order], aj[order]
+            starts = np.searchsorted(aq, np.arange(nq))
+            ends = np.searchsorted(aq, np.arange(nq) + 1)
+            # float64 re-rank of the fp32 survivors, exact output
+            out_src, out_dst, out_cos, out_rank = [], [], [], []
+            Q64 = Q.astype(np.float64)
+            Q64 /= np.linalg.norm(Q64, axis=1, keepdims=True)
+            for r in range(nq):
+                js = aj[starts[r]: min(ends[r], starts[r] + m_keep)]
+                js = js[ids_b[js] != qid[r]]
+                C64 = Vb[js].astype(np.float64)
+                C64 /= np.linalg.norm(C64, axis=1, keepdims=True)
+                cos = C64 @ Q64[r]
+                sel = np.lexsort((ids_b[js], -cos))[:k]
+                out_src.extend([qid[r]] * len(sel))
+                out_dst.extend(ids_b[js][sel])
+                out_cos.extend(np.round(cos[sel], 6))
+                out_rank.extend(range(1, len(sel) + 1))
+            yield pd.DataFrame(
+                {
+                    "src": pd.Series(out_src, dtype="int64"),
+                    "dst": pd.Series(out_dst, dtype="int64"),
+                    "cos_sim": pd.Series(out_cos, dtype="float64"),
+                    "rank": pd.Series(out_rank, dtype="int64"),
+                }
+            )
+
+    # A 256 MB single parquet file arrives as ~2 input splits;
+    # mapInPandas parallelism = input partitions, so fan the query
+    # stream out explicitly (slim rows; one bounded shuffle beats a
+    # 16x-undersubscribed GEMM).
+    n_parts = max(spark.sparkContext.defaultParallelism * 4, 32)
+    q = (
+        spread(table(spark, sf_dir, "embeddings"), "vec_id")
+        .select("vec_id", F.col("embedding").alias("vec"))
+        .repartition(n_parts)
+    )
+    return q.mapInPandas(
+        _topk, schema="src bigint, dst bigint, cos_sim double, rank bigint"
+    )
+
+
 def nn_descent_random_seed(
     spark: SparkSession, sf_dir: str, k: int = NN_DESCENT_K
 ) -> DataFrame:
@@ -1833,6 +1994,16 @@ PQ_TRAIN_ITERS = 2   # Lloyd supersteps (fixed count = deterministic)
 PQ_TRAIN_CAP = 4096
 PQ_QUERIES = 10
 PQ_TOPK = 3
+# r13 two-stage re-rank (VERDICT r12 #2): probe the LUT for the top
+# PQ_RERANK candidates per query, then exact-re-rank ONLY those
+# against the raw (micro-int) vectors and emit the top PQ_TOPK by
+# exact distance. Recall@3 is then P(true top-3 inside the ADC
+# top-PQ_RERANK) instead of P(ADC ranks them top-3): measured
+# 0.77/0.90/0.80 -> 1.0/1.0/1.0 at sf0.001/0.01/0.1 with 3*k = 9.
+# The re-rank volume is QUERIES x RERANK rows - a broadcast-joined
+# map pass over the (already-materialized) subvector stream, O(1)
+# vs corpus size.
+PQ_RERANK = 3 * PQ_TOPK
 
 # r10 measured note (SCALING §22): training the OLD 8x8-dim / K=16
 # config does NOT lift recall (0.20 untrained -> 0.10-0.23 trained at
@@ -1914,14 +2085,35 @@ def _pq_oracle() -> str:
       FROM codes x JOIN qlut l ON x.s = l.s AND x.code = l.code
       WHERE x.vec_id <> l.query_id
       GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, cand_id, micro
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY micro, cand_id) AS rn
+            FROM adc)
+      WHERE rn <= {PQ_RERANK}
+    ),
+    -- r13 two-stage: exact int64 L2 on the RERANK survivors only,
+    -- computed off the same micro-int subvector stream (32 x 2 dims
+    -- = the full 64), so both engines share one exact arithmetic.
+    exact AS (
+      SELECT c.query_id, c.cand_id, c.micro,
+             CAST(sum((q.x1 - x.x1) * (q.x1 - x.x1)
+                      + (q.x2 - x.x2) * (q.x2 - x.x2)) AS BIGINT)
+               AS exact_micro
+      FROM cand c
+      JOIN subs q ON q.vec_id = c.query_id
+      JOIN subs x ON x.vec_id = c.cand_id AND x.s = q.s
+      GROUP BY 1, 2, 3
     )
     SELECT query_id, cand_id,
-           CAST(micro AS DOUBLE) / 1000000000000 AS adc_dist
+           CAST(micro AS DOUBLE) / 1000000000000 AS adc_dist,
+           CAST(exact_micro AS DOUBLE) / 1000000000000 AS exact_dist
     FROM (SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY micro, cand_id) AS rn
-          FROM adc)
+            PARTITION BY query_id ORDER BY exact_micro, cand_id) AS rn
+          FROM exact)
     WHERE rn <= {PQ_TOPK}
-    ORDER BY query_id, adc_dist, cand_id
+    ORDER BY query_id, exact_dist, cand_id
     """)
     return "".join(parts)
 
@@ -1950,12 +2142,21 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     subtract-positive-mod construction, and the ADC sum - is exact
     order-independent int64 in both engines; the reported distance
     is ONE trailing division. Empty clusters keep their previous
-    centroid (left join + coalesce) in both engines. Pinned against
-    an independent numpy PQ in tests (including recall@3 vs exact
-    neighbors: 0.77/0.90/0.80 measured at sf0.001/0.01/0.1, floor
-    0.5; the r9 untrained 8x8/K=16 codebook measured 0.20, and
-    TRAINING THAT CONFIG DOES NOT HELP - 0.10-0.23 across 0-8 Lloyd
-    iters, see SCALING §22).
+    centroid (left join + coalesce) in both engines.
+
+    r13 TWO-STAGE RE-RANK (VERDICT r12 #2): the LUT scan now feeds a
+    top-PQ_RERANK (3k) candidate list per query; those survivors are
+    exact-re-ranked against the raw micro-int vectors (same exact
+    int64 arithmetic, computed off the materialized subvector
+    stream) and the top-k by exact distance is emitted with BOTH
+    distances. Measured recall@3 vs exact L2: 1.0/1.0/1.0 at
+    sf0.001/0.01/0.1 (raw ADC top-3 was 0.77/0.90/0.80; pinned
+    floor now 0.95) - the re-rank converts "ADC must RANK the true
+    neighbors top-3" into "ADC must only SURFACE them in the
+    top-9". Pinned against an independent numpy PQ in tests (the
+    r9 untrained 8x8/K=16 codebook measured 0.20, and TRAINING THAT
+    CONFIG DOES NOT HELP - 0.10-0.23 across 0-8 Lloyd iters, see
+    SCALING §22).
 
     100 TB posture - the reason PQ exists: the corpus is stored as
     N x 32 BYTES (8x smaller than float32), the per-query LUT is
@@ -2205,15 +2406,49 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("d2m").cast("bigint").alias("micro"))
     )
     w = Window.partitionBy("query_id").orderBy("micro", "cand_id")
-    return (
+    cand = (
         adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("query_id", "cand_id", "micro")
+    )
+    # r13 two-stage re-rank (VERDICT r12 #2): the QUERIES x RERANK
+    # survivor list broadcasts (bounded, corpus-size-independent)
+    # against the materialized subvector stream - a map-only exact
+    # int64 L2 pass over RERANK*SUBS rows per query; no raw-vector
+    # shuffle, and the ADC scan above is untouched. Recall@3 vs
+    # exact L2 lifts from 0.77/0.90/0.80 to 1.0 at all three SFs
+    # (pinned in tests/test_pipeline_props.py).
+    qsub = subs.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("s").alias("qs"),
+        F.col("x1").alias("qx1"),
+        F.col("x2").alias("qx2"),
+    )
+    cq = cand.join(qsub, "query_id")
+    dxx = (F.col("x1") - F.col("qx1")) * (F.col("x1") - F.col("qx1")) + (
+        F.col("x2") - F.col("qx2")
+    ) * (F.col("x2") - F.col("qx2"))
+    ex = (
+        subs.join(
+            F.broadcast(cq),
+            (F.col("vec_id") == F.col("cand_id")) & (F.col("s") == F.col("qs")),
+        )
+        .groupBy("query_id", "cand_id", "micro")
+        .agg(F.sum(dxx).cast("bigint").alias("exact_micro"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy("exact_micro", "cand_id")
+    return (
+        ex.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= PQ_TOPK)
         .select(
             "query_id",
             "cand_id",
             (F.col("micro").cast("double") / 1000000000000).alias("adc_dist"),
+            (F.col("exact_micro").cast("double") / 1000000000000).alias(
+                "exact_dist"
+            ),
         )
-        .orderBy("query_id", "adc_dist", "cand_id")
+        .orderBy("query_id", "exact_dist", "cand_id")
     )
 
 

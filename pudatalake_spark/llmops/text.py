@@ -739,6 +739,105 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LINE_DEDUP_MAX = 3  # drop lines occurring >= this many times (C4)
+
+
+@register(
+    "q_text_line_dedup",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id,
+             unnest(range(1, len(ls) + 1)) AS pos,
+             unnest(ls) AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+            FROM documents)
+    ),
+    hot AS (
+      SELECT line FROM l GROUP BY line
+      HAVING count(*) >= {LINE_DEDUP_MAX}
+    ),
+    m AS (
+      SELECT l.doc_id, l.pos, l.line,
+             (h.line IS NOT NULL) AS dropped
+      FROM l LEFT JOIN hot h ON l.line = h.line
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) - sum(CASE WHEN dropped THEN 1 ELSE 0 END)
+                AS BIGINT) AS kept_lines,
+           CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_lines,
+           md5(coalesce(string_agg(
+             CASE WHEN NOT dropped THEN line END, chr(10)
+             ORDER BY pos), '')) AS clean_md5
+    FROM m GROUP BY doc_id
+    """,
+)
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level corpus dedup, the C4/RefinedWeb rule (VERDICT r12
+    #4): drop every line that occurs >= LINE_DEDUP_MAX times
+    CORPUS-WIDE (total occurrences, not distinct docs - a
+    boilerplate footer pasted 3x into one page is still
+    boilerplate), then re-assemble each document from its surviving
+    lines in original order. Output per doc: line counts
+    (total/kept/dropped) plus the md5 of the cleaned text, so the
+    re-assembly itself - split, flag, filter, ordered rejoin - is
+    value-checked against the oracle, not just counted. The fixture
+    corpus has no duplicated lines (every doc is one distinct
+    line), so fixture output = md5(text) per doc with 0 drops; the
+    drop path is proven by the planted-boilerplate fixture test
+    (tests/test_pipeline_props.py), the q_text_pii_redact
+    precedent.
+
+    Scale shape (same inverted index as q_text_span_dedup): lines
+    are hashed to int64 before the shuffle (grouping by xxhash64
+    equals grouping by the line up to negligible collisions; fixed
+    8-byte keys shuffle far lighter than raw boilerplate lines),
+    occurrence count is one map-side-combinable agg, only hot
+    hashes (df >= max) flow into the mark join, and re-assembly is
+    a per-doc sort of (pos, line) structs inside one agg - no
+    quadratic stage, no global sort. At 100 TB the hot-line table
+    is tiny (boilerplate is by definition few DISTINCT lines) and
+    broadcast-joins back.
+    """
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    inst = cached(
+        d.select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("pos", "line"),
+        ).withColumn("g", F.xxhash64("line"))
+    )
+    hot = (
+        inst.groupBy("g")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= LINE_DEDUP_MAX)
+        .select("g", F.lit(True).alias("dropped"))
+    )
+    m = inst.join(F.broadcast(hot), "g", "left")
+    kept_struct = F.when(
+        F.col("dropped").isNull(), F.struct("pos", "line")
+    )
+    return m.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        (
+            F.count("*")
+            - F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        ).cast("bigint").alias("kept_lines"),
+        F.sum(F.when(F.col("dropped"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_lines"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+
+
 # Composite filter: reuse the registered signal operators' oracle SQL
 # as derived tables (single source of truth, like q_sim_recall_eval).
 from ..registry import ORACLES as _T_ORACLES  # noqa: E402
@@ -1933,6 +2032,14 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     min (left, right) - a total order; left-to-right non-overlapping
     replacement inside each word.
     """
+    return _bpe_merges_df(spark, sf_dir).orderBy("merge_rank")
+
+
+def _bpe_merges_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared BPE trainer frame: (merge_rank, left_sym, right_sym,
+    merged, pair_count) - built by q_text_bpe_merges, reused by
+    q_text_bpe_encode (the merges are the model; encode applies
+    them)."""
     d = table(spark, sf_dir, "documents")
     wc = (
         d.select(
@@ -1991,7 +2098,127 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         wc.withColumn("g", F.lit(0))
         .groupBy("g")
         .applyInPandas(learn, schema=schema)
+    )
+
+
+def bpe_apply(word: str, merges: list) -> list:
+    """Apply learned merges to one word IN RANK ORDER with
+    left-to-right non-overlapping replacement - the exact inverse
+    discipline of the trainer, and the reference semantics the
+    pinned test replicates independently."""
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+@register("q_text_bpe_encode")  # applies the learned merges -> rows-only
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned BPE merges (VERDICT r12 #3
+    - the missing half of q_text_bpe_merges: training produced a
+    vocabulary, this applies it, so every downstream token count can
+    be a REAL tokenizer count instead of whitespace words). Output
+    per document: whitespace word count, BPE token count, fertility
+    (tokens per word - the number tokenizer evaluations quote), and
+    the doc's most frequent BPE token (count desc, token asc).
+
+    No SQL oracle by design: the encode consumes the iterative-
+    argmax merge chain (the q_text_bpe_merges precedent); pinned
+    end-to-end against an independent pure-Python train+encode in
+    tests/test_pipeline_props.py.
+
+    Scale shape - encode the VOCABULARY, not the corpus: the merge
+    table is a bounded driver collect (<= BPE_MERGES rows, a model
+    artifact like the PQ codebook); the per-word greedy merge walk
+    runs ONCE per distinct word in a mapInPandas pass over the
+    (bounded) vocab frame; documents then reach their token counts
+    by joining (doc, word, count) against (word, tokens) - pure JVM
+    joins/aggs. A 100 TB corpus has ~10^7-10^8 distinct words vs
+    ~10^13 word instances: the Python stage touches 5-6 orders of
+    magnitude fewer rows than a per-document encoder would, and the
+    instance-side work stays whole-stage-codegen.
+
+    q_pack_sequences note (VERDICT r12 #3): this frame's
+    bpe_token_count is the drop-in seq_len source for the packing
+    family - pack on real tokenizer lengths by substituting it for
+    the whitespace n_tokens (documented there; the packing math is
+    token-source-agnostic).
+    """
+    d = spread(table(spark, sf_dir, "documents"), "doc_id")
+    dw = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # Bounded driver action: the learned merge table, <= BPE_MERGES
+    # (8) rows - a model artifact, not a data collect.
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in _bpe_merges_df(spark, sf_dir)
         .orderBy("merge_rank")
+        .collect()
+    ]
+
+    def enc(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "toks": [bpe_apply(w, merges) for w in pdf["w"]],
+                }
+            )
+
+    enc_df = (
+        dw.select("w")
+        .distinct()
+        .mapInPandas(enc, schema="w string, toks array<string>")
+    )
+    doc_tok = (
+        dw.join(enc_df, "w")
+        .select("doc_id", "cnt", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.sum("cnt").alias("n"))
+    )
+    return (
+        doc_tok.groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("bpe_token_count"),
+            F.min(
+                F.struct(
+                    (-F.col("n")).alias("neg_n"), F.col("tok").alias("t")
+                )
+            ).alias("top"),
+        )
+        .join(
+            dw.groupBy("doc_id").agg(
+                F.sum("cnt").cast("bigint").alias("word_count")
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "word_count",
+            "bpe_token_count",
+            (
+                F.col("bpe_token_count").cast("double")
+                / F.col("word_count")
+            ).alias("fertility"),
+            F.col("top.t").alias("top_token"),
+            (-F.col("top.neg_n")).cast("bigint").alias("top_token_n"),
+        )
     )
 
 

@@ -675,3 +675,130 @@ def s_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stage_document_files(
+    spark: SparkSession, sf_dir: str, name: str, n_files: int = 4,
+    parity: int | None = None,
+) -> str:
+    """Stage (a parity slice of) the documents table as n_files
+    parquet files ordered by doc_id - the replayable ingest-crawl
+    stream source (same mtime re-stamping contract as
+    stage_event_files)."""
+    src = _fresh(name, "src")
+    d = table(spark, sf_dir, "documents")
+    if parity is not None:
+        d = d.filter(F.col("doc_id") % 2 == parity)
+    d.repartitionByRange(n_files, "doc_id").write.mode(
+        "overwrite"
+    ).parquet(src)
+    parts = sorted(f for f in os.listdir(src) if f.startswith("part-"))
+    base = int(os.path.getmtime(os.path.join(src, parts[-1]))) if parts else 0
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(src, f), (base + i, base + i))
+    return src
+
+
+@register("s_dedup_cross_corpus")
+def s_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING cross-corpus decontamination (VERDICT r12 #6) - the
+    production ingest gate: the reference corpus (even doc_ids, the
+    already-ingested training set) is signed ONCE into a PERSISTED
+    minhash signature store (banded signatures + hashed shingle
+    sets, parquet); the new crawl (odd doc_ids) then arrives as a
+    file stream, and each micro-batch signs ONLY its own documents,
+    probes its band buckets against the stored reference bands via
+    foreachBatch, exact-Jaccard-verifies the surviving candidates,
+    and appends the flagged (batch_doc, ref_doc, jaccard) pairs to
+    the contamination log. The returned frame is the per-doc argmax
+    over the log - each batch doc appears in exactly one
+    micro-batch, so per-batch pairs ARE globally complete per doc.
+
+    Equivalence contract (the s_anomaly_score protocol): on a
+    doc_id-ordered file replay this must produce EXACTLY
+    q_dedup_cross_corpus's rows (tests/test_streaming.py) - the
+    batch key IS the oracle, whichever branch (exact index or
+    minhash build/probe) it selected for the corpus size.
+
+    100 TB posture: the signature store is the corpus-version
+    artifact (built once per training-set release, ~64 ints + one
+    hashed-shingle array per doc); per-ingest cost is O(batch)
+    signing + one band equi-join against the store + bounded verify,
+    INDEPENDENT of reference size - the batch twin re-signs the
+    whole union every run, which is exactly what a production lake
+    cannot afford. State lives in the store and the checkpoint, not
+    the driver; restart is exactly-once via the file-sink log.
+    """
+    from ..llmops.dedup import (
+        cross_corpus_probe,
+        minhash_signature_frames,
+    )
+
+    # Build: persist the reference signature store (corpus-version
+    # artifact). Parquet round-trip is the point - the probe reads
+    # the STORE, not the reference corpus.
+    ref = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 2 == 0
+    )
+    store = _fresh("s_dedup_xc", "store")
+    ref_sh, ref_banded = minhash_signature_frames(ref)
+    ref_sh.write.mode("overwrite").parquet(os.path.join(store, "sh"))
+    ref_banded.write.mode("overwrite").parquet(
+        os.path.join(store, "bands")
+    )
+
+    src = stage_document_files(
+        spark, sf_dir, "s_dedup_xc", parity=1
+    )
+    out = _fresh("s_dedup_xc", "pairs")
+
+    def probe(batch_df, batch_id):
+        ss = batch_df.sparkSession
+        b_sh, b_banded = minhash_signature_frames(batch_df)
+        pairs = cross_corpus_probe(
+            b_sh,
+            b_banded,
+            ss.read.parquet(os.path.join(store, "sh")),
+            ss.read.parquet(os.path.join(store, "bands")),
+        )
+        pairs.write.mode("append").parquet(out)
+
+    stream = (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", "1")  # genuine micro-batches
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", _fresh("s_dedup_xc", "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        log = spark.read.parquet(out)
+    except Exception:  # no contamination found -> empty contract frame
+        return spark.createDataFrame(
+            [], "batch_doc bigint, ref_doc bigint, jaccard double"
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("batch_doc").orderBy(
+        F.desc("jaccard"), "ref_doc"
+    )
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("batch_doc", "ref_doc", "jaccard")
+        .orderBy("batch_doc")
+    )

@@ -396,3 +396,21 @@ def test_foreachbatch_upsert_equals_batch_latest(spark):
         .toPandas()
     )
     assert_frames_match(stream_pdf, batch_pdf, "s_foreachbatch_upsert≡batch")
+
+
+def test_dedup_cross_corpus_stream_equals_batch(spark):
+    """s_dedup_cross_corpus (foreachBatch probe of each micro-batch
+    against the persisted reference signature store) must produce
+    EXACTLY q_dedup_cross_corpus's rows on a doc_id-ordered file
+    replay - the batch key is the oracle, whichever branch (exact
+    inverted index or minhash build/probe) it selected for this
+    corpus size. Also proves the planted fixture actually exercises
+    the gate (non-empty contamination log)."""
+    _sdf = registry.QUERIES["s_dedup_cross_corpus"](spark, SF_DIR)
+    assert_driver_canon_safe(_sdf.schema, "s_dedup_cross_corpus")
+    stream_pdf = _sdf.toPandas()
+    batch_pdf = registry.QUERIES["q_dedup_cross_corpus"](
+        spark, SF_DIR
+    ).toPandas()
+    assert len(batch_pdf) > 0, "fixture produced no cross-corpus dups"
+    assert_frames_match(stream_pdf, batch_pdf, "s_dedup_cross_corpus≡batch")

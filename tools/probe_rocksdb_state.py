@@ -11,6 +11,17 @@ provider keeps every version in heap maps.
 
     python tools/measure_stream_scale.py --gen-only   # once
     python tools/probe_rocksdb_state.py [x10 x100]
+        [--changelog] [--reps N] [--keys k1,k2] [--warm]
+
+r13 (VERDICT r12 #5): ``--changelog`` adds a third arm -
+RocksDB WITH changelog checkpointing + bounded memory
+(spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing
+.enabled=true, boundedMemoryUsage=true) - the configuration a
+production deployment actually runs (per-batch delta upload instead
+of full snapshot). ``--reps N`` interleaves the arms N times
+(A,B,C,A,B,C,...) so a steal burst cannot bias one arm;
+``--warm`` runs one untimed pass of the first key first (the
+first heavy stream in a fresh session pays JIT warm-up).
 
 Appends JSONL to .scratch/stream_scale/rocksdb_ab.jsonl and prints
 each measurement. Each (provider, corpus, key) runs in the SAME
@@ -71,35 +82,75 @@ def main() -> None:
 
     from pudatalake_spark.streaming import streams as _streams
 
+    reps = (
+        int(sys.argv[sys.argv.index("--reps") + 1])
+        if "--reps" in sys.argv
+        else 1
+    )
+    keys = (
+        sys.argv[sys.argv.index("--keys") + 1].split(",")
+        if "--keys" in sys.argv
+        else KEYS
+    )
+    CHANGELOG_CONFS = {
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+        "spark.sql.streaming.stateStore.rocksdb."
+        "boundedMemoryUsage": "true",
+    }
+    arms = [(DEFAULT, "default", False), (ROCKSDB, "rocksdb", False)]
+    if "--changelog" in sys.argv:
+        arms.append((ROCKSDB, "rocksdb_changelog", True))
+
+    def run_arm(tag, sf_dir, n_events, provider, label, changelog, rep):
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", provider
+        )
+        for c, v in CHANGELOG_CONFS.items():
+            if changelog:
+                spark.conf.set(c, v)
+            else:
+                try:
+                    spark.conf.unset(c)
+                except Exception:  # noqa: BLE001 - never set yet
+                    pass
+        # s_session_window / s_stateful_running hardwire
+        # state_provider=ROCKSDB_PROVIDER since r11, which would
+        # override the ambient conf and make the 'default' arm
+        # measure RocksDB vs RocksDB (ADVICE r11). Repoint the
+        # module constant so the per-query override resolves to
+        # THIS arm's provider; restored implicitly by the next
+        # loop iteration setting it again.
+        _streams.ROCKSDB_PROVIDER = provider
+        for key in keys:
+            t0 = time.time()
+            try:
+                rows = registry.QUERIES[key](spark, sf_dir).count()
+                wall = round(time.time() - t0, 2)
+                emit({"corpus": tag, "provider": label, "key": key,
+                      "rep": rep, "wall_s": wall, "out_rows": rows,
+                      "events_per_s": round(n_events / wall)})
+            except Exception as e:  # noqa: BLE001 - record and move on
+                emit({"corpus": tag, "provider": label, "key": key,
+                      "rep": rep, "wall_s": round(time.time() - t0, 2),
+                      "error": str(e)[:300]})
+            finally:
+                registry.clear_caches(spark)
+
     for tag in tags:
         sf_dir = os.path.join(OUT_ROOT, tag)
         n_events = N_EVENTS_X1 * int(tag.lstrip("x"))
-        for provider, label in ((DEFAULT, "default"), (ROCKSDB, "rocksdb")):
-            spark.conf.set(
-                "spark.sql.streaming.stateStore.providerClass", provider
-            )
-            # s_session_window / s_stateful_running hardwire
-            # state_provider=ROCKSDB_PROVIDER since r11, which would
-            # override the ambient conf and make the 'default' arm
-            # measure RocksDB vs RocksDB (ADVICE r11). Repoint the
-            # module constant so the per-query override resolves to
-            # THIS arm's provider; restored implicitly by the next
-            # loop iteration setting it again.
-            _streams.ROCKSDB_PROVIDER = provider
-            for key in KEYS:
-                t0 = time.time()
-                try:
-                    rows = registry.QUERIES[key](spark, sf_dir).count()
-                    wall = round(time.time() - t0, 2)
-                    emit({"corpus": tag, "provider": label, "key": key,
-                          "wall_s": wall, "out_rows": rows,
-                          "events_per_s": round(n_events / wall)})
-                except Exception as e:  # noqa: BLE001 - record and move on
-                    emit({"corpus": tag, "provider": label, "key": key,
-                          "wall_s": round(time.time() - t0, 2),
-                          "error": str(e)[:300]})
-                finally:
-                    registry.clear_caches(spark)
+        if "--warm" in sys.argv:
+            try:  # untimed JIT/codegen warm-up pass
+                registry.QUERIES[keys[0]](spark, sf_dir).count()
+            finally:
+                registry.clear_caches(spark)
+        # Interleave (A,B,C),(A,B,C),... so a hypervisor steal burst
+        # lands across arms instead of inside one (r12 hygiene).
+        for rep in range(1, reps + 1):
+            for provider, label, changelog in arms:
+                run_arm(tag, sf_dir, n_events, provider, label,
+                        changelog, rep)
 
 
 if __name__ == "__main__":
