@@ -2283,7 +2283,9 @@ def q_sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the contract schema - matches the oracle, which also
         # produces no rows.
         return spark.createDataFrame(
-            [], "query_id bigint, cand_id bigint, adc_dist double"
+            [],
+            "query_id bigint, cand_id bigint, adc_dist double, "
+            "exact_dist double",
         )
     code_pos = {c: i for i, c in enumerate(code_ids)}
     cids = np.asarray(code_ids, dtype=np.int64)

@@ -684,6 +684,10 @@ UDF_KEYS = {
     # docstring); the N*SUBS*K expansion never becomes rows and the
     # oracle hash is unchanged at both SFs.
     "q_sim_pq_adc",
+    # r13: the BPE encode walks the learned merges over the DISTINCT
+    # VOCABULARY in one mapInPandas pass (bounded: distinct words,
+    # not word instances); all instance-side counting stays JVM.
+    "q_text_bpe_encode",
 }
 
 SIDE_EFFECT = {"src_csv", "src_json", "src_orc", "src_binaryfile", "src_text",
@@ -809,6 +813,15 @@ BOUNDED_DRIVER_ACTIONS: dict[str, str] = {
         "one n_files-row murmur3-residue probe collect mapping each "
         "file bin to its own shuffle partition (metadata-scale, "
         "independent of data volume)",
+    "q_sim_knn_graph":
+        "one 1-row head() reading the embedding dim to assert the "
+        "BANDS*BITS <= dim banding invariant at plan-construction "
+        "time (ADVICE r12 - element_at past the array end would "
+        "silently zero band bits)",
+    "q_text_bpe_encode":
+        "one <= BPE_MERGES (8)-row collect of the learned merge "
+        "table - a model artifact like the PQ codebook, not a data "
+        "collect; vocab encode and all counting stay distributed",
 }
 
 #: keys whose builders legitimately WRITE at build time (scratch

@@ -53,9 +53,15 @@ N_EVENTS_X1 = 100_000
 
 
 def main() -> None:
-    tags = [a for a in sys.argv[1:] if not a.startswith("--")] or [
-        "x10", "x100"
-    ]
+    # positional corpus tags = non-flag args that are NOT a flag's
+    # value (r13: --reps 3 / --keys k1,k2 take values)
+    _valued_flags = {"--reps", "--keys"}
+    tags = [
+        a
+        for i, a in enumerate(sys.argv[1:], 1)
+        if not a.startswith("--")
+        and sys.argv[i - 1] not in _valued_flags
+    ] or ["x10", "x100"]
 
     from pudatalake_spark import registry
     from pudatalake_spark.session import get_spark
