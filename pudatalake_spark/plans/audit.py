@@ -163,6 +163,13 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
         "spans are hashed before the shuffle; df agg is two-phase; all JVM-side",
     ),
+    "q_text_line_dedup": (
+        [r"xxhash64", r"BroadcastHashJoin"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "lines hashed to int64 before the shuffle; the hot-line mark join "
+        "is a broadcast; ordered re-assembly is one per-doc agg, all "
+        "JVM-side (r13)",
+    ),
     "q_sample_fixed_k": (
         [r"WindowGroupLimit"],
         [],
