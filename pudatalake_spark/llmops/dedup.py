@@ -1250,7 +1250,11 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller ref id. At 100 TB the reference signature table is
     precomputed once per corpus version and only the batch is signed
     per ingest - the fixture expresses that split as the parity
-    predicate inside one job.
+    predicate inside one job. The PRODUCTION form of that split is
+    the r13 streaming twin s_dedup_cross_corpus (streams.py): the
+    reference store persists as parquet (minhash_signature_frames)
+    and each arriving micro-batch probes it via foreachBatch
+    (cross_corpus_probe), equivalence-tested against this key.
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     parity = lambda d1, d2: (d1 % 2) != (d2 % 2)  # noqa: E731
