@@ -34,7 +34,7 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..loaders import cached, scan_bytes, spread, table
+from ..loaders import broadcast_below, cached, scan_bytes, spread, table
 from ..registry import register
 from ..session import superstep_checkpoint
 from .similarity import _cos_pre, _with_norm
@@ -642,15 +642,23 @@ def minhash_verified_pairs(
 
 
 def minhash_signature_frames(
-    docs: DataFrame,
+    docs: DataFrame, persist: bool = True
 ) -> tuple[DataFrame, DataFrame]:
     """The BUILD side of the minhash build/probe split, factored out
     (r13, VERDICT r12 #6) so the streaming decontamination gate can
     persist it once as the reference signature store: returns
     (hashed-shingle sets (doc_id, s), banded signatures (doc_id,
-    band, bucket)) - both cached, both exactly the frames
-    minhash_verified_pairs always built inline."""
-    sh = cached(docs.select("doc_id", _hashed_shingles_col().alias("s")))
+    band, bucket)) - by default both cached, both exactly the frames
+    minhash_verified_pairs always built inline.
+
+    ``persist=False`` (r14, ADVICE r13): callers that consume each
+    frame ONCE - the streaming gate's per-micro-batch probe side -
+    must skip the cache: a foreachBatch loop that persists two new
+    frames per batch pins storage blocks that nothing ever
+    unpersists, an unbounded leak over a long-running ingest stream
+    (fixture-scale availableNow replay hides it)."""
+    _c = cached if persist else (lambda df: df)
+    sh = _c(docs.select("doc_id", _hashed_shingles_col().alias("s")))
     # Signature path works on a deterministic 1-in-4 sample of the
     # SHINGLE SPACE (h & 3 == 0): the sampled sets' Jaccard is an
     # unbiased estimate of the full-set Jaccard (the filter is a
@@ -695,7 +703,7 @@ def minhash_signature_frames(
         ]
     )
     rows_per_band = N_HASHES // N_BANDS
-    banded = cached(sig.select(
+    banded = _c(sig.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -911,6 +919,15 @@ EMB_DEDUP_TAU = 0.4
 EMB_BANDS = 8
 EMB_BITS = 8  # sign bits per band; 8 bands x 8 bits cover all 64 dims
 
+# Corpus-size ceiling for force-broadcasting q_dedup_embedding's
+# derived sets (candidate pairs, verified removal list) - both grow
+# with the corpus (SemDeDup-style corpora flag 30-50% of vectors), so
+# the hint is only safe while the embeddings scan itself is provably
+# small (metadata stat; VERDICT r13 #1). 256 MiB of fp32x64 vectors
+# is ~1M rows -> worst-case removal set ~8 MB of bigints, far under
+# the session broadcast threshold.
+EMB_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
 
 def _emb_band_key(b: int):
     """Band key b: integer from the sign bits of dims 8b..8b+7."""
@@ -967,10 +984,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     on every one of the 8 sign-bytes is the miss case).
 
     100 TB posture: the band self-join shuffles on (band, bucket) -
-    ~N/256 vectors per bucket per band - never an N^2 cross join; the
-    verified dup list is broadcast into the anti-join. This is the
-    q_sim_ann_lsh pattern applied to dedup; at production scale raise
-    bands/bits to tighten recall at the same cost shape.
+    ~N/256 vectors per bucket per band - never an N^2 cross join.
+    This is the q_sim_ann_lsh pattern applied to dedup; at production
+    scale raise bands/bits to tighten recall at the same cost shape.
+
+    Broadcast switch (r14, VERDICT r13 #1): the candidate-pair set
+    and the verified removal set are both DATA-DEPENDENT - SemDeDup
+    -style corpora flag 30-50% of all vectors, so neither is
+    broadcastable unconditionally. Both hints ride broadcast_below
+    keyed on the embeddings scan's metadata bytes: fixture-scale
+    corpora keep today's broadcast plans; larger/unknowable corpora
+    drop the hints and the verify join + anti join plan shuffled on
+    vec_id (AQE can still re-broadcast from REAL runtime sizes).
+    Output identical either way (forced-shuffle branch pinned).
     """
     e = cached(_with_norm(
         spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
@@ -998,8 +1024,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ea = e.select(F.col("vec_id").alias("keep_id"), F.col("v").alias("va"), F.col("nrm").alias("na"))
     eb = e.select(F.col("vec_id").alias("dup_id"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    emb_src = table(spark, sf_dir, "embeddings")
     dups = (
-        ea.join(F.broadcast(cand), "keep_id")
+        ea.join(broadcast_below(cand, emb_src, EMB_BROADCAST_MAX_BYTES),
+                "keep_id")
         .join(eb, "dup_id")
         .filter(_cos_pre(F.col("va"), F.col("na"), F.col("vb"), F.col("nb")) >= EMB_DEDUP_TAU)
         .select("dup_id")
@@ -1007,7 +1035,8 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         e.select("vec_id")
-        .join(F.broadcast(dups), F.col("vec_id") == F.col("dup_id"), "left_anti")
+        .join(broadcast_below(dups, emb_src, EMB_BROADCAST_MAX_BYTES),
+              F.col("vec_id") == F.col("dup_id"), "left_anti")
     )
 
 

@@ -1122,11 +1122,13 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     # zeroes the high bits of out-of-range bands and collapses their
     # buckets - recall degrades with no error (easy to hit via the
     # bits=10 scale-probe monkeypatch, which needs dim >= 60). Assert
-    # against the actual fixture dim at plan-construction time,
-    # mirroring the band_flip rank guard. Bounded driver action:
-    # 1 row, 1 int.
-    head = e.select(F.size("embedding").alias("d")).head()
-    dim = int(head["d"]) if head is not None else 0
+    # against the MINIMUM dim across the corpus (r14, ADVICE r13: a
+    # ragged corpus with one short row would pass a first-row probe
+    # and still zero that row's band bits), mirroring the band_flip
+    # rank guard. Bounded driver action: 1 row, 1 int (a min agg, not
+    # a scan-order head).
+    head = e.agg(F.min(F.size("embedding")).alias("d")).head()
+    dim = int(head["d"]) if head is not None and head["d"] is not None else 0
     need = KNN_GRAPH_BANDS * bits
     if dim and need > dim:
         raise ValueError(
@@ -1603,8 +1605,15 @@ def knn_graph_exact_gemm(
             aq = np.concatenate(cand_q)
             aj = np.concatenate(cand_j)
             asc = np.concatenate(cand_s)
-            # compact: top-m_keep per row from the pooled candidates
-            order = np.lexsort((-asc, aq))
+            # compact: top-m_keep per row from the pooled candidates.
+            # aj is the LAST lexsort key-but-one (r14, ADVICE r13):
+            # fp32-tied candidates (exact duplicates all at cos 1.0,
+            # common in dedup corpora) must truncate to the LOWEST
+            # corpus indices deterministically, or a pool-order-
+            # arbitrary subset reaches the float64 re-rank and the
+            # emitted dst ids can violate the (cos desc, dst asc)
+            # contract vs the numpy oracle.
+            order = np.lexsort((aj, -asc, aq))
             aq, aj = aq[order], aj[order]
             starts = np.searchsorted(aq, np.arange(nq))
             ends = np.searchsorted(aq, np.arange(nq) + 1)

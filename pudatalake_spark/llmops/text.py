@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..loaders import cached, load, spread, table
+from ..loaders import broadcast_below, cached, load, spread, table
 from ..operators.ranks import global_order
 from ..registry import register
 
@@ -741,6 +741,16 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINE_DEDUP_MAX = 3  # drop lines occurring >= this many times (C4)
 
+# Corpus-size ceiling for force-broadcasting the hot-line mark set
+# (VERDICT r13 #1): below this many on-disk corpus bytes the distinct
+# hot-line hash set is at most a few million int64s (tens of MB
+# framed) - safely broadcastable; above it the set's growth is
+# unbounded (C4: billions of duplicated lines at ~360 GB) and the
+# join must plan shuffled. Conservative vs the session's 64 MiB
+# autoBroadcastJoinThreshold because hot rows are 9 bytes wide while
+# corpus bytes are whole documents.
+LINE_HOT_BROADCAST_MAX_BYTES = 256 * 1024 * 1024
+
 
 @register(
     "q_text_line_dedup",
@@ -796,9 +806,20 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence count is one map-side-combinable agg, only hot
     hashes (df >= max) flow into the mark join, and re-assembly is
     a per-doc sort of (pos, line) structs inside one agg - no
-    quadratic stage, no global sort. At 100 TB the hot-line table
-    is tiny (boilerplate is by definition few DISTINCT lines) and
-    broadcast-joins back.
+    quadratic stage, no global sort.
+
+    Hot-line mark join (r14, VERDICT r13 #1): the hot set is
+    DATA-DEPENDENT - C4 measured duplicated lines in the billions
+    at ~360 GB, so an unconditional F.broadcast(hot) OOMs long
+    before 100 TB. Size-switched via broadcast_below: corpora
+    under LINE_HOT_BROADCAST_MAX_BYTES (a pure-metadata stat, no
+    action) keep today's broadcast plan; above it - or when the
+    size is unknowable - the hint drops and the mark join is a
+    plain shuffled left join on the int64 hash (8-byte keys; the
+    count agg already shuffled inst on g once, and AQE may still
+    broadcast from REAL runtime sizes). Output is identical either
+    way; the forced-shuffle branch is pinned by test and the
+    switch is asserted by the plan audit.
     """
     d = spread(table(spark, sf_dir, "documents"), "doc_id")
     inst = cached(
@@ -813,7 +834,9 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= LINE_DEDUP_MAX)
         .select("g", F.lit(True).alias("dropped"))
     )
-    m = inst.join(F.broadcast(hot), "g", "left")
+    m = inst.join(
+        broadcast_below(hot, d, LINE_HOT_BROADCAST_MAX_BYTES), "g", "left"
+    )
     kept_struct = F.when(
         F.col("dropped").isNull(), F.struct("pos", "line")
     )

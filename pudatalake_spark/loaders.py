@@ -200,6 +200,28 @@ def cached(df: DataFrame) -> DataFrame:
     OOM; bench.py additionally clearCache()s between timed runs."""
     return df.persist()
 
+def broadcast_below(small: DataFrame, source: DataFrame,
+                    max_bytes: int) -> DataFrame:
+    """Size-switched broadcast hint (the q_dedup_cross_corpus
+    precedent generalized, VERDICT r13 #1): hint ``small`` for
+    broadcast only while the SOURCE corpus behind it is provably
+    tiny (``scan_bytes`` metadata stat <= max_bytes). ``small`` is
+    typically a data-dependent derived set (hot-line hashes, a
+    near-dup removal list) whose row count grows with the corpus -
+    a forced F.broadcast() on it is correct on fixtures and an
+    executor/driver OOM at 100 TB. Above the threshold - or when
+    the size is unknowable (remote FS) - the hint is dropped and
+    the join plans as a plain shuffled join (AQE may still convert
+    it at runtime from REAL sizes, which is the honest cluster
+    posture: only runtime stats know how big a derived set is)."""
+    from pyspark.sql import functions as F
+
+    nb = scan_bytes(source)
+    if nb is not None and nb <= max_bytes:
+        return F.broadcast(small)
+    return small
+
+
 def scan_bytes(df: DataFrame) -> int | None:
     """On-disk bytes behind a scan, from PURE METADATA (inputFiles +
     stat) - no job, no count(). Plan-strategy switches (e.g.

@@ -167,8 +167,19 @@ RULES: dict[str, tuple[list[str], list[str], str]] = {
         [r"xxhash64", r"BroadcastHashJoin"],
         [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
         "lines hashed to int64 before the shuffle; the hot-line mark join "
-        "is a broadcast; ordered re-assembly is one per-doc agg, all "
-        "JVM-side (r13)",
+        "broadcasts on fixture-scale corpora via the r14 broadcast_below "
+        "size switch (above LINE_HOT_BROADCAST_MAX_BYTES the hint drops "
+        "and it plans shuffled - pinned in test_broadcast_switch); "
+        "ordered re-assembly is one per-doc agg, all JVM-side (r13)",
+    ),
+    "q_dedup_embedding": (
+        [r"BroadcastHashJoin", r"Join type: LeftAnti"],
+        [r"CartesianProduct", r"BatchEvalPython", r"ArrowEvalPython"],
+        "band-bucket candidates equi-join (never N^2); verify + removal "
+        "anti-join broadcast on fixture-scale corpora via the r14 "
+        "broadcast_below size switch (above EMB_BROADCAST_MAX_BYTES the "
+        "hints drop and both plan shuffled - pinned in "
+        "test_broadcast_switch)",
     ),
     "q_sample_fixed_k": (
         [r"WindowGroupLimit"],

@@ -737,7 +737,13 @@ def s_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     INDEPENDENT of reference size - the batch twin re-signs the
     whole union every run, which is exactly what a production lake
     cannot afford. State lives in the store and the checkpoint, not
-    the driver; restart is exactly-once via the file-sink log.
+    the driver. Restart is IDEMPOTENT, not sink-log exactly-once
+    (r14, ADVICE r13: foreachBatch is at-least-once): each
+    micro-batch writes its pairs into its own batch_id partition
+    with dynamic partition overwrite, so a replayed batch REPLACES
+    its partition instead of re-appending duplicates - the raw log
+    is clean under retries, and the per-doc argmax below is
+    duplicate-insensitive anyway (row_number==1 over identical rows).
     """
     from ..llmops.dedup import (
         cross_corpus_probe,
@@ -756,6 +762,12 @@ def s_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref_banded.write.mode("overwrite").parquet(
         os.path.join(store, "bands")
     )
+    # Build-side caches served their purpose (sh feeds both the sh
+    # write and the banded derivation); release the blocks before the
+    # stream starts instead of pinning them for the session (ADVICE
+    # r13 leak class).
+    ref_sh.unpersist()
+    ref_banded.unpersist()
 
     src = stage_document_files(
         spark, sf_dir, "s_dedup_xc", parity=1
@@ -764,14 +776,26 @@ def s_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def probe(batch_df, batch_id):
         ss = batch_df.sparkSession
-        b_sh, b_banded = minhash_signature_frames(batch_df)
+        # persist=False (r14, ADVICE r13): each batch frame is
+        # consumed exactly once; caching two new frames per
+        # micro-batch pins storage blocks nothing ever unpersists.
+        b_sh, b_banded = minhash_signature_frames(
+            batch_df, persist=False
+        )
         pairs = cross_corpus_probe(
             b_sh,
             b_banded,
             ss.read.parquet(os.path.join(store, "sh")),
             ss.read.parquet(os.path.join(store, "bands")),
         )
-        pairs.write.mode("append").parquet(out)
+        # Idempotent under foreachBatch's at-least-once retries: a
+        # replayed batch_id OVERWRITES its own partition (dynamic
+        # mode touches no other batch's partition) instead of
+        # appending a second copy of its pairs.
+        (pairs.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("batch_id").parquet(out))
 
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
