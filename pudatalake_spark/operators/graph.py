@@ -240,44 +240,60 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 cut with node-id tie-break -> deterministic boundary.
     """
     t = load(spark, sf_dir)
-    # The edge list is read ~5x (nodes, N, deg, 3 supersteps).
+    # The edge list is read ~5x (nodes, N, 3 supersteps).
     # Materialization strategy MEASURED at sf0.1: persist() DOUBLES
     # steady-state (10-13 s vs 5.2 s plain - the InMemoryTableScan
     # boundary blocks whole-stage fusion and AQE broadcast
-    # re-planning), but localCheckpoint of the distinct edge set
-    # WINS (3.8 s): checkpointed blocks replay as a plain scan with
-    # truncated lineage, exactly like q_dedup_groups' CC supersteps.
-    # eager=False keeps the BUILDER lazy - plan-only consumers (the
-    # plan audit calls every builder just to explainString) must not
-    # run edge-derivation jobs or pin never-unpersisted blocks; the
-    # first real action checkpoints once and later readers reuse it.
-    # At 100 TB the same role is played by writing the edge list to
-    # parquet once and iterating over that scan.
-    bip = superstep_checkpoint(_bipartite_edges(t))
+    # re-planning), but localCheckpoint WINS (3.8 s): checkpointed
+    # blocks replay as a plain scan with truncated lineage, exactly
+    # like q_dedup_groups' CC supersteps. eager=False keeps the
+    # BUILDER lazy - plan-only consumers (the plan audit calls every
+    # builder just to explainString) must not run edge-derivation
+    # jobs or pin never-unpersisted blocks; the first real action
+    # checkpoints once and later readers reuse it. At 100 TB the
+    # same role is played by writing the edge list to parquet once
+    # and iterating over that scan.
+    #
+    # ONE checkpoint job, not two (r14, guide §2.4): r13 checkpointed
+    # the distinct bipartite pairs AND the outdeg-folded edge table -
+    # the first existed only because (a) symmetrization read bip
+    # twice (unionAll) and (b) outdeg needed an edges⋈deg self-join.
+    # Symmetrizing via explode (each pair emits both directions in
+    # one pass) and folding outdeg with a count window over src
+    # (hash-partition + in-partition sort, no join, no second read)
+    # collapse the whole edge build into one linear pipeline behind a
+    # single checkpoint: fact join -> distinct -> explode -> window.
+    # Interleaved A/B at sf0.1: 7/8 paired reps faster, median
+    # -1.27 s (~4.3 s -> ~3.0 s under ambient steal); top-20
+    # byte-identical.
+    #
     # Signed-bigint node ids INTERNALLY (customers ck+1, suppliers
     # -(sk+1) - the q_graph_bfs_levels encoding): every superstep
     # shuffles/joins on the node key, and 8-byte long keys measured
     # 29% faster than the 'C<k>'/'S<k>' strings end-to-end at sf0.1
     # (interleaved A/B medians 3.38s vs 4.74s, byte-identical top-20,
     # r8). The string ids the oracle sorts on are reconstructed in
-    # the final projection only.
+    # the final projection only. outdeg is kept (not pre-reciprocaled)
+    # so pr/outdeg is bitwise identical to the oracle's division
+    # order.
     c = (F.col("ck") + 1).cast("bigint")
     s = (-(F.col("sk") + 1)).cast("bigint")
-    edges = bip.select(c.alias("src"), s.alias("dst")).unionAll(
-        bip.select(s.alias("src"), c.alias("dst"))
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    n = nodes.agg(F.count("*").cast("double").alias("n"))
-    deg = edges.groupBy("src").agg(F.count("*").cast("double").alias("outdeg"))
-    # Fold outdeg into the edge table ONCE (r6, VERDICT r5 #2): the r5
-    # loop re-joined `deg` inside every superstep (2 joins/step); with
-    # the weight carried on the checkpointed edge table each superstep
-    # is a single edges><state join + map-side-partial agg. outdeg is
-    # kept (not pre-reciprocaled) so pr/outdeg is bitwise identical to
-    # the oracle's division order.
+    edges = _bipartite_edges(t).select(
+        F.explode(
+            F.array(
+                F.struct(c.alias("src"), s.alias("dst")),
+                F.struct(s.alias("src"), c.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     edges_w = superstep_checkpoint(
-        edges.join(deg, "src").select("src", "dst", "outdeg")
+        edges.withColumn(
+            "outdeg",
+            F.count("*").over(Window.partitionBy("src")).cast("double"),
+        )
     )
+    nodes = edges_w.select(F.col("src").alias("node")).distinct()
+    n = nodes.agg(F.count("*").cast("double").alias("n"))
     # state_0: uniform 1/N (N delivered in-plan via a 1-row cross join)
     pr = nodes.crossJoin(F.broadcast(n)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("pr")
