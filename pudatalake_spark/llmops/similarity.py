@@ -972,11 +972,21 @@ def q_embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each superstep is two narrow aggregates over the
     exploded (vec_id, pos, x) matrix - A v shuffles on vec_id,
     A^T (A v) shuffles on pos (64 groups) - with the 64-row state
-    vector BROADCAST back each time; like q_graph_pagerank the fixed
-    k keeps the chain declarative, and like there the matrix explode
-    is deliberately NOT persisted (cheap fused scan vs cache-scan
+    vector BROADCAST back each time; the matrix explode is
+    deliberately NOT persisted (cheap fused scan vs cache-scan
     overhead; at 100 TB write the exploded matrix - or read the
     column - once per superstep from parquet).
+
+    The 64-row STATE vector, however, is checkpointed per superstep
+    (r14): each v_k references the matrix subtree twice, so the
+    fully-declarative chain embedded the scan+explode subplan
+    2^k-fold - 202 Exchange nodes in the static plan at k=3, and
+    CATALYST ANALYSIS, not execution, dominated the fixture wall
+    (the cc_min_label lesson at 64-row scale). A lazy localCheckpoint
+    of each v truncates the tree to linear (6 Exchanges; A/B at
+    sf0.1: 2.99s -> 2.20s median, byte-identical output, numpy pin
+    unchanged). Same declared superstep-materialization class as
+    pagerank/CC.
     """
     e = spread(table(spark, sf_dir, "embeddings"), "vec_id").select(
         "vec_id", _vd("embedding").alias("v")
@@ -1001,8 +1011,11 @@ def q_embeddings_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum(F.col("x") * F.col("d")).alias("u"))
         )
         norm = atav.agg(F.sqrt(F.sum(F.col("u") * F.col("u"))).alias("nrm"))
-        v = atav.crossJoin(F.broadcast(norm)).select(
-            F.col("pos").alias("vpos"), (F.col("u") / F.col("nrm")).alias("w")
+        v = superstep_checkpoint(
+            atav.crossJoin(F.broadcast(norm)).select(
+                F.col("pos").alias("vpos"),
+                (F.col("u") / F.col("nrm")).alias("w"),
+            )
         )
     # sigma = ||A v|| at the final direction (Rayleigh singular value)
     av = (

@@ -2208,8 +2208,17 @@ def q_events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = e.select(
         "event_type", F.lag("event_type").over(w).alias("prev_type")
     ).filter(F.col("prev_type").isNotNull())
-    c = seq.groupBy("prev_type", "event_type").agg(
-        F.count("*").cast("double").alias("n")
+    # Checkpoint the |types|^2 transition-count frame (r14): it is
+    # consumed by p, states AND (through p) every superstep, so the
+    # fully-declarative chain embedded the events window
+    # shuffle+sort 4x in one plan - exchange reuse dedupes the
+    # shuffle write but each reference re-runs the sort+window
+    # stage. One lazy localCheckpoint of the ~|types|^2-row frame
+    # runs sessionized lag ONCE (pagerank/CC superstep class).
+    c = superstep_checkpoint(
+        seq.groupBy("prev_type", "event_type").agg(
+            F.count("*").cast("double").alias("n")
+        )
     )
     wp = Window.partitionBy("prev_type")
     p = c.select(

@@ -132,7 +132,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey"
     )
     a, b = li.alias("a"), li.alias("b")
-    und = (
+    # und feeds FOUR consumers (deg twice, the orientation join,
+    # n_edges) and e feeds three (both wedge sides, the closing
+    # union): un-materialized, the lineitem self-join subtree
+    # replicated ~16x in one static plan (84 parquet scans) and each
+    # reference re-ran the post-exchange stages. Two lazy
+    # localCheckpoints (r14, the pagerank superstep class) run the
+    # self-join and the orientation once each.
+    und = superstep_checkpoint(
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -150,7 +157,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    e = (
+    e = superstep_checkpoint(
         und.join(F.broadcast(deg).alias("da"), F.col("pa") == F.col("da.node"))
         .join(F.broadcast(deg).alias("db"), F.col("pb") == F.col("db.node"))
         .select(
@@ -460,7 +467,9 @@ def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles - the pinned df-cap pattern.
     """
     t = load(spark, sf_dir)
-    e = _bipartite_edges(t)
+    # e feeds both self-join sides AND the degree agg (3 consumers):
+    # checkpoint so the fact-join edge derivation runs once (r14).
+    e = superstep_checkpoint(_bipartite_edges(t))
     deg = e.groupBy("sk").agg(F.count("*").cast("bigint").alias("d"))
     a = e.alias("a")
     b = e.alias("b")
@@ -535,7 +544,9 @@ def q_graph_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shared frontier CTEs.
     """
     t = load(spark, sf_dir)
-    e = _bipartite_edges(t)
+    # e feeds all three hop expansions: checkpoint so the fact-join
+    # edge derivation runs once, not per hop (r14).
+    e = superstep_checkpoint(_bipartite_edges(t))
     seed = (
         t["customer"]
         .filter(F.col("c_nationkey") == REACH_SEED_NATION)
@@ -599,7 +610,9 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-valued doubles; only the final irrational ratio rounds.
     """
     t = load(spark, sf_dir)
-    e = _bipartite_edges(t)
+    # e feeds both degree aggs and the rejoin (3 consumers):
+    # checkpoint so the fact-join edge derivation runs once (r14).
+    e = superstep_checkpoint(_bipartite_edges(t))
     cdeg = e.groupBy("ck").agg(F.count("*").cast("bigint").alias("dc"))
     sdeg = e.groupBy("sk").agg(F.count("*").cast("bigint").alias("ds"))
     pairs = (
@@ -1079,7 +1092,11 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts.
     """
     t = load(spark, sf_dir)
-    e = _bipartite_edges(t)
+    # e feeds FOUR consumers (m, cdeg, sdeg, intra): checkpoint so
+    # the fact join runs once, not per consumer (r14 - the docstring
+    # promise "edge list built once" was only true per STAGE before;
+    # the un-materialized plan carried 46 parquet scans).
+    e = superstep_checkpoint(_bipartite_edges(t))
     cnat = t["customer"].select(
         F.col("c_custkey").alias("ck"), F.col("c_nationkey").alias("nk")
     )
@@ -1234,26 +1251,38 @@ def q_graph_louvain_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint once (lazy - the pagerank protocol) so the
     # orders><lineitem derivation runs once, not per consumer (the
     # un-checkpointed plan re-scanned the fact tables 23 times,
-    # caught by the plan survey).
-    bip = superstep_checkpoint(_bipartite_edges(t))
-    c = F.concat(F.lit("C"), F.col("ck").cast("string"))
-    s = F.concat(F.lit("S"), F.col("sk").cast("string"))
-    ed = bip.select(c.alias("u"), s.alias("v")).unionAll(
-        bip.select(s.alias("u"), c.alias("v"))
+    # caught by the plan survey). r14: edges carry SIGNED-BIGINT node
+    # ids (customers ck+1, suppliers -(sk+1) - the pagerank/BFS
+    # encoding) instead of 'C<k>'/'S<k>' strings: every agg and
+    # shuffle below keys on u/v, and 8-byte longs beat ~8-char
+    # strings on shuffle bytes and hash cost (the r8 pagerank A/B;
+    # here stash-interleaved medians 2.77s -> 2.55s at sf0.1,
+    # oracle hash-match at all three SFs). Symmetrization is one
+    # explode pass instead of a double unionAll read, and the
+    # string form is never built at all - `comm` is already the
+    # integer nationkey and the output joins nation names at the
+    # very end.
+    c = (F.col("ck") + 1).cast("bigint")
+    s = (-(F.col("sk") + 1)).cast("bigint")
+    ed = superstep_checkpoint(
+        _bipartite_edges(t).select(
+            F.explode(
+                F.array(
+                    F.struct(c.alias("u"), s.alias("v")),
+                    F.struct(s.alias("u"), c.alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
     )
     lab = (
         t["customer"]
         .select(
-            F.concat(F.lit("C"), F.col("c_custkey").cast("string")).alias(
-                "node"
-            ),
+            (F.col("c_custkey") + 1).cast("bigint").alias("node"),
             F.col("c_nationkey").alias("comm"),
         )
         .unionAll(
             t["supplier"].select(
-                F.concat(
-                    F.lit("S"), F.col("s_suppkey").cast("string")
-                ).alias("node"),
+                (-(F.col("s_suppkey") + 1)).cast("bigint").alias("node"),
                 F.col("s_nationkey").alias("comm"),
             )
         )
@@ -1376,7 +1405,9 @@ def q_graph_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic. 100 TB: identical.
     """
     t = load(spark, sf_dir)
-    e = _bipartite_edges(t)
+    # e feeds the two per-side degree aggs (2 consumers): checkpoint
+    # so the fact-join edge derivation runs once (r14).
+    e = superstep_checkpoint(_bipartite_edges(t))
     deg = (
         e.groupBy(F.concat(F.lit("C"), F.col("ck").cast("string")).alias("node"))
         .agg(F.count("*").alias("d"))
