@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from ..loaders import broadcast_below, cached, load, spread, table
 from ..operators.ranks import global_order
 from ..registry import register
+from ..session import superstep_checkpoint
 
 
 def _tokens():
@@ -3288,15 +3289,27 @@ def q_sim_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
         ).alias("w"),
     )
-    dl = words.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("dl")
+    # dl and alltf are consumed by BOTH bm25 passes plus the
+    # feedback-term miner (4 references of the corpus tokenize):
+    # cache the two aggregated frames so the explode+agg runs once
+    # per frame instead of once per consumer (r14). cached(), not a
+    # checkpoint: the consumers are interleaved small joins and a
+    # checkpoint's materialization barrier measured SLOWER than the
+    # duplicate work it saved (2.67s -> 3.65s), while the cache
+    # fills on first use with no extra job.
+    dl = cached(
+        words.groupBy("doc_id").agg(
+            F.count("*").cast("bigint").alias("dl")
+        )
     )
     corp = dl.agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("dl").cast("bigint").alias("total_len"),
     )
-    alltf = words.groupBy("doc_id", "w").agg(
-        F.count("*").cast("bigint").alias("tf")
+    alltf = cached(
+        words.groupBy("doc_id", "w").agg(
+            F.count("*").cast("bigint").alias("tf")
+        )
     )
     alldf = alltf.groupBy("w").agg(
         F.count("*").cast("bigint").alias("df")
@@ -3356,7 +3369,10 @@ def q_sim_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    exp_terms = (
+    # exp_terms feeds the expanded query AND the 'added' summary:
+    # cache the <= PRF_EXPANSION_TERMS-row frame so the feedback
+    # mining runs once (r14; cached not checkpointed, see dl note).
+    exp_terms = cached(
         cand.orderBy(F.desc("score"), "w")
         .limit(PRF_EXPANSION_TERMS)
         .select(F.col("w").alias("term"))

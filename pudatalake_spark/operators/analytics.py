@@ -4606,7 +4606,11 @@ def q_events_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     widen the key.
     """
     e = table(spark, sf_dir, "events")
-    days = (
+    # days feeds THREE consumers (d0, the cohort cut, the return
+    # counts): checkpoint the (user, day) distinct frame so the
+    # events dedup agg runs once, not per consumer (r14, the
+    # superstep pattern).
+    days = superstep_checkpoint(
         e.select(
             "user_id",
             F.datediff(
@@ -4639,13 +4643,17 @@ def q_events_retention_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("t", F.coalesce("n_t", F.lit(0)).cast("bigint").alias("n_t"))
         .crossJoin(F.broadcast(n0))
     )
-    pts = curve.filter(F.col("n_t") > 0).select(
-        "t",
-        "n_t",
-        "n0",
-        (F.col("n_t").cast("double") / F.col("n0")).alias("r"),
-        F.log(F.col("t").cast("double")).alias("x"),
-        F.log(F.col("n_t").cast("double") / F.col("n0")).alias("y"),
+    # pts (<= RET_FIT_MAX_T rows) feeds the fit agg AND the output
+    # projection: checkpoint so the curve build runs once (r14).
+    pts = superstep_checkpoint(
+        curve.filter(F.col("n_t") > 0).select(
+            "t",
+            "n_t",
+            "n0",
+            (F.col("n_t").cast("double") / F.col("n0")).alias("r"),
+            F.log(F.col("t").cast("double")).alias("x"),
+            F.log(F.col("n_t").cast("double") / F.col("n0")).alias("y"),
+        )
     )
     fit = pts.agg(
         F.count("*").alias("k"),
