@@ -729,10 +729,22 @@ def q_graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Explode-symmetrize (r14, the pagerank edge-build pattern): the
+    # unionAll form computed the fact join TWICE inside the
+    # checkpoint build; one explode pass emits both directions. The
+    # old trailing .distinct() was redundant (e0 is distinct, so each
+    # orientation is unique, and the two orientations cannot collide:
+    # a>0 XOR a<0 by the signed encoding) - dropping it removes one
+    # full-edge exchange from the build job.
     edges = superstep_checkpoint(
-        e0.select(F.col("ck").alias("a"), F.col("sk").alias("b"))
-        .unionAll(e0.select(F.col("sk").alias("a"), F.col("ck").alias("b")))
-        .distinct()
+        e0.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("ck").alias("a"), F.col("sk").alias("b")),
+                    F.struct(F.col("sk").alias("a"), F.col("ck").alias("b")),
+                )
+            ).alias("e")
+        ).select("e.a", "e.b")
     )
     seed = spark.range(1).select(
         (F.lit(BFS_SEED_CUSTOMER).cast("bigint") + 1).alias("node"),
@@ -934,9 +946,18 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pk").alias("u"), F.col("b.pk").alias("v"))
         .distinct()
     )
+    # Explode-symmetrize (r14, the pagerank edge-build pattern): the
+    # unionAll form computed the lineitem self-join TWICE inside the
+    # checkpoint build; one explode pass emits both directions.
     edges = superstep_checkpoint(
-        half.unionAll(half.select(F.col("v").alias("u"),
-                                  F.col("u").alias("v")))
+        half.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("e")
+        ).select("e.u", "e.v")
     )
     # Checkpointed: feeds the K-pick histogram AND doubles as the
     # peeling loop's first-round degree frame D_1 (r11 - one agg
