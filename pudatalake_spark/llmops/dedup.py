@@ -651,12 +651,15 @@ def minhash_signature_frames(
     band, bucket)) - by default both cached, both exactly the frames
     minhash_verified_pairs always built inline.
 
-    ``persist=False`` (r14, ADVICE r13): callers that consume each
-    frame ONCE - the streaming gate's per-micro-batch probe side -
-    must skip the cache: a foreachBatch loop that persists two new
-    frames per batch pins storage blocks that nothing ever
-    unpersists, an unbounded leak over a long-running ingest stream
-    (fixture-scale availableNow replay hides it)."""
+    ``persist=False`` (r14, ADVICE r13): for callers that consume
+    each returned frame once AND tolerate the shingle pass running
+    twice (banded's lineage contains sh). Callers that keep the
+    default MUST unpersist both frames when done with them - the
+    streaming gate's per-micro-batch probe does exactly that
+    (streams.py): a foreachBatch loop that persists two new frames
+    per batch and never releases them pins storage blocks without
+    bound over a long-running ingest stream (fixture-scale
+    availableNow replay hides it)."""
     _c = cached if persist else (lambda df: df)
     sh = _c(docs.select("doc_id", _hashed_shingles_col().alias("s")))
     # Signature path works on a deterministic 1-in-4 sample of the

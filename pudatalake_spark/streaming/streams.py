@@ -776,26 +776,32 @@ def s_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def probe(batch_df, batch_id):
         ss = batch_df.sparkSession
-        # persist=False (r14, ADVICE r13): each batch frame is
-        # consumed exactly once; caching two new frames per
-        # micro-batch pins storage blocks nothing ever unpersists.
-        b_sh, b_banded = minhash_signature_frames(
-            batch_df, persist=False
-        )
-        pairs = cross_corpus_probe(
-            b_sh,
-            b_banded,
-            ss.read.parquet(os.path.join(store, "sh")),
-            ss.read.parquet(os.path.join(store, "bands")),
-        )
-        # Idempotent under foreachBatch's at-least-once retries: a
-        # replayed batch_id OVERWRITES its own partition (dynamic
-        # mode touches no other batch's partition) instead of
-        # appending a second copy of its pairs.
-        (pairs.withColumn("batch_id", F.lit(batch_id))
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("batch_id").parquet(out))
+        # The batch shingle frame is consumed twice (the verify join
+        # AND the banded derivation), so the internal cache still
+        # earns its keep per batch - but it is UNPERSISTED once the
+        # batch's write completes (r14, ADVICE r13): a foreachBatch
+        # loop that persists two new frames per micro-batch and
+        # never releases them pins storage blocks without bound over
+        # a long-running ingest stream.
+        b_sh, b_banded = minhash_signature_frames(batch_df)
+        try:
+            pairs = cross_corpus_probe(
+                b_sh,
+                b_banded,
+                ss.read.parquet(os.path.join(store, "sh")),
+                ss.read.parquet(os.path.join(store, "bands")),
+            )
+            # Idempotent under foreachBatch's at-least-once retries:
+            # a replayed batch_id OVERWRITES its own partition
+            # (dynamic mode touches no other batch's partition)
+            # instead of appending a second copy of its pairs.
+            (pairs.withColumn("batch_id", F.lit(batch_id))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch_id").parquet(out))
+        finally:
+            b_sh.unpersist()
+            b_banded.unpersist()
 
     stream = (
         spark.readStream.schema(DOC_SCHEMA)
