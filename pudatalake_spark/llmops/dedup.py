@@ -412,6 +412,27 @@ def near_jaccard_pairs(
             F.col("b.n_sh").alias("n2"),
         )
         .agg(F.count("*").alias("rare_inter"))
+        # Candidate PREFILTER (r15, guide §2.3 - shuffle/process fewer
+        # rows): a pair can only reach J >= tau if
+        # inter >= tau/(1+tau) * (n1+n2), and inter is bounded by
+        # rare_inter + HOT_DICT_MAX (the hot dictionary holds at most
+        # 256 shingles, so hot_inter <= 256). Dropping pairs that
+        # cannot clear the bound here - BEFORE the union+max dedup agg
+        # and the two mask joins - is EXACT: a dropped pair has
+        # true jac < tau (true negative), and if the same pair
+        # re-enters via hd_pairs its rare_inter=0 UNDERCOUNTS inter,
+        # which only lowers the computed jaccard (i/(S-i) is monotone
+        # in i), so it still fails the final jac >= tau filter.
+        # Measured at sf0.1: candidates reaching the dedup agg + mask
+        # joins drop from ~8.5M to the hundreds that can actually
+        # qualify. The 1e-6 slack keeps float rounding of tau*(n1+n2)
+        # from ever dropping a boundary pair the exact rational would
+        # keep (slack only ADMITS pairs; the exact jac filter below
+        # remains the decider).
+        .filter(
+            (1.0 + tau) * (F.col("rare_inter") + HOT_DICT_MAX)
+            >= tau * (F.col("n1") + F.col("n2")) - 1e-6
+        )
     )
     # Hot-dominated docs: the only docs that can reach J >= tau with
     # zero rare overlap (proof in the docstring). Small by
@@ -534,6 +555,90 @@ def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_jaccard_pairs(d, JACCARD_TAU)
 
 
+def _sampled_instances(docs: DataFrame) -> DataFrame:
+    """Flat (doc_id, h) feed of the deterministic 1-in-4 sample of
+    the hashed shingle space - explode -> substring -> xxhash64 ->
+    sample filter, whole-stage codegen end to end (r15, guide §4.1:
+    prefer built-ins over interpreted higher-order functions). May
+    contain in-doc duplicates: min() is duplicate-insensitive, so
+    the signature aggregate downstream sees the same per-doc value
+    SET as the old array_distinct'd arrays and produces identical
+    signatures. The empty-sequence guard mirrors
+    ``_hashed_shingles_col`` (F.sequence counts DOWN for short
+    strings; substr on non-positive positions fabricates junk)."""
+    t = F.lower(F.col("text"))
+    pos = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(
+            F.when(
+                F.length(t) >= SHINGLE_LEN,
+                F.sequence(F.lit(1), F.length(t) - (SHINGLE_LEN - 1)),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+    )
+    return pos.select(
+        "doc_id",
+        F.xxhash64(F.expr(f"substring(t, i, {SHINGLE_LEN})")).alias("h"),
+    ).filter(F.col("h").bitwiseAND(F.lit(3)) == 0)
+
+
+def _banded_signatures(ex: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) banded minhash signatures from a flat
+    (doc_id, h) sampled shingle-instance feed.
+
+    Affine minhash family g_i(x) = (a_i * h2(x) + h1(x)) mod p,
+    p = 2^31 - 1: the classic permutation-approximation (same form
+    as datasketch/Mahout), built from TWO xxhash64 calls per shingle
+    plus integer arithmetic instead of N_HASHES independent hash
+    calls - ~3x faster at sf0.1. a_i = xxhash64(i) >> 33 is a
+    CONSTANT per column, folded by Catalyst. All operands are
+    right-shifted to 31 bits so a_i * h2 + h1 < 2^62 never
+    overflows ANSI bigint arithmetic. (A plain h1 + i*h2 without
+    the mod does NOT work: with i small the argmin is dominated by
+    h1, correlating all signature positions and collapsing the
+    banding to a single effective hash - measured as a 2.6x
+    candidate blow-up before this form replaced it.) The groupBy has
+    64 codegen'd min aggs; partial aggregation collapses each
+    partition to one row per doc before the shuffle (and the scan is
+    pre-partitioned by doc_id via spread(), so partial agg is final
+    size)."""
+    h1 = F.shiftrightunsigned(F.col("h"), 33)
+    h2 = F.shiftrightunsigned(F.xxhash64(F.col("h")), 33)
+    sig = ex.select("doc_id", h1.alias("h1"), h2.alias("h2")).groupBy(
+        "doc_id"
+    ).agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.shiftrightunsigned(F.xxhash64(F.lit(i)), 33)
+                    * F.col("h2")
+                    + F.col("h1"),
+                    F.lit(_P31),
+                )
+            ).alias(f"m{i}")
+            for i in range(N_HASHES)
+        ]
+    )
+    rows_per_band = N_HASHES // N_BANDS
+    return sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[
+                            F.col(f"m{b * rows_per_band + r}")
+                            for r in range(rows_per_band)
+                        ]
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_verified_pairs(
     docs: DataFrame, tau: float = JACCARD_TAU, pair_cond=None
 ) -> DataFrame:
@@ -550,7 +655,7 @@ def minhash_verified_pairs(
 
     Signature: 64 mins of an affine hash family over a deterministic
     1-in-4 sample of the hashed shingle space (seeded, deterministic,
-    re-runnable; details inline below). Banding: 8 bands of 8 rows;
+    re-runnable; ``_banded_signatures``). Banding: 8 bands of 8 rows;
     docs sharing any band bucket become candidates; candidates are
     verified with EXACT Jaccard >= 0.5 on the FULL shingle sets, so
     the output has no false positives.
@@ -568,38 +673,34 @@ def minhash_verified_pairs(
     candidate count - not the signature cost - is what breaks LSH
     dedup, so the tight banding is exactly the scale posture.
 
-    Plan shape (chosen over nested higher-order functions, which are
-    interpreted and re-hash the shingle STRING once per seed - 17x
-    slower measured at sf0.1):
-      1. hash each shingle string to int64 ONCE,
-      2. explode the sampled subset to (doc_id, h) rows,
-      3. groupBy(doc_id) with 64 codegen'd min(affine(h)) aggs -
-         whole-stage codegen end to end; partial aggregation collapses
-         each partition to one row per doc before the shuffle (and the
-         scan is pre-partitioned by doc_id, so partial agg is final
-         size).
-    Cost structure (measured at sf0.1, 5000 docs): banding yields
-    ~237k candidate pairs, ~47x the doc count - this corpus is
-    near-uniform word soup, so mid-similarity pairs (J 0.3-0.45)
-    collide on one band often (p = J^4 per band). Two consequences
-    drive the plan shape:
-      1. Shingle sets must be computed ONCE PER DOC and cached, never
-         per candidate pair (recomputing per pair was measured 6x
-         slower). They are cached as hashed int64 arrays - cheaper to
-         build, cache, and intersect than ~2k strings/doc - and the
-         hashed-shingle and banded tables are both persisted because
-         each feeds two join branches and Spark's exchange reuse does
-         not recognize the diamond (verified in the executed plan).
-         The cluster-scale analogue is materializing the signature
-         table once and reading it twice.
-      2. min() is duplicate-insensitive, so the signature explode
-         skips array_distinct (the set-ness of shingles only matters
-         for the exact-Jaccard verify).
-    Jaccard on hashed shingles equals Jaccard on shingles up to
-    xxhash64 collisions (P ~ n^2/2^64 per pair - negligible; this
-    operator is rows-only checked).
+    Plan shape (r15, guide §1.2 measured-first restructure): the r14
+    form built per-doc DISTINCT shingle ARRAYS up front
+    (``_hashed_shingles_col`` - an interpreted transform +
+    array_distinct per doc), CACHED them, and both exploded the
+    arrays into the signature aggregate and joined them into the
+    verify - profiled at sf0.1 the cached array build alone was
+    ~1.9 s of the key's ~2.4 s (the cache write of 5000 x ~2k-element
+    bigint arrays dominates; compute is ~0.5 s). Neither consumer
+    needs full-corpus arrays:
+
+      1. the signature feed takes the FLAT (doc_id, h) instance
+         stream (``_sampled_instances`` - codegen end to end, no
+         arrays, no distinct: min() is duplicate-insensitive, so the
+         per-doc value set - and therefore every signature - is
+         IDENTICAL to the array form's);
+      2. the exact-Jaccard verify builds hashed-shingle sets ONLY for
+         docs that appear in a candidate pair (a semi join on the
+         band output - |cand docs| << |corpus| by the banding design;
+         guide §2.3 "project before the exchange" applied to rows).
+
+    The ``banded`` table is persisted (it feeds both sides of the
+    band self-join and exchange reuse does not recognize the
+    diamond); the candidate sets frame is persisted (it feeds both
+    verify sides). Jaccard on hashed shingles equals Jaccard on
+    shingles up to xxhash64 collisions (P ~ n^2/2^64 per pair -
+    negligible; the oracle gate measures recall on the exact bytes).
     """
-    sh, banded = minhash_signature_frames(docs)
+    banded = cached(_banded_signatures(_sampled_instances(docs)))
     a = banded.alias("a")
     b = banded.alias("b")
     join_cond = (
@@ -609,14 +710,33 @@ def minhash_verified_pairs(
     )
     if pair_cond is not None:
         join_cond = join_cond & pair_cond(F.col("a.doc_id"), F.col("b.doc_id"))
-    cand = (
+    cand = cached(
         a.join(b, join_cond)
         .select(F.col("a.doc_id").alias("doc1"), F.col("b.doc_id").alias("doc2"))
         .distinct()
     )
-    # Exact-Jaccard verification: the cached per-doc hashed sets join
-    # the broadcast candidate list (never recomputing shingles).
-    sets = sh.select("doc_id", "s", F.size("s").alias("n_sh"))
+    # Exact-Jaccard verification on full hashed shingle sets, built
+    # ONLY for candidate docs: the semi join keeps the interpreted
+    # per-doc array build proportional to the candidate count, not
+    # the corpus (the banding design bounds |cand| ~ linear). cand is
+    # persisted - it has three consumers (the verify broadcast and
+    # both endpoints of the doc-id restriction) and each reference
+    # would otherwise replan the band self-join + distinct (measured:
+    # the uncached form tripled the subtree, 37 vs 16 static-plan
+    # Exchanges). The sets frame is persisted: both verify sides read
+    # it and exchange reuse does not recognize the diamond. No
+    # broadcast hint on the semi join's build side: the candidate set
+    # is data-dependent (the r14 broadcast_below lesson); AQE converts
+    # from the real runtime size, which at fixture scale it does.
+    cand_docs = cand.select(
+        F.explode(F.array("doc1", "doc2")).alias("doc_id")
+    )
+    sets = cached(
+        docs.join(cand_docs, "doc_id", "semi").select(
+            "doc_id",
+            _hashed_shingles_col().alias("s"),
+        ).select("doc_id", "s", F.size("s").alias("n_sh"))
+    )
     verified = (
         sets.select(F.col("doc_id").alias("doc1"), F.col("s").alias("s1"), F.col("n_sh").alias("n1"))
         .join(F.broadcast(cand), "doc1")
@@ -642,86 +762,48 @@ def minhash_verified_pairs(
 
 
 def minhash_signature_frames(
-    docs: DataFrame, persist: bool = True
+    docs: DataFrame,
 ) -> tuple[DataFrame, DataFrame]:
     """The BUILD side of the minhash build/probe split, factored out
     (r13, VERDICT r12 #6) so the streaming decontamination gate can
     persist it once as the reference signature store: returns
     (hashed-shingle sets (doc_id, s), banded signatures (doc_id,
-    band, bucket)) - by default both cached, both exactly the frames
-    minhash_verified_pairs always built inline.
+    band, bucket)) - both cached (sh feeds both the store write and
+    the banded derivation; each returned frame is also typically
+    consumed more than once by the caller). Callers MUST unpersist
+    both frames when done with them - the streaming gate's build and
+    per-micro-batch probe do exactly that (streams.py): a
+    foreachBatch loop that persists two new frames per batch and
+    never releases them pins storage blocks without bound over a
+    long-running ingest stream (fixture-scale availableNow replay
+    hides it). The dead ``persist=False`` escape hatch was dropped
+    in r15 (ADVICE r14: no caller used it).
 
-    ``persist=False`` (r14, ADVICE r13): for callers that consume
-    each returned frame once AND tolerate the shingle pass running
-    twice (banded's lineage contains sh). Callers that keep the
-    default MUST unpersist both frames when done with them - the
-    streaming gate's per-micro-batch probe does exactly that
-    (streams.py): a foreachBatch loop that persists two new frames
-    per batch and never releases them pins storage blocks without
-    bound over a long-running ingest stream (fixture-scale
-    availableNow replay hides it)."""
-    _c = cached if persist else (lambda df: df)
-    sh = _c(docs.select("doc_id", _hashed_shingles_col().alias("s")))
-    # Signature path works on a deterministic 1-in-4 sample of the
-    # SHINGLE SPACE (h & 3 == 0): the sampled sets' Jaccard is an
-    # unbiased estimate of the full-set Jaccard (the filter is a
-    # uniform function of the shingle hash, identical for every doc),
-    # so banding behaves the same while the explode + aggregate see
-    # 4x fewer rows. Standard minhash subsampling; the exact-Jaccard
-    # verify still uses the FULL sets, so no false positives
-    # can be introduced.
+    This builder keeps FULL-corpus shingle arrays because the store
+    contract needs them (any future probe candidate may verify
+    against any reference doc); the in-corpus batch path
+    (minhash_verified_pairs) deliberately does NOT route through
+    here - it needs sets only for candidate docs (r15).
+
+    Signature path works on a deterministic 1-in-4 sample of the
+    SHINGLE SPACE (h & 3 == 0): the sampled sets' Jaccard is an
+    unbiased estimate of the full-set Jaccard (the filter is a
+    uniform function of the shingle hash, identical for every doc),
+    so banding behaves the same while the explode + aggregate see
+    4x fewer rows. Standard minhash subsampling; the exact-Jaccard
+    verify still uses the FULL sets, so no false positives can be
+    introduced. Signatures come from ``_banded_signatures`` (shared
+    with minhash_verified_pairs - identical values on the exploded
+    arrays and on the flat instance feed, since min() is
+    duplicate-insensitive)."""
+    sh = cached(docs.select("doc_id", _hashed_shingles_col().alias("s")))
     ex = sh.select(
         "doc_id",
         F.explode(
             F.filter("s", lambda h: h.bitwiseAND(F.lit(3)) == 0)
         ).alias("h"),
     )
-    # Affine minhash family g_i(x) = (a_i * h2(x) + h1(x)) mod p,
-    # p = 2^31 - 1: the classic permutation-approximation (same form
-    # as datasketch/Mahout), built from TWO xxhash64 calls per shingle
-    # plus integer arithmetic instead of N_HASHES independent hash
-    # calls - ~3x faster at sf0.1. a_i = xxhash64(i) >> 33 is a
-    # CONSTANT per column, folded by Catalyst. All operands are
-    # right-shifted to 31 bits so a_i * h2 + h1 < 2^62 never
-    # overflows ANSI bigint arithmetic. (A plain h1 + i*h2 without
-    # the mod does NOT work: with i small the argmin is dominated by
-    # h1, correlating all signature positions and collapsing the
-    # banding to a single effective hash - measured as a 2.6x
-    # candidate blow-up before this form replaced it.)
-    h1 = F.shiftrightunsigned(F.col("h"), 33)
-    h2 = F.shiftrightunsigned(F.xxhash64(F.col("h")), 33)
-    sig = ex.select("doc_id", h1.alias("h1"), h2.alias("h2")).groupBy(
-        "doc_id"
-    ).agg(
-        *[
-            F.min(
-                F.pmod(
-                    F.shiftrightunsigned(F.xxhash64(F.lit(i)), 33)
-                    * F.col("h2")
-                    + F.col("h1"),
-                    F.lit(_P31),
-                )
-            ).alias(f"m{i}")
-            for i in range(N_HASHES)
-        ]
-    )
-    rows_per_band = N_HASHES // N_BANDS
-    banded = _c(sig.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[
-                            F.col(f"m{b * rows_per_band + r}")
-                            for r in range(rows_per_band)
-                        ]
-                    )
-                    for b in range(N_BANDS)
-                ]
-            )
-        ).alias("band", "bucket"),
-    ))
+    banded = cached(_banded_signatures(ex))
     return sh, banded
 
 
